@@ -1,0 +1,215 @@
+"""Deduplication family (SURVEY §2.7 X1/X2) — exact and near-dup detection
+for LLM-data pipelines, each designed to avoid O(n²) work at 100 TB.
+
+- exact_dedup / content_hash_dedup: hash-groupBy — one shuffle on the hash;
+  keep min-id winner deterministically.
+- exact_jaccard_pairs: token-postings self-join — shuffles (token, doc)
+  postings, never full documents; the frequent-token cap bounds the worst
+  posting list (a stopword appearing in every doc would otherwise create a
+  quadratic bucket).
+- minhash_signature / minhash_candidate_pairs: MinHash + LSH banding —
+  signatures are fixed-size (k hashes) regardless of doc length; candidates
+  come from band-bucket equi-joins (linear-ish), then optional exact-Jaccard
+  rerank. Hash = xxhash64 with per-permutation salts (deterministic, seeded).
+- simhash64: 64-bit SimHash over token hashes; near-dups differ in few bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+# Mersenne prime 2^31-1: universal-hash modulus. Kept at 31 bits so
+# (a*h + b) stays within a signed 64-bit long — Spark 4 runs ANSI mode by
+# default and a 61-bit modulus would overflow-error in the multiply.
+_P = (1 << 31) - 1
+
+
+def content_hash(text_col: str = "text") -> F.Column:
+    """Canonical content hash: sha256 of whitespace-normalized lowercase."""
+    return F.sha2(F.concat_ws(" ", tokens(F.col(text_col))), 256)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id row per identical (normalized) content.
+
+    One shuffle on the content hash; min_by avoids a second pass."""
+    h = content_hash(text_col).alias("_h")
+    winners = (
+        df.select(F.col(id_col), h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def token_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, token) distinct postings; optionally drop tokens appearing in
+    more than ``max_doc_freq`` docs (stopword-bucket skew guard)."""
+    p = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tk")
+    )
+    if max_doc_freq is not None:
+        freq = p.groupBy("tk").agg(F.count("*").alias("_df"))
+        keep = freq.filter(F.col("_df") <= max_doc_freq).select("tk")
+        p = p.join(F.broadcast(keep), "tk", "left_semi")
+    return p
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All (d1 < d2) pairs with token-set Jaccard >= threshold — exact.
+
+    Postings self-join on token → pair intersection counts → sizes join.
+    Shuffle volume = postings + pair-partials; no document replication.
+    """
+    p = token_postings(df, id_col, text_col)
+    sizes = p.groupBy(id_col).agg(F.count("*").alias("_n"))
+    a = p.select(F.col(id_col).alias("d1"), "tk")
+    b = p.select(F.col(id_col).alias("d2"), "tk")
+    inter = (
+        a.join(b, "tk")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("_c"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("_n").alias("_n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("_n").alias("_n2"))
+    jac = F.col("_c") / (F.col("_n1") + F.col("_n2") - F.col("_c"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Fixed-size MinHash signature per document (array<long>, length
+    ``n_hashes``): sig[i] = min over tokens of universal-hash_i(xxhash64(tk)).
+
+    Pure JVM expressions: token base hash once, then affine permutations
+    (a_i·h + b_i mod p) folded with array_min — no Python, no shuffle.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(n_hashes)
+    ]
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    base = F.transform(toks, lambda tk: F.abs(F.xxhash64(tk)) % F.lit(_P))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P),
+                )
+            )
+            for (a, b) in coeffs
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature are candidates.
+
+    bands of r = n_hashes/n_bands rows; candidate iff some band identical.
+    Returns distinct (d1 < d2) candidate pairs. Scale: equi-join on
+    (band_id, band_hash) buckets — linear in collisions, never O(n²).
+    """
+    r = n_hashes // n_bands
+    sig = minhash_signature(df, id_col, text_col, n_hashes, seed)
+    bands = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.sha2(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash")[i].cast("string")
+                                for i in range(b * r, (b + 1) * r)
+                            ],
+                        ),
+                        256,
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = bands.select(F.col(id_col).alias("d1"), "band_id", "band_hash")
+    b = bands.select(F.col(id_col).alias("d2"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over xxhash64 token hashes.
+
+    Near-duplicate docs land within a small Hamming distance; banding on
+    bit-slices gives the candidate join at scale. Narrow expressions only.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hashes = F.transform(toks, lambda tk: F.xxhash64(tk))
+    # one fold: per-bit vote counter array (+1 if bit set, -1 otherwise)
+    votes = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + 2 * b - 1,  # bit→{+1,-1} vote
+        ),
+    )
+    # assemble: bit i set iff vote > 0 (bit 63 = sign bit as negative literal)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sim = sim + F.when(votes[i] > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (SURVEY §2.7 X3, DQ-31).
+
+Spark has no native vector index; the library operator here implements
+exact top-k with a scale-safe plan, plus an LSH-bucketed approximate path.
+
+Exact top-k plan (``topk_per_query``), designed for 100 TB:
+  1. broadcast the (small) query-vector set — BroadcastNestedLoopJoin, no
+     shuffle of the corpus;
+  2. compute cosine via higher-order functions (JVM, codegen — no Python);
+  3. PARTIAL top-k per input partition per query: groupBy(q, partition_id)
+     + slice(sort_array(collect_list(struct)), 1, k). collect_list here is
+     bounded by rows-per-partition, and the partial output is n_parts × k
+     rows — tiny;
+  4. FINAL exact top-k over the partials with one window over q.
+  Total shuffle volume: O(n_partitions × n_queries × k), independent of
+  corpus size. A naive window-over-everything would shuffle every (q, row)
+  similarity into n_queries partitions — a skew bomb at scale.
+
+Approximate path (``lsh_bucket_candidates``): deterministic random-
+hyperplane signatures (seeded), candidates = same-bucket pairs; recall is
+test-checked against the exact path (tests/test_extended.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def topk_per_query(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    Returns (q_id, neighbor_id, sim) — ties broken by neighbor id asc.
+    """
+    q = queries.select(
+        F.col(id_col).alias(q_id_col),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col(q_id_col))
+        .withColumn("sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .select(q_id_col, "neighbor_id", "sim", "_pid")
+    )
+    # partial top-k per (query, input partition): sort_array ascending on
+    # (-sim, neighbor_id) == descending sim with id tiebreak
+    partial = (
+        sims.groupBy(q_id_col, "_pid")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("sim")).alias("neg"),
+                            F.col("neighbor_id").alias("nid"),
+                            F.col("sim").alias("sim"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(q_id_col, F.explode("top").alias("t"))
+        .select(q_id_col, F.col("t.nid").alias("neighbor_id"), F.col("t.sim").alias("sim"))
+    )
+    # final exact top-k over n_partitions × k candidates per query (tiny)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for LSH (seeded; no runtime RNG)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign pattern → integer).
+
+    Cosine-similar vectors collide with high probability; bucket-join gives
+    an O(n·avg_bucket) candidate set instead of O(n²). All JVM expressions.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for p_i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact rerank within the query's LSH bucket only.
+
+    Scale path: corpus bucketed once (narrow), join on bucket equi-key —
+    a plain shuffle/broadcast hash join, no cross product.
+    """
+    dim = 64
+    cb = with_lsh_bucket(corpus, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        "bucket",
+    )
+    qb = with_lsh_bucket(queries, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = cb.join(
+        F.broadcast(qb),
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("neighbor_id") != F.col("q_id")),
+    ).withColumn("sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("q_id", "neighbor_id", "sim")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,29 @@
+"""Shared helpers for declared-query builders (canonicalization contract,
+FIXTURES.md §4): decimal-exact money math, table loading.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_events, load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table; events gets its ns-timestamp normalization."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return load_table(spark, sf_dir, name)
+
+
+def dec2(c: Column | str) -> Column:
+    """Cast an input to DECIMAL(18,2) *before* aggregation so both engines
+    do exact decimal arithmetic (no IEEE summation-order drift)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+def money(c: Column) -> Column:
+    """Canonical money output: ROUND(x, 2) :: DECIMAL(38,2)."""
+    return F.round(c, 2).cast("decimal(38,2)")

@@ -1,0 +1,285 @@
+"""Declared queries over the blocks/prices fixtures (SURVEY DQ-03..07,
+DQ-23/24/27/28) — the reference's own operator surface.
+
+Oracle side reads the SAME fixture files via absolute ``read_parquet``/
+``read_csv`` paths (the fixtures are deterministic and committed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.blocks_etl import dedup_blocks, publish_transactions
+from ..schemas import PRICES_SCHEMA
+from ..sources.tables import BLOCKS_PARQUET, PRICES_DIR, load_blocks
+from .registry import declare
+
+_B = f"read_parquet('{BLOCKS_PARQUET}')"
+_P = (
+    f"read_csv('{PRICES_DIR}/*.csv.gz', "
+    "columns={'ts':'TIMESTAMP','priceUSD':'DOUBLE','volumeBTC':'DOUBLE'}, "
+    "header=false)"
+)
+
+GENESIS = "0" * 64
+
+
+@declare(
+    "dq03_work_terahash",
+    oracle=f"""
+    SELECT block_id,
+           CASE WHEN work > 0
+                THEN CAST(FLOOR(work / 100000000000) AS BIGINT) END AS work_terahash,
+           CASE WHEN work <= 0 THEN 'negative work' END AS work_error
+    FROM {_B} ORDER BY block_id
+    """,
+)
+def dq03(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-or-error pair (SURVEY §1.3): work/1e11 with the reference's
+    exact divisor (BitcoinBlockHandler.java:39) — functions/try_pair.py."""
+    from ..functions.try_pair import work_terahash
+
+    b = load_blocks(spark)
+    tera, terr = work_terahash(F.col("work"))
+    return b.select(
+        "block_id", tera.alias("work_terahash"), terr.alias("work_error")
+    ).orderBy("block_id")
+
+
+@declare(
+    "dq04_array_transform",
+    oracle=f"""
+    SELECT block_id,
+           len(COALESCE(transactions, [])) AS n_tx,
+           COALESCE(array_to_string(list_transform(COALESCE(transactions, []),
+                                                   x -> x.transaction_id), ','),
+                    '') AS tx_ids
+    FROM {_B} ORDER BY block_id
+    """,
+)
+def dq04(spark: SparkSession, sf: str) -> DataFrame:
+    """Array transform + null→[] default (T3/T4; BitcoinBlockHandler.java:
+    103-108) — higher-order functions, no shuffle."""
+    b = load_blocks(spark)
+    txs = F.coalesce("transactions", F.array())
+    return b.select(
+        "block_id",
+        F.size(txs).cast("long").alias("n_tx"),
+        F.array_join(
+            F.transform(txs, lambda x: x["transaction_id"]), ","
+        ).alias("tx_ids"),
+    ).orderBy("block_id")
+
+
+@declare(
+    "dq05_nested_inputs",
+    oracle=f"""
+    WITH tx AS (
+      SELECT block_id, UNNEST(transactions) AS t FROM {_B}
+    ), inp AS (
+      SELECT block_id, t.transaction_id AS transaction_id,
+             UNNEST(t.inputs) AS i
+      FROM tx
+    )
+    SELECT block_id, transaction_id,
+           i.input_sequence_number AS input_sequence_number,
+           lower(hex(i.input_script_bytes)) AS script_hex,
+           i.input_pubkey_base58 AS input_pubkey_base58,
+           i.input_pubkey_base58_error AS input_pubkey_base58_error
+    FROM inp ORDER BY 1, 2, 3, 4
+    """,
+)
+def dq05a(spark: SparkSession, sf: str) -> DataFrame:
+    """Doubly-nested unnest (T5; BitcoinBlockHandler.java:130-157) with
+    binary→hex canonicalization and the coinbase ''-not-null rule carried
+    through from the data."""
+    b = load_blocks(spark)
+    return (
+        b.select("block_id", F.explode("transactions").alias("t"))
+        .select(
+            "block_id",
+            F.col("t.transaction_id").alias("transaction_id"),
+            F.explode("t.inputs").alias("i"),
+        )
+        .select(
+            "block_id",
+            "transaction_id",
+            F.col("i.input_sequence_number").alias("input_sequence_number"),
+            F.lower(F.hex("i.input_script_bytes")).alias("script_hex"),
+            F.col("i.input_pubkey_base58").alias("input_pubkey_base58"),
+            F.col("i.input_pubkey_base58_error").alias(
+                "input_pubkey_base58_error"
+            ),
+        )
+        .orderBy("block_id", "transaction_id", "input_sequence_number", "script_hex")
+    )
+
+
+@declare(
+    "dq05_nested_outputs",
+    oracle=f"""
+    WITH tx AS (
+      SELECT block_id, UNNEST(transactions) AS t FROM {_B}
+    ), outp AS (
+      SELECT block_id, t.transaction_id AS transaction_id,
+             UNNEST(t.outputs) AS o
+      FROM tx
+    )
+    SELECT block_id, transaction_id,
+           o.output_satoshis AS output_satoshis,
+           lower(hex(o.output_script_bytes)) AS script_hex,
+           o.output_pubkey_base58 AS output_pubkey_base58
+    FROM outp ORDER BY 1, 2, 3, 4
+    """,
+)
+def dq05b(spark: SparkSession, sf: str) -> DataFrame:
+    """Output-side nested unnest (T6) incl. nullable satoshis
+    (BitcoinBlockHandler.java:163-168)."""
+    b = load_blocks(spark)
+    return (
+        b.select("block_id", F.explode("transactions").alias("t"))
+        .select(
+            "block_id",
+            F.col("t.transaction_id").alias("transaction_id"),
+            F.explode("t.outputs").alias("o"),
+        )
+        .select(
+            "block_id",
+            "transaction_id",
+            F.col("o.output_satoshis").alias("output_satoshis"),
+            F.lower(F.hex("o.output_script_bytes")).alias("script_hex"),
+            F.col("o.output_pubkey_base58").alias("output_pubkey_base58"),
+        )
+        .orderBy("block_id", "transaction_id", "output_satoshis", "script_hex")
+    )
+
+
+@declare(
+    "dq06_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY block_id ORDER BY ingest_id) AS rn
+      FROM {_B}
+    )
+    SELECT block_id, previous_block FROM d WHERE rn = 1 ORDER BY block_id
+    """,
+)
+def dq06(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-by-key via ranking window (etl.sh:6-17 with deterministic
+    ingest_id tiebreak) — operators/blocks_etl.py."""
+    b = dedup_blocks(load_blocks(spark))
+    return b.select("block_id", "previous_block").orderBy("block_id")
+
+
+_DQ07_ORACLE = f"""
+    WITH d AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY block_id ORDER BY ingest_id) AS rn
+      FROM {_B}
+    ), k AS (
+      SELECT * FROM d WHERE rn = 1
+    ), f AS (
+      SELECT block_id, previous_block, merkle_root, timestamp, nonce, version,
+             work, UNNEST(transactions) AS t
+      FROM k
+    )
+    SELECT block_id, previous_block, merkle_root, timestamp, nonce, version,
+           CASE WHEN work > 0
+                THEN CAST(FLOOR(work / 100000000000) AS BIGINT) END AS work_terahash,
+           CASE WHEN work <= 0 THEN 'negative work' END AS work_error,
+           t.transaction_id AS transaction_id
+    FROM f ORDER BY block_id, transaction_id
+    """
+
+
+@declare("dq07_flagship_etl", oracle=_DQ07_ORACLE, bench=True)
+def dq07(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's flagship query (etl.sh:6-33): dedup → inner-unnest
+    transactions → flat projection with derived work columns."""
+    return publish_transactions(load_blocks(spark)).orderBy(
+        "block_id", "transaction_id"
+    )
+
+
+@declare("dq23_idempotent_overwrite", oracle=_DQ07_ORACLE)
+def dq23(spark: SparkSession, sf: str) -> DataFrame:
+    """K4 overwrite sink (etl.sh:35-40 --replace=true): materialize the
+    flagship result twice with mode=overwrite, re-read — hash equals DQ-07
+    (idempotent replace)."""
+    out = "/root/repo/_artifacts/dq23_transactions"
+    os.makedirs("/root/repo/_artifacts", exist_ok=True)
+    result = publish_transactions(load_blocks(spark))
+    result.write.mode("overwrite").parquet(out)
+    result.write.mode("overwrite").parquet(out)  # idempotent second run
+    return spark.read.parquet(out).orderBy("block_id", "transaction_id")
+
+
+@declare(
+    "dq24_rotation_window",
+    oracle=f"""
+    SELECT (timestamp // 1000) // 600 AS window_id, COUNT(*) AS n
+    FROM {_B} GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq24(spark: SparkSession, sf: str) -> DataFrame:
+    """Processing-time rotation window id = epochSeconds / rotationTime
+    (AvroWriter.java:45-49, rotation=600s) batch-checked as a group-by;
+    the partitioned file sink itself is exercised in tests/ and
+    streaming/pipeline.py."""
+    b = load_blocks(spark)
+    return (
+        b.select(
+            F.expr("(timestamp DIV 1000) DIV 600").alias("window_id")
+        )
+        .groupBy("window_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("window_id")
+    )
+
+
+@declare(
+    "dq27_prices_csv",
+    oracle=f"""
+    SELECT COUNT(*) AS n, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+           CAST(SUM(CAST(volumeBTC AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS vol_sum
+    FROM {_P}
+    """,
+)
+def dq27(spark: SparkSession, sf: str) -> DataFrame:
+    """S2/K5 CSV source with explicit schema (ingest_prices.sh:10,29-32):
+    gzipped headerless CSVs, declared 3-column schema."""
+    p = (
+        spark.read.schema(PRICES_SCHEMA)
+        .option("header", "false")
+        .csv(f"{PRICES_DIR}/*.csv.gz")
+    )
+    return p.agg(
+        F.count("*").alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum(F.col("volumeBTC").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("vol_sum"),
+    )
+
+
+@declare(
+    "dq28_chain_integrity",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orphans FROM {_B} b
+    WHERE b.previous_block <> '{GENESIS}'
+      AND NOT EXISTS (SELECT 1 FROM {_B} p WHERE p.block_id = b.previous_block)
+    """,
+)
+def dq28(spark: SparkSession, sf: str) -> DataFrame:
+    """Chain-integrity predicate (S1 validation analog,
+    BitcoinBlockDownloader.java:71-73): every non-genesis previous_block
+    must exist as a block_id — anti-join count must be 0."""
+    b = load_blocks(spark)
+    parents = b.select(F.col("block_id").alias("parent_id")).distinct()
+    orphans = b.filter(F.col("previous_block") != GENESIS).join(
+        parents, F.col("previous_block") == F.col("parent_id"), "left_anti"
+    )
+    return orphans.agg(F.count("*").alias("n_orphans"))

@@ -1,0 +1,333 @@
+"""Extended LLM-data-pipeline declared queries (SURVEY §2.7, DQ-31..33 +
+training-data ops mandated by BASELINE.json): dedup family, similarity
+search, text analysis, multimodal plumbing.
+
+Oracle-less entries (MinHash/SimHash/LSH — engine-defined hash functions
+DuckDB can't reproduce) get rows-only driver checks; their quality is
+asserted in tests/ (recall vs the exact oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import EN_STOPWORDS, tokens
+from ..operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash64,
+)
+from ..operators.similarity import ann_topk_lsh, topk_per_query
+from ._util import t
+from .registry import declare
+
+# ---------------------------------------------------------------------------
+# similarity search (X3)
+
+
+@declare(
+    "dq31_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+      FROM q, embeddings e WHERE e.vec_id <> q.q_id
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM c
+    )
+    SELECT q_id, neighbor_id, CAST(ROUND(s, 4) AS DECIMAL(38,4)) AS sim
+    FROM r WHERE rn <= 3 ORDER BY q_id, neighbor_id
+    """,
+    bench=True,
+)
+def dq31(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-3 for query vectors vec_id<5 — scale-safe partial
+    top-k operator (operators/similarity.py): broadcast queries, partial
+    per-partition top-k, tiny final merge."""
+    emb = t(spark, sf, "embeddings")
+    res = topk_per_query(
+        emb, emb.filter(F.col("vec_id") < 5), k=3
+    )
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        F.round("sim", 4).cast("decimal(38,4)").alias("sim"),
+    ).orderBy("q_id", "neighbor_id")
+
+
+@declare("x_ann_lsh_topk", oracle=None)
+def x_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-3 via random-hyperplane LSH buckets (recall vs the
+    exact path is test-checked; no SQL oracle — engine-defined hashing)."""
+    emb = t(spark, sf, "embeddings")
+    res = ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        F.round("sim", 4).cast("decimal(38,4)").alias("sim"),
+    ).orderBy("q_id", "neighbor_id")
+
+
+@declare(
+    "x_embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           CAST(ROUND(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(38,4)) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+    ORDER BY d1, d2
+    """,
+)
+def x_embnd(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= 0.3 among vec_id<200).
+    Declared form is a bounded self-join; the scale path buckets by LSH
+    first (with_lsh_bucket) so only colliding buckets join."""
+    from ..functions.vectors import cosine_similarity
+
+    v = (
+        t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    a = v.select(F.col("vec_id").alias("d1"), F.col("e").alias("e1"))
+    b = v.select(F.col("vec_id").alias("d2"), F.col("e").alias("e2"))
+    sim = cosine_similarity(F.col("e1"), F.col("e2"))
+    return (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .withColumn("_s", sim)
+        .filter(F.col("_s") >= 0.3)
+        .select(
+            "d1", "d2", F.round("_s", 4).cast("decimal(38,4)").alias("sim")
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (X4)
+
+
+@declare(
+    "dq32_token_topk",
+    oracle="""
+    SELECT tk AS token, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS tk FROM documents)
+    GROUP BY tk ORDER BY n DESC, tk LIMIT 20
+    """,
+    bench=True,
+)
+def dq32a(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-20 token counts — explode + two-phase hash agg + top-k
+    (TakeOrderedAndProject; no global sort)."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@declare(
+    "dq32_token_topk_en",
+    oracle="""
+    SELECT tk AS token, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS tk
+          FROM documents WHERE lang = 'en')
+    GROUP BY tk ORDER BY n DESC, tk LIMIT 20
+    """,
+)
+def dq32b(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-filtered variant (filter pushed below the explode)."""
+    d = t(spark, sf, "documents").filter(F.col("lang") == "en")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+
+@declare(
+    "x_text_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           n_chars,
+           CAST(ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4)
+                AS DECIMAL(38,4)) AS distinct_ratio,
+           CAST(ROUND(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                      * 1.0 / len(toks), 4) AS DECIMAL(38,4)) AS stopword_ratio
+    FROM s ORDER BY doc_id
+    """,
+)
+def x_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-scoring signals: token count, distinct-token ratio, stopword
+    ratio — narrow HOF expressions, no shuffle."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        "n_chars",
+        F.round(F.size(F.array_distinct(toks)) / n, 4)
+        .cast("decimal(38,4)")
+        .alias("distinct_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / n, 4
+        )
+        .cast("decimal(38,4)")
+        .alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@declare(
+    "x_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+             * 1.0 / len(toks) >= 0.05 AS en_pred
+    FROM s ORDER BY doc_id
+    """,
+)
+def x_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID: English-stopword hit-ratio threshold (the
+    declared, oracle-checkable core of an n-gram language model)."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / F.size(toks)
+    return d.select("doc_id", "lang", (ratio >= 0.05).alias("en_pred")).orderBy(
+        "doc_id"
+    )
+
+
+@declare(
+    "x_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS digest, octet_length(encode(text)) AS n_bytes
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint (md5 hex) + byte length — also the multimodal
+    binary-column metadata pattern (BinaryType payload + typed metadata,
+    same shape as the reference's *_script_bytes, BQRow.avsc:6,20)."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.octet_length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup family (X1/X2)
+
+
+@declare(
+    "x_exact_dedup",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents)
+    SELECT digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM h GROUP BY digest ORDER BY keep_id
+    """,
+)
+def x_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy, deterministic min-id winner."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .orderBy("keep_id")
+    )
+
+
+@declare(
+    "dq33_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) AS tk
+      FROM documents WHERE doc_id < 100
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+      FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DECIMAL(38,4)) AS jaccard
+    FROM inter
+    JOIN sz s1 ON s1.doc_id = d1
+    JOIN sz s2 ON s2.doc_id = d2
+    WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.4
+    ORDER BY d1, d2
+    """,
+)
+def dq33(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-set Jaccard pairs (>= 0.4 among doc_id < 100) — the
+    near-dup ground truth the MinHash path is measured against."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = exact_jaccard_pairs(d, threshold=0.4)
+    return pairs.select(
+        "d1", "d2", F.round("jaccard", 4).cast("decimal(38,4)").alias("jaccard")
+    ).orderBy("d1", "d2")
+
+
+@declare("x_minhash_neardup", oracle=None)
+def x_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (doc_id < 100) — engine-defined
+    hashing, so rows-only driver check; recall vs dq33 is test-asserted."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return minhash_candidate_pairs(d, n_hashes=32, n_bands=8).orderBy(
+        "d1", "d2"
+    )
+
+
+@declare("x_simhash", oracle=None)
+def x_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash64 per document (doc_id < 100) — deterministic engine hash."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return simhash64(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (X5)
+
+
+@declare("x_multimodal_decode", oracle=None)
+def x_mm(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing: binary payload + mapInPandas feature
+    extraction (operators/multimodal.py). Decode is a deterministic stub
+    (no image libs in this container); the Spark-side schema/batching is
+    real. Rows-only check."""
+    from ..operators.multimodal import extract_features, with_binary_payload
+
+    d = t(spark, sf, "documents")
+    return extract_features(with_binary_payload(d)).orderBy("doc_id")

@@ -1,0 +1,655 @@
+"""Relational declared queries (SURVEY §2.3 Part B, DQ-01/02/08..22/25/26/29/30).
+
+The reference delegates this entire surface to BigQuery (``etl.sh:2``
+publishes to the public dataset; ``Main.java:119-134`` creates the tables) —
+here every family is a built-in Spark primitive, declared with a DuckDB
+oracle twin. Money math follows the canonicalization contract: decimal-cast
+inputs BEFORE aggregation, ROUND(x,2)::DECIMAL(38,2) outputs.
+
+Scale notes per query live in the builder docstrings; the common posture:
+filters/projections push to the parquet scan, dims are broadcast, windows
+share sorts, no collect() anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_latest
+from ..operators.sessionize import sessionize
+from ._util import dec2, money, t
+from .registry import declare
+
+# ---------------------------------------------------------------------------
+# scans & projection
+
+
+@declare("dq01_scan_count", oracle="SELECT COUNT(*) AS n FROM lineitem")
+def dq01(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet scan + count — row-group metadata only, no column IO."""
+    return t(spark, sf, "lineitem").agg(F.count("*").alias("n"))
+
+
+@declare(
+    "dq02_project_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)
+                AS DECIMAL(38,2)) AS net
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def dq02(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection + decimal-exact arithmetic; scan reads only 4 columns."""
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        money(dec2("l_extendedprice") * (1 - dec2("l_discount"))).alias("net"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@declare(
+    "dq08_filters",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1995-12-31'
+      AND l_returnflag IN ('A','R') AND l_quantity < 25
+      AND l_linestatus IS NOT NULL AND l_returnflag LIKE '_'
+    ORDER BY 1, 2
+    """,
+)
+def dq08(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate family (BETWEEN/IN/LIKE/IS NULL) — all pushed to parquet."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1994-01-01", "1995-12-31")
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_quantity") < 25)
+            & F.col("l_linestatus").isNotNull()
+            & F.col("l_returnflag").like("_")
+        )
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+
+@declare(
+    "dq09_join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey
+    """,
+)
+def dq09(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner equi-join; customer is the small build side (broadcast)."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@declare(
+    "dq10_star_join",
+    oracle="""
+    SELECT r_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DECIMAL(38,2)) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    bench=True,
+)
+def dq10(spark: SparkSession, sf: str) -> DataFrame:
+    """5-way star join, dims broadcast — only the lineitem⋈orders edge can
+    shuffle; at cluster scale co-locating both on orderkey (bucketing)
+    removes that too."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            money(
+                F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy("r_name")
+    )
+
+
+@declare(
+    "dq11_left_join",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name ORDER BY c_custkey
+    """,
+)
+def dq11(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join + count of the nullable side (zeros included)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@declare(
+    "dq12_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def dq12a(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS → left-semi join (no row multiplication)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@declare(
+    "dq12_anti_join",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_shipdate < TIMESTAMP '1995-06-01')
+    ORDER BY p_partkey
+    """,
+)
+def dq12b(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (date-windowed so the result is
+    non-empty at every sf — an always-empty anti-join proves nothing)."""
+    p = t(spark, sf, "part")
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") < "1995-06-01")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@declare(
+    "dq13_theta_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_partkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+    ORDER BY 1, 2, 3
+    """,
+)
+def dq13(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi key + residual range predicate: stays a hash/broadcast join with
+    the theta term as a post-filter (NOT a nested-loop) — check the plan."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),
+        )
+        .select("l_orderkey", "l_linenumber", "p_partkey")
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey")
+    )
+
+
+@declare(
+    "dq14_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT MAX(r.ts) FROM events r
+            WHERE r.user_id = e.user_id AND r.event_type = 'error'
+              AND r.ts <= e.ts) AS asof_ts
+    FROM events e WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+)
+def dq14(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase, the latest error at-or-before it for
+    the same user — union+window operator (operators/asof.py), one shuffle,
+    no range-join explosion."""
+    ev = t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return asof_latest(
+        purchases, errors, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts"],
+    ).select("event_id", "user_id", "ts", F.col("asof_ts")).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+
+
+@declare(
+    "dq15_agg_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DECIMAL(38,2)) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2)
+                AS DECIMAL(38,2)) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def dq15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape — hash aggregate with map-side partial agg (automatic);
+    decimal-exact money math."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice"))
+            .cast("decimal(38,2)")
+            .alias("sum_base_price"),
+            money(F.sum(disc)).alias("sum_disc_price"),
+            money(F.sum(disc * (1 + dec2("l_tax")))).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@declare(
+    "dq16_count_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def dq16(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to two-phase exact distinct agg."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .orderBy("l_returnflag")
+    )
+
+
+@declare(
+    "dq17_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3
+    """,
+)
+def dq17(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets (Expand + single aggregate)."""
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+
+
+@declare(
+    "dq18_rank_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def dq18(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking + analytic windows; one Exchange + one sort serves all three
+    functions (shared window spec)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.lag(dec2("o_totalprice")).over(w).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@declare(
+    "dq19_window_frames",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS mov_sum
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def dq19(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate window with ROWS frame (3-preceding moving sum)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        t(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(dec2("value")).over(w).cast("decimal(38,2)").alias("mov_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@declare(
+    "dq20_topk",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def dq20(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k: orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    partial top-k, no full sort — the only scalable global-order pattern)."""
+    return (
+        t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", dec2("o_totalprice").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+
+
+@declare(
+    "dq21_union",
+    oracle="""
+    SELECT s_nationkey AS nationkey FROM supplier
+    UNION
+    SELECT c_nationkey FROM customer
+    ORDER BY nationkey
+    """,
+)
+def dq21a(spark: SparkSession, sf: str) -> DataFrame:
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    return s.union(c).distinct().orderBy("nationkey")
+
+
+@declare(
+    "dq21_intersect",
+    oracle="""
+    SELECT s_nationkey AS nationkey FROM supplier
+    INTERSECT
+    SELECT c_nationkey FROM customer
+    ORDER BY nationkey
+    """,
+)
+def dq21b(spark: SparkSession, sf: str) -> DataFrame:
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    return s.intersect(c).orderBy("nationkey")
+
+
+@declare(
+    "dq21_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def dq21c(spark: SparkSession, sf: str) -> DataFrame:
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")  # EXCEPT (set, not bag)
+
+
+# ---------------------------------------------------------------------------
+# scalar functions
+
+
+@declare(
+    "dq22_string_math",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up_name,
+           SUBSTR(p_name, 1, 5) AS name5,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '-', p_type) AS brand_type,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+           ABS(p_size - 25) AS size_dist,
+           MOD(p_partkey, 7) AS key_mod,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ROUND(SQRT(p_retailprice), 4) AS DECIMAL(38,4)) AS price_sqrt
+    FROM part ORDER BY p_partkey
+    """,
+)
+def dq22a(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string + math functions — all whole-stage-codegen built-ins."""
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dist"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.round(F.sqrt("p_retailprice"), 4).cast("decimal(38,4)").alias("price_sqrt"),
+    ).orderBy("p_partkey")
+
+
+@declare(
+    "dq22_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def dq22b(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time extraction and truncation."""
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_trunc("month", "o_orderdate")
+        .cast("timestamp_ntz")
+        .alias("month_start"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# arrays & JSON
+
+
+@declare(
+    "dq25_array_fns",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dim,
+           CAST(ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 2)
+                AS DECIMAL(38,2)) AS emb_sum
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def dq25(spark: SparkSession, sf: str) -> DataFrame:
+    """Array higher-order functions (size + sequential-fold sum) — both
+    engines sum left-to-right in double, so values match bitwise."""
+    e = t(spark, sf, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dim"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 2
+        )
+        .cast("decimal(38,2)")
+        .alias("emb_sum"),
+    ).orderBy("vec_id")
+
+
+@declare(
+    "dq26_json",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k
+    FROM events ORDER BY event_id
+    """,
+)
+def dq26(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON path extraction over the events.props string column."""
+    return (
+        t(spark, sf, "events")
+        .select("event_id", F.get_json_object("props", "$.k").alias("k"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (batch-checked forms of the streaming operators)
+
+
+@declare(
+    "dq29_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w, event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(38,2)) AS total
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dq29a(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time tumbling window (1h) — batch equivalent of the streaming
+    groupBy(window(...)); same results by construction."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            money(F.sum(dec2("value"))).alias("total"),
+        )
+        .orderBy("w", "event_type")
+    )
+
+
+@declare(
+    "dq29_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS w_start,
+           COUNT(*) AS n
+    FROM events, (SELECT UNNEST([0,1,2,3]) AS k) k
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq29b(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding window (1h window, 15m slide): each event lands in exactly 4
+    windows; Spark's window() generates them natively."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("w_start"), "n"
+        )
+        .orderBy("w_start")
+    )
+
+
+@declare(
+    "dq30_sessionize",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), y AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM y GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dq30(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (strict 30-min gap) — gaps-and-islands via
+    operators/sessionize.py; streaming twin is session_window."""
+    ev = t(spark, sf, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap_minutes=30, tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,81 @@
+"""Simulate the correctness driver: import __spark_entry__ fresh, build a
+BARE SparkSession (no engine configs), run entry() + every queries()[name]
+at sf0.01, run oracle_sql() in a DuckDB connection that only has the nine
+table views, compare row-count + columns + order-insensitive value hash."""
+
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# bare session — as the driver would build it, NOT our tuned factory
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+df = E.entry(spark)
+n = df.count()
+print(f"entry(): {n} rows, schema={df.schema.simpleString()}")
+assert n >= 0
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+import datetime
+import math
+from decimal import Decimal
+
+
+def canon(v):
+    if v is None:
+        return r"\N"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, float):
+        return r"\N" if math.isnan(v) else repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return str(v)
+
+
+def vhash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+qs = E.queries()
+oracles = E.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} with oracle")
+fail = 0
+for name, fn in qs.items():
+    sdf = fn(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        print(f"  {name}: rows-only, {len(srows)} rows ok")
+        continue
+    res = con.execute(oracles[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    ok_n = len(srows) == len(drows)
+    ok_c = sorted(sdf.columns) == sorted(dcols)
+    ok_h = vhash(sdf.columns, srows) == vhash(dcols, drows)
+    status = "OK" if (ok_n and ok_c and ok_h) else f"MISMATCH n={ok_n} cols={ok_c} hash={ok_h}"
+    if not (ok_n and ok_c and ok_h):
+        fail += 1
+    print(f"  {name}: {len(srows)} rows {status}")
+
+print("DRIVER-SIM:", "ALL MATCH" if fail == 0 else f"{fail} FAILURES")
+sys.exit(1 if fail else 0)
