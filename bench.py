@@ -3,11 +3,14 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing = per-query wall clock of plan + execution (df.collect()), after a
-small warm-up query so JVM/codegen startup isn't billed to the first query.
+Timing = per-query wall clock of plan + execution (df.collect()): one
+untimed warm-up pass over the whole set (JVM/codegen/arrow startup would
+otherwise be billed to whichever query runs first), then median of 3 runs.
 """
 
 from __future__ import annotations
+
+import statistics
 
 import json
 import os
@@ -30,15 +33,19 @@ def main() -> None:
     bench_set = {n: q for n, q in sorted(registry.items()) if q.bench}
     spark = get_spark("bench")
 
-    # warm-up: JVM, codegen, parquet footer caches
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # warm-up pass: JVM, codegen paths, parquet footers — untimed
+    for name, q in bench_set.items():
+        q.spark(spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
     for name, q in bench_set.items():
-        t0 = time.perf_counter()
-        df = q.spark(spark, SF_DIR)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = q.spark(spark, SF_DIR)
+            df.collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -139,12 +139,14 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 32,
-    n_bands: int = 8,
+    n_bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature are candidates.
 
     bands of r = n_hashes/n_bands rows; candidate iff some band identical.
+    Default 16 bands × 2 rows: P(candidate | jaccard s) = 1-(1-s^2)^16,
+    ≈0.94 at s=0.4 — 8×4 banding tested out at ~0.82 recall, too low.
     Returns distinct (d1 < d2) candidate pairs. Scale: equi-join on
     (band_id, band_hash) buckets — linear in collisions, never O(n²).
     """

@@ -305,7 +305,7 @@ def x_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (doc_id < 100) — engine-defined
     hashing, so rows-only driver check; recall vs dq33 is test-asserted."""
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    return minhash_candidate_pairs(d, n_hashes=32, n_bands=8).orderBy(
+    return minhash_candidate_pairs(d, n_hashes=32, n_bands=16).orderBy(
         "d1", "d2"
     )
 

@@ -1,0 +1,189 @@
+"""Unit/property tests for the engine's custom operators: rotation sink
+round-trip, as-of join vs naive range-join, MinHash recall vs exact
+Jaccard, LSH ANN recall vs brute force, SimHash near-dup property,
+multimodal plumbing determinism."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchaintoavro_spark.operators.asof import asof_latest
+from blockchaintoavro_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash64,
+)
+from blockchaintoavro_spark.operators.rotation import (
+    read_rotated,
+    with_window_id,
+    write_rotated,
+)
+from blockchaintoavro_spark.operators.similarity import (
+    ann_topk_lsh,
+    topk_per_query,
+)
+from blockchaintoavro_spark.sources.tables import load_blocks, load_events
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="btc_spark_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# rotation sink (K1/DQ-24)
+
+
+def test_rotated_write_reread_roundtrip(spark, tmpdir):
+    """Partitioned rotation write must preserve per-window counts
+    (AvroWriter.java:45-49 semantics: window id = epochSec/rotation)."""
+    b = load_blocks(spark).select("ingest_id", "block_id", "timestamp")
+    write_rotated(b, tmpdir, rotation_seconds=600)
+    back = read_rotated(spark, tmpdir)
+    expected = (
+        with_window_id(b, rotation_seconds=600)
+        .groupBy("window_id")
+        .agg(F.count("*").alias("n"))
+    )
+    actual = back.groupBy("window_id").agg(F.count("*").alias("n"))
+    assert expected.subtract(actual).count() == 0
+    assert actual.subtract(expected).count() == 0
+    # every window becomes its own directory == the reference's one file
+    # per rotation period
+    n_windows = expected.count()
+    assert back.select("window_id").distinct().count() == n_windows
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+
+
+def test_asof_matches_naive_range_join(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+
+    fast = asof_latest(left, right, "user_id", "ts", "ts", ["ts"]).select(
+        "event_id", F.col("asof_ts")
+    )
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") <= F.col("l.ts")),
+            "left",
+        )
+        .groupBy("l.event_id")
+        .agg(F.max("r.ts").alias("asof_ts"))
+    )
+    assert fast.subtract(naive).count() == 0
+    assert naive.subtract(fast).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup family quality
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """LSH candidates must cover >=90% of true Jaccard>=0.4 pairs
+    (SURVEY §2.4 exclusion note: recall >= 0.9 vs DQ-33)."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+    )
+    truth = {
+        (r.d1, r.d2)
+        for r in exact_jaccard_pairs(d, threshold=0.4).collect()
+    }
+    cand = {
+        (r.d1, r.d2)
+        for r in minhash_candidate_pairs(d, n_hashes=32, n_bands=16).collect()
+    }
+    assert truth, "fixture should contain true near-dup pairs"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9"
+
+
+def test_exact_dedup_keeps_one_per_content(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a  b   c")],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup(df)
+    # rows 1,2,4 normalize to the same content → min id 1 survives
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+
+
+# ---------------------------------------------------------------------------
+# similarity search quality
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in topk_per_query(emb, q, k=3).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in ann_topk_lsh(emb, q, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.3f} < 0.8"
+
+
+def test_topk_deterministic_ties(spark):
+    """Equal similarities must break ties by neighbor id."""
+    rows = [(i, [1.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = topk_per_query(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+def test_multimodal_features_deterministic(spark):
+    from blockchaintoavro_spark.operators.multimodal import (
+        extract_features,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in extract_features(with_binary_payload(df)).collect()}
+    assert out[1].n_bytes == len(b"hello world")
+    assert out[1].width == b"h"[0] % 128 + 1
+    assert out[1].checksum == sum(b"hello world") % (1 << 31)
+    assert out[2].width == 0 and out[2].n_bytes == 0
+    assert out[1].modality == "text"

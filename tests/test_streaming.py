@@ -1,0 +1,148 @@
+"""Streaming-vs-batch equivalence (SURVEY §5.2): replay fixture data
+through Structured Streaming and assert the results equal the batch
+declared queries over the same data — the contract that makes ST1-ST6
+trustworthy without a live source."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchaintoavro_spark.operators.rotation import with_window_id
+from blockchaintoavro_spark.operators.sessionize import sessionize
+from blockchaintoavro_spark.sources.tables import load_blocks, load_events
+from blockchaintoavro_spark.streaming.pipeline import start_rotating_sink
+from blockchaintoavro_spark.streaming.windows import (
+    streaming_session_agg,
+    streaming_tumbling_agg,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="btc_stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain(query):
+    query.awaitTermination(120)
+
+
+def test_rotating_sink_stream_equals_batch(spark, tmpdir):
+    """ST1/ST6: file-drop source → foreachBatch rotated append must land
+    exactly the batch per-window counts (DQ-24), idempotently."""
+    b = load_blocks(spark).select("ingest_id", "block_id", "timestamp")
+    src = f"{tmpdir}/src"
+    out = f"{tmpdir}/out"
+    ckpt = f"{tmpdir}/ckpt"
+    b.repartition(4).write.parquet(src)  # several files → several batches
+
+    stream = (
+        spark.readStream.schema(b.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = start_rotating_sink(
+        stream, out, ckpt, rotation_seconds=600, processing_trigger=None
+    )
+    _drain(q)
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("window_id")
+        .agg(F.count("*").alias("n"))
+    )
+    want = (
+        with_window_id(b, rotation_seconds=600)
+        .groupBy("window_id")
+        .agg(F.count("*").alias("n"))
+    )
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+    # restart with same checkpoint: no new data → no duplicates
+    stream2 = (
+        spark.readStream.schema(b.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q2 = start_rotating_sink(
+        stream2, out, ckpt, rotation_seconds=600, processing_trigger=None
+    )
+    _drain(q2)
+    got2 = spark.read.parquet(out).count()
+    assert got2 == b.count()
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, tmpdir):
+    ev = load_events(spark, sf_dir)
+    src = f"{tmpdir}/events"
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    agg = streaming_tumbling_agg(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.table("tumbling_out").select("w", "event_type", "n")
+
+    want = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    # align types: window().start is TIMESTAMP; batch date_trunc on NTZ
+    got = got.withColumn("w", F.col("w").cast("timestamp_ntz"))
+    want = want.withColumn("w", F.col("w").cast("timestamp_ntz"))
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+
+def test_streaming_sessions_equal_batch_sessionize(spark, sf_dir, tmpdir):
+    """session_window (streaming) vs gaps-and-islands (batch): same number
+    of sessions and same per-session event counts per user (boundary-tie
+    caveat: strict-gap vs half-open window differs only when a gap is
+    EXACTLY 30:00.000000 — absent in microsecond-random data)."""
+    ev = load_events(spark, sf_dir)
+    src = f"{tmpdir}/events"
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    agg = streaming_session_agg(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = (
+        spark.table("session_out")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    want = (
+        sessionize(ev, "user_id", "ts", 30, tiebreak="event_id")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
