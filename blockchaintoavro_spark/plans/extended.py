@@ -331,3 +331,107 @@ def x_mm(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return extract_features(with_binary_payload(d)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# UDF/UDAF surface (SURVEY §2.6) + token analytics
+
+
+@declare(
+    "x_udaf_centroid_norm",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+             UNNEST(range(64)) AS dim
+      FROM embeddings
+    ), cent AS (
+      SELECT label, dim, AVG(x) AS m FROM flat GROUP BY label, dim
+    )
+    SELECT label, CAST(ROUND(SQRT(SUM(m * m)), 4) AS DECIMAL(38,4)) AS cnorm
+    FROM cent GROUP BY label ORDER BY label
+    """,
+)
+def x_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-agg pandas UDAF: per-label centroid L2 norm (the engine's
+    UDAF surface; Arrow-batched, one group per call)."""
+    from ..functions.udfs import centroid_norm
+
+    e = t(spark, sf, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return (
+        e.groupBy("label")
+        .agg(centroid_norm("embedding").alias("_n"))
+        .select(
+            "label", F.round("_n", 4).cast("decimal(38,4)").alias("cnorm")
+        )
+        .orderBy("label")
+    )
+
+
+@declare(
+    "x_tokens_positions",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(range(len(string_split(lower(text), ' ')))) AS pos,
+           UNNEST(string_split(lower(text), ' ')) AS token
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id, pos
+    """,
+)
+def x_tokpos(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional tokenization (UDTF semantics via built-in posexplode —
+    the slow-path @udtf twin lives in functions/udfs.py, test-covered)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+@declare(
+    "x_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x_tokcount(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex class split
+    (both JVM-side; regex kept to a dialect-portable subset)."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("long")
+        .alias("n_re_tokens"),
+    ).orderBy("doc_id")
+
+
+@declare("x_base58_udf", oracle=None)
+def x_b58(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized base58 pandas UDF over the blocks fixture's script bytes
+    (the reference's address derivation surface,
+    BitcoinBlockHandler.java:148-153). Rows-only check (no SQL base58);
+    known-vector parity is unit-tested."""
+    from ..functions.udfs import base58_encode
+    from ..sources.tables import load_blocks
+
+    b = load_blocks(spark).limit(200)
+    return (
+        b.select("block_id", F.explode("transactions").alias("t"))
+        .select("block_id", F.explode("t.inputs").alias("i"))
+        .select(
+            "block_id",
+            F.lower(F.hex("i.input_script_bytes")).alias("script_hex"),
+            base58_encode("i.input_script_bytes").alias("script_b58"),
+        )
+        .orderBy("block_id", "script_hex")
+    )

@@ -653,3 +653,48 @@ def dq30(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@declare(
+    "dq17_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3
+    """,
+)
+def dq17b(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets (all 4 grouping combinations via one Expand)."""
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+            "n",
+        )
+    )
+
+
+@declare(
+    "dq17_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3
+    """,
+)
+def dq17c(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (declared via SQL — identical Catalyst plan
+    to the DataFrame rollup/cube family)."""
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST, 3
+        """
+    )

@@ -187,3 +187,80 @@ def test_multimodal_features_deterministic(spark):
     assert out[1].checksum == sum(b"hello world") % (1 << 31)
     assert out[2].width == 0 and out[2].n_bytes == 0
     assert out[1].modality == "text"
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (SURVEY §2.6)
+
+
+def test_base58_udf_known_vectors(spark):
+    from blockchaintoavro_spark.functions.udfs import (
+        base58_encode,
+        base58_encode_py,
+        base58check_encode_py,
+    )
+
+    # bitcoin-alphabet reference vectors (public test vectors)
+    vectors = {
+        b"": "",
+        b"\x00": "1",
+        b"\x00\x00abc": "11ZiCa",
+        b"hello": "Cn8eVZg",
+    }
+    for raw, want in vectors.items():
+        assert base58_encode_py(raw) == want, raw.hex()
+
+    # Base58Check (bitcoinj Address#toBase58): version 0x00 + hash160 →
+    # classic P2PKH address vector
+    assert (
+        base58check_encode_py(
+            bytes.fromhex("00010966776006953d5567439e5e39f86a0d273bee")
+        )
+        == "16UwLL9Risc3QfPqBUvKofHmBQ7wMtjvM"
+    )
+
+    df = spark.createDataFrame(
+        [(k,) for k in vectors], "raw binary"
+    ).withColumn("b58", base58_encode("raw"))
+    got = {bytes(r.raw): r.b58 for r in df.collect()}
+    assert got == vectors
+
+
+def test_udtf_tokenize(spark):
+    from blockchaintoavro_spark.functions.udfs import tokenizer_udtf_class
+
+    try:
+        from pyspark.sql.functions import udtf
+    except ImportError:
+        pytest.skip("no UDTF support in this Spark")
+    tok = udtf(tokenizer_udtf_class(), returnType="doc_id long, pos int, token string")
+    spark.udtf.register("tokenize_t", tok)
+    rows = spark.sql(
+        "SELECT * FROM tokenize_t(1, 'Hello World hello')"
+    ).collect()
+    assert [(r.pos, r.token) for r in rows] == [
+        (0, "hello"),
+        (1, "world"),
+        (2, "hello"),
+    ]
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """SURVEY §2.4 exclusion: approx_count_distinct within ±5% of exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.05 * row.exact
+
+
+def test_saveastable_overwrite_idempotent(spark, sf_dir):
+    """K4 overwrite-table semantics through the session catalog
+    (etl.sh:35-40 --replace=true): two overwrites == one."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    spark.sql("DROP TABLE IF EXISTS nations_t")
+    n.write.mode("overwrite").saveAsTable("nations_t")
+    n.write.mode("overwrite").saveAsTable("nations_t")
+    assert spark.table("nations_t").count() == n.count()
+    spark.sql("DROP TABLE nations_t")
