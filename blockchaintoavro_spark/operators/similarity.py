@@ -166,6 +166,139 @@ def _multi_table_buckets(
     )
 
 
+def _centroid_scores(vec: F.Column, centroids: list[list[float]]) -> F.Column:
+    """array<struct<neg,cid>> of (-cosine, centroid_id) per centroid —
+    pure JVM higher-order functions, codegen'd; ready to sort/min."""
+    from ..functions.vectors import cosine_similarity
+
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.transform(
+        cents,
+        lambda cv, i: F.struct(
+            (-cosine_similarity(vec, cv)).alias("neg"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: Lloyd iterations expressed as DataFrame
+    ops (assignment = broadcast-centroid argmax, update = groupBy mean).
+
+    Deterministic: init = first ``n_centroids`` rows by id; argmax ties
+    break to the lowest centroid id (``array_position`` finds the first
+    occurrence); empty clusters keep their previous centroid.
+
+    Scale note (100 TB): only the centroid table (n_centroids × dim — model
+    parameters, a few KB) ever reaches the driver; each iteration is one
+    narrow assignment pass + one groupBy(cid, dim) shuffle whose output is
+    n_centroids × dim rows. Iterations are O(n) scans — no cross join.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    centroids = [
+        [float(x) for x in r.e]
+        for r in corpus.select(v.alias("e"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    ]
+    for _ in range(n_iters):
+        scored = corpus.select(v.alias("e")).select(
+            "e",
+            F.array_min(_centroid_scores(F.col("e"), centroids))["cid"].alias(
+                "cid"
+            ),
+        )
+        means = (
+            scored.select("cid", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.m
+        for cid, dims in by_cid.items():
+            new[cid] = [dims[p] for p in sorted(dims)]
+        centroids = new
+    return centroids
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization:
+    corpus rows are assigned to their nearest centroid's posting list;
+    each query probes its ``nprobe`` nearest lists; candidates get an
+    exact cosine rerank + windowed top-k.
+
+    Scale: the candidate set is ~(nprobe / n_centroids) of the corpus per
+    query — tunable recall/cost. The probe join is an equi-join on ``cid``
+    with the (small) query side broadcast; corpus assignment is a narrow
+    map. At cluster scale, persist the assigned corpus partitioned by
+    ``cid`` so probes prune to matching partitions.
+    """
+    centroids = train_ivf_centroids(
+        corpus, n_centroids, n_iters, id_col, vec_col
+    )
+    cv = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("_cv"),
+    ).withColumn(
+        "cid", F.array_min(_centroid_scores(F.col("_cv"), centroids))["cid"]
+    )
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), cv.alias("_qv"))
+        .withColumn(
+            "cid",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(_centroid_scores(F.col("_qv"), centroids)),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    cand = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "neighbor_id"])
+        .withColumn("sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("q_id", "neighbor_id", "sim")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

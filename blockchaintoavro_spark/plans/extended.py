@@ -73,6 +73,22 @@ def x_ann(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("q_id", "neighbor_id")
 
 
+@declare("x_ann_ivf_topk", oracle=None)
+def x_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-3 via IVF coarse quantization (Lloyd-trained
+    centroids, nprobe posting-list probe, exact rerank). Recall vs the
+    exact path is test-checked; no SQL oracle — engine-defined hashing."""
+    from ..operators.similarity import ann_topk_ivf
+
+    emb = t(spark, sf, "embeddings")
+    res = ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        F.round("sim", 4).cast("decimal(38,4)").alias("sim"),
+    ).orderBy("q_id", "neighbor_id")
+
+
 @declare(
     "x_embedding_neardup",
     oracle="""

@@ -160,6 +160,35 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall:.3f} < 0.8"
 
 
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    from blockchaintoavro_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in topk_per_query(emb, q, k=3).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in ann_topk_ivf(emb, q, k=3, n_centroids=16, nprobe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall:.3f} < 0.8"
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    from blockchaintoavro_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = train_ivf_centroids(emb, n_centroids=4, n_iters=2)
+    c2 = train_ivf_centroids(emb, n_centroids=4, n_iters=2)
+    assert c1 == c2
+    assert len(c1) == 4 and all(len(c) == 64 for c in c1)
+
+
 def test_topk_deterministic_ties(spark):
     """Equal similarities must break ties by neighbor id."""
     rows = [(i, [1.0, 0.0]) for i in range(5)]

@@ -107,6 +107,83 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmpdir):
     assert want.subtract(got).count() == 0
 
 
+def test_streaming_dedup_watermark(spark, tmpdir):
+    """ST5/ST6: duplicated ingest through withWatermark+dropDuplicates
+    emits each block_id exactly once (the streaming twin of dq06)."""
+    from blockchaintoavro_spark.streaming.stateful import streaming_dedup
+
+    b = (
+        load_blocks(spark)
+        .select(
+            "block_id",
+            F.timestamp_millis(F.col("timestamp")).alias("ts"),
+        )
+        .limit(500)
+    )
+    src = f"{tmpdir}/src"
+    doubled = b.union(b)  # every key at least twice
+    doubled.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(doubled.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream, ["block_id"], "ts", "1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.table("dedup_out")
+    assert got.count() == b.select("block_id").distinct().count()
+    assert got.groupBy("block_id").count().filter("count > 1").count() == 0
+
+
+def test_stateful_running_totals_equal_batch(spark, sf_dir, tmpdir):
+    """Custom stateful operator (applyInPandasWithState): the last emitted
+    running total per user equals the batch groupBy aggregate."""
+    from blockchaintoavro_spark.streaming.stateful import running_user_totals
+
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    src = f"{tmpdir}/events"
+    ev.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    # counts only grow: the max-n emission per user is the final state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    got = (
+        spark.table("totals_out")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n", F.round("total", 6).alias("total"))
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("total"),
+    )
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+
 def test_streaming_sessions_equal_batch_sessionize(spark, sf_dir, tmpdir):
     """session_window (streaming) vs gaps-and-islands (batch): same number
     of sessions and same per-session event counts per user (boundary-tie
