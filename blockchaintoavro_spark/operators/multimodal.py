@@ -94,3 +94,84 @@ def extract_features(
     return df.select(id_col, payload_col, "modality").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = "doc_id long, payload binary, width long, height long"
+
+
+def resize_payloads(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stub over binary payloads (mapInPandas, Arrow batches).
+
+    A real implementation swaps the inner ``_resize`` for PIL
+    (``Image.open(io.BytesIO(p)).resize((w, h)).tobytes()``) — signature
+    and plumbing are identical. The stub deterministically truncates/pads
+    the bytes to ``width*height`` so output size is verifiable.
+
+    Scale: narrow per-row transform, zero shuffle; Arrow streams batches so
+    no partition is materialized in Python at once.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+
+        def _resize(p):
+            b = bytes(p) if p is not None else b""
+            return b[:target].ljust(target, b"\0")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "payload": [_resize(p) for p in pdf[payload_col]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_no long, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling stub: one output row per kept frame (flat-map shape —
+    mapInPandas may yield more rows than it consumes).
+
+    The stub treats the payload as fixed-size frames of ``frame_bytes`` and
+    keeps every ``every_n``-th; a real implementation swaps the splitter
+    for ffmpeg/pyav keyframe extraction with the same row-explosion shape.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                for i in range(0, len(b) // frame_bytes, every_n):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -218,6 +218,27 @@ def test_multimodal_features_deterministic(spark):
     assert out[1].modality == "text"
 
 
+def test_multimodal_resize_and_frames(spark):
+    from blockchaintoavro_spark.operators.multimodal import (
+        resize_payloads,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(64))), (2, b"abc"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    r = {x.doc_id: x for x in resize_payloads(df, 4, 3).collect()}
+    assert all(len(bytes(x.payload)) == 12 for x in r.values())
+    assert bytes(r[1].payload) == bytes(range(12))
+    assert bytes(r[2].payload) == b"abc" + b"\0" * 9
+
+    f = sample_frames(df, frame_bytes=16, every_n=2).collect()
+    # doc 1: 64 bytes → 4 frames → keep 0 and 2; docs 2/3: too short / null
+    assert {(x.doc_id, x.frame_no) for x in f} == {(1, 0), (1, 2)}
+    assert all(len(bytes(x.frame)) == 16 for x in f)
+
+
 # ---------------------------------------------------------------------------
 # UDF surface (SURVEY §2.6)
 

@@ -107,6 +107,44 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmpdir):
     assert want.subtract(got).count() == 0
 
 
+def test_progress_monitor_and_drain(spark, tmpdir):
+    """ST7/ST8: listener records per-batch progress; drain_and_stop ends a
+    continuous-trigger query cleanly after all input is consumed."""
+    from blockchaintoavro_spark.streaming.monitor import (
+        attach_monitor,
+        drain_and_stop,
+    )
+
+    mon = attach_monitor(spark)
+    try:
+        b = load_blocks(spark).select("ingest_id", "block_id", "timestamp")
+        src = f"{tmpdir}/src"
+        b.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(b.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("mon_out")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = 60
+        import time
+
+        while spark.table("mon_out").count() < b.count() and deadline > 0:
+            time.sleep(0.5)
+            deadline -= 0.5
+        drain_and_stop(q)
+        assert not q.isActive
+        assert spark.table("mon_out").count() == b.count()
+        assert sum(p["num_input_rows"] for p in mon.progress) == b.count()
+    finally:
+        spark.streams.removeListener(mon)
+
+
 def test_streaming_dedup_watermark(spark, tmpdir):
     """ST5/ST6: duplicated ingest through withWatermark+dropDuplicates
     emits each block_id exactly once (the streaming twin of dq06)."""
