@@ -656,6 +656,22 @@ def dq30(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "dq13_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def dq13b(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit cross join (Q10) — small×small Cartesian; at scale a cross
+    join is only ever sane with one broadcast-sized side (here both are)."""
+    r = t(spark, sf, "region").select("r_name")
+    n = t(spark, sf, "nation").select("n_name")
+    return r.crossJoin(n).orderBy("r_name", "n_name")
+
+
+@declare(
     "dq17_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n

@@ -167,8 +167,11 @@ def test_streaming_dedup_watermark(spark, tmpdir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    # watermark must cover the fixture's full event-time span: files replay
+    # out of event-time order, and a short delay would (correctly, per
+    # late-data semantics) drop old-timestamp rows arriving in later batches
     q = (
-        streaming_dedup(stream, ["block_id"], "ts", "1 hour")
+        streaming_dedup(stream, ["block_id"], "ts", "3650 days")
         .writeStream.format("memory")
         .queryName("dedup_out")
         .outputMode("append")
