@@ -95,8 +95,23 @@ def dq04(spark: SparkSession, sf: str) -> DataFrame:
 def dq05a(spark: SparkSession, sf: str) -> DataFrame:
     """Doubly-nested unnest (T5; BitcoinBlockHandler.java:130-157) with
     binary→hex canonicalization and the coinbase ''-not-null rule carried
-    through from the data."""
-    b = load_blocks(spark)
+    through from the data. Reads a pruned schema: the scan skips the
+    outputs[] column chunks (~half the table at scale)."""
+    from ..schemas import pruned_blocks
+
+    b = load_blocks(
+        spark,
+        prune=pruned_blocks(
+            ["block_id"],
+            tx_fields=["transaction_id"],
+            input_fields=[
+                "input_script_bytes",
+                "input_sequence_number",
+                "input_pubkey_base58",
+                "input_pubkey_base58_error",
+            ],
+        ),
+    )
     return (
         b.select("block_id", F.explode("transactions").alias("t"))
         .select(
@@ -137,8 +152,21 @@ def dq05a(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dq05b(spark: SparkSession, sf: str) -> DataFrame:
     """Output-side nested unnest (T6) incl. nullable satoshis
-    (BitcoinBlockHandler.java:163-168)."""
-    b = load_blocks(spark)
+    (BitcoinBlockHandler.java:163-168). Pruned read: inputs[] skipped."""
+    from ..schemas import pruned_blocks
+
+    b = load_blocks(
+        spark,
+        prune=pruned_blocks(
+            ["block_id"],
+            tx_fields=["transaction_id"],
+            output_fields=[
+                "output_satoshis",
+                "output_script_bytes",
+                "output_pubkey_base58",
+            ],
+        ),
+    )
     return (
         b.select("block_id", F.explode("transactions").alias("t"))
         .select(

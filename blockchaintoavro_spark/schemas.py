@@ -69,6 +69,65 @@ BLOCKS_SCHEMA = T.StructType(
     ]
 )
 
+def pruned_blocks(
+    block_fields: list[str],
+    tx_fields: list[str] | None = None,
+    input_fields: list[str] | None = None,
+    output_fields: list[str] | None = None,
+) -> T.StructType:
+    """Subset read schema for the blocks table (leaf-level pruning).
+
+    Catalyst prunes nested columns through one ``explode`` but not through
+    the doubly-nested ``transactions[].inputs[]/outputs[]`` chain; passing
+    the subset schema to ``spark.read.schema`` pushes the pruning into the
+    parquet scan itself (ReadSchema shrinks — asserted in test_plans.py).
+
+    Field order must follow the full schema (parquet maps by name, but a
+    consistent order keeps plan diffs readable).
+    """
+
+    def _sub(struct: T.StructType, names: list[str]) -> T.StructType:
+        keep = set(names)
+        return T.StructType([f for f in struct.fields if f.name in keep])
+
+    tx_struct = []
+    for f in TRANSACTION_STRUCT.fields:
+        if f.name == "inputs":
+            if input_fields is not None:
+                tx_struct.append(
+                    T.StructField(
+                        "inputs",
+                        T.ArrayType(_sub(INPUT_STRUCT, input_fields)),
+                        True,
+                    )
+                )
+        elif f.name == "outputs":
+            if output_fields is not None:
+                tx_struct.append(
+                    T.StructField(
+                        "outputs",
+                        T.ArrayType(_sub(OUTPUT_STRUCT, output_fields)),
+                        True,
+                    )
+                )
+        elif tx_fields is not None and f.name in set(tx_fields):
+            tx_struct.append(f)
+
+    out = []
+    keep = set(block_fields)
+    for f in BLOCKS_SCHEMA.fields:
+        if f.name == "transactions":
+            if tx_struct:
+                out.append(
+                    T.StructField(
+                        "transactions", T.ArrayType(T.StructType(tx_struct)), True
+                    )
+                )
+        elif f.name in keep:
+            out.append(f)
+    return T.StructType(out)
+
+
 PRICES_SCHEMA = T.StructType(
     [
         # NTZ: the reference CSVs carry naive wall-clock timestamps

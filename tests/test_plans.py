@@ -1,0 +1,109 @@
+"""Physical-plan regression tests (SURVEY §4, SCALE.md evidence).
+
+Correctness tests prove the answers; these prove the *plans* — pushdown,
+pruning, broadcast choice, partial aggregation, rank-limit pushdown —
+so a refactor that silently de-optimizes a query fails CI, not the
+100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from blockchaintoavro_spark.plans import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(spark, registry, name, sf_dir, mode="formatted"):
+    df = registry[name].spark(spark, sf_dir)
+    jvm = spark.sparkContext._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_dq10_all_dims_broadcast(spark, registry, sf_dir):
+    # simple mode: each physical node appears exactly once in the tree
+    s = plan_of(spark, registry, "dq10_star_join", sf_dir, mode="simple")
+    assert s.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+    p = plan_of(spark, registry, "dq10_star_join", sf_dir)
+    # lineitem scan pruned to exactly the 3 needed columns
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"
+        in p
+    )
+
+
+def test_dq15_pushdown_and_partial_agg(spark, registry, sf_dir):
+    p = plan_of(spark, registry, "dq15_agg_q1", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "partial_sum" in p  # map-side combine before the exchange
+    s = plan_of(spark, registry, "dq15_agg_q1", sf_dir, mode="simple")
+    assert s.count("Exchange") <= 2  # agg + final sort, nothing else
+
+
+def test_dq07_rank_limit_pushdown(spark, registry, sf_dir):
+    """Spark 3.5+ WindowGroupLimit: the rn=1 filter prunes duplicates
+    before the full window sort — the dedup shuffle carries ~1 row/key."""
+    p = plan_of(spark, registry, "dq07_flagship_etl", sf_dir)
+    assert "WindowGroupLimit" in p
+    assert "Generate" in p  # unnest is a Generate, not a join
+
+
+def test_dq31_no_cartesian_and_partial_topk(spark, registry, sf_dir):
+    p = plan_of(spark, registry, "dq31_cosine_topk", sf_dir)
+    assert "CartesianProduct" not in p
+    # query vectors broadcast; corpus never shuffled pre-similarity
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p  # partial top-k before final window
+
+
+def test_dq20_take_ordered(spark, registry, sf_dir):
+    p = plan_of(spark, registry, "dq20_topk", sf_dir)
+    assert "TakeOrderedAndProject" in p  # never a global sort for top-k
+
+
+def test_dq01_count_reads_no_columns(spark, registry, sf_dir):
+    p = plan_of(spark, registry, "dq01_scan_count", sf_dir)
+    assert "ReadSchema: struct<>" in p
+
+
+def test_dq05_nested_schema_pruning(spark, registry, sf_dir):
+    """Touching two leaves of transactions[].inputs[] must not read the
+    whole nested struct (outputs[] pruned away)."""
+    p = plan_of(spark, registry, "dq05_nested_inputs", sf_dir)
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read and all("output_satoshis" not in l for l in read)
+    p = plan_of(spark, registry, "dq05_nested_outputs", sf_dir)
+    read = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read and all("input_sequence_number" not in l for l in read)
+
+
+def test_dq09_join_is_broadcast_or_sorted_once(spark, registry, sf_dir):
+    p = plan_of(spark, registry, "dq09_join_inner", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dq13_theta_join_keeps_equi_key(spark, registry, sf_dir):
+    """The range predicate must ride the equi hash join as a residual,
+    not degrade to a nested loop."""
+    p = plan_of(spark, registry, "dq13_theta_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_no_query_uses_python_row_udf(spark, registry, sf_dir):
+    """Hot paths stay JVM-side: no row-at-a-time BatchEvalPython in any
+    declared relational/extended plan (ArrowEvalPython — pandas UDFs —
+    allowed only in the explicitly-Python operators)."""
+    allowed_python = {"x_base58_udf", "x_udaf_centroid_norm", "x_multimodal_decode"}
+    for name in registry:
+        if name in allowed_python:
+            continue
+        p = plan_of(spark, registry, name, sf_dir, mode="simple")
+        assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python"
