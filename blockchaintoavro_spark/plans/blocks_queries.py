@@ -62,8 +62,14 @@ def dq03(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dq04(spark: SparkSession, sf: str) -> DataFrame:
     """Array transform + null→[] default (T3/T4; BitcoinBlockHandler.java:
-    103-108) — higher-order functions, no shuffle."""
-    b = load_blocks(spark)
+    103-108) — higher-order functions, no shuffle. Pruned read: only the
+    transaction_id leaf of the nested array is scanned."""
+    from ..schemas import pruned_blocks
+
+    b = load_blocks(
+        spark,
+        prune=pruned_blocks(["block_id"], tx_fields=["transaction_id"]),
+    )
     txs = F.coalesce("transactions", F.array())
     return b.select(
         "block_id",
@@ -222,11 +228,35 @@ _DQ07_ORACLE = f"""
     """
 
 
+_ETL_PRUNE_FIELDS = [
+    "ingest_id",
+    "block_id",
+    "previous_block",
+    "merkle_root",
+    "timestamp",
+    "nonce",
+    "version",
+    "work",
+]
+
+
+def _load_blocks_for_etl(spark: SparkSession) -> DataFrame:
+    """Flagship-ETL input with a pruned read schema: the scan skips every
+    inputs[]/outputs[] column chunk — the bulk of the table's bytes —
+    because the published projection only needs transaction_id."""
+    from ..schemas import pruned_blocks
+
+    return load_blocks(
+        spark,
+        prune=pruned_blocks(_ETL_PRUNE_FIELDS, tx_fields=["transaction_id"]),
+    )
+
+
 @declare("dq07_flagship_etl", oracle=_DQ07_ORACLE, bench=True)
 def dq07(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's flagship query (etl.sh:6-33): dedup → inner-unnest
     transactions → flat projection with derived work columns."""
-    return publish_transactions(load_blocks(spark)).orderBy(
+    return publish_transactions(_load_blocks_for_etl(spark)).orderBy(
         "block_id", "transaction_id"
     )
 
@@ -238,7 +268,7 @@ def dq23(spark: SparkSession, sf: str) -> DataFrame:
     (idempotent replace)."""
     out = "/root/repo/_artifacts/dq23_transactions"
     os.makedirs("/root/repo/_artifacts", exist_ok=True)
-    result = publish_transactions(load_blocks(spark))
+    result = publish_transactions(_load_blocks_for_etl(spark))
     result.write.mode("overwrite").parquet(out)
     result.write.mode("overwrite").parquet(out)  # idempotent second run
     return spark.read.parquet(out).orderBy("block_id", "transaction_id")

@@ -438,9 +438,15 @@ def x_b58(spark: SparkSession, sf: str) -> DataFrame:
     BitcoinBlockHandler.java:148-153). Rows-only check (no SQL base58);
     known-vector parity is unit-tested."""
     from ..functions.udfs import base58_encode
+    from ..schemas import pruned_blocks
     from ..sources.tables import load_blocks
 
-    b = load_blocks(spark).limit(200)
+    b = load_blocks(
+        spark,
+        prune=pruned_blocks(
+            ["block_id"], input_fields=["input_script_bytes"]
+        ),
+    ).limit(200)
     return (
         b.select("block_id", F.explode("transactions").alias("t"))
         .select("block_id", F.explode("t.inputs").alias("i"))

@@ -83,6 +83,18 @@ def test_dq05_nested_schema_pruning(spark, registry, sf_dir):
     assert read and all("input_sequence_number" not in l for l in read)
 
 
+def test_flagship_etl_prunes_nested_arrays(spark, registry, sf_dir):
+    """dq07 publishes only transaction_id from the nested array: the scan
+    must skip every inputs[]/outputs[] column chunk (the bulk of the
+    table's bytes at 100 TB)."""
+    for name in ("dq07_flagship_etl", "dq04_array_transform"):
+        p = plan_of(spark, registry, name, sf_dir)
+        read = [l for l in p.splitlines() if "ReadSchema" in l]
+        assert read, name
+        assert all("input_script" not in l for l in read), name
+        assert all("output_satoshis" not in l for l in read), name
+
+
 def test_dq09_join_is_broadcast_or_sorted_once(spark, registry, sf_dir):
     p = plan_of(spark, registry, "dq09_join_inner", sf_dir)
     assert "CartesianProduct" not in p
