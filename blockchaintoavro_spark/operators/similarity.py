@@ -92,6 +92,26 @@ def topk_per_query(
     )
 
 
+def centroid_norms(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid L2 norm, JVM-side (the scale path for the
+    grouped-agg pandas UDAF in functions/udfs.py — noted there and in
+    SCALE.md): posexplode → two-stage avg per (label, dim) → norm.
+
+    Works at any label cardinality: no group is ever materialized in
+    Python; the shuffle carries (label, dim) partial sums only.
+    """
+    flat = df.select(
+        label_col,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    cent = flat.groupBy(label_col, "dim").agg(F.avg("x").alias("m"))
+    return cent.groupBy(label_col).agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("cnorm")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for LSH (seeded; no runtime RNG)."""
     rng = random.Random(seed)

@@ -349,6 +349,45 @@ def x_mm(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(with_binary_payload(d)).orderBy("doc_id")
 
 
+@declare(
+    "x_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)
+                AS DECIMAL(38,2)) AS qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def x_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation (operators/skew.py) —
+    hash-identical to the plain GROUP BY, but each hot key spreads over
+    n_salts reducers in shuffle 1."""
+    from ..operators.skew import salted_agg, salted_count_distinct
+
+    li = t(spark, sf, "lineitem").withColumn(
+        "_qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    base = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": ("count", "l_orderkey"), "_qty": ("sum", "_qty_dec")},
+        n_salts=16,
+    )
+    nd = salted_count_distinct(li, ["l_returnflag"], "l_suppkey", n_salts=16)
+    return (
+        base.join(nd, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("n_distinct_l_suppkey").alias("n_supp"),
+            F.round("_qty", 2).cast("decimal(38,2)").alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # UDF/UDAF surface (SURVEY §2.6) + token analytics
 

@@ -240,6 +240,72 @@ def test_multimodal_resize_and_frames(spark):
 
 
 # ---------------------------------------------------------------------------
+# skew mitigation (SCALE.md)
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from blockchaintoavro_spark.operators.skew import (
+        salted_agg,
+        salted_count_distinct,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("count", "l_orderkey"),
+            "qty": ("sum", "l_quantity"),
+            "mn": ("min", "l_extendedprice"),
+            "mx": ("max", "l_extendedprice"),
+        },
+        n_salts=8,
+    )
+    want = li.groupBy("l_returnflag").agg(
+        F.count("l_orderkey").alias("n"),
+        F.sum("l_quantity").alias("qty"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+    gd = salted_count_distinct(li, ["l_returnflag"], "l_suppkey", n_salts=8)
+    wd = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").cast("long").alias("n_distinct_l_suppkey")
+    )
+    assert gd.subtract(wd).count() == 0 and wd.subtract(gd).count() == 0
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    from blockchaintoavro_spark.operators.skew import salted_agg
+
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        salted_agg(df, ["id"], {"a": ("avg", "id")})
+
+
+def test_centroid_norms_jvm_matches_udaf(spark, sf_dir):
+    """The JVM decomposition (scale path) must agree with the pandas UDAF
+    (one-group-per-call path) to 1e-9."""
+    from blockchaintoavro_spark.functions.udfs import centroid_norm
+    from blockchaintoavro_spark.operators.similarity import centroid_norms
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jvm = {r.label: r.cnorm for r in centroid_norms(emb).collect()}
+    udaf = {
+        r.label: r.n
+        for r in emb.groupBy("label")
+        .agg(centroid_norm("embedding").alias("n"))
+        .collect()
+    }
+    assert jvm.keys() == udaf.keys()
+    assert all(abs(jvm[k] - udaf[k]) < 1e-9 for k in jvm)
+
+
+# ---------------------------------------------------------------------------
 # UDF surface (SURVEY §2.6)
 
 
