@@ -350,6 +350,60 @@ def x_mm(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_training_prep",
+    oracle="""
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      WHERE lang = 'en'
+        AND len(string_split(text, ' ')) BETWEEN 5 AND 10000
+      GROUP BY md5(text)
+    )
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           CAST(ROUND(SQRT(list_aggregate(
+                 list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x),
+                 'sum')), 4) AS DECIMAL(38,4)) AS emb_norm
+    FROM keep k
+    JOIN documents d ON d.doc_id = k.doc_id
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def x_training(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data prep composite: language filter → token-
+    count quality gate → exact content dedup (min-id winner per digest)
+    → join embeddings → per-doc stats. One keyed shuffle for the dedup,
+    broadcast-size doc side for the joins at this SF; at 100 TB the
+    embeddings join co-locates if both sides are bucketed by doc_id
+    (sources/bucketing.py)."""
+    d = t(spark, sf, "documents").filter(
+        (F.col("lang") == "en")
+        & F.size(F.split("text", " ")).between(5, 10000)
+    )
+    keep = (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("_digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .drop("_digest")
+    )
+    e = t(spark, sf, "embeddings")
+    from ..functions.vectors import l2_norm
+
+    return (
+        keep.join(t(spark, sf, "documents"), "doc_id")
+        .join(e, F.col("vec_id") == F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.round(l2_norm(F.col("embedding")), 4)
+            .cast("decimal(38,4)")
+            .alias("emb_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declare(
     "x_salted_agg",
     oracle="""
     SELECT l_returnflag,

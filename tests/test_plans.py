@@ -109,6 +109,50 @@ def test_dq13_theta_join_keeps_equi_key(spark, registry, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Co-bucketed + sorted tables join with zero Exchange and zero Sort:
+    the repeated-fact-join layout for 100 TB (sources/bucketing.py)."""
+    from blockchaintoavro_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    write_bucketed(li, "li_b", ["l_orderkey"], 8, sort_keys=["l_orderkey"])
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "o_b",
+        ["l_orderkey"],
+        8,
+        sort_keys=["l_orderkey"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path so the bucketing does the work
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "li_b", "o_b", ["l_orderkey"])
+        jvm = spark.sparkContext._jvm
+        p = jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located buckets: no shuffle
+        assert joined.count() == li.join(
+            o, li.l_orderkey == o.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
 def test_no_query_uses_python_row_udf(spark, registry, sf_dir):
     """Hot paths stay JVM-side: no row-at-a-time BatchEvalPython in any
     declared relational/extended plan (ArrowEvalPython — pandas UDFs —
