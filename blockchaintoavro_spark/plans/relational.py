@@ -460,6 +460,61 @@ def dq21c(spark: SparkSession, sf: str) -> DataFrame:
     return c.subtract(s).orderBy("nationkey")  # EXCEPT (set, not bag)
 
 
+@declare(
+    "dq21_union_all",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS n FROM (
+      SELECT s_nationkey AS nationkey FROM supplier
+      UNION ALL
+      SELECT c_nationkey FROM customer
+    ) u GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def dq21d(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL (bag union — no dedup shuffle; aggregated for a stable
+    hashable result)."""
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    return (
+        s.unionAll(c)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("nationkey")
+    )
+
+
+@declare(
+    "dq21_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def dq21e(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL (bag difference — multiplicity-aware, exceptAll)."""
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    return c.exceptAll(s).orderBy("nationkey")
+
+
+@declare(
+    "dq21_intersect_all",
+    oracle="""
+    SELECT s_nationkey AS nationkey FROM supplier
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer
+    ORDER BY nationkey
+    """,
+)
+def dq21f(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection, intersectAll)."""
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    return s.intersectAll(c).orderBy("nationkey")
+
+
 # ---------------------------------------------------------------------------
 # scalar functions
 

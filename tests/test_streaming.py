@@ -225,6 +225,40 @@ def test_stateful_running_totals_equal_batch(spark, sf_dir, tmpdir):
     assert want.subtract(got).count() == 0
 
 
+def test_streaming_sliding_equals_batch(spark, sf_dir, tmpdir):
+    """ST3: sliding-window streaming counts equal the batch window() agg
+    over the same replayed data."""
+    from blockchaintoavro_spark.streaming.windows import (
+        streaming_sliding_counts,
+    )
+
+    ev = load_events(spark, sf_dir)
+    src = f"{tmpdir}/events"
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming_sliding_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.table("sliding_out")
+    want = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("w_start"), "n")
+    )
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0
+
+
 def test_streaming_sessions_equal_batch_sessionize(spark, sf_dir, tmpdir):
     """session_window (streaming) vs gaps-and-islands (batch): same number
     of sessions and same per-session event counts per user (boundary-tie
