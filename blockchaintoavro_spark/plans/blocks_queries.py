@@ -1,4 +1,4 @@
-"""Declared queries over the blocks/prices fixtures (SURVEY DQ-03..07,
+"""Declared queries over the blocks/prices fixtures (SURVEY DQ-02..07,
 DQ-23/24/27/28) — the reference's own operator surface.
 
 Oracle side reads the SAME fixture files via absolute ``read_parquet``/
@@ -25,6 +25,31 @@ _P = (
 )
 
 GENESIS = "0" * 64
+
+
+@declare(
+    "dq02_block_header",
+    oracle=f"""
+    SELECT ingest_id, block_id, previous_block, merkle_root, timestamp,
+           difficultyTarget, nonce, version
+    FROM {_B} ORDER BY ingest_id
+    """,
+)
+def dq02b(spark: SparkSession, sf: str) -> DataFrame:
+    """Block-header projection (T1; BitcoinBlockHandler.java:86-93) — the
+    straight header columns incl. difficultyTarget, epoch-millis timestamp
+    kept as long for parity (BQRow.avsc:43-46)."""
+    b = load_blocks(spark)
+    return b.select(
+        "ingest_id",
+        "block_id",
+        "previous_block",
+        "merkle_root",
+        "timestamp",
+        "difficultyTarget",
+        "nonce",
+        "version",
+    ).orderBy("ingest_id")
 
 
 @declare(
