@@ -36,6 +36,17 @@ def get_spark(app_name: str = "blockchaintoavro_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # local-mode split size: the sf0.1 inputs are single ~10 MB files,
+        # so the 128 MB default leaves 29 of 32 cores idle on the scan
+        # (measured ~20% total bench win at 8 MB). Cluster deployments
+        # should export SPARK_GRAFT_MAX_PARTITION_BYTES=134217728 —
+        # fine splits at 100 TB would explode the task count.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
