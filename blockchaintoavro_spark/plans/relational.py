@@ -711,6 +711,48 @@ def dq30(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "dq10_star_join_filtered",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DECIMAL(38,2)) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def dq10b(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped filtered star join: the date range pushes into the
+    orders scan (PushedFilters), the region predicate shrinks the
+    broadcast side to one row before any fact row is touched — filter-
+    through-join evidence the unfiltered dq10 can't show."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(money(F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@declare(
     "dq13_cross_join",
     oracle="""
     SELECT r.r_name, n.n_name

@@ -38,6 +38,15 @@ def test_dq10_all_dims_broadcast(spark, registry, sf_dir):
     )
 
 
+def test_dq10_filtered_pushdown_through_joins(spark, registry, sf_dir):
+    """Q5 shape: the o_orderdate range must reach the orders parquet scan
+    as PushedFilters, not sit above the join."""
+    p = plan_of(spark, registry, "dq10_star_join_filtered", sf_dir)
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "LessThan(o_orderdate" in p
+    assert "EqualTo(r_name,ASIA)" in p
+
+
 def test_dq15_pushdown_and_partial_agg(spark, registry, sf_dir):
     p = plan_of(spark, registry, "dq15_agg_q1", sf_dir)
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
