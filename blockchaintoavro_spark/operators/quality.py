@@ -1,0 +1,90 @@
+"""Corpus-quality operators for training-data pipelines (SURVEY §2.7 X4
+extension): deterministic dataset splitting, repetition scoring (the
+Gopher/C4-style duplicate-n-gram filter), and deterministic stratified
+sampling for data mixing.
+
+All three are pure column expressions / narrow transformations — no
+shuffle, no UDF — so at 100 TB they pipeline inside the parquet scan
+stage and cost only the md5 / array arithmetic per row. Determinism is
+the point: the same row lands in the same split / sample on every run,
+on any cluster size, with no RNG state to coordinate — which is what
+makes train/val/test assignment reproducible across re-runs of a 1000-
+executor job and oracle-checkable in SQL (DuckDB computes the identical
+md5 hex).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(key: Column) -> Column:
+    """First two md5 hex chars of the key's string form: a uniform,
+    engine-portable 256-bucket hash (lexicographic threshold = fraction).
+    """
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, 2)
+
+
+def hash_split(
+    key: Column,
+    boundaries: Sequence[tuple[str, str]] = (("train", "cd"), ("val", "e6")),
+    last: str = "test",
+) -> Column:
+    """Deterministic train/val/test assignment from a stable key.
+
+    ``boundaries`` are (label, exclusive upper hex-pair) in ascending
+    order; rows past the final boundary get ``last``. The defaults give
+    ~80/10/10. Rows never migrate between splits when data is appended —
+    assignment depends only on the key, unlike sort- or rand()-based
+    splits which reshuffle membership on every run.
+    """
+    bucket = _hash_bucket(key)
+    expr = F.lit(last)
+    for label, upper in reversed(list(boundaries)):
+        expr = F.when(bucket < upper, label).otherwise(expr)
+    return expr
+
+
+def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are duplicates of an earlier n-gram
+    in the same document — the classic repetition quality filter (high
+    ratio = boilerplate / degenerate text). 0.0 for docs with < n tokens.
+
+    Entirely JVM-side HOFs (split / transform / array_distinct): a narrow
+    per-row expression with no Python round-trip.
+    """
+    toks = F.split(F.lower(text), " ")
+    nt = F.size(toks)
+    idx = F.sequence(F.lit(1), nt - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    grams = F.when(nt >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    total = F.size(grams)
+    dups = total - F.size(F.array_distinct(grams))
+    return F.when(total == 0, F.lit(0.0)).otherwise(dups / total)
+
+
+def stratified_keep(
+    key: Column, stratum: Column, fractions: Mapping[str, str], default: str = "00"
+) -> Column:
+    """Deterministic per-stratum sampling predicate for data mixing:
+    keep a row iff its 256-bucket hash falls below the stratum's hex-pair
+    threshold (e.g. ``{"en": "34"}`` keeps ~20% of English rows).
+
+    The sampling decision is a row-local filter evaluated inside the scan
+    stage — at 100 TB this downsamples each domain to its mixing weight
+    before any shuffle touches the data, and re-runs select the identical
+    rows (unlike ``df.sampleBy``, whose membership depends on seed +
+    partitioning).
+    """
+    bucket = _hash_bucket(key)
+    thresh = F.lit(default)
+    for value, upper in fractions.items():
+        thresh = F.when(stratum == value, upper).otherwise(thresh)
+    return bucket < thresh

@@ -524,6 +524,129 @@ def x_tokcount(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# corpus-quality / dataset-management operators (operators/quality.py)
+
+
+@declare(
+    "x_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split keyed on doc_id
+    (operators/quality.py:hash_split) — a pure row-local expression, so
+    split assignment is reproducible across runs and cluster sizes and
+    never migrates rows when the corpus grows."""
+    from ..operators.quality import hash_split
+
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id", hash_split(F.col("doc_id")).alias("split")
+    ).orderBy("doc_id")
+
+
+@declare(
+    "x_ngram_repetition",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                      ELSE [] END AS grams
+          FROM s)
+    SELECT doc_id, len(grams) AS n_grams,
+           CAST(ROUND(CASE WHEN len(grams) = 0 THEN 0
+                           ELSE (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+                      END, 4) AS DECIMAL(38,4)) AS dup_ngram_ratio
+    FROM g ORDER BY doc_id
+    """,
+)
+def x_ngram_rep(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-3-gram ratio per document — the Gopher/C4-style
+    repetition quality filter (operators/quality.py:dup_ngram_ratio).
+    All JVM-side HOFs; no shuffle, no UDF."""
+    from ..operators.quality import dup_ngram_ratio
+
+    d = t(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    nt = F.size(toks)
+    n_grams = F.when(nt >= 3, nt - 2).otherwise(F.lit(0))
+    return d.select(
+        "doc_id",
+        n_grams.cast("long").alias("n_grams"),
+        F.round(dup_ngram_ratio(F.col("text")), 4)
+        .cast("decimal(38,4)")
+        .alias("dup_ngram_ratio"),
+    ).orderBy("doc_id")
+
+
+@declare(
+    "x_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE lang WHEN 'en' THEN '34' ELSE '80' END
+    ORDER BY doc_id
+    """,
+)
+def x_strat(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: keep ~20% of
+    English docs and ~50% of every other language
+    (operators/quality.py:stratified_keep). The predicate evaluates inside
+    the scan stage, so each domain is downsampled to its mixing weight
+    before any shuffle."""
+    from ..operators.quality import stratified_keep
+
+    d = t(spark, sf, "documents")
+    keep = stratified_keep(
+        F.col("doc_id"), F.col("lang"), {"en": "34"}, default="80"
+    )
+    return d.filter(keep).select("doc_id", "lang").orderBy("doc_id")
+
+
+@declare(
+    "x_token_topk_per_lang",
+    oracle="""
+    WITH c AS (
+      SELECT lang, tk, COUNT(*) AS n
+      FROM (SELECT lang, UNNEST(string_split(lower(text), ' ')) AS tk FROM documents)
+      GROUP BY lang, tk
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tk) AS rn FROM c
+    )
+    SELECT lang, tk AS token, n FROM r WHERE rn <= 5 ORDER BY lang, token
+    """,
+)
+def x_topk_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group heavy hitters: top-5 tokens per language. Two-phase hash
+    agg (partial combine before the shuffle) then a per-lang window over
+    the already-aggregated — tiny — (lang, token) counts, so the window
+    sort never sees raw tokens."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "n")
+        .orderBy("lang", "token")
+    )
+
+
 @declare("x_base58_udf", oracle=None)
 def x_b58(spark: SparkSession, sf: str) -> DataFrame:
     """Vectorized base58 pandas UDF over the blocks fixture's script bytes

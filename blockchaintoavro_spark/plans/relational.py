@@ -811,3 +811,38 @@ def dq17c(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST, 3
         """
     )
+
+
+@declare(
+    "dq34_percentiles",
+    oracle="""
+    SELECT lang,
+           CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4)
+                AS DECIMAL(38,4)) AS p50,
+           CAST(ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4)
+                AS DECIMAL(38,4)) AS p90,
+           CAST(ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars), 4)
+                AS DECIMAL(38,4)) AS p99
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dq34(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation) of document length
+    by language — corpus length-distribution stats. Spark's `percentile`
+    keeps a per-group digest through a two-phase agg; at 100 TB switch to
+    `approx_percentile` (t-digest, mergeable, bounded memory) — declared
+    exact here so the oracle can match bit-for-bit."""
+    d = t(spark, sf, "documents")
+
+    def pct(p: float, name: str):
+        return (
+            F.round(F.percentile("n_chars", F.lit(p)), 4)
+            .cast("decimal(38,4)")
+            .alias(name)
+        )
+
+    return (
+        d.groupBy("lang")
+        .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+        .orderBy("lang")
+    )

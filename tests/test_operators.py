@@ -380,3 +380,65 @@ def test_saveastable_overwrite_idempotent(spark, sf_dir):
     n.write.mode("overwrite").saveAsTable("nations_t")
     assert spark.table("nations_t").count() == n.count()
     spark.sql("DROP TABLE nations_t")
+
+
+# ---------------------------------------------------------------------------
+# corpus-quality operators (operators/quality.py)
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    """Split assignment must depend only on the key: identical across
+    repartitionings (the property rand()-based splits lack)."""
+    from blockchaintoavro_spark.operators.quality import hash_split
+
+    df = spark.range(0, 2000).withColumn("split", hash_split(F.col("id")))
+    a = {r["id"]: r["split"] for r in df.collect()}
+    b = {
+        r["id"]: r["split"]
+        for r in spark.range(0, 2000)
+        .repartition(13)
+        .withColumn("split", hash_split(F.col("id")))
+        .collect()
+    }
+    assert a == b
+    frac = {s: sum(1 for v in a.values() if v == s) / 2000 for s in ("train", "val", "test")}
+    assert 0.75 <= frac["train"] <= 0.85
+    assert 0.05 <= frac["val"] <= 0.15
+    assert 0.05 <= frac["test"] <= 0.15
+
+
+def test_dup_ngram_ratio_known_values(spark):
+    from blockchaintoavro_spark.operators.quality import dup_ngram_ratio
+
+    rows = [
+        (1, "a b c a b c a b c"),   # 7 grams, 3 distinct -> 4/7
+        (2, "w x y z"),             # 2 grams, both distinct -> 0.0
+        (3, "too short"),           # < 3 tokens -> 0.0
+        (4, "q q q q q"),           # 3 grams, 1 distinct -> 2/3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: round(r["r"], 4)
+        for r in df.select("doc_id", dup_ngram_ratio(F.col("text")).alias("r")).collect()
+    }
+    assert got == {1: round(4 / 7, 4), 2: 0.0, 3: 0.0, 4: round(2 / 3, 4)}
+
+
+def test_stratified_keep_is_stable_subset(spark):
+    """Sampling twice selects the identical rows; appending new rows never
+    changes membership of existing ones."""
+    from blockchaintoavro_spark.operators.quality import stratified_keep
+
+    base = spark.range(0, 1000).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+    )
+    pred = stratified_keep(F.col("id"), F.col("grp"), {"en": "34"}, default="80")
+    first = {r["id"] for r in base.filter(pred).collect()}
+    grown = spark.range(0, 1500).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+    )
+    second = {r["id"] for r in grown.filter(pred).collect()}
+    assert first == {i for i in second if i < 1000}
+    en = sum(1 for i in first if i % 2 == 0) / 500
+    de = sum(1 for i in first if i % 2 == 1) / 500
+    assert 0.12 <= en <= 0.28 and 0.40 <= de <= 0.60
