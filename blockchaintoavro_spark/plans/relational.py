@@ -846,3 +846,72 @@ def dq34(spark: SparkSession, sf: str) -> DataFrame:
         .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
         .orderBy("lang")
     )
+
+
+@declare(
+    "dq35_pivot",
+    oracle="""
+    SELECT lang,
+           SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
+           SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1,
+           SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2,
+           SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3,
+           COUNT(*) AS total
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dq35(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (lang x source contingency counts) with an explicit value
+    list. Pinning the pivot values keeps the plan a single two-phase hash
+    agg — no extra distinct-values job and a schema that is stable however
+    many sources exist at 100 TB."""
+    d = t(spark, sf, "documents")
+    srcs = ["src0", "src1", "src2", "src3"]
+    piv = (
+        d.groupBy("lang")
+        .pivot("source", srcs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, srcs)
+    )
+    tot = d.groupBy("lang").agg(F.count("*").alias("total"))
+    return (
+        piv.join(tot, "lang")
+        .select("lang", *[F.col(s).cast("long").alias(s) for s in srcs], "total")
+        .orderBy("lang")
+    )
+
+
+@declare(
+    "dq36_stats",
+    oracle="""
+    SELECT lang,
+           CAST(ROUND(stddev_samp(n_chars), 4) AS DECIMAL(38,4)) AS sd_chars,
+           CAST(ROUND(var_samp(n_chars), 4) AS DECIMAL(38,4)) AS var_chars,
+           CAST(ROUND(corr(n_chars, len(string_split(text, ' '))), 4)
+                AS DECIMAL(38,4)) AS corr_ct,
+           CAST(ROUND(covar_samp(n_chars, len(string_split(text, ' '))), 4)
+                AS DECIMAL(38,4)) AS cov_ct
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def dq36(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance of
+    doc length vs token count) — single two-phase hash agg; all moments
+    are algebraic (partial-merge-able), so the shuffle carries one small
+    state row per (lang) regardless of input size."""
+    d = t(spark, sf, "documents")
+    ntok = F.size(F.split("text", " "))
+
+    def r4(c, name):
+        return F.round(c, 4).cast("decimal(38,4)").alias(name)
+
+    return (
+        d.groupBy("lang")
+        .agg(
+            r4(F.stddev_samp("n_chars"), "sd_chars"),
+            r4(F.var_samp("n_chars"), "var_chars"),
+            r4(F.corr(F.col("n_chars"), ntok), "corr_ct"),
+            r4(F.covar_samp(F.col("n_chars"), ntok), "cov_ct"),
+        )
+        .orderBy("lang")
+    )

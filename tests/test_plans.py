@@ -172,3 +172,30 @@ def test_no_query_uses_python_row_udf(spark, registry, sf_dir):
             continue
         p = plan_of(spark, registry, name, sf_dir, mode="simple")
         assert "BatchEvalPython" not in p, f"{name} uses row-at-a-time Python"
+
+
+def test_quality_ops_are_shuffle_free(spark, registry, sf_dir):
+    """Split assignment, stratified sampling, and the dup-ngram filter are
+    row-local expressions: the only Exchange allowed is the final
+    presentation sort's range partitioning."""
+    for name in ("x_hash_split", "x_stratified_sample", "x_ngram_repetition"):
+        s = plan_of(spark, registry, name, sf_dir, mode="simple")
+        assert s.count("Exchange") <= 1, name  # orderBy only
+        assert "rangepartitioning" in s, name  # ...and it IS the orderBy
+
+
+def test_topk_per_lang_partial_agg_and_group_limit(spark, registry, sf_dir):
+    """Token counts combine map-side; the per-lang rank limit prunes
+    before the final window sort."""
+    p = plan_of(spark, registry, "x_token_topk_per_lang", sf_dir)
+    assert "partial_count" in p
+    assert "WindowGroupLimit" in p
+
+
+def test_dq36_stats_single_two_phase_agg(spark, registry, sf_dir):
+    """All four moments ride one partial/final agg pair — one shuffle for
+    the agg plus the presentation sort."""
+    p = plan_of(spark, registry, "dq36_stats", sf_dir)
+    s = plan_of(spark, registry, "dq36_stats", sf_dir, mode="simple")
+    assert "partial_stddev_samp" in p or "partial_var_samp" in p
+    assert s.count("Exchange") <= 2
