@@ -673,3 +673,32 @@ def x_b58(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("block_id", "script_hex")
     )
+
+
+@declare(
+    "x_clean_stopwords",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(list_filter(string_split(lower(text), ' '),
+                                       x -> NOT list_contains({_STOP_SQL}, x)),
+                           ' ') AS cleaned,
+           len(string_split(lower(text), ' '))
+             - len(list_filter(string_split(lower(text), ' '),
+                               x -> NOT list_contains({_STOP_SQL}, x))) AS n_removed
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style text cleaning: strip stopword tokens and re-join — the
+    filter/normalize step before tokenizer training. Row-local HOFs
+    (split / filter / array_join), zero shuffle; the same shape handles
+    URL/PII scrubbing by swapping the token predicate for a regex."""
+    d = t(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    kept = F.filter(toks, lambda x: ~F.array_contains(stop, x))
+    return d.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("cleaned"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    ).orderBy("doc_id")

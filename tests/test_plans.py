@@ -199,3 +199,25 @@ def test_dq36_stats_single_two_phase_agg(spark, registry, sf_dir):
     s = plan_of(spark, registry, "dq36_stats", sf_dir, mode="simple")
     assert "partial_stddev_samp" in p or "partial_var_samp" in p
     assert s.count("Exchange") <= 2
+
+
+def test_join_strategy_selection_and_hint(spark, registry, sf_dir):
+    """Optimizer-strategy evidence: without a broadcastable side Spark
+    picks sort-merge for large=large, and a shuffle_hash hint flips it to
+    ShuffledHashJoin (no sort) when one side is mid-size — the knob we'd
+    use at 100 TB when the build side fits executor memory but not the
+    broadcast threshold."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        smj = li.join(o, li.l_orderkey == o.o_orderkey)
+        assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+        shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
