@@ -442,3 +442,25 @@ def test_stratified_keep_is_stable_subset(spark):
     en = sum(1 for i in first if i % 2 == 0) / 500
     de = sum(1 for i in first if i % 2 == 1) / 500
     assert 0.12 <= en <= 0.28 and 0.40 <= de <= 0.60
+
+
+def test_hash_split_matches_python_md5_twin(spark):
+    """Independent-implementation parity: the Spark expression must equal
+    a hashlib-based reference on the same keys (catches cast/encoding
+    drift in the md5-bucket derivation)."""
+    import hashlib
+
+    from blockchaintoavro_spark.operators.quality import hash_split
+
+    def ref(k: int) -> str:
+        b = hashlib.md5(str(k).encode()).hexdigest()[:2]
+        return "train" if b < "cd" else ("val" if b < "e6" else "test")
+
+    ids = [0, 1, 7, 41, 999, 12345, 10**12, 10**18 - 1]
+    got = {
+        r["id"]: r["split"]
+        for r in spark.createDataFrame([(i,) for i in ids], ["id"])
+        .select("id", hash_split(F.col("id")).alias("split"))
+        .collect()
+    }
+    assert got == {i: ref(i) for i in ids}
