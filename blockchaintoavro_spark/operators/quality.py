@@ -88,3 +88,41 @@ def stratified_keep(
     for value, upper in fractions.items():
         thresh = F.when(stratum == value, upper).otherwise(thresh)
     return bucket < thresh
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count: Column,
+    budget: int,
+    shard: str,
+    order: str,
+) -> DataFrame:
+    """Concatenate-and-split sequence packing for LLM pretraining: within
+    each shard, documents are laid end-to-end in ``order`` and cut into
+    fixed ``budget``-token sequences (documents may straddle a boundary —
+    the standard pretraining concatenation). Emits ``seq_id`` (which
+    packed sequence the document starts in) and ``seq_offset`` (token
+    position within it).
+
+    One shuffle + sort per shard (a running sum over an ordered window).
+    At 100 TB the shard column bounds the sort: shard by
+    hash_split-style buckets (or lang/domain) so each window is an
+    independent, executor-sized sequential scan — there is never a global
+    ordering, which is what makes this packing deterministic AND
+    distributed. Downstream, (shard, seq_id) is the training-sequence key.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_count).over(w), F.lit(0))
+    return df.select(
+        shard,
+        order,
+        token_count.cast("long").alias("n_tok"),
+        F.floor(cum_before / budget).cast("long").alias("seq_id"),
+        (cum_before % budget).cast("long").alias("seq_offset"),
+    )

@@ -702,3 +702,40 @@ def x_clean(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(kept, " ").alias("cleaned"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
     ).orderBy("doc_id")
+
+
+@declare(
+    "x_sequence_pack",
+    oracle="""
+    WITH s AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM s
+    )
+    SELECT lang, doc_id, n_tok,
+           CAST(cum_before // 512 AS BIGINT) AS seq_id,
+           CAST(cum_before % 512 AS BIGINT) AS seq_offset
+    FROM c ORDER BY lang, doc_id
+    """,
+)
+def x_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM sequence packing (operators/quality.py:pack_sequences):
+    concatenate docs per shard (lang here) in doc_id order and cut into
+    512-token training sequences. Per-shard window cumsum — no global
+    sort; each shard packs independently, so the op scales with shard
+    count, not corpus size."""
+    from ..operators.quality import pack_sequences
+
+    d = t(spark, sf, "documents")
+    packed = pack_sequences(
+        d,
+        F.size(F.split("text", " ")),
+        budget=512,
+        shard="lang",
+        order="doc_id",
+    )
+    return packed.orderBy("lang", "doc_id")

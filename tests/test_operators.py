@@ -464,3 +464,27 @@ def test_hash_split_matches_python_md5_twin(spark):
         .collect()
     }
     assert got == {i: ref(i) for i in ids}
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing is gap-free within each shard: offsets stay below budget,
+    seq_ids are contiguous, and each doc starts exactly where the running
+    token count left off."""
+    from blockchaintoavro_spark.operators.quality import pack_sequences
+
+    rows = [(i % 3, i, f"doc {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["shard", "pos", "txt"]).withColumn(
+        "n", (F.col("pos") % 7) + 1
+    )
+    out = pack_sequences(df, F.col("n"), budget=10, shard="shard", order="pos")
+    by_shard = {}
+    for r in out.collect():
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        cum = 0
+        for r in rs:
+            assert 0 <= r["seq_offset"] < 10
+            assert r["seq_id"] == cum // 10 and r["seq_offset"] == cum % 10
+            cum += r["n_tok"]
+        assert rs[-1]["seq_id"] == max(x["seq_id"] for x in rs)
