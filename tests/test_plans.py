@@ -221,3 +221,11 @@ def test_join_strategy_selection_and_hint(spark, registry, sf_dir):
         assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_sequence_pack_single_shard_shuffle(spark, registry, sf_dir):
+    """Packing shuffles once on the shard key for its window; the only
+    other Exchange is the presentation sort."""
+    s = plan_of(spark, registry, "x_sequence_pack", sf_dir, mode="simple")
+    assert "Window" in s
+    assert s.count("Exchange") <= 2  # hashpartitioning(lang) + orderBy
