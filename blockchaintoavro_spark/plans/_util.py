@@ -25,5 +25,21 @@ def dec2(c: Column | str) -> Column:
 
 
 def money(c: Column) -> Column:
-    """Canonical money output: ROUND(x, 2) :: DECIMAL(38,2)."""
-    return F.round(c, 2).cast("decimal(38,2)")
+    """Canonical money output: ROUND(x, 2) in decimal, rendered as DOUBLE.
+
+    Decimal math stays internal (exact, order-insensitive sums); the final
+    DOUBLE cast makes the value render identically in every engine and
+    driver: a 2-dp decimal whose unscaled value fits in 2^53 converts to
+    the *same* nearest double in Spark and DuckDB, while DECIMAL-typed
+    outputs render scale-sensitively ('138014.00' vs '138014.0') and
+    hash-diverge (round-1 driver finding).
+    """
+    return F.round(c, 2).cast("decimal(38,2)").cast("double")
+
+
+def dbl(c: Column, n: int = 4) -> Column:
+    """Canonical ratio/similarity output: ROUND(x, n) decimal → DOUBLE.
+
+    Same output-boundary contract as :func:`money` at ``n`` decimal places.
+    """
+    return F.round(c, n).cast(f"decimal(38,{n})").cast("double")

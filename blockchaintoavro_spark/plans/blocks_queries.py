@@ -326,7 +326,8 @@ def dq24(spark: SparkSession, sf: str) -> DataFrame:
     "dq27_prices_csv",
     oracle=f"""
     SELECT COUNT(*) AS n, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
-           CAST(SUM(CAST(volumeBTC AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS vol_sum
+           CAST(CAST(SUM(CAST(volumeBTC AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                AS DOUBLE) AS vol_sum
     FROM {_P}
     """,
 )
@@ -344,6 +345,7 @@ def dq27(spark: SparkSession, sf: str) -> DataFrame:
         F.max("ts").alias("max_ts"),
         F.sum(F.col("volumeBTC").cast("decimal(18,4)"))
         .cast("decimal(38,4)")
+        .cast("double")
         .alias("vol_sum"),
     )
 

@@ -19,7 +19,7 @@ from ..operators.dedup import (
     simhash64,
 )
 from ..operators.similarity import ann_topk_lsh, topk_per_query
-from ._util import t
+from ._util import dbl, t
 from .registry import declare
 
 # ---------------------------------------------------------------------------
@@ -40,7 +40,7 @@ from .registry import declare
       SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id) AS rn
       FROM c
     )
-    SELECT q_id, neighbor_id, CAST(ROUND(s, 4) AS DECIMAL(38,4)) AS sim
+    SELECT q_id, neighbor_id, CAST(CAST(ROUND(s, 4) AS DECIMAL(38,4)) AS DOUBLE) AS sim
     FROM r WHERE rn <= 3 ORDER BY q_id, neighbor_id
     """,
     bench=True,
@@ -54,9 +54,7 @@ def dq31(spark: SparkSession, sf: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 5), k=3
     )
     return res.select(
-        "q_id",
-        "neighbor_id",
-        F.round("sim", 4).cast("decimal(38,4)").alias("sim"),
+        "q_id", "neighbor_id", dbl(F.col("sim")).alias("sim")
     ).orderBy("q_id", "neighbor_id")
 
 
@@ -67,9 +65,7 @@ def x_ann(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     res = ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=3)
     return res.select(
-        "q_id",
-        "neighbor_id",
-        F.round("sim", 4).cast("decimal(38,4)").alias("sim"),
+        "q_id", "neighbor_id", dbl(F.col("sim")).alias("sim")
     ).orderBy("q_id", "neighbor_id")
 
 
@@ -83,9 +79,7 @@ def x_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     res = ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 5), k=3)
     return res.select(
-        "q_id",
-        "neighbor_id",
-        F.round("sim", 4).cast("decimal(38,4)").alias("sim"),
+        "q_id", "neighbor_id", dbl(F.col("sim")).alias("sim")
     ).orderBy("q_id", "neighbor_id")
 
 
@@ -95,18 +89,22 @@ def x_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings WHERE vec_id < 200
+    ), p AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             CAST(ROUND(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(38,4)) AS sim4
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS d1, b.vec_id AS d2,
-           CAST(ROUND(list_cosine_similarity(a.e, b.e), 4) AS DECIMAL(38,4)) AS sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+    SELECT d1, d2, CAST(sim4 AS DOUBLE) AS sim
+    FROM p WHERE sim4 >= 0.3
     ORDER BY d1, d2
     """,
 )
 def x_embnd(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim >= 0.3 among vec_id<200).
     Declared form is a bounded self-join; the scale path buckets by LSH
-    first (with_lsh_bucket) so only colliding buckets join."""
+    first (x_embedding_neardup_lsh below). The threshold is applied to the
+    4-dp-ROUNDed decimal on BOTH sides so pair membership can never flip
+    on a last-ulp engine difference at the boundary (ADVICE r1)."""
     from ..functions.vectors import cosine_similarity
 
     v = (
@@ -119,11 +117,9 @@ def x_embnd(spark: SparkSession, sf: str) -> DataFrame:
     sim = cosine_similarity(F.col("e1"), F.col("e2"))
     return (
         a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
-        .withColumn("_s", sim)
-        .filter(F.col("_s") >= 0.3)
-        .select(
-            "d1", "d2", F.round("_s", 4).cast("decimal(38,4)").alias("sim")
-        )
+        .withColumn("_s4", F.round(sim, 4).cast("decimal(38,4)"))
+        .filter(F.col("_s4") >= 0.3)
+        .select("d1", "d2", F.col("_s4").cast("double").alias("sim"))
         .orderBy("d1", "d2")
     )
 
@@ -188,10 +184,10 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
     SELECT doc_id,
            len(toks) AS n_tokens,
            n_chars,
-           CAST(ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4)
-                AS DECIMAL(38,4)) AS distinct_ratio,
-           CAST(ROUND(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
-                      * 1.0 / len(toks), 4) AS DECIMAL(38,4)) AS stopword_ratio
+           CAST(CAST(ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4)
+                     AS DECIMAL(38,4)) AS DOUBLE) AS distinct_ratio,
+           CAST(CAST(ROUND(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                           * 1.0 / len(toks), 4) AS DECIMAL(38,4)) AS DOUBLE) AS stopword_ratio
     FROM s ORDER BY doc_id
     """,
 )
@@ -206,14 +202,10 @@ def x_quality(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         n.cast("long").alias("n_tokens"),
         "n_chars",
-        F.round(F.size(F.array_distinct(toks)) / n, 4)
-        .cast("decimal(38,4)")
-        .alias("distinct_ratio"),
-        F.round(
-            F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / n, 4
-        )
-        .cast("decimal(38,4)")
-        .alias("stopword_ratio"),
+        dbl(F.size(F.array_distinct(toks)) / n).alias("distinct_ratio"),
+        dbl(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / n
+        ).alias("stopword_ratio"),
     ).orderBy("doc_id")
 
 
@@ -298,7 +290,8 @@ def x_exact(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT d1, d2,
-           CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DECIMAL(38,4)) AS jaccard
+           CAST(CAST(ROUND(c * 1.0 / (s1.n + s2.n - c), 4) AS DECIMAL(38,4))
+                AS DOUBLE) AS jaccard
     FROM inter
     JOIN sz s1 ON s1.doc_id = d1
     JOIN sz s2 ON s2.doc_id = d2
@@ -312,7 +305,7 @@ def dq33(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     pairs = exact_jaccard_pairs(d, threshold=0.4)
     return pairs.select(
-        "d1", "d2", F.round("jaccard", 4).cast("decimal(38,4)").alias("jaccard")
+        "d1", "d2", dbl(F.col("jaccard")).alias("jaccard")
     ).orderBy("d1", "d2")
 
 
@@ -361,9 +354,9 @@ def x_mm(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT d.doc_id,
            len(string_split(d.text, ' ')) AS n_tokens,
-           CAST(ROUND(SQRT(list_aggregate(
+           CAST(CAST(ROUND(SQRT(list_aggregate(
                  list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x),
-                 'sum')), 4) AS DECIMAL(38,4)) AS emb_norm
+                 'sum')), 4) AS DECIMAL(38,4)) AS DOUBLE) AS emb_norm
     FROM keep k
     JOIN documents d ON d.doc_id = k.doc_id
     JOIN embeddings e ON e.vec_id = d.doc_id
@@ -395,9 +388,7 @@ def x_training(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-            F.round(l2_norm(F.col("embedding")), 4)
-            .cast("decimal(38,4)")
-            .alias("emb_norm"),
+            dbl(l2_norm(F.col("embedding"))).alias("emb_norm"),
         )
         .orderBy("doc_id")
     )
@@ -409,8 +400,8 @@ def x_training(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) AS n,
            COUNT(DISTINCT l_suppkey) AS n_supp,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)
-                AS DECIMAL(38,2)) AS qty
+           CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -436,7 +427,7 @@ def x_salted(spark: SparkSession, sf: str) -> DataFrame:
             "l_returnflag",
             "n",
             F.col("n_distinct_l_suppkey").alias("n_supp"),
-            F.round("_qty", 2).cast("decimal(38,2)").alias("qty"),
+            dbl(F.col("_qty"), 2).alias("qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -457,7 +448,7 @@ def x_salted(spark: SparkSession, sf: str) -> DataFrame:
     ), cent AS (
       SELECT label, dim, AVG(x) AS m FROM flat GROUP BY label, dim
     )
-    SELECT label, CAST(ROUND(SQRT(SUM(m * m)), 4) AS DECIMAL(38,4)) AS cnorm
+    SELECT label, CAST(CAST(ROUND(SQRT(SUM(m * m)), 4) AS DECIMAL(38,4)) AS DOUBLE) AS cnorm
     FROM cent GROUP BY label ORDER BY label
     """,
 )
@@ -472,9 +463,7 @@ def x_udaf(spark: SparkSession, sf: str) -> DataFrame:
     return (
         e.groupBy("label")
         .agg(centroid_norm("embedding").alias("_n"))
-        .select(
-            "label", F.round("_n", 4).cast("decimal(38,4)").alias("cnorm")
-        )
+        .select("label", dbl(F.col("_n")).alias("cnorm"))
         .orderBy("label")
     )
 
@@ -562,9 +551,9 @@ def x_split(spark: SparkSession, sf: str) -> DataFrame:
                       ELSE [] END AS grams
           FROM s)
     SELECT doc_id, len(grams) AS n_grams,
-           CAST(ROUND(CASE WHEN len(grams) = 0 THEN 0
-                           ELSE (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
-                      END, 4) AS DECIMAL(38,4)) AS dup_ngram_ratio
+           CAST(CAST(ROUND(CASE WHEN len(grams) = 0 THEN 0
+                                ELSE (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+                           END, 4) AS DECIMAL(38,4)) AS DOUBLE) AS dup_ngram_ratio
     FROM g ORDER BY doc_id
     """,
 )
@@ -581,9 +570,7 @@ def x_ngram_rep(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_grams.cast("long").alias("n_grams"),
-        F.round(dup_ngram_ratio(F.col("text")), 4)
-        .cast("decimal(38,4)")
-        .alias("dup_ngram_ratio"),
+        dbl(dup_ngram_ratio(F.col("text"))).alias("dup_ngram_ratio"),
     ).orderBy("doc_id")
 
 

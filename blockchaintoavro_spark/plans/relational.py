@@ -4,7 +4,10 @@ The reference delegates this entire surface to BigQuery (``etl.sh:2``
 publishes to the public dataset; ``Main.java:119-134`` creates the tables) —
 here every family is a built-in Spark primitive, declared with a DuckDB
 oracle twin. Money math follows the canonicalization contract: decimal-cast
-inputs BEFORE aggregation, ROUND(x,2)::DECIMAL(38,2) outputs.
+inputs BEFORE aggregation (exact sums), then ROUND(x,2) rendered as DOUBLE
+at the output boundary on BOTH sides (DECIMAL-typed outputs render
+scale-sensitively and hash-diverge across drivers; oracle integer SUMs are
+likewise pinned to BIGINT to avoid DuckDB HUGEINT rendering).
 
 Scale notes per query live in the builder docstrings; the common posture:
 filters/projections push to the parquet scan, dims are broadcast, windows
@@ -18,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_latest
 from ..operators.sessionize import sessionize
-from ._util import dec2, money, t
+from ._util import dbl, dec2, money, t
 from .registry import declare
 
 # ---------------------------------------------------------------------------
@@ -35,9 +38,9 @@ def dq01(spark: SparkSession, sf: str) -> DataFrame:
     "dq02_project_arith",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)
-                AS DECIMAL(38,2)) AS net
+           CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS net
     FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
 )
@@ -103,9 +106,9 @@ def dq09(spark: SparkSession, sf: str) -> DataFrame:
     "dq10_star_join",
     oracle="""
     SELECT r_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
-                AS DECIMAL(38,2)) AS revenue
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -257,15 +260,17 @@ def dq14(spark: SparkSession, sf: str) -> DataFrame:
     "dq15_agg_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
-                AS DECIMAL(38,2)) AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                          * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2)
-                AS DECIMAL(38,2)) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_base_price,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                               * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
@@ -280,9 +285,13 @@ def dq15(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(dec2("l_quantity"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("sum_qty"),
             F.sum(dec2("l_extendedprice"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_base_price"),
             money(F.sum(disc)).alias("sum_disc_price"),
             money(F.sum(disc * (1 + dec2("l_tax")))).alias("sum_charge"),
@@ -341,7 +350,7 @@ def dq17(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            RANK() OVER w AS rnk,
            DENSE_RANK() OVER w AS drnk,
-           LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS prev_price
+           CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_custkey, o_orderkey
@@ -358,7 +367,7 @@ def dq18(spark: SparkSession, sf: str) -> DataFrame:
             "o_orderkey",
             F.rank().over(w).cast("long").alias("rnk"),
             F.dense_rank().over(w).cast("long").alias("drnk"),
-            F.lag(dec2("o_totalprice")).over(w).alias("prev_price"),
+            F.lag(dec2("o_totalprice")).over(w).cast("double").alias("prev_price"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -368,10 +377,10 @@ def dq18(spark: SparkSession, sf: str) -> DataFrame:
     "dq19_window_frames",
     oracle="""
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS mov_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS mov_sum
     FROM events ORDER BY user_id, event_id
     """,
 )
@@ -387,7 +396,11 @@ def dq19(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.sum(dec2("value")).over(w).cast("decimal(38,2)").alias("mov_sum"),
+            F.sum(dec2("value"))
+            .over(w)
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("mov_sum"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -396,7 +409,7 @@ def dq19(spark: SparkSession, sf: str) -> DataFrame:
 @declare(
     "dq20_topk",
     oracle="""
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
 )
@@ -407,7 +420,7 @@ def dq20(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "orders")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)
-        .select("o_orderkey", dec2("o_totalprice").alias("total"))
+        .select("o_orderkey", dec2("o_totalprice").cast("double").alias("total"))
     )
 
 
@@ -531,7 +544,7 @@ def dq21f(spark: SparkSession, sf: str) -> DataFrame:
            ABS(p_size - 25) AS size_dist,
            MOD(p_partkey, 7) AS key_mod,
            CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
-           CAST(ROUND(SQRT(p_retailprice), 4) AS DECIMAL(38,4)) AS price_sqrt
+           CAST(CAST(ROUND(SQRT(p_retailprice), 4) AS DECIMAL(38,4)) AS DOUBLE) AS price_sqrt
     FROM part ORDER BY p_partkey
     """,
 )
@@ -548,7 +561,7 @@ def dq22a(spark: SparkSession, sf: str) -> DataFrame:
         F.abs(F.col("p_size") - 25).cast("long").alias("size_dist"),
         (F.col("p_partkey") % 7).alias("key_mod"),
         F.floor("p_retailprice").cast("long").alias("price_floor"),
-        F.round(F.sqrt("p_retailprice"), 4).cast("decimal(38,4)").alias("price_sqrt"),
+        dbl(F.sqrt("p_retailprice")).alias("price_sqrt"),
     ).orderBy("p_partkey")
 
 
@@ -584,8 +597,8 @@ def dq22b(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS n_dim,
-           CAST(ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 2)
-                AS DECIMAL(38,2)) AS emb_sum
+           CAST(CAST(ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS emb_sum
     FROM embeddings ORDER BY vec_id
     """,
 )
@@ -597,11 +610,9 @@ def dq25(spark: SparkSession, sf: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("n_dim"),
-        F.round(
-            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 2
-        )
-        .cast("decimal(38,2)")
-        .alias("emb_sum"),
+        dbl(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 2).alias(
+            "emb_sum"
+        ),
     ).orderBy("vec_id")
 
 
@@ -630,7 +641,8 @@ def dq26(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS w, event_type,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(38,2)) AS total
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -685,8 +697,8 @@ def dq29b(spark: SparkSession, sf: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), y AS (
-      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM x
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -714,9 +726,9 @@ def dq30(spark: SparkSession, sf: str) -> DataFrame:
     "dq10_star_join_filtered",
     oracle="""
     SELECT n_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
-                AS DECIMAL(38,2)) AS revenue
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -817,12 +829,12 @@ def dq17c(spark: SparkSession, sf: str) -> DataFrame:
     "dq34_percentiles",
     oracle="""
     SELECT lang,
-           CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4)
-                AS DECIMAL(38,4)) AS p50,
-           CAST(ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4)
-                AS DECIMAL(38,4)) AS p90,
-           CAST(ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars), 4)
-                AS DECIMAL(38,4)) AS p99
+           CAST(CAST(ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4)
+                     AS DECIMAL(38,4)) AS DOUBLE) AS p50,
+           CAST(CAST(ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4)
+                     AS DECIMAL(38,4)) AS DOUBLE) AS p90,
+           CAST(CAST(ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars), 4)
+                     AS DECIMAL(38,4)) AS DOUBLE) AS p99
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -835,11 +847,7 @@ def dq34(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
 
     def pct(p: float, name: str):
-        return (
-            F.round(F.percentile("n_chars", F.lit(p)), 4)
-            .cast("decimal(38,4)")
-            .alias(name)
-        )
+        return dbl(F.percentile("n_chars", F.lit(p))).alias(name)
 
     return (
         d.groupBy("lang")
@@ -852,10 +860,10 @@ def dq34(spark: SparkSession, sf: str) -> DataFrame:
     "dq35_pivot",
     oracle="""
     SELECT lang,
-           SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
-           SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1,
-           SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2,
-           SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3,
+           CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+           CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+           CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+           CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3,
            COUNT(*) AS total
     FROM documents GROUP BY lang ORDER BY lang
     """,
@@ -885,12 +893,12 @@ def dq35(spark: SparkSession, sf: str) -> DataFrame:
     "dq36_stats",
     oracle="""
     SELECT lang,
-           CAST(ROUND(stddev_samp(n_chars), 4) AS DECIMAL(38,4)) AS sd_chars,
-           CAST(ROUND(var_samp(n_chars), 4) AS DECIMAL(38,4)) AS var_chars,
-           CAST(ROUND(corr(n_chars, len(string_split(text, ' '))), 4)
-                AS DECIMAL(38,4)) AS corr_ct,
-           CAST(ROUND(covar_samp(n_chars, len(string_split(text, ' '))), 4)
-                AS DECIMAL(38,4)) AS cov_ct
+           CAST(CAST(ROUND(stddev_samp(n_chars), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sd_chars,
+           CAST(CAST(ROUND(var_samp(n_chars), 4) AS DECIMAL(38,4)) AS DOUBLE) AS var_chars,
+           CAST(CAST(ROUND(corr(n_chars, len(string_split(text, ' '))), 4)
+                     AS DECIMAL(38,4)) AS DOUBLE) AS corr_ct,
+           CAST(CAST(ROUND(covar_samp(n_chars, len(string_split(text, ' '))), 4)
+                     AS DECIMAL(38,4)) AS DOUBLE) AS cov_ct
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -903,7 +911,7 @@ def dq36(spark: SparkSession, sf: str) -> DataFrame:
     ntok = F.size(F.split("text", " "))
 
     def r4(c, name):
-        return F.round(c, 4).cast("decimal(38,4)").alias(name)
+        return dbl(c).alias(name)
 
     return (
         d.groupBy("lang")

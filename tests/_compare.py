@@ -65,9 +65,32 @@ def run_duck(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, res.fetchall()
 
 
+def render_fragile_types(df, con, sql: str) -> list[str]:
+    """Output-boundary type lint (round-1 driver finding): DECIMAL-typed
+    Spark outputs and DECIMAL/HUGEINT DuckDB outputs render scale- or
+    width-sensitively under external canonicalizers, so identical values
+    can hash-diverge. Declared queries must ship DOUBLE/BIGINT outputs on
+    both sides; any hit here is a defect even when values match locally."""
+    from pyspark.sql.types import DecimalType
+
+    bad = [
+        f"spark col {f.name} is {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
+    rel = con.sql(sql)
+    bad += [
+        f"oracle col {c} is {t}"
+        for c, t in zip(rel.columns, (str(t) for t in rel.types))
+        if t.startswith("DECIMAL") or t == "HUGEINT"
+    ]
+    return bad
+
+
 def compare(df, con, sql: str, name: str = "") -> list[str]:
     """Return a list of problems (empty == match)."""
-    problems = []
+    problems = [f"{name}: fragile output type ({p})"
+                for p in render_fragile_types(df, con, sql)]
     s_cols, s_rows = run_spark(df)
     d_cols, d_rows = run_duck(con, sql)
     if sorted(s_cols) != sorted(d_cols):

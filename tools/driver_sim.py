@@ -56,6 +56,11 @@ def vhash(cols, rows):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
+# Round-1 driver lesson: DECIMAL (Spark) and DECIMAL/HUGEINT (DuckDB)
+# outputs render scale-sensitively under the driver's canonicalizer and
+# hash-diverge even when values are identical — flag them as failures.
+from pyspark.sql.types import DecimalType
+
 qs = E.queries()
 oracles = E.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} with oracle")
@@ -63,17 +68,33 @@ fail = 0
 for name, fn in qs.items():
     sdf = fn(spark, SF)
     srows = [tuple(r) for r in sdf.collect()]
+    bad_types = [
+        f"spark:{f.name}:{f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
     if name not in oracles:
-        print(f"  {name}: rows-only, {len(srows)} rows ok")
+        status = "ok" if not bad_types else f"FRAGILE TYPES {bad_types}"
+        fail += 1 if bad_types else 0
+        print(f"  {name}: rows-only, {len(srows)} rows {status}")
         continue
-    res = con.execute(oracles[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    rel = con.sql(oracles[name])
+    bad_types += [
+        f"duck:{c}:{t}"
+        for c, t in zip(rel.columns, (str(t) for t in rel.types))
+        if t.startswith("DECIMAL") or t == "HUGEINT"
+    ]
+    dcols = list(rel.columns)
+    drows = rel.fetchall()
     ok_n = len(srows) == len(drows)
     ok_c = sorted(sdf.columns) == sorted(dcols)
     ok_h = vhash(sdf.columns, srows) == vhash(dcols, drows)
-    status = "OK" if (ok_n and ok_c and ok_h) else f"MISMATCH n={ok_n} cols={ok_c} hash={ok_h}"
-    if not (ok_n and ok_c and ok_h):
+    ok_t = not bad_types
+    ok = ok_n and ok_c and ok_h and ok_t
+    status = "OK" if ok else (
+        f"MISMATCH n={ok_n} cols={ok_c} hash={ok_h} types={bad_types or 'ok'}"
+    )
+    if not ok:
         fail += 1
     print(f"  {name}: {len(srows)} rows {status}")
 
