@@ -15,9 +15,11 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 
 def tokens(text: Column) -> Column:
-    """Lowercase whitespace tokenization (documents.text is pre-normalized
-    space-separated lowercase — FIXTURES.md §3)."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    """Lowercase single-space tokenization — the EXACT twin of every
+    oracle's ``string_split(lower(text), ' ')``, so engine and oracle can
+    never diverge on tabs/repeated spaces (ADVICE r1). documents.text is
+    single-space-normalized anyway (FIXTURES.md §3, invariant-tested)."""
+    return F.split(F.lower(text), " ")
 
 
 def token_set(text: Column) -> Column:

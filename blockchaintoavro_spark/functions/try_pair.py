@@ -47,10 +47,15 @@ def work_terahash(work: Column) -> tuple[Column, Column]:
     """``work_terahash``/``work_error`` per BitcoinBlockHandler.java:95-101.
 
     Declared semantics (SURVEY DQ-03): value = floor(work / 1e11) for
-    positive work, else error 'negative work'.
+    non-negative work (zero is a valid chainwork, value 0), error
+    'negative work' only for work < 0. Parity note: the reference computes
+    the BigInteger divide for any sign and errors only on long-range
+    overflow (BitcoinBlockHandler.java:95-101); this engine's declared
+    contract instead rejects negative work explicitly — a documented,
+    oracle-matched deviation (ADVICE r1).
     """
     return try_pair(
-        work > 0,
+        work >= 0,
         F.floor(work / F.lit(TERAHASH_DIVISOR)).cast("long"),
         "negative work",
     )

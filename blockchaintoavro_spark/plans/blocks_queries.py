@@ -56,9 +56,9 @@ def dq02b(spark: SparkSession, sf: str) -> DataFrame:
     "dq03_work_terahash",
     oracle=f"""
     SELECT block_id,
-           CASE WHEN work > 0
+           CASE WHEN work >= 0
                 THEN CAST(FLOOR(work / 100000000000) AS BIGINT) END AS work_terahash,
-           CASE WHEN work <= 0 THEN 'negative work' END AS work_error
+           CASE WHEN work < 0 THEN 'negative work' END AS work_error
     FROM {_B} ORDER BY block_id
     """,
 )
@@ -245,9 +245,9 @@ _DQ07_ORACLE = f"""
       FROM k
     )
     SELECT block_id, previous_block, merkle_root, timestamp, nonce, version,
-           CASE WHEN work > 0
+           CASE WHEN work >= 0
                 THEN CAST(FLOOR(work / 100000000000) AS BIGINT) END AS work_terahash,
-           CASE WHEN work <= 0 THEN 'negative work' END AS work_error,
+           CASE WHEN work < 0 THEN 'negative work' END AS work_error,
            t.transaction_id AS transaction_id
     FROM f ORDER BY block_id, transaction_id
     """

@@ -644,12 +644,15 @@ def x_b58(spark: SparkSession, sf: str) -> DataFrame:
     from ..schemas import pruned_blocks
     from ..sources.tables import load_blocks
 
+    # ingest_id < 200: a deterministic subset — a bare .limit() on an
+    # unordered scan picks rows by partition layout, which changes with
+    # split-size configs (ADVICE r1).
     b = load_blocks(
         spark,
         prune=pruned_blocks(
-            ["block_id"], input_fields=["input_script_bytes"]
+            ["ingest_id", "block_id"], input_fields=["input_script_bytes"]
         ),
-    ).limit(200)
+    ).filter(F.col("ingest_id") < 200)
     return (
         b.select("block_id", F.explode("transactions").alias("t"))
         .select("block_id", F.explode("t.inputs").alias("i"))

@@ -115,13 +115,17 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
 
 
 def test_exact_dedup_keeps_one_per_content(spark):
+    # tokens() is the exact twin of the oracle's string_split(lower, ' '):
+    # case-insensitive, but repeated spaces are NOT collapsed (ADVICE r1 —
+    # engine-side normalization beyond the oracle's would silently diverge).
     df = spark.createDataFrame(
-        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a  b   c")],
+        [(1, "a b c"), (2, "A B C"), (3, "x y"), (4, "a  b   c")],
         "doc_id long, text string",
     )
     kept = exact_dedup(df)
-    # rows 1,2,4 normalize to the same content → min id 1 survives
-    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    # rows 1,2 are the same content (case-folded) → min id 1 survives;
+    # row 4's extra spaces make it distinct content, as in the oracle.
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
 
 
 def test_simhash_similar_docs_close(spark):
