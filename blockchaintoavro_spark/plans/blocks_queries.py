@@ -286,6 +286,136 @@ def dq07(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Full-fidelity flagship: etl.sh:21 publishes transactions.* — EVERY tx
+# field, including the nested inputs[]/outputs[] arrays, lands in the
+# flattened table. Structs render engine-specifically (Spark Row vs DuckDB
+# dict), so each array is canonicalized to a deterministic string on BOTH
+# sides: fixed field order, lowercase-hex bytes, explicit null sentinel
+# (concat_ws/|| would silently skip nulls), elements joined in stored
+# array order (both engines preserve parquet list order).
+_NULLM = "<null>"
+
+_INPUT_FIELDS = [
+    ("input_script_bytes", "hex"),
+    ("input_script_string", "str"),
+    ("input_script_string_error", "str"),
+    ("input_sequence_number", "str"),
+    ("input_pubkey_base58", "str"),
+    ("input_pubkey_base58_error", "str"),
+]
+_OUTPUT_FIELDS = [
+    ("output_satoshis", "str"),
+    ("output_script_bytes", "hex"),
+    ("output_script_string", "str"),
+    ("output_script_string_error", "str"),
+    ("output_pubkey_base58", "str"),
+    ("output_pubkey_base58_error", "str"),
+]
+
+
+def _canon_array(col: str, fields: list[tuple[str, str]]) -> F.Column:
+    """Spark side: array<struct> → one canonical string per row."""
+
+    def elem(x):
+        parts = []
+        for name, kind in fields:
+            v = F.lower(F.hex(x[name])) if kind == "hex" else x[name].cast("string")
+            parts.append(F.coalesce(v, F.lit(_NULLM)))
+        return F.concat_ws("|", *parts)
+
+    return F.array_join(F.transform(F.coalesce(col, F.array()), elem), ";")
+
+
+def _canon_array_sql(col: str, fields: list[tuple[str, str]]) -> str:
+    """Oracle side: the identical canonicalization in DuckDB SQL."""
+    parts = []
+    for name, kind in fields:
+        v = (
+            f"lower(hex(i.{name}))"
+            if kind == "hex"
+            else f"CAST(i.{name} AS VARCHAR)"
+        )
+        parts.append(f"COALESCE({v}, '{_NULLM}')")
+    body = " || '|' || ".join(parts)
+    return f"array_to_string(list_transform(COALESCE({col}, []), i -> {body}), ';')"
+
+
+_DQ07_FULL_ORACLE = f"""
+    WITH d AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY block_id ORDER BY ingest_id) AS rn
+      FROM {_B}
+    ), k AS (
+      SELECT * FROM d WHERE rn = 1
+    ), f AS (
+      SELECT block_id, previous_block, merkle_root, timestamp, nonce, version,
+             work, UNNEST(transactions) AS t
+      FROM k
+    )
+    SELECT block_id, previous_block, merkle_root, timestamp, nonce, version,
+           CASE WHEN work >= 0
+                THEN CAST(FLOOR(work / 100000000000) AS BIGINT) END AS work_terahash,
+           CASE WHEN work < 0 THEN 'negative work' END AS work_error,
+           t.transaction_id AS transaction_id,
+           len(COALESCE(t.inputs, [])) AS n_inputs,
+           len(COALESCE(t.outputs, [])) AS n_outputs,
+           {_canon_array_sql('t.inputs', _INPUT_FIELDS)} AS inputs_canon,
+           {_canon_array_sql('t.outputs', _OUTPUT_FIELDS)} AS outputs_canon
+    FROM f ORDER BY block_id, transaction_id
+    """
+
+
+@declare("dq07_flagship_full", oracle=_DQ07_FULL_ORACLE)
+def dq07_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-fidelity flagship ETL (etl.sh:21-33): dedup → unnest → project
+    transactions.* INCLUDING the nested inputs[]/outputs[] arrays,
+    canonicalized to hash-comparable strings. Unlike dq07_flagship_etl the
+    scan must read every input/output column chunk — plan-asserted."""
+    from ..functions.try_pair import work_terahash
+    from ..schemas import pruned_blocks
+
+    b = load_blocks(
+        spark,
+        prune=pruned_blocks(
+            _ETL_PRUNE_FIELDS,
+            tx_fields=["transaction_id"],
+            input_fields=[n for n, _ in _INPUT_FIELDS],
+            output_fields=[n for n, _ in _OUTPUT_FIELDS],
+        ),
+    )
+    tera, terr = work_terahash(F.col("work"))
+    return (
+        dedup_blocks(b)
+        .withColumn("transactions", F.coalesce("transactions", F.array()))
+        .select(
+            "block_id",
+            "previous_block",
+            "merkle_root",
+            "timestamp",
+            "nonce",
+            "version",
+            tera.alias("work_terahash"),
+            terr.alias("work_error"),
+            F.explode("transactions").alias("t"),
+        )
+        .select(
+            "block_id",
+            "previous_block",
+            "merkle_root",
+            "timestamp",
+            "nonce",
+            "version",
+            "work_terahash",
+            "work_error",
+            F.col("t.transaction_id").alias("transaction_id"),
+            F.size(F.coalesce("t.inputs", F.array())).cast("long").alias("n_inputs"),
+            F.size(F.coalesce("t.outputs", F.array())).cast("long").alias("n_outputs"),
+            _canon_array("t.inputs", _INPUT_FIELDS).alias("inputs_canon"),
+            _canon_array("t.outputs", _OUTPUT_FIELDS).alias("outputs_canon"),
+        )
+        .orderBy("block_id", "transaction_id")
+    )
+
+
 @declare("dq23_idempotent_overwrite", oracle=_DQ07_ORACLE)
 def dq23(spark: SparkSession, sf: str) -> DataFrame:
     """K4 overwrite sink (etl.sh:35-40 --replace=true): materialize the
