@@ -186,6 +186,59 @@ def _multi_table_buckets(
     )
 
 
+def neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 12,
+    planes_per_table: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table LSH bucketing — the 100 TB
+    path for what ``x_embedding_neardup`` computes all-pairs on a bounded
+    subset: candidates come from equi-joins on (table_id, bucket), then an
+    exact cosine rerank with the threshold applied to the 4-dp-rounded
+    similarity (same boundary rule as the exact operator).
+
+    Scale: shuffle = L postings per vector + bucket-collision pairs —
+    linear-ish in corpus size; there is NO all-pairs nested-loop anywhere
+    (plan-asserted in tests/test_plans.py). Recall vs the exact form is
+    test-measured; 12 tables x 4 planes targets ~0.8 recall at sim 0.3 on
+    near-orthogonal vectors (the fixture's worst case — real near-dup
+    corpora sit near sim 1.0 where recall ≈ 1 and pruning is strongest).
+    Returned sims are identical to the exact operator's (same rerank
+    expression); only pair *membership* is approximate.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    posts = _multi_table_buckets(
+        df, "_id", "_vec", id_col, vec_col, dim, n_tables, planes_per_table, seed
+    )
+    a = posts.select(F.col("_id").alias("d1"), "table_id", "bucket")
+    b = posts.select(F.col("_id").alias("d2"), "table_id", "bucket")
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    v1 = v.select(F.col(id_col).alias("d1"), F.col("_v").alias("_v1"))
+    v2 = v.select(F.col(id_col).alias("d2"), F.col("_v").alias("_v2"))
+    sim = cosine_similarity(F.col("_v1"), F.col("_v2"))
+    return (
+        cand.join(v1, "d1")
+        .join(v2, "d2")
+        .withColumn("_s4", F.round(sim, 4).cast("decimal(38,4)"))
+        .filter(F.col("_s4") >= threshold)
+        .select("d1", "d2", F.col("_s4").cast("double").alias("sim"))
+    )
+
+
 def _centroid_scores(vec: F.Column, centroids: list[list[float]]) -> F.Column:
     """array<struct<neg,cid>> of (-cosine, centroid_id) per centroid —
     pure JVM higher-order functions, codegen'd; ready to sort/min."""

@@ -124,6 +124,19 @@ def x_embnd(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@declare("x_embedding_neardup_lsh", oracle=None)
+def x_embnd_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path for embedding near-dup: LSH bucket join over the WHOLE
+    embeddings table (no vec_id bound) — candidates from (table, bucket)
+    equi-joins, exact cosine rerank. Engine-defined bucketing → rows-only
+    driver check; recall vs the exact form and the no-nested-loop plan are
+    test-asserted (tests/test_operators.py, tests/test_plans.py)."""
+    from ..operators.similarity import neardup_pairs_lsh
+
+    emb = t(spark, sf, "embeddings")
+    return neardup_pairs_lsh(emb, threshold=0.3).orderBy("d1", "d2")
+
+
 # ---------------------------------------------------------------------------
 # text analysis (X4)
 

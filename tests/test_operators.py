@@ -181,6 +181,35 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.8, f"IVF recall {recall:.3f} < 0.8"
 
 
+def test_neardup_lsh_recall_and_exact_sims(spark, sf_dir):
+    """The LSH near-dup scale path must (a) recover most exact pairs on
+    the fixture's worst case (near-orthogonal vectors, sims barely over
+    the 0.3 threshold), and (b) report the IDENTICAL rounded sim for every
+    pair it does return (same rerank expression as the exact operator)."""
+    from blockchaintoavro_spark.functions.vectors import cosine_similarity
+    from blockchaintoavro_spark.operators.similarity import neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    a = v.select(F.col("vec_id").alias("d1"), F.col("e").alias("e1"))
+    b = v.select(F.col("vec_id").alias("d2"), F.col("e").alias("e2"))
+    sim = cosine_similarity(F.col("e1"), F.col("e2"))
+    exact = {
+        (r.d1, r.d2): r.sim
+        for r in a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .withColumn("_s4", F.round(sim, 4).cast("decimal(38,4)"))
+        .filter(F.col("_s4") >= 0.3)
+        .select("d1", "d2", F.col("_s4").cast("double").alias("sim"))
+        .collect()
+    }
+    approx = {(r.d1, r.d2): r.sim for r in neardup_pairs_lsh(emb).collect()}
+    assert set(approx) <= set(exact)  # no false positives (exact rerank)
+    for pair, s in approx.items():
+        assert s == exact[pair]  # bit-identical sims
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.7, f"LSH near-dup recall {recall:.3f} < 0.7"
+
+
 def test_ivf_centroids_deterministic(spark, sf_dir):
     from blockchaintoavro_spark.operators.similarity import (
         train_ivf_centroids,

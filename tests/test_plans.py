@@ -134,6 +134,15 @@ def test_dq13_theta_join_keeps_equi_key(spark, registry, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_neardup_lsh_no_nested_loop(spark, registry, sf_dir):
+    """The declared LSH near-dup scale path must be pure equi-joins on
+    (table_id, bucket) and ids — no all-pairs nested loop at ANY corpus
+    cardinality (the exact x_embedding_neardup is the bounded twin)."""
+    p = plan_of(spark, registry, "x_embedding_neardup_lsh", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
     """Co-bucketed + sorted tables join with zero Exchange and zero Sort:
     the repeated-fact-join layout for 100 TB (sources/bucketing.py)."""
