@@ -8,9 +8,11 @@ write :39-41), the file closes and a callback uploads it
 
 Spark-first: the window id is a partition column; ``partitionBy`` writes
 one directory per window with per-partition parallel writers — the
-reference's global writer lock (:38) disappears entirely. Format: Avro when
-the spark-avro connector is present, else Parquet (the rotation semantics
-are format-agnostic; this pip PySpark ships no spark-avro jar).
+reference's global writer lock (:38) disappears entirely. Format: the
+spark-avro DataSource when present; otherwise REAL Avro object container
+files via the engine's own OCF codec (sources/avro_io.py — validated
+against the official Avro Java library), written distributed with the same
+``window_id=N/part-*.avro`` layout. No silent parquet downgrade.
 
 Scale: the write is a narrow map + partitioned commit; directories are the
 commit unit exactly like the reference's per-file upload, and Spark's
@@ -45,21 +47,37 @@ def write_rotated(
     epoch_millis_col: str = "timestamp",
     rotation_seconds: int = 600,
     mode: str = "overwrite",
+    suffix: str = "",
 ) -> str:
-    """Write one directory per rotation window; returns the format used."""
+    """Write one Avro directory per rotation window; returns format used.
+
+    ``suffix`` disambiguates file names for append-style callers (the
+    streaming sink passes its micro-batch id, so a replayed batch
+    overwrites its own files — idempotent at-least-once commits)."""
+    import shutil
+
     spark = df.sparkSession
-    fmt = "avro" if avro_supported(spark) else "parquet"
-    (
-        with_window_id(df, epoch_millis_col, rotation_seconds)
-        .write.mode(mode)
-        .partitionBy("window_id")
-        .format(fmt)
-        .save(path)
-    )
-    return fmt
+    wdf = with_window_id(df, epoch_millis_col, rotation_seconds)
+    if avro_supported(spark):
+        (
+            wdf.write.mode(mode)
+            .partitionBy("window_id")
+            .format("avro")
+            .save(path)
+        )
+        return "avro"
+    from ..sources.avro_io import write_ocf_dataset
+
+    if mode == "overwrite":
+        shutil.rmtree(path, ignore_errors=True)
+    write_ocf_dataset(wdf, path, partition_col="window_id", suffix=suffix)
+    return "avro-ocf"
 
 
 def read_rotated(spark: SparkSession, path: str) -> DataFrame:
     """Re-read a rotated dataset (window_id recovered as partition col)."""
-    fmt = "avro" if avro_supported(spark) else "parquet"
-    return spark.read.format(fmt).load(path)
+    if avro_supported(spark):
+        return spark.read.format("avro").load(path)
+    from ..sources.avro_io import read_ocf_dataset
+
+    return read_ocf_dataset(spark, path, partition_col="window_id")

@@ -1,0 +1,498 @@
+"""Pure-Python Apache Avro Object Container File codec + distributed writer.
+
+Why this exists: the reference's entire output surface is Avro container
+files (``AvroWriter.java:38-67``; ``Main.java:229-232`` loads
+``FormatOptions.avro()``), but the pip PySpark distribution ships only the
+core Avro JVM jars — NOT the ``spark-avro`` DataSource — so
+``.format("avro")`` is unavailable (session.py:avro_supported probes this).
+Rather than silently downgrading the sink format to parquet, this module
+implements the PUBLIC Avro 1.12 specification (binary encoding + object
+container files, https://avro.apache.org/docs/1.12.0/specification/) for
+the type subset the engine's tables use, and distributes writes/reads over
+executors via ``mapInArrow`` (Arrow batches preserve int64/null/binary/
+nested fidelity that a pandas hop would mangle).
+
+Format parity is proven in tests/test_avro.py by re-reading Python-written
+files through the OFFICIAL Apache Avro Java library (``avro-1.12.1.jar``,
+already on the Spark JVM classpath) via the session's JVM gateway.
+
+Scale notes:
+- The writer is a narrow per-partition map: each task streams its Arrow
+  batches into per-(task, partition-value) files block-by-block — nothing
+  is buffered beyond one Arrow batch, no shuffle is introduced, and file
+  count = tasks × live windows exactly like Spark's own dynamic-partition
+  committer.
+- The reader parallelizes over files; each file's schema rides in its own
+  header (self-describing, like any Avro file), so ``read_ocf_dataset``
+  needs no external schema registry.
+
+Supported types (all the engine's sinks emit): null, boolean, int, long,
+float, double, bytes, string, record, array, map, and 2-branch unions with
+null. Enum/fixed/logical types are out of scope and raise.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import struct as _struct
+import zlib
+from hashlib import md5
+from typing import Any, BinaryIO, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------------------
+# binary encoding (spec: "Binary Encoding")
+
+
+def _write_long(out: BinaryIO, n: int) -> None:
+    """Zigzag + variable-length encoding for int/long."""
+    u = (n << 1) ^ (n >> 63)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _read_long(buf: BinaryIO) -> int:
+    u, shift = 0, 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise EOFError("truncated varint")
+        b = raw[0]
+        u |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return (u >> 1) ^ -(u & 1)
+        shift += 7
+
+
+def _encode(out: BinaryIO, schema: Any, v: Any) -> None:
+    if isinstance(schema, list):  # union — branch chosen by value nullness
+        if v is None:
+            _write_long(out, schema.index("null"))
+            return
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        _write_long(out, idx)
+        _encode(out, schema[idx], v)
+        return
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for f in schema["fields"]:
+                _encode(out, f["type"], v.get(f["name"]) if v else None)
+            return
+        if t == "array":
+            items = list(v) if v is not None else []
+            if items:
+                _write_long(out, len(items))
+                for it in items:
+                    _encode(out, schema["items"], it)
+            _write_long(out, 0)
+            return
+        if t == "map":
+            entries = dict(v) if v is not None else {}
+            if entries:
+                _write_long(out, len(entries))
+                for k, val in entries.items():
+                    _encode(out, "string", k)
+                    _encode(out, schema["values"], val)
+            _write_long(out, 0)
+            return
+        # e.g. {"type": "long"} wrapper
+        _encode(out, t, v)
+        return
+    if schema == "null":
+        return
+    if schema == "boolean":
+        out.write(b"\x01" if v else b"\x00")
+        return
+    if schema in ("int", "long"):
+        _write_long(out, int(v))
+        return
+    if schema == "float":
+        out.write(_struct.pack("<f", float(v)))
+        return
+    if schema == "double":
+        out.write(_struct.pack("<d", float(v)))
+        return
+    if schema == "bytes":
+        b = bytes(v)
+        _write_long(out, len(b))
+        out.write(b)
+        return
+    if schema == "string":
+        b = str(v).encode("utf-8")
+        _write_long(out, len(b))
+        out.write(b)
+        return
+    raise ValueError(f"unsupported avro schema: {schema!r}")
+
+
+def _decode(buf: BinaryIO, schema: Any) -> Any:
+    if isinstance(schema, list):
+        return _decode(buf, schema[_read_long(buf)])
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {f["name"]: _decode(buf, f["type"]) for f in schema["fields"]}
+        if t == "array":
+            out = []
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:  # spec: negative count precedes a block byte-size
+                    _read_long(buf)
+                    n = -n
+                out.extend(_decode(buf, schema["items"]) for _ in range(n))
+        if t == "map":
+            out = {}
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    _read_long(buf)
+                    n = -n
+                for _ in range(n):
+                    k = _decode(buf, "string")
+                    out[k] = _decode(buf, schema["values"])
+        return _decode(buf, t)
+    if schema == "null":
+        return None
+    if schema == "boolean":
+        return buf.read(1) == b"\x01"
+    if schema in ("int", "long"):
+        return _read_long(buf)
+    if schema == "float":
+        return _struct.unpack("<f", buf.read(4))[0]
+    if schema == "double":
+        return _struct.unpack("<d", buf.read(8))[0]
+    if schema == "bytes":
+        return buf.read(_read_long(buf))
+    if schema == "string":
+        return buf.read(_read_long(buf)).decode("utf-8")
+    raise ValueError(f"unsupported avro schema: {schema!r}")
+
+
+# ---------------------------------------------------------------------------
+# object container files (spec: "Object Container Files")
+
+
+class OCFWriter:
+    """Streaming OCF writer: header once, then one data block per append —
+    memory stays bounded by a single batch regardless of file size."""
+
+    def __init__(self, fh: BinaryIO, schema: dict, codec: str = "deflate"):
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported codec {codec}")
+        self._fh, self._schema, self._codec = fh, schema, codec
+        sj = json.dumps(schema)
+        # any 16 bytes are a valid sync marker; deterministic beats random
+        # here (reproducible files, no forbidden runtime RNG)
+        self.sync = md5((sj + "|" + codec).encode()).digest()
+        out = io.BytesIO()
+        out.write(MAGIC)
+        meta = {"avro.schema": sj.encode(), "avro.codec": codec.encode()}
+        _write_long(out, len(meta))
+        for k, val in meta.items():
+            _encode(out, "string", k)
+            _encode(out, "bytes", val)
+        _write_long(out, 0)
+        out.write(self.sync)
+        fh.write(out.getvalue())
+        self.n_records = 0
+
+    def append(self, records: Iterable[dict]) -> int:
+        records = list(records)
+        if not records:
+            return 0
+        buf = io.BytesIO()
+        for r in records:
+            _encode(buf, self._schema, r)
+        payload = buf.getvalue()
+        if self._codec == "deflate":  # raw deflate per spec (no zlib header)
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        out = io.BytesIO()
+        _write_long(out, len(records))
+        _write_long(out, len(payload))
+        out.write(payload)
+        out.write(self.sync)
+        self._fh.write(out.getvalue())
+        self.n_records += len(records)
+        return len(records)
+
+
+def write_ocf(path: str, schema: dict, records: Iterable[dict], codec: str = "deflate") -> int:
+    with open(path, "wb") as fh:
+        return OCFWriter(fh, schema, codec).append(records)
+
+
+def _read_meta(fh: BinaryIO) -> tuple[dict, bytes]:
+    if fh.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(fh)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(fh)
+            n = -n
+        for _ in range(n):
+            k = _decode(fh, "string")
+            meta[k] = _decode(fh, "bytes")
+    return meta, fh.read(16)
+
+
+def read_ocf_header(path: str) -> dict:
+    """Schema (parsed JSON) from the file's own metadata — self-describing."""
+    with open(path, "rb") as fh:
+        meta, _ = _read_meta(fh)
+    return json.loads(meta[b"avro.schema"] if b"avro.schema" in meta else meta["avro.schema"])
+
+
+def read_ocf(path: str) -> tuple[dict, list[dict]]:
+    """Decode a whole container file → (schema, records)."""
+    with open(path, "rb") as fh:
+        meta, sync = _read_meta(fh)
+        schema = json.loads(meta["avro.schema"])
+        codec = meta.get("avro.codec", b"null").decode()
+        records: list[dict] = []
+        while True:
+            probe = fh.read(1)
+            if not probe:
+                return schema, records
+            fh.seek(-1, os.SEEK_CUR)
+            n = _read_long(fh)
+            size = _read_long(fh)
+            payload = fh.read(size)
+            if codec == "deflate":
+                payload = zlib.decompressobj(-15).decompress(payload)
+            buf = io.BytesIO(payload)
+            records.extend(_decode(buf, schema) for _ in range(n))
+            if fh.read(16) != sync:
+                raise ValueError(f"sync marker mismatch in {path}")
+
+
+# ---------------------------------------------------------------------------
+# Spark schema ↔ Avro schema
+
+
+_PRIMITIVES: list[tuple[type, str]] = [
+    (T.LongType, "long"),
+    (T.IntegerType, "int"),
+    (T.ShortType, "int"),
+    (T.ByteType, "int"),
+    (T.DoubleType, "double"),
+    (T.FloatType, "float"),
+    (T.StringType, "string"),
+    (T.BinaryType, "bytes"),
+    (T.BooleanType, "boolean"),
+]
+
+
+def spark_to_avro_schema(st: T.StructType, name: str = "Record") -> dict:
+    """StructType → Avro record schema (nullable fields become
+    ``["null", T]`` unions, mirroring the reference's BQRow.avsc unions)."""
+
+    def conv(dt: T.DataType, path: str) -> Any:
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "record",
+                "name": path,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": _nullable(
+                            conv(f.dataType, f"{path}_{f.name}"), f.nullable
+                        ),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        if isinstance(dt, T.ArrayType):
+            return {
+                "type": "array",
+                "items": _nullable(
+                    conv(dt.elementType, f"{path}_item"), dt.containsNull
+                ),
+            }
+        if isinstance(dt, T.MapType):
+            return {
+                "type": "map",
+                "values": _nullable(
+                    conv(dt.valueType, f"{path}_value"), dt.valueContainsNull
+                ),
+            }
+        for py_t, avro_t in _PRIMITIVES:
+            if isinstance(dt, py_t):
+                return avro_t
+        raise ValueError(f"unsupported spark type for avro: {dt}")
+
+    def _nullable(s: Any, nullable: bool) -> Any:
+        return ["null", s] if nullable else s
+
+    return conv(st, name)
+
+
+def avro_to_spark_schema(schema: dict) -> T.StructType:
+    """Inverse mapping (top level must be a record) — lets readers recover
+    the Spark schema from the file header alone."""
+    back = {v: k for k, v in _PRIMITIVES if v != "int"}
+    back["int"] = T.IntegerType
+
+    def conv(s: Any) -> tuple[T.DataType, bool]:
+        if isinstance(s, list):
+            branch = next(b for b in s if b != "null")
+            dt, _ = conv(branch)
+            return dt, True
+        if isinstance(s, dict):
+            t = s["type"]
+            if t == "record":
+                fields = []
+                for f in s["fields"]:
+                    dt, nullable = conv(f["type"])
+                    fields.append(T.StructField(f["name"], dt, nullable))
+                return T.StructType(fields), False
+            if t == "array":
+                dt, n = conv(s["items"])
+                return T.ArrayType(dt, n), False
+            if t == "map":
+                dt, n = conv(s["values"])
+                return T.MapType(T.StringType(), dt, n), False
+            return conv(t)
+        if s in back:
+            return back[s](), False
+        raise ValueError(f"unsupported avro type: {s}")
+
+    dt, _ = conv(schema)
+    if not isinstance(dt, T.StructType):
+        raise ValueError("top-level avro schema must be a record")
+    return dt
+
+
+# ---------------------------------------------------------------------------
+# distributed write / read (mapInArrow — no shuffle, no pandas mangling)
+
+
+def write_ocf_dataset(
+    df: DataFrame,
+    path: str,
+    partition_col: str | None = None,
+    codec: str = "deflate",
+    suffix: str = "",
+) -> list[dict]:
+    """Write ``df`` as .avro container files, one per (task, partition
+    value) — the same layout contract as ``DataFrameWriter.partitionBy``
+    (``{partition_col}={value}/part-{task}{suffix}.avro``, partition column
+    dropped from the records). Returns the collected manifest
+    [{partition, path, n_records}]; the collect is metadata-only.
+    """
+    import pyarrow as pa
+
+    data_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != partition_col]
+    )
+    avro_schema = spark_to_avro_schema(data_schema)
+    manifest_schema = pa.schema(
+        [("partition", pa.string()), ("path", pa.string()), ("n_records", pa.int64())]
+    )
+
+    def task(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        writers: dict[Any, tuple[Any, OCFWriter, str]] = {}
+        for batch in batches:
+            by_part: dict[Any, list[dict]] = {}
+            for row in batch.to_pylist():
+                key = row.pop(partition_col) if partition_col else None
+                by_part.setdefault(key, []).append(row)
+            for key, rows in by_part.items():
+                if key not in writers:
+                    d = (
+                        os.path.join(path, f"{partition_col}={key}")
+                        if partition_col
+                        else path
+                    )
+                    os.makedirs(d, exist_ok=True)
+                    fpath = os.path.join(d, f"part-{pid:05d}{suffix}.avro")
+                    fh = open(fpath, "wb")
+                    writers[key] = (fh, OCFWriter(fh, avro_schema, codec), fpath)
+                writers[key][1].append(rows)
+        rows = []
+        for key, (fh, w, fpath) in writers.items():
+            fh.close()
+            rows.append(
+                {"partition": str(key), "path": fpath, "n_records": w.n_records}
+            )
+        if rows:  # empty input partitions contribute no manifest batch
+            yield pa.Table.from_pylist(rows, schema=manifest_schema).to_batches()[0]
+
+    os.makedirs(path, exist_ok=True)
+    manifest = df.mapInArrow(task, "partition string, path string, n_records long")
+    return [r.asDict() for r in manifest.collect()]
+
+
+def read_ocf_dataset(
+    spark: SparkSession, path: str, partition_col: str | None = None
+) -> DataFrame:
+    """Parallel re-read of a :func:`write_ocf_dataset` layout. The Spark
+    schema comes from the first file's own header (self-describing); the
+    partition column is recovered from directory names as LONG (the
+    rotation window id — the only partition key the sinks use)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    pattern = (
+        os.path.join(path, f"{partition_col}=*", "*.avro")
+        if partition_col
+        else os.path.join(path, "*.avro")
+    )
+    files = sorted(glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    data_schema = avro_to_spark_schema(read_ocf_header(files[0]))
+    out_schema = T.StructType(list(data_schema.fields))
+    rows = []
+    for f in files:
+        pv = (
+            int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+            if partition_col
+            else None
+        )
+        rows.append((f, pv))
+    if partition_col:
+        out_schema = out_schema.add(partition_col, T.LongType(), False)
+    arrow_schema = to_arrow_schema(out_schema)
+    fdf = spark.createDataFrame(rows, "path string, _pv long").repartition(
+        min(len(files), 32)
+    )
+
+    def task(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                _, records = read_ocf(row["path"])
+                if partition_col:
+                    for r in records:
+                        r[partition_col] = row["_pv"]
+                if records:
+                    yield pa.Table.from_pylist(
+                        records, schema=arrow_schema
+                    ).to_batches()[0]
+
+    return fdf.mapInArrow(task, out_schema)

@@ -1,0 +1,169 @@
+"""Avro format parity (SURVEY S3/K1; reference AvroWriter.java:38-67).
+
+The pip PySpark distribution has no spark-avro DataSource, so the engine
+writes real Avro object container files with its own codec
+(sources/avro_io.py). These tests prove the format is genuinely Avro:
+byte-level roundtrip, validation through the OFFICIAL Apache Avro Java
+library (avro-1.12.1.jar on the Spark JVM classpath), and the distributed
+rotated-sink write/read path over the nested blocks fixture.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blockchaintoavro_spark.sources.avro_io import (
+    avro_to_spark_schema,
+    read_ocf,
+    spark_to_avro_schema,
+    write_ocf,
+)
+
+NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("ok", T.BooleanType(), True),
+        T.StructField(
+            "txs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("tid", T.StringType(), True),
+                        T.StructField("vals", T.ArrayType(T.LongType()), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+RECORDS = [
+    {
+        "id": 1,
+        "name": "a",
+        "payload": b"\x00\xff\x10",
+        "score": 1.5,
+        "ok": True,
+        "txs": [{"tid": "t1", "vals": [1, -2, 3]}, {"tid": None, "vals": []}],
+    },
+    {
+        "id": -(2**63),
+        "name": None,
+        "payload": None,
+        "score": None,
+        "ok": False,
+        "txs": None,
+    },
+    {
+        "id": 2**63 - 1,
+        "name": "",
+        "payload": b"",
+        "score": -0.0,
+        "ok": None,
+        "txs": [],
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_python_roundtrip(tmp_path, codec):
+    """Byte-level encode/decode roundtrip incl. long extremes, empty
+    bytes/strings/arrays, nulls at every level, both codecs."""
+    sch = spark_to_avro_schema(NESTED_SCHEMA, "Block")
+    path = str(tmp_path / f"t_{codec}.avro")
+    assert write_ocf(path, sch, RECORDS, codec) == 3
+    schema_back, back = read_ocf(path)
+    assert schema_back == sch
+    assert back == RECORDS
+    assert avro_to_spark_schema(sch) == NESTED_SCHEMA
+
+
+def test_ocf_readable_by_official_java_avro(tmp_path, spark):
+    """The parity proof: the Apache Avro Java library (the same codebase
+    the reference's AvroWriter uses) must read our Python-written file —
+    schema, record count, and values."""
+    sch = spark_to_avro_schema(NESTED_SCHEMA, "Block")
+    path = str(tmp_path / "java_check.avro")
+    write_ocf(path, sch, RECORDS, codec="deflate")
+
+    jvm = spark.sparkContext._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    assert json.loads(reader.getSchema().toString()) == sch
+    got = []
+    while reader.hasNext():
+        got.append(reader.next())
+    assert len(got) == 3
+    assert got[0].get("id") == 1
+    assert str(got[0].get("name")) == "a"
+    assert got[1].get("id") == -(2**63)
+    assert got[1].get("name") is None
+    assert got[2].get("id") == 2**63 - 1
+    tx0 = got[0].get("txs").get(0)
+    assert str(tx0.get("tid")) == "t1"
+    assert [tx0.get("vals").get(i) for i in range(3)] == [1, -2, 3]
+
+
+def _as_dicts(df, order_key):
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    rows.sort(key=lambda d: d[order_key])
+    return rows
+
+
+def test_rotated_sink_writes_real_avro_and_rereads(tmp_path, spark):
+    """K1/S3 end-to-end on the real nested blocks fixture: the rotated
+    sink must produce window_id=N/part-*.avro container files and the
+    parallel reader must return the identical rows (incl. doubly-nested
+    arrays and binary script bytes)."""
+    import glob
+
+    from blockchaintoavro_spark.operators.rotation import (
+        read_rotated,
+        with_window_id,
+        write_rotated,
+    )
+    from blockchaintoavro_spark.sources.tables import load_blocks
+
+    b = load_blocks(spark).filter(F.col("ingest_id") < 50)
+    out = str(tmp_path / "rotated")
+    fmt = write_rotated(b, out, rotation_seconds=600)
+    assert fmt in ("avro", "avro-ocf")
+
+    files = glob.glob(f"{out}/window_id=*/*.avro")
+    assert files, "rotated sink produced no .avro files"
+    with open(files[0], "rb") as fh:
+        assert fh.read(4) == b"Obj\x01"  # Avro OCF magic
+
+    back = read_rotated(spark, out)
+    expected = with_window_id(b, "timestamp", 600)
+    assert _as_dicts(back, "ingest_id") == _as_dicts(expected, "ingest_id")
+
+
+def test_rotated_append_suffix_isolates_batches(tmp_path, spark):
+    """Streaming-commit contract: batch-suffixed appends land side by side
+    and a replayed batch overwrites its own files (idempotent)."""
+    from blockchaintoavro_spark.operators.rotation import (
+        read_rotated,
+        write_rotated,
+    )
+    from blockchaintoavro_spark.sources.tables import load_blocks
+
+    out = str(tmp_path / "rotated_append")
+    b = load_blocks(spark)
+    first = b.filter(F.col("ingest_id") < 20)
+    second = b.filter((F.col("ingest_id") >= 20) & (F.col("ingest_id") < 40))
+    write_rotated(first, out, mode="append", suffix="-b0")
+    write_rotated(second, out, mode="append", suffix="-b1")
+    write_rotated(second, out, mode="append", suffix="-b1")  # replay
+    back = read_rotated(spark, out)
+    assert back.count() == 40
+    assert back.select("ingest_id").distinct().count() == 40

@@ -11,7 +11,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from blockchaintoavro_spark.operators.rotation import with_window_id
+from blockchaintoavro_spark.operators.rotation import read_rotated, with_window_id
 from blockchaintoavro_spark.operators.sessionize import sessionize
 from blockchaintoavro_spark.sources.tables import load_blocks, load_events
 from blockchaintoavro_spark.streaming.pipeline import start_rotating_sink
@@ -52,7 +52,7 @@ def test_rotating_sink_stream_equals_batch(spark, tmpdir):
     _drain(q)
 
     got = (
-        spark.read.parquet(out)
+        read_rotated(spark, out)
         .groupBy("window_id")
         .agg(F.count("*").alias("n"))
     )
@@ -74,7 +74,7 @@ def test_rotating_sink_stream_equals_batch(spark, tmpdir):
         stream2, out, ckpt, rotation_seconds=600, processing_trigger=None
     )
     _drain(q2)
-    got2 = spark.read.parquet(out).count()
+    got2 = read_rotated(spark, out).count()
     assert got2 == b.count()
 
 
