@@ -107,6 +107,85 @@ def base58_encode(s: pd.Series) -> pd.Series:
     return s.map(enc)
 
 
+def script_to_address_py(script: bytes | None) -> tuple[str | None, str | None]:
+    """ScriptPubKey → mainnet base58 address, bitcoinj
+    ``Script#getToAddress(MainNetParams).toBase58()`` semantics
+    (``BitcoinBlockHandler.java:179-184``): returns ``(address, error)``
+    mirroring the reference's value-or-error pair — a non-standard script
+    yields ``(None, message)`` exactly like its ``ScriptException`` catch.
+
+    Standard forms handled (the same set bitcoinj's getToAddress accepts):
+    - P2PKH ``OP_DUP OP_HASH160 <20B> OP_EQUALVERIFY OP_CHECKSIG``
+      → Base58Check(0x00 || hash)
+    - P2PK ``<33|65B pubkey> OP_CHECKSIG`` → Base58Check(0x00 ||
+      RIPEMD160(SHA256(pubkey)))
+    - P2SH ``OP_HASH160 <20B> OP_EQUAL`` → Base58Check(0x05 || hash)
+
+    Known-answer tested against the real mainnet Genesis coinbase output
+    (tests/test_operators.py::test_script_to_address_mainnet_vectors).
+    """
+    import hashlib
+
+    if script is None:
+        return None, "null script"
+    s = bytes(script)
+    # P2PKH: 76 a9 14 <20> 88 ac
+    if len(s) == 25 and s[:3] == b"\x76\xa9\x14" and s[23:] == b"\x88\xac":
+        return base58check_encode_py(b"\x00" + s[3:23]), None
+    # P2SH: a9 14 <20> 87
+    if len(s) == 23 and s[:2] == b"\xa9\x14" and s[22] == 0x87:
+        return base58check_encode_py(b"\x05" + s[2:22]), None
+    # P2PK: <push n> <pubkey n bytes> ac, n in {33, 65}
+    if (
+        len(s) >= 2
+        and s[0] in (33, 65)
+        and len(s) == s[0] + 2
+        and s[-1] == 0xAC
+    ):
+        h = hashlib.new("ripemd160", hashlib.sha256(s[1:-1]).digest()).digest()
+        return base58check_encode_py(b"\x00" + h), None
+    return None, "Cannot cast this script to a pay-to-address type"
+
+
+@pandas_udf("string")
+def script_to_address(s: pd.Series) -> pd.Series:
+    """Vectorized scriptPubKey→address (Arrow-batched); non-standard
+    scripts → null, matching the reference's error-field behavior."""
+    import hashlib
+
+    alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+    def b58check(raw: bytes) -> str:
+        raw += hashlib.sha256(hashlib.sha256(raw).digest()).digest()[:4]
+        n = int.from_bytes(raw, "big")
+        out = []
+        while n > 0:
+            n, r = divmod(n, 58)
+            out.append(alphabet[r])
+        pad = 0
+        for b in raw:
+            if b == 0:
+                pad += 1
+            else:
+                break
+        return "1" * pad + "".join(reversed(out))
+
+    def derive(raw):
+        if raw is None:
+            return None
+        sc = bytes(raw)
+        if len(sc) == 25 and sc[:3] == b"\x76\xa9\x14" and sc[23:] == b"\x88\xac":
+            return b58check(b"\x00" + sc[3:23])
+        if len(sc) == 23 and sc[:2] == b"\xa9\x14" and sc[22] == 0x87:
+            return b58check(b"\x05" + sc[2:22])
+        if len(sc) >= 2 and sc[0] in (33, 65) and len(sc) == sc[0] + 2 and sc[-1] == 0xAC:
+            h = hashlib.new("ripemd160", hashlib.sha256(sc[1:-1]).digest()).digest()
+            return b58check(b"\x00" + h)
+        return None
+
+    return s.map(derive)
+
+
 @pandas_udf("double")
 def centroid_norm(emb: pd.Series) -> float:
     """Grouped-agg pandas UDAF: L2 norm of the per-group centroid vector.

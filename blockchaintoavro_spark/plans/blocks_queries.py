@@ -364,7 +364,7 @@ _DQ07_FULL_ORACLE = f"""
     """
 
 
-@declare("dq07_flagship_full", oracle=_DQ07_FULL_ORACLE)
+@declare("dq37_flagship_full", oracle=_DQ07_FULL_ORACLE)
 def dq07_full(spark: SparkSession, sf: str) -> DataFrame:
     """Full-fidelity flagship ETL (etl.sh:21-33): dedup → unnest → project
     transactions.* INCLUDING the nested inputs[]/outputs[] arrays,

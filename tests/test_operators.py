@@ -375,6 +375,55 @@ def test_base58_udf_known_vectors(spark):
     assert got == vectors
 
 
+def test_script_to_address_mainnet_vectors(spark):
+    """Real-mainnet known-answer vectors for script→address derivation
+    (BitcoinBlockHandler.java:179-184 `getToAddress(MainNetParams)`),
+    closing the synthetic-only caveat: the Genesis block's actual coinbase
+    scriptPubKey (block 0, 2009-01-03 — public chain data) must derive
+    Satoshi's famous address."""
+    from blockchaintoavro_spark.functions.udfs import (
+        script_to_address,
+        script_to_address_py,
+    )
+
+    # Block 0 coinbase output scriptPubKey: PUSH(65) <pubkey> OP_CHECKSIG
+    genesis_spk = bytes.fromhex(
+        "4104678afdb0fe5548271967f1a67130b7105cd6a828e03909a67962e0ea1f61"
+        "deb649f6bc3f4cef38c4f35504e51ec112de5c384df7ba0b8d578a4c702b6bf1"
+        "1d5fac"
+    )
+    assert script_to_address_py(genesis_spk) == (
+        "1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa",
+        None,
+    )
+
+    # P2PKH form of the classic public hash160 vector
+    p2pkh = bytes.fromhex(
+        "76a914010966776006953d5567439e5e39f86a0d273bee88ac"
+    )
+    assert script_to_address_py(p2pkh) == (
+        "16UwLL9Risc3QfPqBUvKofHmBQ7wMtjvM",
+        None,
+    )
+
+    # non-standard script → value-or-error pair, like the reference's
+    # ScriptException catch
+    addr, err = script_to_address_py(b"\x6a\x04test")  # OP_RETURN
+    assert addr is None and err is not None
+
+    df = spark.createDataFrame(
+        [(genesis_spk,), (p2pkh,), (b"\x6a\x04test",), (None,)],
+        "script binary",
+    ).withColumn("addr", script_to_address("script"))
+    got = [r.addr for r in df.collect()]
+    assert got == [
+        "1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa",
+        "16UwLL9Risc3QfPqBUvKofHmBQ7wMtjvM",
+        None,
+        None,
+    ]
+
+
 def test_udtf_tokenize(spark):
     from blockchaintoavro_spark.functions.udfs import tokenizer_udtf_class
 

@@ -105,18 +105,18 @@ def test_flagship_etl_prunes_nested_arrays(spark, registry, sf_dir):
 
 
 def test_flagship_full_reads_nested_arrays(spark, registry, sf_dir):
-    """dq07_flagship_full publishes transactions.* including the nested
+    """dq37_flagship_full publishes transactions.* including the nested
     inputs[]/outputs[] arrays (etl.sh:21) — its scan MUST read those
     column chunks (the inverse of dq07_flagship_etl's pruning), and the
     canonicalization stays a narrow projection: no extra shuffle beyond
     the dedup Exchange."""
-    p = plan_of(spark, registry, "dq07_flagship_full", sf_dir)
+    p = plan_of(spark, registry, "dq37_flagship_full", sf_dir)
     read = [l for l in p.splitlines() if "ReadSchema" in l]
     assert read
     assert any("input_script_bytes" in l for l in read)
     assert any("output_satoshis" in l for l in read)
     # dedup window needs exactly one hash Exchange (on block_id)
-    s = plan_of(spark, registry, "dq07_flagship_full", sf_dir, mode="simple")
+    s = plan_of(spark, registry, "dq37_flagship_full", sf_dir, mode="simple")
     assert s.count("Exchange hashpartitioning(block_id") == 1
 
 
