@@ -182,6 +182,162 @@ def minhash_candidate_pairs(
     )
 
 
+def ngram_array(text_col: F.Column | str, n: int) -> F.Column:
+    """Distinct word ``n``-grams of a text column as ``array<string>``
+    (space-joined, oracle-exact tokenization) — pure JVM HOFs, no shuffle.
+
+    The sequence step is explicit (``1``) so a non-positive upper bound
+    fails loudly instead of silently iterating backwards; the ``when``
+    guard (texts shorter than ``n`` tokens → ``[]``) is evaluated lazily
+    per row, which a short-doc unit test asserts.
+    """
+    toks = tokens(F.col(text_col) if isinstance(text_col, str) else text_col)
+    count = F.size(toks) - F.lit(n) + 1
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count, F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def contamination_hits(
+    docs: DataFrame,
+    contaminants: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_contaminants: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the standard n-gram-overlap hygiene step
+    for training corpora — 13-gram collision by convention): one row per
+    document sharing ≥1 distinct word ``n``-gram with the contaminant
+    corpus, with ``n_hits`` = number of distinct shared n-grams.
+
+    Scale: the contaminant side (benchmark/eval sets — small by nature)
+    collapses to a distinct n-gram set and is broadcast, so the 100 TB doc
+    side needs NO shuffle to probe membership; the only shuffle is the
+    per-doc hit count on ``id_col``, bounded by the number of collisions.
+    Set ``broadcast_contaminants=False`` for a contaminant set too big for
+    one executor — the probe becomes a plain shuffled equi-join on the
+    gram, still linear.
+    """
+    cont = contaminants.select(
+        F.explode(ngram_array(text_col, n)).alias("_g")
+    ).distinct()
+    if broadcast_contaminants:
+        cont = F.broadcast(cont)
+    probe = docs.select(
+        F.col(id_col), F.explode(ngram_array(text_col, n)).alias("_g")
+    )
+    return (
+        probe.join(cont, "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    contaminants: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_contaminants: bool = True,
+) -> DataFrame:
+    """Drop every document sharing any word ``n``-gram with the
+    contaminant corpus (anti-join against :func:`contamination_hits`)."""
+    hits = contamination_hits(
+        docs, contaminants, n, id_col, text_col, broadcast_contaminants
+    )
+    return docs.join(hits.select(id_col), id_col, "left_anti")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src_col: str = "d1",
+    dst_col: str = "d2",
+    id_out: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into connected components:
+    ``(id_out, cluster_id)`` with ``cluster_id`` = the minimum doc id
+    reachable through the pair graph. This is the "keep one per cluster"
+    step every MinHash/Jaccard dedup pipeline needs after pair generation
+    (keep = rows where id == cluster_id).
+
+    Algorithm: min-label propagation (the DataFrame form of Pregel CC).
+    Each round is one equi-join of the symmetrized edge list with the
+    current labels plus a min-aggregation — shuffle volume O(edges) per
+    round, never all-pairs — and converges in O(graph diameter) rounds.
+    Near-dup graphs are unions of small dense cliques/chains, so the
+    diameter (and round count) stays tiny even at 100 TB; the edge list is
+    ``localCheckpoint``-ed once and labels are re-checkpointed per round to
+    truncate lineage, keeping every round's plan constant-size.
+
+    Convergence detection without a join: labels only ever decrease
+    (``least``), so the label sum is strictly monotone — equal consecutive
+    sums ⇔ a fixed point. One scalar action per round; nothing row-sized
+    ever reaches the driver. Raises after ``max_iterations`` (a
+    pathological 2^25-node path graph) rather than returning wrong labels.
+    """
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_nbr")).alias("label"),
+        )
+        .localCheckpoint()
+    )
+    # decimal sum: immune to long overflow under ANSI mode at any scale
+    checksum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev = checksum(labels)
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(
+                nbr_min.select(F.col("src").alias("node"), "_nl"),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            return labels.select(
+                F.col("node").alias(id_out),
+                F.col("label").alias("cluster_id"),
+            )
+        prev = cur
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iterations} rounds"
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import EN_STOPWORDS, tokens
 from ..operators.dedup import (
+    contamination_hits,
+    dedup_clusters,
     exact_jaccard_pairs,
     minhash_candidate_pairs,
     simhash64,
@@ -320,6 +322,79 @@ def dq33(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select(
         "d1", "d2", dbl(F.col("jaccard")).alias("jaccard")
     ).orderBy("d1", "d2")
+
+
+@declare(
+    "x_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(lower(text), ' ')) AS tk
+      FROM documents WHERE doc_id < 100
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+      FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sz s1 ON s1.doc_id = d1
+      JOIN sz s2 ON s2.doc_id = d2
+      WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.4
+    ), edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL
+      SELECT d2 AS src, d1 AS dst FROM pairs
+    ), reach AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, r.label
+      FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def x_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the dq33
+    exact-Jaccard pair graph (operators/dedup.py:dedup_clusters,
+    min-label propagation) — the keep-one-per-cluster step after pair
+    generation. Oracle: DuckDB recursive CTE computing min reachable id."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = exact_jaccard_pairs(d, threshold=0.4)
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+@declare(
+    "x_decontaminate",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents),
+           UNNEST(range(1, len(toks)-5+2)) AS t(i)
+    ), chk AS (
+      SELECT DISTINCT doc_id, g FROM g WHERE doc_id < 100
+    ), cont AS (
+      SELECT DISTINCT g FROM g WHERE doc_id >= 100 AND doc_id % 7 = 0
+    )
+    SELECT chk.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM chk JOIN cont USING (g)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x_decon(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:contamination_hits):
+    docs sharing any word n-gram with a contaminant corpus, with distinct
+    shared-gram counts. n=5 here so the synthetic fixture shows signal;
+    the operator default is the conventional 13. The contaminant side is
+    collapsed to a distinct gram set and broadcast — the corpus side
+    probes it shuffle-free; only the per-doc count shuffles."""
+    d = t(spark, sf, "documents")
+    chk = d.filter(F.col("doc_id") < 100)
+    cont = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") % 7 == 0))
+    return contamination_hits(chk, cont, n=5).orderBy("doc_id")
 
 
 @declare("x_minhash_neardup", oracle=None)

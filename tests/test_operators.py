@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 
 from blockchaintoavro_spark.operators.asof import asof_latest
 from blockchaintoavro_spark.operators.dedup import (
+    contamination_hits,
+    decontaminate,
+    dedup_clusters,
     exact_dedup,
     exact_jaccard_pairs,
     minhash_candidate_pairs,
@@ -126,6 +129,97 @@ def test_exact_dedup_keeps_one_per_content(spark):
     # rows 1,2 are the same content (case-folded) → min id 1 survives;
     # row 4's extra spaces make it distinct content, as in the oracle.
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+
+
+def _union_find_components(edges, nodes):
+    """Independent pure-python oracle: min node id per component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_dedup_clusters_known_graph(spark):
+    """Chain + triangle + isolated pair: min-id labels everywhere; the
+    7-node chain forces several propagation rounds."""
+    edges = [(2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),  # chain
+             (10, 11), (11, 12), (10, 12),                     # triangle
+             (20, 21)]                                         # pair
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {
+        2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 2, 8: 2,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dedup_clusters_random_graphs_match_union_find(spark):
+    """Property check on seeded random graphs vs an independent
+    union-find implementation (no Spark, no joins)."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(45)
+            }
+        )
+        nodes = sorted({x for e in edges for x in e})
+        want = _union_find_components(edges, nodes)
+        pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+        got = {
+            r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "d1 long, d2 long")
+    assert dedup_clusters(pairs).count() == 0
+
+
+def test_contamination_hits_and_decontaminate(spark):
+    """Known-answer n-gram decontamination: doc 1 shares the 3-gram
+    'c d e' with the contaminant, doc 2 shares two distinct 3-grams,
+    doc 3 shares none, doc 4 is shorter than n (must yield [] grams,
+    not a backwards-sequence error)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "p q r s q r s"),  # grams 'p q r','q r s','r s q','s q r'
+            (3, "x y z w v u"),
+            (4, "a b"),  # shorter than n=3
+        ],
+        "doc_id long, text string",
+    )
+    cont = spark.createDataFrame(
+        [(100, "z z c d e z z"), (101, "q r s q r")],
+        "doc_id long, text string",
+    )
+    hits = {
+        r.doc_id: r.n_hits
+        for r in contamination_hits(docs, cont, n=3).collect()
+    }
+    # doc2 grams {'p q r','q r s','r s q','s q r'} ∩ contaminant grams
+    # {'q r s','r s q','s q r'} → 3 distinct shared grams
+    assert hits == {1: 1, 2: 3}
+    kept = sorted(
+        r.doc_id for r in decontaminate(docs, cont, n=3).collect()
+    )
+    assert kept == [3, 4]
 
 
 def test_simhash_similar_docs_close(spark):

@@ -187,6 +187,14 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS o_b")
 
 
+def test_decontaminate_broadcasts_contaminant_grams(spark, registry, sf_dir):
+    """The contaminant n-gram set (benchmark-sized, small) must broadcast
+    so the 100 TB corpus probe side never shuffles its exploded grams."""
+    s = plan_of(spark, registry, "x_decontaminate", sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
 def test_no_query_uses_python_row_udf(spark, registry, sf_dir):
     """Hot paths stay JVM-side: no row-at-a-time BatchEvalPython in any
     declared relational/extended plan (ArrowEvalPython — pandas UDFs —
