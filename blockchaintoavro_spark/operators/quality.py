@@ -21,6 +21,58 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: ``(id, rn, term, tfidf)`` with
+    smooth idf ``ln((1+N)/(1+df)) + 1`` and tfidf rounded to 4 dp (the
+    rounded value is also the ranking key, term-asc tiebreak, so engine
+    and oracle can never disagree on ordering at the boundary).
+
+    Scale: term counts partial-aggregate map-side before their one
+    shuffle; the df join runs on the aggregated (doc,term) table (AQE
+    broadcasts the vocabulary side when it fits); the corpus size N is a
+    broadcast single-row cross join, not a driver collect. The final
+    window ranks the *aggregated* counts, never raw tokens, and the
+    ``rn <= k`` filter compiles to WindowGroupLimit (partial top-k below
+    the sort).
+    """
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n = toks.agg(F.countDistinct(id_col).alias("_n"))
+    idf = F.log((1.0 + F.col("_n")) / (1.0 + F.col("_df"))) + 1.0
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(F.col("_tf") * idf, 4)
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "rn", "term", "tfidf")
+    )
+
+
 def _hash_bucket(key: Column) -> Column:
     """First two md5 hex chars of the key's string form: a uniform,
     engine-portable 256-bucket hash (lexicographic threshold = fraction).

@@ -31,6 +31,57 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_similarity
 
 
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``(id, qscale, q)`` with
+    ``qscale = max(|x|)/127`` and ``q_i = round(x_i/qscale)`` — the
+    standard storage-scale path for embedding tables (float32 → int8 is a
+    4× byte cut *before* parquet encoding; at 100 TB of vectors that is
+    the difference between one cluster and four). Reconstruction error is
+    bounded by ``qscale/2`` per element (test-asserted); zero vectors
+    quantize to zeros with qscale 0 rather than dividing by zero.
+
+    Pure JVM higher-order functions — zero shuffle, pipelines inside the
+    scan stage at any scale. ``qscale`` is emitted at 6 dp as DOUBLE so
+    engine and oracle render identically.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(F.col("_sc") == 0, F.lit(0))
+        .otherwise(F.round(x / F.col("_sc")).cast("int")),
+    )
+    return (
+        emb.select(F.col(id_col), v.alias(vec_col), scale.alias("_sc"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("_sc"), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("qscale"),
+            q.alias("q"),
+        )
+    )
+
+
+def dequantize_embeddings(
+    qdf: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings` (up to ≤ qscale/2 per-element
+    error): ``x̂_i = q_i · qscale`` as array<double>."""
+    return qdf.select(
+        F.col(id_col),
+        F.transform(
+            F.col("q"), lambda qi: qi.cast("double") * F.col("qscale")
+        ).alias("embedding"),
+    )
+
+
 def topk_per_query(
     corpus: DataFrame,
     queries: DataFrame,

@@ -126,6 +126,35 @@ def x_embnd(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@declare(
+    "x_quantize_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 100
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+      FROM e
+    )
+    SELECT vec_id,
+           CAST(CAST(ROUND(sc, 6) AS DECIMAL(38,6)) AS DOUBLE) AS qscale,
+           list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+                                       ELSE CAST(round(x / sc) AS INTEGER)
+                                  END) AS q
+    FROM s ORDER BY vec_id
+    """,
+)
+def x_quant(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (operators/similarity.py:quantize_embeddings) — the 4× storage cut
+    for 100 TB embedding tables; row-local HOFs, zero shuffle."""
+    from ..operators.similarity import quantize_embeddings
+
+    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    return quantize_embeddings(emb).orderBy("vec_id")
+
+
 @declare("x_embedding_neardup_lsh", oracle=None)
 def x_embnd_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Scale path for embedding near-dup: LSH bucket join over the WHOLE
@@ -187,6 +216,44 @@ def dq32b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+
+@declare(
+    "x_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+      FROM documents WHERE doc_id < 50
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+    ), s AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(CAST(ROUND(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df))
+                                      + 1.0), 4)
+                       AS DECIMAL(38,4)) AS DOUBLE) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), r AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM s
+    )
+    SELECT doc_id, rn, term, tfidf FROM r
+    WHERE rn <= 3 ORDER BY doc_id, rn
+    """,
+)
+def x_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/quality.py:tfidf_topk,
+    smooth idf). The 4-dp-rounded score is the ranking key on BOTH sides
+    (term tiebreak), so boundary ordering can never diverge."""
+    from ..operators.quality import tfidf_topk
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return tfidf_topk(d, k=3).orderBy("doc_id", "rn")
 
 
 @declare(

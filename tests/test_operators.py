@@ -191,6 +191,61 @@ def test_dedup_clusters_empty_pairs(spark):
     assert dedup_clusters(pairs).count() == 0
 
 
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """Dequantized vectors must be within qscale/2 per element; zero
+    vectors must not divide by zero."""
+    from blockchaintoavro_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 127.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-2.5, 2.5, 0.1, -0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize_embeddings(df)
+    rows = {r.vec_id: r for r in q.collect()}
+    assert rows[2].qscale == 0.0 and rows[2].q == [0, 0, 0, 0]
+    assert all(-127 <= x <= 127 for r in rows.values() for x in r.q)
+    back = {
+        r.vec_id: r.embedding for r in dequantize_embeddings(q).collect()
+    }
+    orig = {r.vec_id: r.embedding for r in df.collect()}
+    for vid, vec in orig.items():
+        sc = max(abs(x) for x in vec) / 127.0
+        for a, b in zip(vec, back[vid]):
+            assert abs(a - b) <= sc / 2 + 1e-12, (vid, a, b)
+
+
+def test_tfidf_topk_known_corpus(spark):
+    """3-doc corpus with hand-computable tf-idf: 'cat' is unique to doc 1
+    and must be its top term; a term in every doc still has idf=1 (smooth
+    variant) but scores below rarer terms with equal tf."""
+    import math
+
+    from blockchaintoavro_spark.operators.quality import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat common filler"),
+            (2, "dog common filler filler"),
+            (3, "bird common other words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    top = {(r.doc_id, r.rn): (r.term, r.tfidf) for r in out}
+    # doc1 top: cat tf=2, df=1 → 2*(ln(4/2)+1)
+    want = round(2 * (math.log(4 / 2) + 1), 4)
+    assert top[(1, 1)] == ("cat", want)
+    # every doc got exactly k=2 ranked terms
+    assert sorted(top) == [(d, r) for d in (1, 2, 3) for r in (1, 2)]
+
+
 def test_contamination_hits_and_decontaminate(spark):
     """Known-answer n-gram decontamination: doc 1 shares the 3-gram
     'c d e' with the contaminant, doc 2 shares two distinct 3-grams,
