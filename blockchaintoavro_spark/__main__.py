@@ -1,0 +1,136 @@
+"""CLI twin of the reference daemon — ``python -m blockchaintoavro_spark``.
+
+The reference is launched as a long-running Java process with a required
+flag set (``Main.java:55-105``); this entrypoint exposes the same surface
+so a user of the reference can run the same three workflows (ingest →
+rotated Avro + table load; publish/flatten; price ingest) against the
+Spark engine. Flag mapping:
+
+| reference (Main.java)     | here                | notes |
+|---------------------------|---------------------|-------|
+| ``-w/--workdir``          | ``--workdir``       | rotated ``.avro`` staging dir (AvroWriter.java:38-67) |
+| ``-b/--bucket``           | ``--table``         | post-rotation destination; Spark's path-based save covers object stores via Hadoop connectors, so "upload to bucket + BQ load" collapses to one append (Main.java:195-259) |
+| ``-bd/-bt`` dataset/table | ``--table``         | same collapse |
+| ``-r/--rotationtime``     | ``--rotationtime``  | seconds per rotation window (Main.java:73-76) |
+| ``-t/--threads``          | ``--threads``       | conversion parallelism → ``local[N]`` + shuffle partitions (Main.java:68-71); ignored when a session already exists |
+| ``-d/--dblocation``       | ``--checkpoint``    | resume state: the daemon's block DB ↔ Spark's streaming checkpoint |
+
+The P2P network layer is out of engine scope (SURVEY §2.1 S1): ``ingest``
+replays/watches a parquet drop directory instead, which is the same
+replayable-source reduction the streaming tests use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _session(threads: int | None):
+    if threads:
+        os.environ.setdefault("SPARK_GRAFT_CPUS", str(threads))
+    from .session import get_spark
+
+    return get_spark("blockchaintoavro-cli")
+
+
+def cmd_ingest(args) -> int:
+    """Drop-dir → rotated Avro windows (+ optional table load).
+
+    ``--drain`` processes everything currently in the source and stops
+    (Trigger.AvailableNow — the testable/backfill mode); without it the
+    query keeps watching the directory at the rotation cadence, like the
+    daemon's continuous loop.
+    """
+    from .operators.rotation import read_rotated
+    from .streaming.pipeline import read_block_stream, start_rotating_sink
+
+    spark = _session(args.threads)
+    schema = spark.read.parquet(args.source).schema
+    stream = read_block_stream(spark, args.source, schema)
+    query = start_rotating_sink(
+        stream,
+        args.workdir,
+        args.checkpoint,
+        rotation_seconds=args.rotationtime,
+        processing_trigger=None if args.drain else f"{args.rotationtime} seconds",
+        dedup_key=args.dedup_key,
+    )
+    if args.drain:
+        query.awaitTermination()
+        if args.table:
+            # the BigQuery-load analog (Main.java:229-232): append the
+            # rotated windows into the destination table
+            read_rotated(spark, args.workdir).write.mode("append").parquet(
+                args.table
+            )
+    else:  # pragma: no cover - continuous mode isn't exercised in tests
+        query.awaitTermination()
+    return 0
+
+
+def cmd_publish(args) -> int:
+    """etl.sh analog: dedup → flatten transactions → published table
+    (idempotent overwrite, like the reference's CREATE OR REPLACE)."""
+    from .operators.blocks_etl import publish_transactions
+
+    spark = _session(args.threads)
+    blocks = spark.read.parquet(args.source)
+    publish_transactions(blocks).write.mode("overwrite").parquet(args.out)
+    return 0
+
+
+def cmd_prices(args) -> int:
+    """ingest_prices.sh analog: gzipped headerless CSVs with the declared
+    3-column schema → prices table."""
+    from .plans.blocks_queries import PRICES_SCHEMA
+
+    spark = _session(args.threads)
+    (
+        spark.read.schema(PRICES_SCHEMA)
+        .option("header", "false")
+        .csv(args.source)
+        .write.mode("overwrite")
+        .parquet(args.out)
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m blockchaintoavro_spark",
+        description=__doc__.split("\n", 1)[0],
+    )
+    p.add_argument("--threads", "-t", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help=cmd_ingest.__doc__.split("\n", 1)[0])
+    ing.add_argument("--source", required=True, help="block drop directory (parquet)")
+    ing.add_argument("--workdir", "-w", required=True, help="rotated .avro output dir")
+    ing.add_argument("--checkpoint", "-d", required=True, help="streaming state dir")
+    ing.add_argument("--rotationtime", "-r", type=int, default=600)
+    ing.add_argument("--table", "-b", default=None, help="destination table dir (load step)")
+    ing.add_argument("--dedup-key", default=None)
+    ing.add_argument("--drain", action="store_true", help="process available data, then stop")
+    ing.set_defaults(fn=cmd_ingest)
+
+    pub = sub.add_parser("publish", help=cmd_publish.__doc__.split("\n", 1)[0])
+    pub.add_argument("--source", required=True, help="blocks table (parquet)")
+    pub.add_argument("--out", required=True, help="published transactions dir")
+    pub.set_defaults(fn=cmd_publish)
+
+    pr = sub.add_parser("prices", help=cmd_prices.__doc__.split("\n", 1)[0])
+    pr.add_argument("--source", required=True, help="csv[.gz] glob/dir")
+    pr.add_argument("--out", required=True, help="prices table dir")
+    pr.set_defaults(fn=cmd_prices)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,58 @@
+"""CLI parity smoke tests (Main.java:55-105 flag surface → __main__.py):
+each reference workflow must run end-to-end through the module
+entrypoint against the fixtures."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from blockchaintoavro_spark.__main__ import main
+from blockchaintoavro_spark.operators.blocks_etl import publish_transactions
+from blockchaintoavro_spark.sources.tables import (
+    BLOCKS_PARQUET,
+    PRICES_DIR,
+    load_blocks,
+)
+
+
+def test_cli_ingest_drain_writes_avro_and_loads_table(spark, tmp_path):
+    src = str(tmp_path / "drop")
+    load_blocks(spark).filter(F.col("ingest_id") < 100).repartition(3).write.parquet(src)
+    workdir = str(tmp_path / "rotated")
+    table = str(tmp_path / "table")
+    rc = main(
+        [
+            "ingest",
+            "--source", src,
+            "--workdir", workdir,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--rotationtime", "600",
+            "--table", table,
+            "--drain",
+        ]
+    )
+    assert rc == 0
+    files = glob.glob(f"{workdir}/window_id=*/*.avro")
+    assert files, "ingest produced no rotated .avro files"
+    with open(files[0], "rb") as fh:
+        assert fh.read(4) == b"Obj\x01"
+    assert spark.read.parquet(table).count() == 100
+
+
+def test_cli_publish_matches_operator(spark, tmp_path):
+    out = str(tmp_path / "published")
+    rc = main(["publish", "--source", BLOCKS_PARQUET, "--out", out])
+    assert rc == 0
+    want = publish_transactions(load_blocks(spark)).count()
+    assert spark.read.parquet(out).count() == want
+
+
+def test_cli_prices_ingest(spark, tmp_path):
+    out = str(tmp_path / "prices")
+    rc = main(["prices", "--source", f"{PRICES_DIR}/*.csv.gz", "--out", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.columns == ["ts", "priceUSD", "volumeBTC"]
+    assert got.count() > 0
