@@ -43,3 +43,52 @@ def dbl(c: Column, n: int = 4) -> Column:
     Same output-boundary contract as :func:`money` at ``n`` decimal places.
     """
     return F.round(c, n).cast(f"decimal(38,{n})").cast("double")
+
+
+# --- integer fixed-point money aggregation (hot-path twin of dec2/money) ---
+#
+# Decimal SUMs are exact but slow: every row pays a 128-bit decimal add in
+# the hash aggregate (profiled 2x the whole-query cost of long sums on the
+# star join). The fixture's money columns are 2-dp by construction (TPC-H
+# convention), so ROUND(x*100)::BIGINT is a lossless fixed-point view and
+# integer products/sums reproduce the oracle's decimal arithmetic exactly.
+#
+# A single BIGINT accumulator would overflow: at TPC-H SF~100k (the 100 TB
+# target) a per-group revenue sum reaches ~2e20 in 1e-4-dollar units > 2^63.
+# So the sum is split into two 64-bit accumulators — SUM(x >> 23) and
+# SUM(x & (2^23-1)) — and recombined into one DECIMAL(38,0) per *group*
+# after aggregation. The two's-complement identity
+# x == (x >> 23)*2^23 + (x & (2^23-1)) holds for every long, so the split
+# is exact for any sign; it is overflow-safe while
+# rows_per_group * max(|x|) / 2^23 < 2^63, i.e. ~1e12 rows/group at
+# charge-sized products (~4e11) — an order of magnitude past SF100k.
+
+_SPLIT_BITS = 23
+_SPLIT_MASK = (1 << _SPLIT_BITS) - 1
+
+
+def cents(c: Column | str, scale: int = 2) -> Column:
+    """Lossless BIGINT fixed-point view of a money column at ``scale`` dp.
+
+    Matches ``CAST(x AS DECIMAL(_, scale))`` (dec2) on the fixture's money
+    domain: nonnegative values carrying at most ``scale`` decimal digits.
+    (At an exact .5 tie Spark rounds half-up and DuckDB half-away-from-zero
+    — identical for nonnegative inputs.)
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * (10 ** scale)).cast("long")
+
+
+def exact_sum_fixed(prod: Column, frac_digits: int) -> Column:
+    """Overflow-safe exact SUM of a BIGINT fixed-point expression, returned
+    as the decimal value scaled down by ``10^frac_digits``.
+
+    Aggregate-side cost is two plain BIGINT sums (whole-stage-codegen long
+    adds, no 128-bit decimal in the per-row loop); the decimal recombine
+    runs once per group. Use with :func:`money`/``cast`` at the output
+    boundary exactly like a decimal SUM.
+    """
+    lo = F.sum(prod.bitwiseAND(F.lit(_SPLIT_MASK)))
+    hi = F.sum(F.shiftright(prod, _SPLIT_BITS))
+    total = hi.cast("decimal(38,0)") * F.lit(1 << _SPLIT_BITS) + lo
+    return total / F.lit(10 ** frac_digits)

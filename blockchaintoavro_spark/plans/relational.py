@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_latest
 from ..operators.sessionize import sessionize
-from ._util import dbl, dec2, money, t
+from ._util import cents, dbl, dec2, exact_sum_fixed, money, t
 from .registry import declare
 
 # ---------------------------------------------------------------------------
@@ -127,17 +127,17 @@ def dq10(spark: SparkSession, sf: str) -> DataFrame:
     c = t(spark, sf, "customer")
     n = t(spark, sf, "nation")
     r = t(spark, sf, "region")
+    # price_cents * (100 - discount_cents) is the revenue in 1e-4 dollars —
+    # integer math in the hot aggregate, decimal only per-group (exact twin
+    # of SUM(dec2(price) * (1 - dec2(discount))); see _util.exact_sum_fixed).
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(
-            money(
-                F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
-            ).alias("revenue")
-        )
+        .agg(money(exact_sum_fixed(rev_e4, 4)).alias("revenue"))
         .orderBy("r_name")
     )
 
@@ -281,20 +281,24 @@ def dq15(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape — hash aggregate with map-side partial agg (automatic);
     decimal-exact money math."""
     li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    disc = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    # Integer fixed-point twins of the decimal money sums (exact; see
+    # _util.exact_sum_fixed): discount revenue in 1e-4 dollars, charge in
+    # 1e-6 dollars (three 2-dp factors).
+    disc_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    charge_e6 = disc_e4 * (100 + cents("l_tax"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec2("l_quantity"))
+            exact_sum_fixed(cents("l_quantity"), 2)
             .cast("decimal(38,2)")
             .cast("double")
             .alias("sum_qty"),
-            F.sum(dec2("l_extendedprice"))
+            exact_sum_fixed(cents("l_extendedprice"), 2)
             .cast("decimal(38,2)")
             .cast("double")
             .alias("sum_base_price"),
-            money(F.sum(disc)).alias("sum_disc_price"),
-            money(F.sum(disc * (1 + dec2("l_tax")))).alias("sum_charge"),
+            money(exact_sum_fixed(disc_e4, 4)).alias("sum_disc_price"),
+            money(exact_sum_fixed(charge_e6, 6)).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -759,7 +763,13 @@ def dq10b(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(money(F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))).alias("revenue"))
+        .agg(
+            money(
+                exact_sum_fixed(
+                    cents("l_extendedprice") * (100 - cents("l_discount")), 4
+                )
+            ).alias("revenue")
+        )
         .orderBy("n_name")
     )
 

@@ -55,6 +55,20 @@ def test_dq15_pushdown_and_partial_agg(spark, registry, sf_dir):
     assert s.count("Exchange") <= 2  # agg + final sort, nothing else
 
 
+def test_money_aggs_run_in_long_not_decimal(spark, registry, sf_dir):
+    """The bench money sums accumulate in split BIGINTs (2x faster per row),
+    recombining to decimal only per group; a regression back to per-row
+    128-bit decimal adds shows up as UnscaledValue/decimal sums in the
+    aggregate (see _util.exact_sum_fixed)."""
+    import re
+
+    for q in ("dq10_star_join", "dq10_star_join_filtered", "dq15_agg_q1"):
+        p = plan_of(spark, registry, q, sf_dir)
+        assert "UnscaledValue" not in p, q
+        assert not re.search(r"sum\(cast\([^)]*decimal", p), q
+        assert "shiftright" in p, q  # the split accumulator is in place
+
+
 def test_dq07_rank_limit_pushdown(spark, registry, sf_dir):
     """Spark 3.5+ WindowGroupLimit: the rn=1 filter prunes duplicates
     before the full window sort — the dedup shuffle carries ~1 row/key."""
