@@ -178,3 +178,38 @@ def pack_sequences(
         F.floor(cum_before / budget).cast("long").alias("seq_id"),
         (cum_before % budget).cast("long").alias("seq_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# Dialect-portable patterns: every construct here (character classes, bounded
+# and {n,} repetition, \b, \d) means the same thing to Java regex (Spark) and
+# RE2 (DuckDB), so the oracle can replay the redaction verbatim. Order
+# matters: each rule counts on the text as left by the previous rule, and
+# replacement tags contain no digits/@ so later rules never match inside an
+# earlier redaction.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d -]{5,14}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """Sequential count-and-redact of email / IPv4 / phone patterns.
+
+    Returns ``{"n_email": .., "n_ip": .., "n_phone": .., "redacted": ..}``
+    where each count reflects what that rule actually removed. Pure JVM
+    ``regexp_extract_all`` / ``regexp_replace`` chain — row-local, zero
+    shuffle, pipelines inside the scan stage at any scale.
+    """
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, tag in PII_RULES:
+        out[f"n_{name}"] = (
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("long")
+        )
+        cur = F.regexp_replace(cur, pat, tag)
+    out["redacted"] = cur
+    return out

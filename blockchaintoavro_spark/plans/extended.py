@@ -884,3 +884,74 @@ def x_pack(spark: SparkSession, sf: str) -> DataFrame:
         order="doc_id",
     )
     return packed.orderBy("lang", "doc_id")
+
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE_RE = r"\+\d[\d -]{5,14}\d"
+
+
+@declare(
+    "x_pii_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN 1 THEN ' src 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.7'
+               ELSE ' tel +44 20 ' || CAST(7000 + doc_id % 1000 AS VARCHAR)
+             END AS t0
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t0, '{email}')) AS n_email,
+             regexp_replace(t0, '{email}', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '{ip}')) AS n_ip,
+             regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, n_email, n_ip,
+             len(regexp_extract_all(t2, '{phone}')) AS n_phone,
+             regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, n_email, n_ip, n_phone,
+           length(t3) AS red_len, md5(t3) AS red_md5
+    FROM s3 ORDER BY doc_id
+    """.format(email=_PII_EMAIL_RE, ip=_PII_IP_RE, phone=_PII_PHONE_RE),
+)
+def x_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (operators/quality.py:redact_pii) — count-and-scrub
+    email / IPv4 / phone patterns, the standard pre-training privacy
+    filter. The fixture text carries no PII, so the query first injects a
+    deterministic synthetic marker per doc (varying by doc_id % 3) on BOTH
+    engines; the oracle then must reproduce the byte-identical redacted
+    text (md5-checked), proving Java-regex/RE2 parity on the rule set.
+    Row-local regexp chain, zero shuffle."""
+    from ..operators.quality import redact_pii
+
+    d = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    marker = (
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" mail u"), did.cast("string"),
+                        F.lit("@example.com")))
+        .when(did % 3 == 1,
+              F.concat(F.lit(" src 10."), (did % 200).cast("string"),
+                       F.lit(".0.7")))
+        .otherwise(F.concat(F.lit(" tel +44 20 "),
+                            (did % 1000 + 7000).cast("string")))
+    )
+    cols = redact_pii(F.concat(F.col("text"), marker))
+    red = cols["redacted"]
+    return d.select(
+        "doc_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ip"].alias("n_ip"),
+        cols["n_phone"].alias("n_phone"),
+        F.length(red).cast("long").alias("red_len"),
+        F.md5(red.cast("binary")).alias("red_md5"),
+    ).orderBy("doc_id")

@@ -719,3 +719,34 @@ def test_pack_sequences_invariants(spark):
             assert r["seq_id"] == cum // 10 and r["seq_offset"] == cum % 10
             cum += r["n_tok"]
         assert rs[-1]["seq_id"] == max(x["seq_id"] for x in rs)
+
+
+def test_redact_pii_known_strings(spark):
+    """Known-answer redaction: each rule fires on its pattern, counts
+    reflect what was removed, and tags never re-match later rules."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.quality import redact_pii
+
+    rows = [
+        ("write bob.smith+x@corp.example.org or ops@a.io", 2, 0, 0,
+         "write <EMAIL> or <EMAIL>"),
+        ("from 192.168.0.1 to 10.0.0.255 end", 0, 2, 0,
+         "from <IP> to <IP> end"),
+        ("call +44 20 7946 0958 now", 0, 0, 1, "call <PHONE> now"),
+        ("plain text, no pii 1.2 v3", 0, 0, 0, "plain text, no pii 1.2 v3"),
+        ("a@b.co at 8.8.8.8 tel +1 555-0100", 1, 1, 1,
+         "<EMAIL> at <IP> tel <PHONE>"),
+    ]
+    df = spark.createDataFrame(
+        [(r[0],) for r in rows], "text string"
+    )
+    cols = redact_pii(F.col("text"))
+    got = df.select(
+        cols["n_email"].alias("e"),
+        cols["n_ip"].alias("i"),
+        cols["n_phone"].alias("p"),
+        cols["redacted"].alias("r"),
+    ).collect()
+    for (txt, e, i, p, red), row in zip(rows, got):
+        assert (row.e, row.i, row.p, row.r) == (e, i, p, red), txt

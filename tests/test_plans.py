@@ -225,7 +225,12 @@ def test_quality_ops_are_shuffle_free(spark, registry, sf_dir):
     """Split assignment, stratified sampling, and the dup-ngram filter are
     row-local expressions: the only Exchange allowed is the final
     presentation sort's range partitioning."""
-    for name in ("x_hash_split", "x_stratified_sample", "x_ngram_repetition"):
+    for name in (
+        "x_hash_split",
+        "x_stratified_sample",
+        "x_ngram_repetition",
+        "x_pii_redact",
+    ):
         s = plan_of(spark, registry, name, sf_dir, mode="simple")
         assert s.count("Exchange") <= 1, name  # orderBy only
         assert "rangepartitioning" in s, name  # ...and it IS the orderBy
