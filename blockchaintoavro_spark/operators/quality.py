@@ -213,3 +213,46 @@ def redact_pii(text: Column) -> dict[str, Column]:
         cur = F.regexp_replace(cur, pat, tag)
     out["redacted"] = cur
     return out
+
+
+def budget_mixture(
+    df: DataFrame,
+    token_count: Column,
+    budgets: Mapping[str, int],
+    source: str = "source",
+    key: str = "doc_id",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-budget data mixing: deterministically select documents per
+    source until that source's token budget is met (the straddling
+    document is kept), e.g. "2B tokens of web, 500M of code" recipes.
+
+    Selection order within a source is md5(key) — a deterministic shuffle,
+    so re-runs and different cluster sizes pick the identical subset, and
+    the pick is unbiased w.r.t. ingestion order. One hash-partitioned
+    window per source (cumsum over the md5 order); no global sort — cost
+    scales with the largest source, and the budget predicate prunes
+    everything past the cut downstream. At 100 TB, sources are the
+    partition key, so each executor streams one source's window.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key).cast("string"))
+    w = (
+        Window.partitionBy(source)
+        .orderBy(h, key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_count).over(w), F.lit(0))
+    b = F.lit(default_budget)
+    for s, tokens in sorted(budgets.items()):
+        b = F.when(F.col(source) == s, F.lit(tokens)).otherwise(b)
+    return (
+        df.select(
+            source,
+            key,
+            token_count.cast("long").alias("n_tok"),
+            cum_before.cast("long").alias("cum_before"),
+        )
+        .where(F.col("cum_before") < b)
+    )

@@ -955,3 +955,56 @@ def x_pii(spark: SparkSession, sf: str) -> DataFrame:
         F.length(red).cast("long").alias("red_len"),
         F.md5(red.cast("binary")).alias("red_md5"),
     ).orderBy("doc_id")
+
+
+# Per-source token budgets for the mixture-sampling query: three tiers so
+# every SF exercises a partial cut (each fixture source holds >=1.1k tokens).
+_MIX_BUDGETS = {
+    **{f"src{i}": 800 for i in range(5)},
+    **{f"src{i}": 400 for i in range(5, 10)},
+}
+_MIX_DEFAULT = 150
+
+
+def _mix_budget_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(_MIX_BUDGETS.items())
+    )
+    return f"CASE source {whens} ELSE {_MIX_DEFAULT} END"
+
+
+@declare(
+    "x_budget_mixture",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM s
+    )
+    SELECT source, doc_id, n_tok, CAST(cum_before AS BIGINT) AS cum_before
+    FROM c
+    WHERE cum_before < {_mix_budget_case_sql()}
+    ORDER BY source, doc_id
+    """,
+)
+def x_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget data mixing (operators/quality.py:budget_mixture):
+    deterministically fill per-source token budgets (800/400/150 tiers) in
+    md5 order — the "N tokens of domain D" recipe step of a pretraining
+    data pipeline. One window shuffle keyed on source; md5 ordering makes
+    the pick reproducible on any cluster size and oracle-replayable."""
+    from ..operators.quality import budget_mixture
+
+    d = t(spark, sf, "documents")
+    return budget_mixture(
+        d,
+        F.size(F.split("text", " ")),
+        budgets=_MIX_BUDGETS,
+        default_budget=_MIX_DEFAULT,
+    ).orderBy("source", "doc_id")

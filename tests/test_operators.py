@@ -750,3 +750,36 @@ def test_redact_pii_known_strings(spark):
     ).collect()
     for (txt, e, i, p, red), row in zip(rows, got):
         assert (row.e, row.i, row.p, row.r) == (e, i, p, red), txt
+
+
+def test_budget_mixture_invariants(spark):
+    """Budget semantics: every kept doc started below its source budget,
+    dropping any kept doc leaves the budget unmet (minimality), and the
+    selection is invariant to input partitioning."""
+    from blockchaintoavro_spark.operators.quality import budget_mixture
+
+    rows = [(f"s{i % 4}", i, (i * 37) % 19 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n"])
+    budgets = {"s0": 50, "s1": 25, "s2": 10}
+    out = budget_mixture(
+        df, F.col("n"), budgets, default_budget=5
+    ).collect()
+    per = {}
+    for r in out:
+        b = budgets.get(r["source"], 5)
+        assert r["cum_before"] < b, r
+        per.setdefault(r["source"], []).append(r)
+    for s, rs in per.items():
+        b = budgets.get(s, 5)
+        total = sum(r["n_tok"] for r in rs)
+        # budget met (each synthetic source holds ~500 tokens)...
+        assert total >= b, (s, total)
+        # ...and minimally: the largest cum_before row is the straddler
+        straddler = max(rs, key=lambda r: r["cum_before"])
+        assert total - straddler["n_tok"] < b, s
+
+    out2 = budget_mixture(
+        df.repartition(13, "doc_id"), F.col("n"), budgets, default_budget=5
+    ).collect()
+    key = lambda r: (r["source"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, out2))

@@ -281,3 +281,12 @@ def test_sequence_pack_single_shard_shuffle(spark, registry, sf_dir):
     s = plan_of(spark, registry, "x_sequence_pack", sf_dir, mode="simple")
     assert "Window" in s
     assert s.count("Exchange") <= 2  # hashpartitioning(lang) + orderBy
+
+
+def test_budget_mixture_single_source_shuffle(spark, registry, sf_dir):
+    """Mixture sampling shuffles once on the source key (window cumsum);
+    the only other Exchange is the presentation sort."""
+    s = plan_of(spark, registry, "x_budget_mixture", sf_dir, mode="simple")
+    assert s.count("hashpartitioning") == 1, s
+    assert s.count("Exchange") <= 2
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
