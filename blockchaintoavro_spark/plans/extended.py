@@ -1008,3 +1008,78 @@ def x_mixture(spark: SparkSession, sf: str) -> DataFrame:
         budgets=_MIX_BUDGETS,
         default_budget=_MIX_DEFAULT,
     ).orderBy("source", "doc_id")
+
+
+@declare(
+    "x_semantic_cluster",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS seed_id, e AS se FROM v WHERE vec_id < 8
+    ), sims AS (
+      SELECT v.vec_id, s.seed_id,
+             CAST(ROUND(list_cosine_similarity(v.e, s.se), 4)
+                  AS DECIMAL(38,4)) AS sim4
+      FROM v CROSS JOIN seeds s
+    ), assign AS (
+      SELECT vec_id, seed_id AS cluster, sim4,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim4 DESC, seed_id) AS rn
+      FROM sims
+    ), a AS (
+      SELECT vec_id, cluster, sim4 FROM assign WHERE rn = 1
+    )
+    SELECT vec_id, cluster, CAST(sim4 AS DOUBLE) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY sim4 DESC, vec_id) AS rank_in_cluster
+    FROM a ORDER BY vec_id
+    """,
+)
+def x_semcluster(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDedup-style semantic clustering: assign every embedding to its
+    nearest of K=8 broadcast seed vectors (cosine argmax), then rank
+    members within each cluster by closeness — downstream keeps the top-R
+    per cluster to deduplicate semantically redundant data.
+
+    Scale shape = IVF assignment: seeds broadcast (K rows), the K-way
+    per-row similarity fans out map-side only, and the argmax is
+    ``max_by`` — an algebraic aggregate that partial-aggregates BEFORE the
+    vec_id shuffle, so the exchange carries one row per vector, not K.
+    Both the argmax and the ranking compare 4-dp-ROUNDed decimals with
+    explicit id tie-breaks, so cluster membership can never flip on a
+    last-ulp cosine difference between engines (ADVICE r1 pattern)."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = t(spark, sf, "embeddings")
+    seeds = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("seed_emb"),
+        )
+    )
+    sim4 = F.round(
+        cosine_similarity(F.col("embedding"), F.col("seed_emb")), 4
+    ).cast("decimal(38,4)")
+    assigned = (
+        emb.crossJoin(seeds)
+        .select("vec_id", F.col("seed_id"), sim4.alias("sim4"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "seed_id", F.struct(F.col("sim4"), -F.col("seed_id"))
+            ).alias("cluster"),
+            F.max("sim4").alias("sim4"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("sim4").desc(), F.col("vec_id")
+    )
+    return assigned.select(
+        "vec_id",
+        "cluster",
+        F.col("sim4").cast("double").alias("sim"),
+        F.row_number().over(w).alias("rank_in_cluster"),
+    ).orderBy("vec_id")

@@ -290,3 +290,14 @@ def test_budget_mixture_single_source_shuffle(spark, registry, sf_dir):
     assert s.count("hashpartitioning") == 1, s
     assert s.count("Exchange") <= 2
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_semantic_cluster_partial_argmax(spark, registry, sf_dir):
+    """IVF-style cluster assignment: seeds are a broadcast fan-out and the
+    per-vector argmax partial-aggregates map-side (partial_max_by), so the
+    vec_id exchange carries one row per vector, never K."""
+    p = plan_of(spark, registry, "x_semantic_cluster", sf_dir)
+    assert "partial_max_by" in p
+    s = plan_of(spark, registry, "x_semantic_cluster", sf_dir, mode="simple")
+    # broadcast of seeds + agg + cluster window + presentation sort
+    assert s.count("Exchange") <= 4
