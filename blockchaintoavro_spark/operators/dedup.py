@@ -371,3 +371,30 @@ def simhash64(
             F.lit(0).cast("long")
         )
     return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate detection: word ``n``-grams appearing in
+    at least ``min_docs`` distinct documents — headers, footers, license
+    blurbs, templated spans that repeat across a crawl and should be
+    stripped (CCNet/C4-style template removal) or fed to a line-dedup
+    pass as candidate spans.
+
+    Postings shape: per-doc *distinct* grams (array_distinct before the
+    explode, so a gram counts once per doc and COUNT(*) == distinct-doc
+    count with no count-distinct expansion), then one partial-aggregated
+    COUNT per gram. A single shuffle keyed on the gram; hot boilerplate
+    grams cost one counter, never a row blowup — safe at any corpus size.
+    """
+    return (
+        docs.select(F.explode(ngram_array(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -1083,3 +1083,33 @@ def x_semcluster(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sim4").cast("double").alias("sim"),
         F.row_number().over(w).alias("rank_in_cluster"),
     ).orderBy("vec_id")
+
+
+@declare(
+    "x_boilerplate_ngrams",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents),
+           UNNEST(range(1, len(toks)-3+2)) AS t(i)
+    ), dg AS (
+      SELECT DISTINCT doc_id, g FROM g
+    )
+    SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM dg GROUP BY g HAVING COUNT(*) >= 5
+    ORDER BY n_docs DESC, gram
+    """,
+)
+def x_boiler(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-doc boilerplate n-grams (operators/dedup.py:
+    boilerplate_ngrams): word 3-grams shared by >= 5 documents — the
+    template-removal candidate list. Per-doc distinct grams explode into
+    one partial-aggregated COUNT per gram: a single gram-keyed shuffle,
+    and a hot gram is one counter, never a row blowup."""
+    from ..operators.dedup import boilerplate_ngrams
+
+    d = t(spark, sf, "documents")
+    return boilerplate_ngrams(d, n=3, min_docs=5).orderBy(
+        F.col("n_docs").desc(), "gram"
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from blockchaintoavro_spark.operators.asof import asof_latest
 from blockchaintoavro_spark.operators.dedup import (
+    boilerplate_ngrams,
     contamination_hits,
     decontaminate,
     dedup_clusters,
@@ -129,6 +130,26 @@ def test_exact_dedup_keeps_one_per_content(spark):
     # rows 1,2 are the same content (case-folded) → min id 1 survives;
     # row 4's extra spaces make it distinct content, as in the oracle.
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+
+
+def test_boilerplate_ngrams_counts_each_doc_once(spark):
+    """A gram repeated *within* one doc counts once (per-doc distinct);
+    only grams reaching min_docs distinct documents survive."""
+    df = spark.createDataFrame(
+        [
+            (1, "all rights reserved by acme"),
+            (2, "ALL RIGHTS RESERVED twice all rights reserved"),
+            (3, "all rights reserved"),
+            (4, "unrelated text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.gram: r.n_docs
+        for r in boilerplate_ngrams(df, n=3, min_docs=3).collect()
+    }
+    # doc 2 contributes "all rights reserved" once despite repeating it
+    assert got == {"all rights reserved": 3}
 
 
 def _union_find_components(edges, nodes):
