@@ -373,6 +373,79 @@ def simhash64(
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
+def boilerplate_ratio(
+    docs: DataFrame,
+    grams: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate contamination: the fraction of a doc's
+    *distinct* word ``n``-grams that appear in ``grams`` (the output of
+    :func:`boilerplate_ngrams`, column ``gram``) — the scoring half of
+    template removal: rank/drop docs that are mostly repeated chrome.
+
+    Scale: the gram list is broadcast (it is small by construction —
+    min_docs thresholding keeps only cross-doc templates); the per-doc
+    hit count partial-aggregates map-side over the exploded grams (a
+    doc's grams stay in its scan partition, so the doc-keyed shuffle
+    carries ~one row per doc, not per gram). Docs too short to have any
+    ``n``-gram get ratio 0.0 via the left join back to ``docs``.
+    """
+    per_doc = docs.select(
+        F.col(id_col), F.explode(ngram_array(text_col, n)).alias("gram")
+    )
+    hits = (
+        per_doc.join(F.broadcast(grams.select("gram")), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("bp_grams"))
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(ngram_array(text_col, n)).alias("total_grams")
+    )
+    bp = F.coalesce(F.col("bp_grams"), F.lit(0)).cast("long")
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("total_grams").cast("long").alias("total_grams"),
+        bp.alias("bp_grams"),
+        F.when(F.col("total_grams") > 0, bp / F.col("total_grams"))
+        .otherwise(F.lit(0.0))
+        .alias("bp_ratio"),
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seen_is_hashes: bool = False,
+) -> DataFrame:
+    """Incremental-ingestion dedup: drop ``batch`` rows whose normalized
+    content already exists in ``seen`` (the standing corpus), keeping the
+    min-id winner for content duplicated *within* the batch itself.
+
+    ``seen`` is either full documents or, with ``seen_is_hashes=True``, a
+    precomputed one-column ``_h`` hash table — the form a real pipeline
+    persists between ingests so each increment rehashes only the new
+    batch, never the accumulated corpus.
+
+    Scale: both sides reduce to (hash, min-id) / distinct-hash tables
+    before the anti-join, so every shuffle is keyed on the 256-bit
+    content hash and carries one row per distinct content — no text ever
+    shuffles, nothing is ever compared pairwise. Returns the surviving
+    ``batch`` rows with their original columns.
+    """
+    bh = batch.select(F.col(id_col), content_hash(text_col).alias("_h"))
+    winners = bh.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    if seen_is_hashes:
+        seen_h = seen.select("_h").distinct()
+    else:
+        seen_h = seen.select(content_hash(text_col).alias("_h")).distinct()
+    fresh = winners.join(seen_h, "_h", "left_anti").drop("_h")
+    return batch.join(fresh, id_col, "left_semi")
+
+
 def boilerplate_ngrams(
     docs: DataFrame,
     n: int = 3,

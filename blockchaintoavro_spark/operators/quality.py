@@ -73,6 +73,50 @@ def tfidf_topk(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm: DataFrame | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document unigram-LM cross-entropy in bits/token — the
+    CCNet-style fluency/quality signal (low = natural text, high =
+    gibberish or vocabulary the LM has never seen).
+
+    ``lm`` is a ``(tk, _c, _n)`` token-count table (count + corpus
+    total); by default it is fit on ``docs`` itself, but a real pipeline
+    passes the LM fit on a clean reference corpus and persists it
+    between runs. Returns ``(id, n_tokens, bits_per_token)``.
+
+    Scale: the LM collapses to one row per distinct token before
+    anything joins it — the vocabulary is broadcast when it fits
+    (``broadcast_vocab``), else the probe is a token-keyed equi-join
+    (postings-shaped, linear). The per-doc average partial-aggregates
+    map-side over the exploded tokens (a doc's tokens stay in its scan
+    partition), so the doc-keyed shuffle carries ~one row per doc.
+    """
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tk")
+    )
+    if lm is None:
+        cnt = toks.groupBy("tk").agg(F.count("*").alias("_c"))
+        tot = cnt.agg(F.sum("_c").alias("_n"))
+        lm = cnt.crossJoin(F.broadcast(tot))
+    probe = F.broadcast(lm) if broadcast_vocab else lm
+    nll = -F.log2(F.col("_c").cast("double") / F.col("_n").cast("double"))
+    return (
+        toks.join(probe, "tk")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg(nll).alias("bits_per_token"),
+        )
+    )
+
+
 def _hash_bucket(key: Column) -> Column:
     """First two md5 hex chars of the key's string form: a uniform,
     engine-portable 256-bucket hash (lexicographic threshold = fraction).

@@ -1113,3 +1113,118 @@ def x_boiler(spark: SparkSession, sf: str) -> DataFrame:
     return boilerplate_ngrams(d, n=3, min_docs=5).orderBy(
         F.col("n_docs").desc(), "gram"
     )
+
+
+@declare(
+    "x_boilerplate_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents),
+           UNNEST(range(1, len(toks)-3+2)) AS t(i)
+    ), dg AS (
+      SELECT DISTINCT doc_id, g FROM g
+    ), bp AS (
+      SELECT g FROM dg GROUP BY g HAVING COUNT(*) >= 5
+    ), per AS (
+      SELECT doc_id, COUNT(*) AS total_grams,
+             SUM(CASE WHEN g IN (SELECT g FROM bp) THEN 1 ELSE 0 END) AS bp_grams
+      FROM dg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.total_grams, 0) AS BIGINT) AS total_grams,
+           CAST(COALESCE(p.bp_grams, 0) AS BIGINT) AS bp_grams,
+           CAST(CAST(ROUND(COALESCE(p.bp_grams / p.total_grams, 0.0), 4)
+                AS DECIMAL(38,4)) AS DOUBLE) AS bp_ratio
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def x_boiler_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc boilerplate contamination (operators/dedup.py:
+    boilerplate_ratio): fraction of a doc's distinct 3-grams found in the
+    cross-doc template list — the scoring half of template removal. The
+    tiny gram list broadcasts; the hit count partial-aggregates before
+    its one doc-keyed shuffle."""
+    from ..operators.dedup import boilerplate_ngrams, boilerplate_ratio
+
+    d = t(spark, sf, "documents")
+    grams = boilerplate_ngrams(d, n=3, min_docs=5)
+    r = boilerplate_ratio(d, grams, n=3)
+    return r.select(
+        "doc_id", "total_grams", "bp_grams",
+        dbl(F.col("bp_ratio")).alias("bp_ratio"),
+    ).orderBy("doc_id")
+
+
+@declare(
+    "x_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+      FROM documents
+    ), cnt AS (
+      SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(ROUND(AVG(-log2(CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 4)
+                AS DECIMAL(38,4)) AS DOUBLE) AS bits_per_token
+    FROM tok t JOIN cnt c USING (tk) CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def x_unigram_lp(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style unigram-LM fluency score (operators/quality.py:
+    unigram_logprob): per-doc cross-entropy in bits/token under the
+    corpus unigram LM. The LM collapses to one row per distinct token
+    and broadcasts; the per-doc average partial-aggregates before its
+    one doc-keyed shuffle."""
+    from ..operators.quality import unigram_logprob
+
+    d = t(spark, sf, "documents")
+    r = unigram_logprob(d)
+    return r.select(
+        "doc_id", "n_tokens",
+        dbl(F.col("bits_per_token")).alias("bits_per_token"),
+    ).orderBy("doc_id")
+
+
+@declare(
+    "x_incremental_dedup",
+    oracle="""
+    WITH hs AS (
+      SELECT doc_id, source,
+             sha256(array_to_string(string_split(lower(text), ' '), ' ')) AS h
+      FROM documents
+    ), old AS (
+      SELECT DISTINCT h FROM hs WHERE source = 'src0'
+    ), batch_win AS (
+      SELECT h, MIN(doc_id) AS doc_id
+      FROM hs WHERE source <> 'src0' GROUP BY h
+    )
+    SELECT w.doc_id, hs.source
+    FROM batch_win w JOIN hs USING (doc_id)
+    WHERE w.h NOT IN (SELECT h FROM old)
+    ORDER BY w.doc_id
+    """,
+)
+def x_incr_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingestion dedup (operators/dedup.py:
+    incremental_dedup): the src0 partition is the standing corpus, the
+    rest is the new batch — keep batch docs whose content hash is new,
+    min-id winner within the batch. All shuffles are keyed on the
+    content hash and carry one row per distinct content; no text is
+    ever compared pairwise."""
+    from ..operators.dedup import incremental_dedup
+
+    d = t(spark, sf, "documents")
+    seen = d.filter(F.col("source") == "src0")
+    batch = d.filter(F.col("source") != "src0")
+    return incremental_dedup(batch, seen).select("doc_id", "source").orderBy(
+        "doc_id"
+    )

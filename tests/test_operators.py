@@ -267,6 +267,73 @@ def test_tfidf_topk_known_corpus(spark):
     assert sorted(top) == [(d, r) for d in (1, 2, 3) for r in (1, 2)]
 
 
+def test_boilerplate_ratio_known_answer(spark):
+    """Hand-provided gram list: doc 1 has 3 distinct 3-grams, one of which
+    is boilerplate (ratio 1/3); doc 2 is too short for any 3-gram and must
+    survive with ratio 0.0 (the left-join-back rule)."""
+    from blockchaintoavro_spark.operators.dedup import boilerplate_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "all rights reserved by me"), (2, "xy z"), (3, "no template span here")],
+        "doc_id long, text string",
+    )
+    grams = spark.createDataFrame([("all rights reserved",)], "gram string")
+    got = {r.doc_id: r for r in boilerplate_ratio(docs, grams, n=3).collect()}
+    assert (got[1].total_grams, got[1].bp_grams) == (3, 1)
+    assert got[1].bp_ratio == pytest.approx(1 / 3)
+    assert (got[2].total_grams, got[2].bp_grams, got[2].bp_ratio) == (0, 0, 0.0)
+    assert (got[3].total_grams, got[3].bp_grams, got[3].bp_ratio) == (2, 0, 0.0)
+
+
+def test_incremental_dedup_known_answer(spark):
+    """Batch vs standing corpus: exact-content rows (case-folded) drop,
+    within-batch dups keep the min id, fresh content survives."""
+    from blockchaintoavro_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "A B"),      # dup of seen doc 1 (case-insensitive) → drop
+            (11, "x y"),      # fresh → keep
+            (12, "X Y"),      # within-batch dup of 11 → drop
+            (13, "c d"),      # dup of seen doc 2 → drop
+            (14, "fresh solo text"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in incremental_dedup(batch, seen).collect())
+    assert kept == [11, 14]
+    # precomputed-hash form (the persisted-state shape) agrees
+    from blockchaintoavro_spark.operators.dedup import content_hash
+
+    seen_h = seen.select(content_hash("text").alias("_h"))
+    kept2 = sorted(
+        r.doc_id
+        for r in incremental_dedup(batch, seen_h, seen_is_hashes=True).collect()
+    )
+    assert kept2 == kept
+
+
+def test_unigram_logprob_known_corpus(spark):
+    """Hand-computed corpus LM: counts a:2 b:2 c:1 over n=5 tokens;
+    doc 1 = [a a b] → H = log2(5/2); doc 2 = [b c] → (log2(5/2)+log2(5))/2."""
+    import math
+
+    from blockchaintoavro_spark.operators.quality import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 2
+    assert got[1].bits_per_token == pytest.approx(math.log2(5 / 2))
+    assert got[2].bits_per_token == pytest.approx(
+        (math.log2(5 / 2) + math.log2(5)) / 2
+    )
+
+
 def test_contamination_hits_and_decontaminate(spark):
     """Known-answer n-gram decontamination: doc 1 shares the 3-gram
     'c d e' with the contaminant, doc 2 shares two distinct 3-grams,

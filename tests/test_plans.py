@@ -209,6 +209,28 @@ def test_decontaminate_broadcasts_contaminant_grams(spark, registry, sf_dir):
     assert "SortMergeJoin" not in s
 
 
+def test_corpus_scoring_joins_broadcast_small_side(spark, registry, sf_dir):
+    """Boilerplate-gram and unigram-LM probes broadcast their (small)
+    model side — the 100 TB doc side never shuffles its exploded grams —
+    and the per-doc counts partial-aggregate before the doc-keyed
+    exchange."""
+    for name in ("x_boilerplate_ratio", "x_unigram_logprob"):
+        s = plan_of(spark, registry, name, sf_dir, mode="simple")
+        assert "BroadcastHashJoin" in s, name
+        assert "SortMergeJoin" not in s, name
+    p = plan_of(spark, registry, "x_unigram_logprob", sf_dir)
+    assert "partial_count" in p or "partial_avg" in p
+
+
+def test_incremental_dedup_hash_keyed_anti_join(spark, registry, sf_dir):
+    """The batch-vs-corpus probe is an equi anti-join on the content
+    hash — one row per distinct content on each side, never a nested
+    loop or pairwise text comparison."""
+    s = plan_of(spark, registry, "x_incremental_dedup", sf_dir, mode="simple")
+    assert "LeftAnti" in s
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+
+
 def test_no_query_uses_python_row_udf(spark, registry, sf_dir):
     """Hot paths stay JVM-side: no row-at-a-time BatchEvalPython in any
     declared relational/extended plan (ArrowEvalPython — pandas UDFs —
