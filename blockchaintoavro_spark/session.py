@@ -70,6 +70,14 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # static conf on a live session — keep going
     _ship_package(spark)
+    try:
+        # make the engine's Avro OCF format available as
+        # spark.read/write.format("avro_ocf") on any session
+        from .sources.avro_datasource import register
+
+        register(spark)
+    except Exception:
+        pass  # an exotic session without Python data-source support
     return spark
 
 

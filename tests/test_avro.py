@@ -148,6 +148,75 @@ def test_rotated_sink_writes_real_avro_and_rereads(tmp_path, spark):
     assert _as_dicts(back, "ingest_id") == _as_dicts(expected, "ingest_id")
 
 
+def test_avro_ocf_datasource_roundtrip(tmp_path, spark):
+    """The registered Spark 4 Python DataSource: df.write.format("avro_ocf")
+    → spark.read.format("avro_ocf") round-trips the documents fixture,
+    flat and hive-partitioned, with self-described schema."""
+    from blockchaintoavro_spark.sources import avro_datasource as ads
+
+    ads.register(spark)
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    flat = str(tmp_path / "flat")
+    df.write.format("avro_ocf").mode("overwrite").save(flat)
+    back = spark.read.format("avro_ocf").load(flat)
+    assert back.schema == df.schema
+    assert _as_dicts(back, "doc_id") == _as_dicts(df, "doc_id")
+
+    part = str(tmp_path / "part")
+    df2 = df.withColumn("bucket", (F.col("doc_id") % 4).cast("long"))
+    (
+        df2.write.format("avro_ocf")
+        .mode("overwrite")
+        .option("partition_col", "bucket")
+        .save(part)
+    )
+    pb = spark.read.format("avro_ocf").option("partition_col", "bucket").load(part)
+    assert pb.count() == df.count()
+    got = pb.filter(F.col("bucket") == 2).drop("bucket")
+    want = df2.filter(F.col("bucket") == 2).drop("bucket")
+    assert _as_dicts(got, "doc_id") == _as_dicts(want, "doc_id")
+
+
+def test_avro_ocf_datasource_prunes_partitions(tmp_path, spark):
+    """pushFilters consumes partition-column predicates by shrinking the
+    file list — a bucket=2 scan opens exactly the bucket=2 file(s), the
+    partition-pruning contract parquet scans get from Catalyst."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from blockchaintoavro_spark.sources import avro_datasource as ads
+
+    ads.register(spark)
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("bucket", (F.col("doc_id") % 4).cast("long"))
+        .coalesce(1)
+    )
+    part = str(tmp_path / "pruned")
+    (
+        df.write.format("avro_ocf")
+        .mode("overwrite")
+        .option("partition_col", "bucket")
+        .save(part)
+    )
+    opts = {"path": part, "partition_col": "bucket"}
+    schema = ads.AvroOCFDataSource(opts).schema()
+
+    r = ads.AvroOCFReader(schema, opts)
+    n_all = len(r.partitions())
+    assert n_all == 4
+    leftovers = list(r.pushFilters([EqualTo(("bucket",), 2)]))
+    assert leftovers == []  # consumed: Spark won't re-evaluate it
+    assert len(r.partitions()) == 1
+
+    r2 = ads.AvroOCFReader(schema, opts)
+    # non-partition predicates must be handed back untouched
+    keep = EqualTo(("lang",), "en")
+    left = list(r2.pushFilters([GreaterThanOrEqual(("bucket",), 2), keep]))
+    assert left == [keep]
+    assert len(r2.partitions()) == 2
+
+
 def test_rotated_append_suffix_isolates_batches(tmp_path, spark):
     """Streaming-commit contract: batch-suffixed appends land side by side
     and a replayed batch overwrites its own files (idempotent)."""
