@@ -117,6 +117,54 @@ def unigram_logprob(
     )
 
 
+def score_buckets(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    labels: Sequence[str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style quality bucketing: rank every row by ``score_col``
+    (ascending — low perplexity first) and split into ``len(labels)``
+    equal tiles. Rank-based tiling is *boundary-exact across engines*:
+    the (score, id) ordering is a total order, so no float-threshold
+    comparison can flip a row's bucket between Spark and an oracle.
+
+    Scale cliff (deliberate, same as dq34's exact percentiles): the
+    un-partitioned ntile needs a global sort of the per-doc score table.
+    At 100 TB use :func:`threshold_buckets` with cutoffs from
+    ``approx_percentile`` or a held-out calibration corpus — CCNet's
+    actual production shape (fixed perplexity cutoffs).
+    """
+    from pyspark.sql import Window
+
+    k = len(labels)
+    w = Window.orderBy(F.asc(score_col), F.asc(id_col))
+    tile = F.ntile(k).over(w)
+    label = F.lit(labels[-1])
+    for i in range(k - 1, 0, -1):
+        label = F.when(tile == i, labels[i - 1]).otherwise(label)
+    return scored.withColumn("bucket", label)
+
+
+def threshold_buckets(
+    scored: DataFrame,
+    score_col: str,
+    cutoffs: Sequence[float],
+    labels: Sequence[str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Production bucketing: fixed score cutoffs (ascending), row-local
+    CASE — zero shuffle, pipelines in the scan stage at any scale.
+    ``len(labels) == len(cutoffs) + 1``; row goes to the first label
+    whose cutoff its score is ``<=``.
+    """
+    if len(labels) != len(cutoffs) + 1:
+        raise ValueError("need len(labels) == len(cutoffs) + 1")
+    label = F.lit(labels[-1])
+    for i in range(len(cutoffs) - 1, -1, -1):
+        label = F.when(F.col(score_col) <= cutoffs[i], labels[i]).otherwise(label)
+    return scored.withColumn("bucket", label)
+
+
 def _hash_bucket(key: Column) -> Column:
     """First two md5 hex chars of the key's string form: a uniform,
     engine-portable 256-bucket hash (lexicographic threshold = fraction).

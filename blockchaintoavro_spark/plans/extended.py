@@ -1195,6 +1195,46 @@ def x_unigram_lp(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_ppl_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+      FROM documents
+    ), cnt AS (
+      SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt
+    ), sc AS (
+      SELECT t.doc_id,
+             CAST(CAST(ROUND(AVG(-log2(CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 4)
+                  AS DECIMAL(38,4)) AS DOUBLE) AS bits4
+      FROM tok t JOIN cnt c USING (tk) CROSS JOIN tot
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, bits4,
+           CASE NTILE(3) OVER (ORDER BY bits4, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM sc ORDER BY doc_id
+    """,
+)
+def x_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (operators/quality.py:
+    score_buckets): rank-tile the per-doc unigram-LM score — rank-based
+    tiling is boundary-exact across engines (a total (score, id) order,
+    no float-threshold flips). The global ntile is the declared oracle
+    form; at 100 TB the production path is threshold_buckets with
+    approx_percentile / held-out cutoffs (row-local, shuffle-free)."""
+    from ..operators.quality import score_buckets, unigram_logprob
+
+    d = t(spark, sf, "documents")
+    s = unigram_logprob(d).select(
+        "doc_id", dbl(F.col("bits_per_token")).alias("bits4")
+    )
+    return score_buckets(s, "bits4").orderBy("doc_id")
+
+
+@declare(
     "x_incremental_dedup",
     oracle="""
     WITH hs AS (

@@ -334,6 +334,34 @@ def test_unigram_logprob_known_corpus(spark):
     )
 
 
+def test_score_buckets_rank_tiling(spark):
+    """5 rows / 3 tiles → sizes 2,2,1 in (score, id) order; ties broken
+    by id so the assignment is a total order."""
+    from blockchaintoavro_spark.operators.quality import score_buckets
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0), (3, 3.0), (4, 1.0), (5, 4.0)],
+        "doc_id long, s double",
+    )
+    got = {r.doc_id: r.bucket for r in score_buckets(df, "s").collect()}
+    # order: (1.0,2) (1.0,4) | (3.0,3) (4.0,5) | (5.0,1)
+    assert got == {2: "head", 4: "head", 3: "middle", 5: "middle", 1: "tail"}
+
+
+def test_threshold_buckets_row_local(spark):
+    from blockchaintoavro_spark.operators.quality import threshold_buckets
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 2.0), (3, 9.0), (4, 2.0001)], "doc_id long, s double"
+    )
+    got = {
+        r.doc_id: r.bucket
+        for r in threshold_buckets(df, "s", [2.0, 5.0]).collect()
+    }
+    # boundary 2.0 is inclusive on the lower bucket
+    assert got == {1: "head", 2: "head", 3: "tail", 4: "middle"}
+
+
 def test_contamination_hits_and_decontaminate(spark):
     """Known-answer n-gram decontamination: doc 1 shares the 3-gram
     'c d e' with the contaminant, doc 2 shares two distinct 3-grams,
