@@ -13,6 +13,8 @@ from __future__ import annotations
 import json
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -111,6 +113,45 @@ def test_ocf_readable_by_official_java_avro(tmp_path, spark):
     tx0 = got[0].get("txs").get(0)
     assert str(tx0.get("tid")) == "t1"
     assert [tx0.get("vals").get(i) for i in range(3)] == [1, -2, 3]
+
+
+_longs = st.integers(-(2**63), 2**63 - 1)
+_records = st.fixed_dictionaries(
+    {
+        "id": _longs,
+        "name": st.none() | st.text(max_size=20),
+        "payload": st.none() | st.binary(max_size=20),
+        "score": st.none() | st.floats(allow_nan=False, width=64),
+        "ok": st.none() | st.booleans(),
+        "txs": st.none()
+        | st.lists(
+            st.fixed_dictionaries(
+                {
+                    "tid": st.none() | st.text(max_size=8),
+                    "vals": st.none() | st.lists(_longs, max_size=5),
+                }
+            ),
+            max_size=4,
+        ),
+    }
+)
+
+
+@given(st.lists(_records, max_size=20), st.sampled_from(["null", "deflate"]))
+@settings(max_examples=75, deadline=None)
+def test_ocf_codec_roundtrip_property(records, codec):
+    """Hand-written binary codec hardening: arbitrary unicode, int64
+    extremes (zigzag varint edges), ±inf doubles, empty/None at every
+    optional position — write/read must be the identity."""
+    import tempfile
+
+    sch = spark_to_avro_schema(NESTED_SCHEMA, "Block")
+    with tempfile.TemporaryDirectory(prefix="ocf_prop_") as d:
+        path = d + "/prop.avro"
+        assert write_ocf(path, sch, records, codec) == len(records)
+        schema_back, back = read_ocf(path)
+    assert schema_back == sch  # header carries the schema even when empty
+    assert back == records
 
 
 def _as_dicts(df, order_key):
