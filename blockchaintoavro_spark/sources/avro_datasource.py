@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -91,6 +92,22 @@ class _Committed(WriterCommitMessage):
     files: tuple[tuple[str, int], ...] = ()
 
 
+def _read_file_partition(
+    schema: T.StructType, pcol: str | None, partition: "_FilePartition"
+) -> Iterator[Any]:
+    """Shared batch/stream partition read: one OCF file → Arrow batches."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    _, records = read_ocf(partition.path)
+    if pcol:
+        for r in records:
+            r[pcol] = partition.part_value
+    if records:
+        yield from pa.Table.from_pylist(records, schema=arrow_schema).to_batches()
+
+
 class AvroOCFReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options: dict) -> None:
         self._schema = schema
@@ -138,16 +155,55 @@ class AvroOCFReader(DataSourceReader):
         return [_FilePartition(p, v) for p, v in self._files]
 
     def read(self, partition: _FilePartition) -> Iterator[Any]:
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
+        return _read_file_partition(self._schema, self._pcol, partition)
 
-        arrow_schema = to_arrow_schema(self._schema)
-        _, records = read_ocf(partition.path)
-        if self._pcol:
-            for r in records:
-                r[self._pcol] = partition.part_value
-        if records:
-            yield from pa.Table.from_pylist(records, schema=arrow_schema).to_batches()
+
+class AvroOCFStreamReader(DataSourceStreamReader):
+    """Micro-batch source over an append-only ``.avro`` drop directory —
+    the layout the rotated sink produces continuously (the reference
+    daemon's output surface, AvroWriter.java).
+
+    Offsets are the sorted list of files seen, the same bookkeeping
+    Spark's own FileStreamSource keeps: a replayed micro-batch re-plans
+    from the *logged* (start, end) file lists, so recovery re-reads
+    exactly the original files (idempotent with the sink's batch-suffix
+    contract). Each new file is one InputPartition read executor-side,
+    Arrow-batched — the driver only globs names. Scale note: offset
+    size grows with file count; compact retired windows out of the drop
+    dir (the rotation contract) to bound it.
+    """
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self._schema = schema
+        self._path = options["path"]
+        self._pcol = options.get("partition_col")
+        self._ptype = options.get("partition_type", "long")
+
+    def _current_files(self) -> list[str]:
+        return [p for p, _ in _list_files(self._path, self._pcol, self._ptype)]
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._current_files()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        new = sorted(set(end["files"]) - set(start["files"]))
+        out = []
+        for p in new:
+            if self._pcol:
+                raw = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+                out.append(_FilePartition(p, _part_value(raw, self._ptype)))
+            else:
+                out.append(_FilePartition(p, None))
+        return out
+
+    def read(self, partition: _FilePartition) -> Iterator[Any]:
+        return _read_file_partition(self._schema, self._pcol, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable once rotated; nothing to release
 
 
 class AvroOCFArrowWriter(DataSourceArrowWriter):
@@ -241,6 +297,9 @@ class AvroOCFDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> AvroOCFReader:
         return AvroOCFReader(schema, dict(self.options))
+
+    def streamReader(self, schema: T.StructType) -> AvroOCFStreamReader:
+        return AvroOCFStreamReader(schema, dict(self.options))
 
     def writer(self, schema: T.StructType, overwrite: bool) -> AvroOCFArrowWriter:
         return AvroOCFArrowWriter(schema, dict(self.options), overwrite)

@@ -258,6 +258,50 @@ def test_avro_ocf_datasource_prunes_partitions(tmp_path, spark):
     assert len(r2.partitions()) == 2
 
 
+def test_avro_ocf_stream_reader_incremental(tmp_path, spark):
+    """Streaming source over an append-only avro drop dir: the first
+    micro-batch reads the initial files; after a checkpointed restart
+    only files new since the logged offset are read."""
+    from blockchaintoavro_spark.sources import avro_datasource as ads
+
+    ads.register(spark)
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    drop = str(tmp_path / "drop")
+    ck = str(tmp_path / "ck")
+    sink = str(tmp_path / "sink")
+
+    df.filter(F.col("doc_id") < 100).write.format("avro_ocf").mode(
+        "append"
+    ).save(drop)
+
+    def run_once():
+        q = (
+            spark.readStream.format("avro_ocf")
+            .load(drop)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 100
+
+    (
+        df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+        .write.format("avro_ocf")
+        .mode("append")
+        .save(drop)
+    )
+    run_once()
+    got = spark.read.parquet(sink)
+    # restart consumed only files new since the logged offset: no dups
+    assert got.count() == 150
+    assert got.select("doc_id").distinct().count() == 150
+
+
 def test_rotated_append_suffix_isolates_batches(tmp_path, spark):
     """Streaming-commit contract: batch-suffixed appends land side by side
     and a replayed batch overwrites its own files (idempotent)."""
