@@ -692,6 +692,8 @@ def dq29b(spark: SparkSession, sf: str) -> DataFrame:
 
 @declare(
     "dq30_sessionize",
+    bench=True,  # events-backed headline entry: a green bench can no longer
+    # mask a broken load_events path (round-2 lesson, ADVICE.md)
     oracle="""
     WITH x AS (
       SELECT user_id, ts, event_id,
