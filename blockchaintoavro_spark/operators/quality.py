@@ -348,3 +348,95 @@ def budget_mixture(
         )
         .where(F.col("cum_before") < b)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+# Models" appendix A — the publicly documented heuristic filter suite)
+
+
+def gopher_metrics(
+    text: Column,
+    stopwords: Sequence[str] = ("the", "a", "of", "to", "and", "in"),
+) -> dict[str, Column]:
+    """Per-document quality metrics behind the Gopher rules: word count,
+    mean word length, duplicate-trigram ratio, and stopword hit count.
+
+    Entirely JVM-side HOFs over one ``split`` — row-local, zero shuffle,
+    pipelines inside the parquet scan at any scale (same posture as
+    :func:`dup_ngram_ratio`, which supplies the repetition metric).
+    """
+    toks = F.split(F.lower(text), " ")
+    n = F.size(toks)
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
+        )
+        / n
+    )
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": mean_len,
+        "dup3_ratio": dup_ngram_ratio(text, 3),
+        "n_stop_hits": n_stop.cast("long"),
+    }
+
+
+def gopher_pass(
+    m: Mapping[str, Column],
+    min_words: int = 15,
+    max_words: int = 10_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    max_dup3: float = 0.25,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The Gopher keep/drop decision over :func:`gopher_metrics` output
+    (bounds are the paper's, rescaled to the fixture's 10-99-word docs)."""
+    return (
+        m["n_words"].between(min_words, max_words)
+        & (m["mean_word_len"] >= min_mean_len)
+        & (m["mean_word_len"] <= max_mean_len)
+        & (m["dup3_ratio"] <= max_dup3)
+        & (m["n_stop_hits"] >= min_stop_hits)
+    )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding token-window chunking (RAG / retrieval indexing prep): cut
+    each document's whitespace tokens into windows of ``size`` tokens
+    starting every ``stride`` (overlap = size - stride), emitting
+    ``(id, chunk_id, n_tokens, chunk_text)``.
+
+    The window generation is ``sequence`` + ``slice`` + ``posexplode`` —
+    a Generate over row-local arrays with no shuffle and no Python; at
+    100 TB the chunker is scan-stage-parallel and output size is a
+    predictable ``~n_tokens/stride`` rows per doc. Chunk boundaries
+    depend only on the document itself, so appends never re-chunk old
+    rows (same determinism contract as hash_split).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, size))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "_ctoks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("_ctoks").cast("long").alias("n_tokens"),
+            F.array_join("_ctoks", " ").alias("chunk_text"),
+        )
+    )

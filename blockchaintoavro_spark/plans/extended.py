@@ -1268,3 +1268,108 @@ def x_incr_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return incremental_dedup(batch, seen).select("doc_id", "source").orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: Gopher quality rules, RAG chunking, Bloom decontamination
+
+
+@declare(
+    "x_gopher_rules",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, toks, len(toks) AS n_words,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                       * 1.0 / len(toks) END AS mean_word_len,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS g3,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','a','of','to','and','in'], x))) AS n_stop_hits
+      FROM s
+    ), r AS (
+      SELECT doc_id, n_words, mean_word_len, n_stop_hits,
+             CASE WHEN len(g3) = 0 THEN 0.0
+                  ELSE (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3)
+             END AS dup3_ratio
+      FROM m
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(CAST(ROUND(mean_word_len, 4) AS DECIMAL(38,4)) AS DOUBLE) AS mean_word_len,
+           CAST(CAST(ROUND(dup3_ratio, 4) AS DECIMAL(38,4)) AS DOUBLE) AS dup3_ratio,
+           CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+           CAST(n_words BETWEEN 15 AND 10000 AND mean_word_len >= 2.0
+                AND mean_word_len <= 10.0 AND dup3_ratio <= 0.25
+                AND n_stop_hits >= 2 AS BIGINT) AS keep
+    FROM r ORDER BY doc_id
+    """,
+)
+def x_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (operators/quality.py:
+    gopher_metrics/gopher_pass — word-count, mean-word-length,
+    duplicate-trigram, stopword-presence bounds). Row-local HOFs, zero
+    shuffle; the keep flag is rendered as BIGINT so boolean formatting
+    can never hash-diverge between engines."""
+    from ..operators.quality import gopher_metrics, gopher_pass
+
+    d = t(spark, sf, "documents")
+    m = gopher_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        dbl(m["mean_word_len"]).alias("mean_word_len"),
+        dbl(m["dup3_ratio"]).alias("dup3_ratio"),
+        m["n_stop_hits"].alias("n_stop_hits"),
+        gopher_pass(m).cast("long").alias("keep"),
+    ).orderBy("doc_id")
+
+
+@declare(
+    "x_doc_chunks",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents WHERE doc_id < 100
+    ), c AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(0, len(toks) - 1, 24)) AS start
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def x_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding token-window RAG chunking (operators/quality.py:
+    chunk_tokens, 32-token windows every 24): sequence + slice +
+    posexplode — a Generate over row-local arrays, shuffle-free and
+    append-stable at any corpus size."""
+    from ..operators.quality import chunk_tokens
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return chunk_tokens(d, size=32, stride=24).orderBy("doc_id", "chunk_id")
+
+
+@declare("x_bloom_decontaminate", oracle=None)
+def x_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-bitset decontamination scale path (operators/dedup.py:
+    contamination_hits_bloom): contaminant 13-grams → broadcast bitset
+    (xxhash64 positions, built and probed with the SAME JVM expression),
+    doc side probes with a vectorized Arrow-batch bit test — no join, no
+    contaminant-side shuffle. Engine-defined hashing → rows-only driver
+    check; the no-false-negative / bounded-false-positive contract vs the
+    exact contamination_hits is test-asserted (tests/test_operators.py).
+    Contaminants here: documents doc_id < 20 replayed against the corpus
+    (same fixture convention as x_decontaminate)."""
+    from ..operators.dedup import contamination_hits_bloom
+
+    d = t(spark, sf, "documents")
+    cont = d.filter(F.col("doc_id") < 20)
+    return contamination_hits_bloom(d, cont, n=13).orderBy("doc_id")

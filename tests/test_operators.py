@@ -899,3 +899,104 @@ def test_budget_mixture_invariants(spark):
     ).collect()
     key = lambda r: (r["source"], r["doc_id"])  # noqa: E731
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+# ---------------------------------------------------------------------------
+# round 3: Gopher rules, token chunking, Bloom decontamination
+
+
+def test_gopher_metrics_known_vector(spark):
+    """Metrics on a hand-computed document."""
+    from blockchaintoavro_spark.operators.quality import (
+        gopher_metrics,
+        gopher_pass,
+    )
+
+    txt = "the cat sat on the mat the cat sat on the mat"  # 12 words
+    df = spark.createDataFrame([(txt,)], "text string")
+    m = gopher_metrics(F.col("text"))
+    row = df.select(
+        m["n_words"].alias("nw"),
+        m["mean_word_len"].alias("ml"),
+        m["dup3_ratio"].alias("d3"),
+        m["n_stop_hits"].alias("st"),
+        gopher_pass(m).alias("keep"),
+    ).first()
+    assert row["nw"] == 12
+    assert abs(row["ml"] - 34 / 12) < 1e-12  # char sum 34 over 12 words
+    # trigrams: 10 total, 6 distinct -> 4 duplicates
+    assert abs(row["d3"] - 0.4) < 1e-12
+    assert row["st"] == 4  # 'the' x4; no other stopword present
+    assert row["keep"] is False  # dup3 0.4 > 0.25 and n_words 12 < 15
+
+
+def test_chunk_tokens_invariants(spark, sf_dir):
+    """Every token position is covered, chunks except the last are full
+    size, and overlap equals size - stride."""
+    from blockchaintoavro_spark.operators.quality import chunk_tokens
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    out = chunk_tokens(d, size=32, stride=24).collect()
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ") for r in d.collect()
+    }
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        toks = docs[doc_id]
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        for i, r in enumerate(rows):
+            ct = r["chunk_text"].split(" ")
+            assert r["n_tokens"] == len(ct)
+            assert ct == toks[i * 24 : i * 24 + 32]  # exact window content
+        # chunk starts cover every token: last start < n <= last start + 32
+        last_start = (len(rows) - 1) * 24
+        assert last_start < len(toks) <= last_start + 32 or len(toks) <= 32
+
+
+def test_bloom_superset_of_exact_and_fp_bounded(spark, sf_dir):
+    """Bloom decontamination must flag every exactly-contaminated doc (no
+    false negatives) and not balloon the flagged set (FP rate bound)."""
+    from blockchaintoavro_spark.operators.dedup import (
+        contamination_hits,
+        contamination_hits_bloom,
+    )
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cont = d.filter(F.col("doc_id") < 20)
+    exact = {r["doc_id"] for r in contamination_hits(d, cont, n=5).collect()}
+    bloom = {
+        r["doc_id"]
+        for r in contamination_hits_bloom(d, cont, n=5).collect()
+    }
+    assert exact <= bloom  # no false negatives
+    n_docs = d.count()
+    # with ~4e-4 gram FP rate, doc-level extras should stay tiny
+    assert len(bloom - exact) <= max(3, int(0.01 * n_docs))
+
+
+def test_bloom_hit_counts_match_exact_on_hits(spark, sf_dir):
+    """For truly contaminated docs the candidate count >= exact count."""
+    from blockchaintoavro_spark.operators.dedup import (
+        contamination_hits,
+        contamination_hits_bloom,
+    )
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cont = d.filter(F.col("doc_id") < 20)
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(d, cont, n=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits_bloom(d, cont, n=5).collect()
+    }
+    for doc_id, n in exact.items():
+        assert bloom[doc_id] >= n
