@@ -323,3 +323,27 @@ def test_semantic_cluster_partial_argmax(spark, registry, sf_dir):
     s = plan_of(spark, registry, "x_semantic_cluster", sf_dir, mode="simple")
     # broadcast of seeds + agg + cluster window + presentation sort
     assert s.count("Exchange") <= 4
+
+
+def test_gopher_and_chunks_shuffle_free(spark, registry, sf_dir):
+    """Gopher metrics and token chunking are row-local (HOFs / Generate):
+    the only Exchange allowed is the final presentation sort."""
+    for name in ("x_gopher_rules", "x_doc_chunks"):
+        s = plan_of(spark, registry, name, sf_dir, mode="simple")
+        assert s.count("Exchange") <= 1, name
+        assert "rangepartitioning" in s, name
+        assert "BatchEvalPython" not in s, name
+
+
+def test_bloom_decontaminate_no_join(spark, registry, sf_dir):
+    """The Bloom path must answer membership from the broadcast bitset:
+    no join operator anywhere, probe via vectorized Arrow batches (never
+    row-at-a-time Python), and the only shuffles are the per-doc hit
+    count + presentation sort."""
+    s = plan_of(spark, registry, "x_bloom_decontaminate", sf_dir, mode="simple")
+    for join_op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in s
+    assert "ArrowEvalPython" in s  # pandas UDF, Arrow-batched
+    assert "BatchEvalPython" not in s
+    assert s.count("Exchange") <= 2  # hit-count agg + orderBy
