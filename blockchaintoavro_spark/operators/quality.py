@@ -440,3 +440,110 @@ def chunk_tokens(
             F.array_join("_ctoks", " ").alias("chunk_text"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch global permutation for training-data
+    ordering: position = 1-based rank of ``md5(epoch || id)``. Every
+    epoch yields a different but fully reproducible order; re-runs (and
+    stragglers re-computing a lost partition) see the identical
+    permutation, unlike ``orderBy(rand(seed))`` whose output depends on
+    partitioning.
+
+    Scale: a global ``row_number()`` window would funnel the whole
+    corpus through ONE task (Spark's no-partition Window). Instead this
+    is the distributed global-rank (zipWithIndex) pattern: ONE range
+    shuffle on the hash (sampled balanced boundaries) + in-partition
+    sorts, local indices from ``monotonically_increasing_id`` (which
+    encodes partition id << 33 | in-partition row number — no Window,
+    no second shuffle), and a broadcast join of per-partition cumulative
+    offsets. The only driver-side data is one count per partition.
+    Ranks are exact because (hash, id) totally orders rows across the
+    range partitions; both jobs (offset count + final) plan the same
+    deterministic range exchange.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(str(epoch)), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), h.alias("shuffle_key"))
+    n_parts = int(
+        num_partitions
+        or keyed.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        keyed.repartitionByRange(n_parts, F.col("shuffle_key"), F.col(id_col))
+        .sortWithinPartitions(F.col("shuffle_key").asc(), F.col(id_col).asc())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn("_local", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = keyed.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
+    return ranged.join(F.broadcast(off_df), "_pid", "left").select(
+        id_col,
+        "shuffle_key",
+        (F.col("_local") + F.coalesce("_off", F.lit(0)) + 1)
+        .cast("long")
+        .alias("position"),
+    )
+
+
+def length_batches(
+    df: DataFrame,
+    token_count: Column,
+    batch_size: int = 8,
+    bucket_width: int = 25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assembly (padding-waste minimization): docs
+    are grouped into fixed-width token-length buckets, ordered
+    deterministically within each bucket, and cut into ``batch_size``
+    batches; per batch, report the padded cost (``batch max × size``)
+    against real tokens.
+
+    Shuffle profile: one hash shuffle on the bucket id + a per-bucket
+    sort — each bucket is an independent, bounded sort (same posture as
+    pack_sequences' per-shard windows); there is never a global order.
+    The returned ``padding_frac`` is the training-efficiency metric this
+    operator exists to minimize: batching random docs at the corpus's
+    length spread wastes ~30-50% of compute on pad tokens, bucketing
+    cuts it to ``< bucket_width / mean_len``.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count.cast("long")
+    bucket = F.floor(n_tok / bucket_width).cast("long")
+    w = Window.partitionBy(bucket).orderBy(F.col(id_col).asc())
+    rows = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        bucket.alias("bucket"),
+        F.floor((F.row_number().over(w) - 1) / batch_size)
+        .cast("long")
+        .alias("batch_id"),
+    )
+    return (
+        rows.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_tok").alias("max_len"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .withColumn(
+            "padding_frac",
+            (F.col("max_len") * F.col("n_docs") - F.col("sum_tokens"))
+            / (F.col("max_len") * F.col("n_docs")),
+        )
+    )

@@ -1373,3 +1373,121 @@ def x_bloom(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
     cont = d.filter(F.col("doc_id") < 20)
     return contamination_hits_bloom(d, cont, n=13).orderBy("doc_id")
+
+
+@declare(
+    "x_epoch_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5('7' || '|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS position
+    FROM h ORDER BY position
+    """,
+)
+def x_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-epoch training-order permutation
+    (operators/quality.py:epoch_shuffle, epoch=7): position = rank of
+    md5(epoch|doc_id) — reproducible across re-runs and partitionings,
+    unlike orderBy(rand(seed)). The one legitimate global sort in the
+    pipeline; range-partitioned, no single-reducer funnel."""
+    from ..operators.quality import epoch_shuffle
+
+    d = t(spark, sf, "documents")
+    return epoch_shuffle(d, epoch=7).orderBy("position")
+
+
+@declare(
+    "x_length_batches",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tok, CAST(n_tok // 25 AS BIGINT) AS bucket,
+             CAST((ROW_NUMBER() OVER (PARTITION BY n_tok // 25
+                                      ORDER BY doc_id) - 1) // 8 AS BIGINT)
+               AS batch_id
+      FROM s
+    )
+    SELECT bucket, batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(n_tok) AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(CAST(ROUND((MAX(n_tok) * COUNT(*) - SUM(n_tok)) * 1.0
+                           / (MAX(n_tok) * COUNT(*)), 4)
+                     AS DECIMAL(38,4)) AS DOUBLE) AS padding_frac
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x_length_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batch assembly (operators/quality.py:
+    length_batches, 25-token buckets, batches of 8) with per-batch
+    padding-waste accounting — per-bucket bounded sorts, never a global
+    order."""
+    from ..operators.quality import length_batches
+
+    d = t(spark, sf, "documents")
+    toks = F.size(F.split(F.lower("text"), " "))
+    out = length_batches(d, toks, batch_size=8, bucket_width=25)
+    return out.select(
+        "bucket",
+        "batch_id",
+        "n_docs",
+        "max_len",
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        dbl(F.col("padding_frac")).alias("padding_frac"),
+    ).orderBy("bucket", "batch_id")
+
+
+@declare(
+    "x_range_join_binned",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+    FROM (SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_d
+          FROM lineitem) l
+    JOIN (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+                 CAST(o_orderdate AS DATE) + 7 AS e
+          FROM orders WHERE o_orderkey < 100) o
+      ON l.ship_d >= o.s AND l.ship_d <= o.e
+    ORDER BY 1, 2, 3
+    """,
+)
+def x_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure interval containment join (NO equi key — the shape Catalyst
+    can only nested-loop): every lineitem shipped within 7 days of an
+    order's date, via operators/interval.py:bin_range_join — intervals
+    exploded onto 7-day bins, points mapped to one bin, plain equi-join
+    on the bin + exact refine. Plan-asserted: hash join, never a
+    nested loop."""
+    from ..operators.interval import bin_range_join
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            F.col("o_orderkey"),
+            F.col("o_orderdate").cast("date").alias("s"),
+            F.date_add(F.col("o_orderdate").cast("date"), 7).alias("e"),
+        )
+    )
+    out = bin_range_join(
+        li,
+        o,
+        F.unix_date(F.col("ship_d")),
+        F.unix_date(F.col("s")),
+        F.unix_date(F.col("e")),
+        bin_width=7,
+    )
+    return out.select("l_orderkey", "l_linenumber", "o_orderkey").orderBy(
+        "l_orderkey", "l_linenumber", "o_orderkey"
+    )

@@ -1000,3 +1000,86 @@ def test_bloom_hit_counts_match_exact_on_hits(spark, sf_dir):
     }
     for doc_id, n in exact.items():
         assert bloom[doc_id] >= n
+
+
+def test_epoch_shuffle_deterministic_and_permutes(spark, sf_dir):
+    """Same epoch -> identical order regardless of partitioning; different
+    epochs -> different order; output is a permutation of the input."""
+    from blockchaintoavro_spark.operators.quality import epoch_shuffle
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = epoch_shuffle(d, epoch=1).orderBy("position").collect()
+    b = epoch_shuffle(d.repartition(17), epoch=1).orderBy("position").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    c = epoch_shuffle(d, epoch=2).orderBy("position").collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in c]
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in c)
+    assert [r["position"] for r in a] == list(range(1, len(a) + 1))
+
+
+def test_length_batches_bounds_padding(spark, sf_dir):
+    """Every batch's spread is bounded by the bucket width, batches are
+    full except possibly the last per bucket, and padding_frac is exact."""
+    from blockchaintoavro_spark.operators.quality import length_batches
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.lower("text"), " "))
+    out = length_batches(d, toks, batch_size=8, bucket_width=25).collect()
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+        # max_len within the bucket's width window
+        assert r["bucket"] * 25 <= r["max_len"] < (r["bucket"] + 1) * 25
+        pad = (r["max_len"] * r["n_docs"] - r["sum_tokens"]) / (
+            r["max_len"] * r["n_docs"]
+        )
+        assert abs(pad - r["padding_frac"]) < 1e-12
+        # padding within a bucket can never exceed width/max_len
+        assert r["padding_frac"] <= 25 / r["max_len"]
+    for bucket, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["batch_id"])
+        assert all(r["n_docs"] == 8 for r in rows[:-1])  # only last ragged
+
+
+def test_bin_range_join_equals_naive_theta(spark, sf_dir):
+    """Binned interval join must reproduce the naive theta join exactly,
+    at several bin widths (replication/refine tradeoffs, same answer)."""
+    from blockchaintoavro_spark.operators.interval import bin_range_join
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 50)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("s"),
+            F.date_add(F.col("o_orderdate").cast("date"), 10).alias("e"),
+        )
+    )
+    naive = (
+        li.join(
+            o,
+            (F.col("ship_d") >= F.col("s"))
+            & (F.col("ship_d") <= F.col("e")),
+        )
+        .select("l_orderkey", "l_linenumber", "o_orderkey")
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert want, "fixture should produce interval matches"
+    for width in (3, 7, 30):
+        got = bin_range_join(
+            li,
+            o,
+            F.unix_date(F.col("ship_d")),
+            F.unix_date(F.col("s")),
+            F.unix_date(F.col("e")),
+            bin_width=width,
+        ).select("l_orderkey", "l_linenumber", "o_orderkey")
+        assert sorted(map(tuple, got.collect())) == want, f"width {width}"

@@ -347,3 +347,30 @@ def test_bloom_decontaminate_no_join(spark, registry, sf_dir):
     assert "ArrowEvalPython" in s  # pandas UDF, Arrow-batched
     assert "BatchEvalPython" not in s
     assert s.count("Exchange") <= 2  # hit-count agg + orderBy
+
+
+def test_epoch_shuffle_no_global_window_funnel(spark, registry, sf_dir):
+    """The global permutation must use the distributed zipWithIndex
+    pattern: one range exchange + in-partition sort, never a
+    single-partition Window (the 100 TB funnel) and no Window at all."""
+    s = plan_of(spark, registry, "x_epoch_shuffle", sf_dir, mode="simple")
+    assert "SinglePartition" not in s
+    assert "Window" not in s
+    assert "monotonically_increasing_id" in s
+
+
+def test_length_batches_per_bucket_sorts_only(spark, registry, sf_dir):
+    """Length-bucketed batching windows per bucket — partitioned sorts
+    only, no global-order Exchange besides the presentation sort."""
+    s = plan_of(spark, registry, "x_length_batches", sf_dir, mode="simple")
+    assert "SinglePartition" not in s
+
+
+def test_range_join_binned_is_equi_join(spark, registry, sf_dir):
+    """The binned interval join must plan as a hash equi-join on the bin
+    id — never the nested-loop Catalyst would pick for a pure range
+    predicate."""
+    s = plan_of(spark, registry, "x_range_join_binned", sf_dir, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
