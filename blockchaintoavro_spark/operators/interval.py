@@ -45,6 +45,8 @@ def bin_range_join(
     """
     if how != "inner":
         raise ValueError("bin_range_join supports inner joins only")
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
     p = points.withColumn("_bin", F.floor(point_key / bin_width))
     i = intervals.withColumn(
         "_bin",

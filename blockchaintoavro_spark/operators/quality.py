@@ -423,6 +423,8 @@ def chunk_tokens(
     depend only on the document itself, so appends never re-chunk old
     rows (same determinism contract as hash_split).
     """
+    if stride <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size (stride > size drops tokens)")
     toks = F.split(F.lower(F.col(text_col)), " ")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)

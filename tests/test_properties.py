@@ -139,3 +139,78 @@ def test_sessionize_spark_matches_python_twin(spark):
                 n += 1
         want[u] = n
     assert {r.user_id: r.n_sessions for r in got} == want
+
+
+# ---------------------------------------------------------------------------
+# round 3: binned range join and chunking properties
+
+
+@given(
+    st.lists(st.integers(-50, 150), min_size=0, max_size=25),
+    st.lists(
+        st.tuples(st.integers(-50, 150), st.integers(0, 60)),
+        min_size=0,
+        max_size=10,
+    ),
+    st.sampled_from([1, 3, 7, 40]),
+)
+@settings(max_examples=20, deadline=None)
+def test_bin_range_join_matches_bruteforce(spark, points, intervals, width):
+    """Binned join == brute-force containment for arbitrary integer
+    points/intervals (boundary hits, negative values, zero-length and
+    many-bin-spanning intervals) at several bin widths."""
+    import pyspark.sql.functions as F
+
+    from blockchaintoavro_spark.operators.interval import bin_range_join
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)] or [(None, None)],
+        "pid long, v long",
+    ).filter(F.col("pid").isNotNull())
+    idf = spark.createDataFrame(
+        [(j, s, s + span) for j, (s, span) in enumerate(intervals)]
+        or [(None, None, None)],
+        "iid long, s long, e long",
+    ).filter(F.col("iid").isNotNull())
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in bin_range_join(
+            pdf, idf, F.col("v"), F.col("s"), F.col("e"), bin_width=width
+        ).collect()
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, p in enumerate(points)
+        for ii, (s, span) in enumerate(intervals)
+        if s <= p <= s + span
+    )
+    assert got == want
+
+
+@given(
+    st.integers(1, 80),
+    st.tuples(st.integers(1, 20), st.integers(1, 20)).filter(
+        lambda t: t[1] <= t[0]
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_chunk_tokens_reconstructs_any_doc(spark, n_tokens, size_stride):
+    """For any doc length and any 0 < stride <= size: concatenating the
+    first chunk with each later chunk's non-overlapping tail rebuilds
+    the document exactly (no token lost or duplicated)."""
+    size, stride = size_stride
+    from blockchaintoavro_spark.operators.quality import chunk_tokens
+
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_tokens(df, size=size, stride=stride).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    rebuilt = rows[0]["chunk_text"].split(" ")
+    for r in rows[1:]:
+        ct = r["chunk_text"].split(" ")
+        overlap = len(rebuilt) - r["chunk_id"] * stride
+        assert ct[:overlap] == rebuilt[r["chunk_id"] * stride :]
+        rebuilt.extend(ct[overlap:])
+    assert rebuilt == toks
