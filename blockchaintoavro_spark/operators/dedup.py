@@ -501,9 +501,11 @@ def build_ngram_bloom(
     """
     import numpy as np
 
-    grams = contaminants.select(
-        F.explode(ngram_array(text_col, n)).alias("_g")
-    ).distinct()
+    grams = (
+        contaminants.select(F.explode(ngram_array(text_col, n)).alias("_g"))
+        .distinct()
+        .persist()  # count + positions jobs both read it; built once
+    )
     n_grams = max(grams.count(), 1)
     m = int(n_grams * bits_per_item)
     pos_cols = [
@@ -516,6 +518,7 @@ def build_ngram_bloom(
         .toPandas()["p"]
         .to_numpy()
     )
+    grams.unpersist()
     bits = np.zeros((m + 63) // 64, dtype=np.uint64)
     np.bitwise_or.at(
         bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)

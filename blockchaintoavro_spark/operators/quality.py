@@ -466,8 +466,13 @@ def epoch_shuffle(
     no second shuffle), and a broadcast join of per-partition cumulative
     offsets. The only driver-side data is one count per partition.
     Ranks are exact because (hash, id) totally orders rows across the
-    range partitions; both jobs (offset count + final) plan the same
-    deterministic range exchange.
+    range partitions. The ranged frame is persisted before the offset
+    count so the heavy scan + range shuffle + sort runs ONCE (Exchange
+    reuse does not span separate jobs) and the final plan is guaranteed
+    to read the same partitioning the offsets were counted on; a
+    partition id that somehow misses the offset map fails loudly
+    (assert_true) instead of silently mis-ranking. Callers streaming
+    the result into a write can ``.unpersist()`` the input afterwards.
     """
     h = F.md5(F.concat_ws("|", F.lit(str(epoch)), F.col(id_col).cast("string")))
     keyed = df.select(F.col(id_col), h.alias("shuffle_key"))
@@ -481,6 +486,7 @@ def epoch_shuffle(
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
         .withColumn("_local", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .persist()
     )
     counts = {
         r["_pid"]: r["n"]
@@ -493,12 +499,20 @@ def epoch_shuffle(
     off_df = keyed.sparkSession.createDataFrame(
         offsets or [(0, 0)], "_pid int, _off long"
     )
-    return ranged.join(F.broadcast(off_df), "_pid", "left").select(
-        id_col,
-        "shuffle_key",
-        (F.col("_local") + F.coalesce("_off", F.lit(0)) + 1)
-        .cast("long")
-        .alias("position"),
+    return (
+        ranged.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            "_ok",
+            F.assert_true(
+                F.col("_off").isNotNull(),
+                F.lit("epoch_shuffle: partition missing from offset map"),
+            ),
+        )
+        .select(
+            id_col,
+            "shuffle_key",
+            (F.col("_local") + F.col("_off") + 1).cast("long").alias("position"),
+        )
     )
 
 
@@ -545,7 +559,9 @@ def length_batches(
         )
         .withColumn(
             "padding_frac",
-            (F.col("max_len") * F.col("n_docs") - F.col("sum_tokens"))
-            / (F.col("max_len") * F.col("n_docs")),
+            F.when(F.col("max_len") > 0, (
+                F.col("max_len") * F.col("n_docs") - F.col("sum_tokens"))
+                / (F.col("max_len") * F.col("n_docs"))
+            ).otherwise(F.lit(0.0)),  # all-empty batch: 0/0 would be NaN
         )
     )

@@ -1083,3 +1083,28 @@ def test_bin_range_join_equals_naive_theta(spark, sf_dir):
             bin_width=width,
         ).select("l_orderkey", "l_linenumber", "o_orderkey")
         assert sorted(map(tuple, got.collect())) == want, f"width {width}"
+
+
+def test_bin_range_join_exact_at_micros_magnitude(spark):
+    """Binning must be exact past double's 2^53 mantissa: epoch-micros
+    keys (~1.7e18) one unit inside/outside the interval edge must
+    resolve correctly, and inverted intervals must produce zero rows
+    without exploding bins."""
+    from blockchaintoavro_spark.operators.interval import bin_range_join
+
+    base = 1_700_000_000_000_000_000  # ~2024 in epoch-nanos magnitude
+    pts = spark.createDataFrame(
+        [(1, base - 1), (2, base), (3, base + 123_456), (4, base + 123_457)],
+        "pid long, v long",
+    )
+    iv = spark.createDataFrame(
+        [(10, base, base + 123_456), (11, base + 5, base)],  # 11 inverted
+        "iid long, s long, e long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in bin_range_join(
+            pts, iv, F.col("v"), F.col("s"), F.col("e"), bin_width=1000
+        ).collect()
+    )
+    assert got == [(2, 10), (3, 10)]
