@@ -1,3 +1,4 @@
+from .joins import streaming_interval_join  # noqa: F401
 from .pipeline import start_rotating_sink  # noqa: F401
 from .windows import (  # noqa: F401
     streaming_session_agg,

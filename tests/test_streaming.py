@@ -298,3 +298,46 @@ def test_streaming_sessions_equal_batch_sessionize(spark, sf_dir, tmpdir):
     )
     assert got.subtract(want).count() == 0
     assert want.subtract(got).count() == 0
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir, tmpdir):
+    """Stream-stream event-time interval join (purchases to errors of the
+    same user within the preceding 15 minutes) must equal the identical
+    plan run on the static frames."""
+    from blockchaintoavro_spark.streaming.joins import streaming_interval_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    psrc, isrc = f"{tmpdir}/purchases", f"{tmpdir}/errors"
+    purchases.repartition(4).write.parquet(psrc)
+    errors.repartition(4).write.parquet(isrc)
+
+    pstream = (
+        spark.readStream.schema(spark.read.parquet(psrc).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(psrc)
+    )
+    istream = (
+        spark.readStream.schema(spark.read.parquet(isrc).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(isrc)
+    )
+    q = (
+        streaming_interval_join(pstream, istream)
+        .writeStream.format("memory")
+        .queryName("ivj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.table("ivj_out")
+    want = streaming_interval_join(purchases, errors)
+    assert want.count() > 0, "fixture should produce interval matches"
+    assert got.subtract(want).count() == 0
+    assert want.subtract(got).count() == 0

@@ -8,12 +8,16 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 import duckdb
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as E
 
-SF = "/root/testdata/sf0.01"
+# default sf0.01 mirrors the driver; export SIM_SF_DIR=/root/testdata/sf0.1
+# to revalidate the whole oracle surface at 10x SF
+SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 # bare session — as the driver would build it, NOT our tuned factory
