@@ -565,3 +565,55 @@ def length_batches(
             ).otherwise(F.lit(0.0)),  # all-empty batch: 0/0 would be NaN
         )
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    exact_ndv: bool = False,
+) -> DataFrame:
+    """ANALYZE-style dataset profile: one output row per column with
+    ``(column, n_rows, n_nulls, n_distinct, min_str, max_str)``.
+    min/max are rendered as strings so heterogeneous column types share
+    one output schema.
+
+    Scale: all per-column aggregates compute in a SINGLE two-phase hash
+    aggregate pass (one scan, map-side partials). By default ``ndv`` is
+    ``approx_count_distinct`` (HLL — one pass, no row expansion); with
+    ``exact_ndv=True`` Spark plans multiple COUNT(DISTINCT) via Expand,
+    which replicates every row ``len(cols)`` times before the shuffle —
+    fine for an oracle check, wrong as the default at 100 TB. The
+    unpivot to row-per-column happens on the single aggregated row.
+    """
+    n_rows = F.count(F.lit(1))
+    aggs = [n_rows.alias("__n")]
+    for c in cols:
+        ndv = (
+            F.countDistinct(F.col(c))
+            if exact_ndv
+            else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.count(c).alias(f"{c}__cnt"),
+            ndv.alias(f"{c}__ndv"),
+            # min/max in the column's NATIVE ordering, cast after — a
+            # pre-cast would make numeric columns compare lexicographically
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__cnt, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack}) AS "
+        "(column, __cnt, n_distinct, min_str, max_str)",
+    ).select(
+        "column",
+        F.col("__n").cast("long").alias("n_rows"),
+        (F.col("__n") - F.col("__cnt")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )

@@ -1491,3 +1491,44 @@ def x_range_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("l_orderkey", "l_linenumber", "o_orderkey").orderBy(
         "l_orderkey", "l_linenumber", "o_orderkey"
     )
+
+
+@declare(
+    "x_profile_stats",
+    oracle="""
+    SELECT 'l_orderkey' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT),
+           CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+           CAST(MIN(l_linenumber) AS VARCHAR),
+           CAST(MAX(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           CAST(MIN(l_returnflag) AS VARCHAR),
+           CAST(MAX(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    ORDER BY 1
+    """,
+)
+def x_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style dataset profile (operators/quality.py:
+    profile_columns) over three lineitem columns — one scan, one
+    two-phase aggregate, unpivoted to a row per column. exact_ndv here
+    for oracle parity; the operator defaults to HLL
+    approx_count_distinct (no Expand row replication) for the 100 TB
+    path."""
+    from ..operators.quality import profile_columns
+
+    li = t(spark, sf, "lineitem")
+    return profile_columns(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag"], exact_ndv=True
+    ).orderBy("column")

@@ -1108,3 +1108,29 @@ def test_bin_range_join_exact_at_micros_magnitude(spark):
         ).collect()
     )
     assert got == [(2, 10), (3, 10)]
+
+
+def test_profile_columns_exact_vs_known(spark):
+    """Profile stats on a hand-built frame, incl. nulls and numeric
+    (non-lexicographic) min/max; approx NDV within HLL tolerance."""
+    from blockchaintoavro_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(2, "b"), (10, None), (None, "a"), (100, "b")],
+        "x long, s string",
+    )
+    rows = {
+        r["column"]: r
+        for r in profile_columns(df, ["x", "s"], exact_ndv=True).collect()
+    }
+    x = rows["x"]
+    assert (x["n_rows"], x["n_nulls"], x["n_distinct"]) == (4, 1, 3)
+    assert (x["min_str"], x["max_str"]) == ("2", "100")  # numeric, not lexicographic
+    s = rows["s"]
+    assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile_columns(df, ["x"]).collect()
+    }
+    assert abs(approx["x"] - 3) <= 1  # HLL tolerance on a tiny set
