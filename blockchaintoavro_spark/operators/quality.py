@@ -87,7 +87,13 @@ def unigram_logprob(
     ``lm`` is a ``(tk, _c, _n)`` token-count table (count + corpus
     total); by default it is fit on ``docs`` itself, but a real pipeline
     passes the LM fit on a clean reference corpus and persists it
-    between runs. Returns ``(id, n_tokens, bits_per_token)``.
+    between runs. Out-of-vocabulary tokens are NOT dropped (an inner
+    join would exclude them from the average and make an all-OOV
+    gibberish document vanish entirely — review r2 finding): they score
+    the floor probability ``1/(N+1)``, the most-surprising signal the
+    LM can emit, so unseen-vocabulary documents land at the top of the
+    bits/token ranking exactly as the docstring promises. Returns
+    ``(id, n_tokens, bits_per_token)``.
 
     Scale: the LM collapses to one row per distinct token before
     anything joins it — the vocabulary is broadcast when it fits
@@ -106,9 +112,16 @@ def unigram_logprob(
         tot = cnt.agg(F.sum("_c").alias("_n"))
         lm = cnt.crossJoin(F.broadcast(tot))
     probe = F.broadcast(lm) if broadcast_vocab else lm
-    nll = -F.log2(F.col("_c").cast("double") / F.col("_n").cast("double"))
+    # corpus total as a one-row broadcast so OOV rows (null _c/_n after the
+    # left join) still know N for the floor probability
+    n_total = lm.agg(F.max("_n").alias("_nt"))
+    nll = F.when(
+        F.col("_c").isNotNull(),
+        -F.log2(F.col("_c").cast("double") / F.col("_n").cast("double")),
+    ).otherwise(-F.log2(1.0 / (F.col("_nt").cast("double") + 1.0)))
     return (
-        toks.join(probe, "tk")
+        toks.join(probe, "tk", "left")
+        .crossJoin(F.broadcast(n_total))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),

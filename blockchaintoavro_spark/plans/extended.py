@@ -886,9 +886,14 @@ def x_pack(spark: SparkSession, sf: str) -> DataFrame:
     return packed.orderBy("lang", "doc_id")
 
 
-_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_PHONE_RE = r"\+\d[\d -]{5,14}\d"
+# Single source of truth: the oracle replays the ENGINE's rule list, so a
+# pattern change in operators/quality.py:PII_RULES can never drift from the
+# SQL the driver compares against (review r2 finding).
+from ..operators.quality import PII_RULES as _PII_RULES
+
+_PII_EMAIL_RE = next(p for n, p, _ in _PII_RULES if n == "email")
+_PII_IP_RE = next(p for n, p, _ in _PII_RULES if n == "ip")
+_PII_PHONE_RE = next(p for n, p, _ in _PII_RULES if n == "phone")
 
 
 @declare(

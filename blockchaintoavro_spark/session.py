@@ -76,8 +76,13 @@ def configure(spark: SparkSession) -> SparkSession:
         from .sources.avro_datasource import register
 
         register(spark)
-    except Exception:
-        pass  # an exotic session without Python data-source support
+    except Exception as e:
+        # Only a session without Python data-source support should land
+        # here; a real registration bug would otherwise surface far away
+        # as "DataSource avro_ocf not found", so say what happened.
+        import warnings
+
+        warnings.warn(f"avro_ocf DataSource not registered: {e!r}")
     return spark
 
 

@@ -58,27 +58,60 @@ from pyspark.sql.datasource import (
 from .avro_io import (
     OCFWriter,
     avro_to_spark_schema,
-    read_ocf,
+    iter_ocf_blocks,
     read_ocf_header,
     spark_to_avro_schema,
 )
 
 FORMAT_NAME = "avro_ocf"
 
+# Hive's directory name for a null partition value; int("None") would make
+# the whole dataset unreadable if a null ever reached the writer.
+NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
+MANIFEST = "_SUCCESS"
+
 
 def _part_value(raw: str, ptype: str) -> Any:
+    if raw == NULL_PARTITION_DIR:
+        return None
     return int(raw) if ptype == "long" else raw
 
 
+def _manifest_paths(path: str) -> set[str] | None:
+    """Committed file set (dataset-relative) from the manifest, or None
+    when no manifest exists (e.g. a rotated-sink drop dir written outside
+    this datasource — glob is the contract there)."""
+    mf = os.path.join(path, MANIFEST)
+    if not os.path.isfile(mf):
+        return None
+    try:
+        with open(mf) as fh:
+            entries = json.load(fh)
+        return {e["path"] for e in entries}
+    except Exception:
+        return None  # unreadable/legacy manifest — fall back to glob
+
+
 def _list_files(path: str, partition_col: str | None, ptype: str) -> list[tuple[str, Any]]:
-    """(file, partition value) pairs for a flat or hive-partitioned dir."""
+    """(file, partition value) pairs for a flat or hive-partitioned dir.
+
+    When a commit manifest exists, only files it names are listed — a
+    failed task attempt's orphan (its commit message never reached
+    commit(), so abort() cannot know its path) must not be read back as
+    duplicate or truncated data."""
     if partition_col:
         out = []
         for f in sorted(glob.glob(os.path.join(path, f"{partition_col}=*", "*.avro"))):
             raw = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
             out.append((f, _part_value(raw, ptype)))
-        return out
-    return [(f, None) for f in sorted(glob.glob(os.path.join(path, "*.avro")))]
+    else:
+        out = [(f, None) for f in sorted(glob.glob(os.path.join(path, "*.avro")))]
+    committed = _manifest_paths(path)
+    if committed is not None:
+        out = [
+            (f, v) for f, v in out if os.path.relpath(f, path) in committed
+        ]
+    return out
 
 
 @dataclass
@@ -95,17 +128,19 @@ class _Committed(WriterCommitMessage):
 def _read_file_partition(
     schema: T.StructType, pcol: str | None, partition: "_FilePartition"
 ) -> Iterator[Any]:
-    """Shared batch/stream partition read: one OCF file → Arrow batches."""
+    """Shared batch/stream partition read: one OCF file → one Arrow batch
+    per data block, so executor memory is bounded by a block (the
+    writer's own granularity) even for multi-GB files."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(schema)
-    _, records = read_ocf(partition.path)
-    if pcol:
-        for r in records:
-            r[pcol] = partition.part_value
-    if records:
-        yield from pa.Table.from_pylist(records, schema=arrow_schema).to_batches()
+    for _, block in iter_ocf_blocks(partition.path):
+        if pcol:
+            for r in block:
+                r[pcol] = partition.part_value
+        if block:
+            yield from pa.Table.from_pylist(block, schema=arrow_schema).to_batches()
 
 
 class AvroOCFReader(DataSourceReader):
@@ -208,9 +243,17 @@ class AvroOCFStreamReader(DataSourceStreamReader):
 
 class AvroOCFArrowWriter(DataSourceArrowWriter):
     def __init__(self, schema: T.StructType, options: dict, overwrite: bool) -> None:
+        import uuid
+
         self._path = options["path"]
         self._pcol = options.get("partition_col")
         self._codec = options.get("codec", "deflate")
+        self._overwrite = overwrite
+        # one token per write JOB (minted on the driver, shipped in the
+        # pickled writer): taskAttemptId alone restarts at 0 per Spark
+        # application, so a second app appending to the same directory
+        # would silently truncate the first app's part-00000.avro
+        self._job_token = uuid.uuid4().hex[:8]
         data_schema = T.StructType(
             [f for f in schema.fields if f.name != self._pcol]
         )
@@ -223,11 +266,15 @@ class AvroOCFArrowWriter(DataSourceArrowWriter):
         os.makedirs(self._path, exist_ok=True)
 
     def write(self, iterator: Iterator[Any]) -> _Committed:
-        """Executor-side: one container file per (task, partition value)."""
+        """Executor-side: one container file per (task, partition value).
+        Bytes go to a per-attempt tmp file, atomically renamed at the
+        end — a failed attempt leaves only a tmp the reader never lists
+        (the manifest names committed files only), and duplicate
+        speculative attempts cannot interleave into one file."""
         from pyspark import TaskContext
 
         tid = TaskContext.get().taskAttemptId()
-        writers: dict[Any, tuple[Any, OCFWriter, str]] = {}
+        writers: dict[Any, tuple[Any, OCFWriter, str, str]] = {}
         for batch in iterator:
             by_key: dict[Any, list[dict]] = {}
             for row in batch.to_pylist():
@@ -235,42 +282,59 @@ class AvroOCFArrowWriter(DataSourceArrowWriter):
                 by_key.setdefault(key, []).append(row)
             for key, rows in by_key.items():
                 if key not in writers:
+                    dname = NULL_PARTITION_DIR if key is None else key
                     d = (
-                        os.path.join(self._path, f"{self._pcol}={key}")
+                        os.path.join(self._path, f"{self._pcol}={dname}")
                         if self._pcol
                         else self._path
                     )
                     os.makedirs(d, exist_ok=True)
-                    # taskAttemptId is globally unique per attempt, so
-                    # retried tasks write fresh files and abort() can
-                    # remove the losers — no RNG needed
-                    fpath = os.path.join(d, f"part-{tid:05d}.avro")
-                    fh = open(fpath, "wb")
-                    writers[key] = (fh, OCFWriter(fh, self._avro_schema, self._codec), fpath)
+                    fpath = os.path.join(
+                        d, f"part-{self._job_token}-{tid:05d}.avro"
+                    )
+                    tmp = f"{fpath}.tmp"
+                    fh = open(tmp, "wb")
+                    writers[key] = (fh, OCFWriter(fh, self._avro_schema, self._codec), fpath, tmp)
                 writers[key][1].append(rows)  # one OCF block per batch
         files = []
-        for fh, w, fpath in writers.values():
+        for fh, w, fpath, tmp in writers.values():
             fh.close()
-            files.append((fpath, w.n_records))
+            os.replace(tmp, fpath)
+            files.append((os.path.relpath(fpath, self._path), w.n_records))
         return _Committed(tuple(files))
 
     def commit(self, messages: List[_Committed | None]) -> None:
+        """Write the manifest of committed (dataset-relative) files.
+
+        Append mode MERGES with the existing manifest — each append job
+        rewriting it from scratch would un-commit every earlier append's
+        files from the reader's view. Single concurrent writer per
+        directory, the usual file-sink contract."""
         manifest = [
             {"path": p, "n_records": n}
             for m in messages
             if m is not None
             for p, n in m.files
         ]
-        with open(os.path.join(self._path, "_SUCCESS"), "w") as fh:
+        mf = os.path.join(self._path, MANIFEST)
+        if not self._overwrite and os.path.isfile(mf):
+            try:
+                with open(mf) as fh:
+                    prev = json.load(fh)
+                seen = {e["path"] for e in manifest}
+                manifest = [e for e in prev if e["path"] not in seen] + manifest
+            except Exception:
+                pass  # unreadable legacy manifest — start fresh
+        with open(mf, "w") as fh:
             json.dump(manifest, fh)
 
     def abort(self, messages: List[_Committed | None]) -> None:
         for m in messages:
             if m is None:
-                continue
+                continue  # failed attempt: only its .tmp remains, unlisted
             for p, _ in m.files:
                 try:
-                    os.remove(p)
+                    os.remove(os.path.join(self._path, p))
                 except OSError:
                     pass
 
@@ -290,8 +354,10 @@ class AvroOCFDataSource(DataSource):
             raise FileNotFoundError(f"no .avro files under {self.options['path']}")
         schema = avro_to_spark_schema(read_ocf_header(files[0][0]))
         if pcol:
+            # nullable: a null partition value lands in the hive default
+            # partition dir and reads back as null
             schema = schema.add(
-                pcol, T.LongType() if ptype == "long" else T.StringType(), False
+                pcol, T.LongType() if ptype == "long" else T.StringType(), True
             )
         return schema
 

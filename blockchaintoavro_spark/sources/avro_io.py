@@ -40,7 +40,7 @@ import os
 import struct as _struct
 import zlib
 from hashlib import md5
-from typing import Any, BinaryIO, Iterable
+from typing import Any, BinaryIO, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -264,17 +264,20 @@ def read_ocf_header(path: str) -> dict:
     return json.loads(meta[b"avro.schema"] if b"avro.schema" in meta else meta["avro.schema"])
 
 
-def read_ocf(path: str) -> tuple[dict, list[dict]]:
-    """Decode a whole container file → (schema, records)."""
+def iter_ocf_blocks(path: str) -> Iterator[tuple[dict, list[dict]]]:
+    """Stream a container file one data block at a time, yielding
+    ``(schema, block_records)`` — memory stays bounded by a single
+    block regardless of file size (the writer's own contract), which is
+    what lets a multi-GB rotated file flow through an executor without
+    materializing every record at once."""
     with open(path, "rb") as fh:
         meta, sync = _read_meta(fh)
         schema = json.loads(meta["avro.schema"])
         codec = meta.get("avro.codec", b"null").decode()
-        records: list[dict] = []
         while True:
             probe = fh.read(1)
             if not probe:
-                return schema, records
+                return
             fh.seek(-1, os.SEEK_CUR)
             n = _read_long(fh)
             size = _read_long(fh)
@@ -282,9 +285,20 @@ def read_ocf(path: str) -> tuple[dict, list[dict]]:
             if codec == "deflate":
                 payload = zlib.decompressobj(-15).decompress(payload)
             buf = io.BytesIO(payload)
-            records.extend(_decode(buf, schema) for _ in range(n))
+            block = [_decode(buf, schema) for _ in range(n)]
             if fh.read(16) != sync:
                 raise ValueError(f"sync marker mismatch in {path}")
+            yield schema, block
+
+
+def read_ocf(path: str) -> tuple[dict, list[dict]]:
+    """Decode a whole container file → (schema, records). Convenience
+    for small files; scale paths should consume :func:`iter_ocf_blocks`."""
+    schema = read_ocf_header(path)
+    records: list[dict] = []
+    for schema, block in iter_ocf_blocks(path):
+        records.extend(block)
+    return schema, records
 
 
 # ---------------------------------------------------------------------------
@@ -400,6 +414,15 @@ def write_ocf_dataset(
     (``{partition_col}={value}/part-{task}{suffix}.avro``, partition column
     dropped from the records). Returns the collected manifest
     [{partition, path, n_records}]; the collect is metadata-only.
+
+    Each attempt writes to a private ``.tmp-{taskAttemptId}`` file and
+    atomically ``os.replace``s it onto the final name when done, so a
+    speculative or zombie duplicate attempt can never interleave bytes
+    into the winner's file — last complete attempt wins. The same
+    replace semantics make re-runs idempotent: the rotated sink replays
+    a failed micro-batch by rewriting the SAME (task, suffix) names,
+    which is exactly the at-least-once → idempotent-commit contract
+    (streaming/pipeline.py).
     """
     import pyarrow as pa
 
@@ -414,8 +437,10 @@ def write_ocf_dataset(
     def task(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        writers: dict[Any, tuple[Any, OCFWriter, str]] = {}
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
+        writers: dict[Any, tuple[Any, OCFWriter, str, str]] = {}
         for batch in batches:
             by_part: dict[Any, list[dict]] = {}
             for row in batch.to_pylist():
@@ -430,12 +455,14 @@ def write_ocf_dataset(
                     )
                     os.makedirs(d, exist_ok=True)
                     fpath = os.path.join(d, f"part-{pid:05d}{suffix}.avro")
-                    fh = open(fpath, "wb")
-                    writers[key] = (fh, OCFWriter(fh, avro_schema, codec), fpath)
+                    tmp = f"{fpath}.tmp-{attempt}"
+                    fh = open(tmp, "wb")
+                    writers[key] = (fh, OCFWriter(fh, avro_schema, codec), fpath, tmp)
                 writers[key][1].append(rows)
         rows = []
-        for key, (fh, w, fpath) in writers.items():
+        for key, (fh, w, fpath, tmp) in writers.items():
             fh.close()
+            os.replace(tmp, fpath)  # atomic: zombies can't interleave
             rows.append(
                 {"partition": str(key), "path": fpath, "n_records": w.n_records}
             )
@@ -486,13 +513,15 @@ def read_ocf_dataset(
 
         for batch in batches:
             for row in batch.to_pylist():
-                _, records = read_ocf(row["path"])
-                if partition_col:
-                    for r in records:
-                        r[partition_col] = row["_pv"]
-                if records:
-                    yield pa.Table.from_pylist(
-                        records, schema=arrow_schema
-                    ).to_batches()[0]
+                # one Arrow batch per OCF data block: memory bounded by a
+                # block even for multi-GB rotated files
+                for _, block in iter_ocf_blocks(row["path"]):
+                    if partition_col:
+                        for r in block:
+                            r[partition_col] = row["_pv"]
+                    if block:
+                        yield pa.Table.from_pylist(
+                            block, schema=arrow_schema
+                        ).to_batches()[0]
 
     return fdf.mapInArrow(task, out_schema)

@@ -11,6 +11,7 @@ rotated-sink write/read path over the nested blocks fixture.
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from hypothesis import given, settings
@@ -321,3 +322,63 @@ def test_rotated_append_suffix_isolates_batches(tmp_path, spark):
     back = read_rotated(spark, out)
     assert back.count() == 40
     assert back.select("ingest_id").distinct().count() == 40
+
+
+def test_datasource_reader_skips_uncommitted_orphans(spark, sf_dir, tmpdir):
+    """A leftover file from a failed/zombie task attempt (present on disk,
+    absent from the commit manifest) must not be read back."""
+    import shutil
+
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    d = os.path.join(tmpdir, "flat")
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    df.write.format("avro_ocf").mode("overwrite").save(d)
+    committed = spark.read.format("avro_ocf").load(d)
+    n = committed.count()
+    # simulate an orphan: copy a committed file under a name the manifest
+    # doesn't know (as a failed attempt would leave behind)
+    src = next(f for f in os.listdir(d) if f.endswith(".avro"))
+    shutil.copy(os.path.join(d, src), os.path.join(d, "part-orphan-99999.avro"))
+    again = spark.read.format("avro_ocf").load(d)
+    assert again.count() == n  # orphan invisible, no duplicate rows
+
+
+def test_datasource_append_manifest_accumulates(spark, sf_dir, tmpdir):
+    """Two separate append jobs must both stay visible (the second job's
+    manifest merges instead of un-committing the first) with distinct
+    job-token file names."""
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    d = os.path.join(tmpdir, "app")
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = df.filter(F.col("doc_id") < 20)
+    b = df.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 50))
+    a.write.format("avro_ocf").mode("overwrite").save(d)
+    b.write.format("avro_ocf").mode("append").save(d)
+    back = spark.read.format("avro_ocf").load(d)
+    assert back.count() == a.count() + b.count()
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(50))
+
+
+def test_datasource_null_partition_value_roundtrips(spark, tmpdir):
+    """A null partition value writes the hive default-partition dir and
+    reads back as null instead of making the dataset unreadable."""
+    d = os.path.join(tmpdir, "nullpart")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 10)],
+        "doc_id long, text string, bucket long",
+    )
+    (
+        df.write.format("avro_ocf")
+        .option("partition_col", "bucket")
+        .mode("overwrite")
+        .save(d)
+    )
+    back = (
+        spark.read.format("avro_ocf")
+        .option("partition_col", "bucket")
+        .load(d)
+    )
+    got = {r["doc_id"]: r["bucket"] for r in back.collect()}
+    assert got == {1: 10, 2: None, 3: 10}

@@ -1134,3 +1134,36 @@ def test_profile_columns_exact_vs_known(spark):
         for r in profile_columns(df, ["x"]).collect()
     }
     assert abs(approx["x"] - 3) <= 1  # HLL tolerance on a tiny set
+
+
+def test_unigram_logprob_scores_oov_as_floor(spark):
+    """Out-of-vocabulary tokens must not be dropped: with an external LM,
+    an all-OOV document scores the floor probability 1/(N+1) per token
+    and in-vocab scoring is unchanged."""
+    import math
+
+    from blockchaintoavro_spark.operators.quality import unigram_logprob
+
+    ref = spark.createDataFrame(
+        [(1, "a a a b")], "doc_id long, text string"
+    )
+    toks = ref.selectExpr("explode(split(lower(text), ' ')) AS tk")
+    cnt = toks.groupBy("tk").agg(F.count("*").alias("_c"))
+    tot = cnt.agg(F.sum("_c").alias("_n"))
+    lm = cnt.crossJoin(F.broadcast(tot))  # N=4: p(a)=3/4, p(b)=1/4
+
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "zz qq")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in unigram_logprob(docs, lm=lm).collect()
+    }
+    want_10 = (-math.log2(3 / 4) - math.log2(1 / 4)) / 2
+    assert abs(got[10]["bits_per_token"] - want_10) < 1e-12
+    assert got[10]["n_tokens"] == 2
+    # all-OOV doc present, scored at floor -log2(1/(N+1)) per token
+    want_11 = -math.log2(1 / 5)
+    assert abs(got[11]["bits_per_token"] - want_11) < 1e-12
+    assert got[11]["n_tokens"] == 2
+    assert got[11]["bits_per_token"] > got[10]["bits_per_token"]
