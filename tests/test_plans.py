@@ -374,3 +374,24 @@ def test_range_join_binned_is_equi_join(spark, registry, sf_dir):
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
     assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
+
+
+def test_dq30_sessionize_single_window_exchange(spark, registry, sf_dir):
+    """Bench headline: both window functions (lag + running sum) must
+    share ONE user_id exchange, the session aggregate must reuse that
+    partitioning (no third exchange), leaving exactly hash + final
+    presentation sort."""
+    s = plan_of(spark, registry, "dq30_sessionize", sf_dir, mode="simple")
+    assert s.count("Exchange") <= 2  # window shuffle + orderBy only
+    assert "SinglePartition" not in s
+    assert "partial_count" in s  # map-side combine in the session agg
+
+
+def test_dq32_token_topk_take_ordered(spark, registry, sf_dir):
+    """Bench headline: top-20 must be TakeOrderedAndProject over the
+    partially-aggregated counts — one exchange, no global sort of the
+    exploded tokens."""
+    s = plan_of(spark, registry, "dq32_token_topk", sf_dir, mode="simple")
+    assert "TakeOrderedAndProject" in s
+    assert s.count("Exchange") <= 1
+    assert "partial_count" in s
