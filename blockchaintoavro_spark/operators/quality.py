@@ -111,10 +111,14 @@ def unigram_logprob(
         cnt = toks.groupBy("tk").agg(F.count("*").alias("_c"))
         tot = cnt.agg(F.sum("_c").alias("_n"))
         lm = cnt.crossJoin(F.broadcast(tot))
+        # reuse the already-computed total: aggregating max(_n) over lm
+        # would re-plan the whole tokenize+count subtree a second time
+        n_total = tot.select(F.col("_n").alias("_nt"))
+    else:
+        n_total = lm.agg(F.max("_n").alias("_nt"))
     probe = F.broadcast(lm) if broadcast_vocab else lm
     # corpus total as a one-row broadcast so OOV rows (null _c/_n after the
     # left join) still know N for the floor probability
-    n_total = lm.agg(F.max("_n").alias("_nt"))
     nll = F.when(
         F.col("_c").isNotNull(),
         -F.log2(F.col("_c").cast("double") / F.col("_n").cast("double")),
@@ -483,9 +487,13 @@ def epoch_shuffle(
     count so the heavy scan + range shuffle + sort runs ONCE (Exchange
     reuse does not span separate jobs) and the final plan is guaranteed
     to read the same partitioning the offsets were counted on; a
-    partition id that somehow misses the offset map fails loudly
-    (assert_true) instead of silently mis-ranking. Callers streaming
-    the result into a write can ``.unpersist()`` the input afterwards.
+    partition id that somehow misses the offset map raises
+    USER_RAISED_EXCEPTION from inside the position expression itself
+    (an unreferenced assert column would be pruned by Catalyst)
+    instead of silently mis-ranking. The cached frame is exposed as
+    ``result._epoch_shuffle_cache`` — call ``.unpersist()`` on it once
+    the result has been consumed (cache otherwise lives until LRU
+    eviction; unpersisting the *input* would not release it).
     """
     h = F.md5(F.concat_ws("|", F.lit(str(epoch)), F.col(id_col).cast("string")))
     keyed = df.select(F.col(id_col), h.alias("shuffle_key"))
@@ -512,21 +520,18 @@ def epoch_shuffle(
     off_df = keyed.sparkSession.createDataFrame(
         offsets or [(0, 0)], "_pid int, _off long"
     )
-    return (
-        ranged.join(F.broadcast(off_df), "_pid", "left")
-        .withColumn(
-            "_ok",
-            F.assert_true(
-                F.col("_off").isNotNull(),
-                F.lit("epoch_shuffle: partition missing from offset map"),
-            ),
-        )
-        .select(
-            id_col,
-            "shuffle_key",
-            (F.col("_local") + F.col("_off") + 1).cast("long").alias("position"),
-        )
+    off_or_fail = F.when(F.col("_off").isNotNull(), F.col("_off")).otherwise(
+        F.raise_error(
+            F.lit("epoch_shuffle: partition missing from offset map")
+        ).cast("long")
     )
+    out = ranged.join(F.broadcast(off_df), "_pid", "left").select(
+        id_col,
+        "shuffle_key",
+        (F.col("_local") + off_or_fail + 1).cast("long").alias("position"),
+    )
+    out._epoch_shuffle_cache = ranged  # unpersist handle (see docstring)
+    return out
 
 
 def length_batches(
@@ -600,23 +605,29 @@ def profile_columns(
     """
     n_rows = F.count(F.lit(1))
     aggs = [n_rows.alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         ndv = (
             F.countDistinct(F.col(c))
             if exact_ndv
             else F.approx_count_distinct(c)
         )
         aggs += [
-            F.count(c).alias(f"{c}__cnt"),
-            ndv.alias(f"{c}__ndv"),
+            F.count(F.col(c)).alias(f"__c{i}_cnt"),
+            ndv.alias(f"__c{i}_ndv"),
             # min/max in the column's NATIVE ordering, cast after — a
             # pre-cast would make numeric columns compare lexicographically
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            F.min(F.col(c)).cast("string").alias(f"__c{i}_min"),
+            F.max(F.col(c)).cast("string").alias(f"__c{i}_max"),
         ]
     one = df.agg(*aggs)
+    # positional internal aliases + escaped label literals: profiled column
+    # names may be reserved words or contain quotes/dots/spaces — they must
+    # never reach selectExpr as identifiers
     stack = ", ".join(
-        f"'{c}', {c}__cnt, {c}__ndv, {c}__min, {c}__max" for c in cols
+        "'{label}', __c{i}_cnt, __c{i}_ndv, __c{i}_min, __c{i}_max".format(
+            label=c.replace("'", "''"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return one.selectExpr(
         "__n",

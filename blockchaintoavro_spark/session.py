@@ -108,8 +108,14 @@ def _ship_package(spark: SparkSession) -> None:
         )
         spark.sparkContext.addPyFile(archive)
         _SHIPPED.add(key)
-    except Exception:
-        pass  # closures are self-contained; this is belt-and-braces
+    except Exception as e:
+        # pandas UDFs delegate to functions/base58.py BY REFERENCE, so
+        # workers genuinely need this package importable — a shipping
+        # failure must at least say so before a worker-side
+        # ModuleNotFoundError obscures it
+        import warnings
+
+        warnings.warn(f"could not ship package to executors: {e!r}")
 
 
 _AVRO_PROBE: dict[str, bool] = {}

@@ -92,13 +92,22 @@ def _manifest_paths(path: str) -> set[str] | None:
         return None  # unreadable/legacy manifest — fall back to glob
 
 
-def _list_files(path: str, partition_col: str | None, ptype: str) -> list[tuple[str, Any]]:
+def _list_files(
+    path: str,
+    partition_col: str | None,
+    ptype: str,
+    use_manifest: bool = True,
+) -> list[tuple[str, Any]]:
     """(file, partition value) pairs for a flat or hive-partitioned dir.
 
-    When a commit manifest exists, only files it names are listed — a
-    failed task attempt's orphan (its commit message never reached
-    commit(), so abort() cannot know its path) must not be read back as
-    duplicate or truncated data."""
+    For batch reads (``use_manifest=True``) a commit manifest, when
+    present, restricts the listing — a failed task attempt's orphan (its
+    commit message never reached commit(), so abort() cannot know its
+    path) must not be read back as duplicate or truncated data. The
+    STREAM reader passes ``use_manifest=False``: a drop directory's
+    producer is the rotated sink, which appends files without touching
+    any manifest — filtering by a stale manifest would freeze the stream
+    at whatever the last batch job committed."""
     if partition_col:
         out = []
         for f in sorted(glob.glob(os.path.join(path, f"{partition_col}=*", "*.avro"))):
@@ -106,7 +115,7 @@ def _list_files(path: str, partition_col: str | None, ptype: str) -> list[tuple[
             out.append((f, _part_value(raw, ptype)))
     else:
         out = [(f, None) for f in sorted(glob.glob(os.path.join(path, "*.avro")))]
-    committed = _manifest_paths(path)
+    committed = _manifest_paths(path) if use_manifest else None
     if committed is not None:
         out = [
             (f, v) for f, v in out if os.path.relpath(f, path) in committed
@@ -215,7 +224,12 @@ class AvroOCFStreamReader(DataSourceStreamReader):
         self._ptype = options.get("partition_type", "long")
 
     def _current_files(self) -> list[str]:
-        return [p for p, _ in _list_files(self._path, self._pcol, self._ptype)]
+        return [
+            p
+            for p, _ in _list_files(
+                self._path, self._pcol, self._ptype, use_manifest=False
+            )
+        ]
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -325,8 +339,13 @@ class AvroOCFArrowWriter(DataSourceArrowWriter):
                 manifest = [e for e in prev if e["path"] not in seen] + manifest
             except Exception:
                 pass  # unreadable legacy manifest — start fresh
-        with open(mf, "w") as fh:
+        # tmp + atomic replace, same as the data files: a crash (or a
+        # concurrent reader) mid-rewrite must never leave a truncated
+        # manifest whose JSON error would silently re-expose orphans
+        tmp = f"{mf}.tmp"
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        os.replace(tmp, mf)
 
     def abort(self, messages: List[_Committed | None]) -> None:
         for m in messages:

@@ -327,8 +327,12 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, tmpdir):
         .option("maxFilesPerTrigger", 2)
         .parquet(isrc)
     )
+    # watermark must cover the replay's event-time disorder: files arrive
+    # in arbitrary order spanning the fixture's full month, so a short
+    # watermark would evict state between micro-batches and drop matches
+    # (correct streaming semantics, but not the parity this test checks)
     q = (
-        streaming_interval_join(pstream, istream)
+        streaming_interval_join(pstream, istream, watermark="60 days")
         .writeStream.format("memory")
         .queryName("ivj_out")
         .outputMode("append")
@@ -337,7 +341,7 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, tmpdir):
     )
     _drain(q)
     got = spark.table("ivj_out")
-    want = streaming_interval_join(purchases, errors)
+    want = streaming_interval_join(purchases, errors, watermark="60 days")
     assert want.count() > 0, "fixture should produce interval matches"
     assert got.subtract(want).count() == 0
     assert want.subtract(got).count() == 0
