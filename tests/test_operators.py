@@ -1167,3 +1167,32 @@ def test_unigram_logprob_scores_oov_as_floor(spark):
     assert abs(got[11]["bits_per_token"] - want_11) < 1e-12
     assert got[11]["n_tokens"] == 2
     assert got[11]["bits_per_token"] > got[10]["bits_per_token"]
+
+
+def test_load_events_utc_adjusted_layout(spark, tmpdir):
+    """A UTC-adjusted (isAdjustedToUTC) microsecond timestamp layout must
+    rebase to UTC wall time regardless of session timezone — a bare NTZ
+    cast would render it in the session zone."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from blockchaintoavro_spark.sources.tables import load_events
+
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 0, tzinfo=datetime.timezone.utc)
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([ts], pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet")
+    out = load_events(spark, tmpdir)
+    assert out.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    row = out.first()
+    assert row["ts"] == datetime.datetime(2024, 3, 1, 12, 30, 0)
