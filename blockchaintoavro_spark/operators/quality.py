@@ -641,3 +641,32 @@ def profile_columns(
         "min_str",
         "max_str",
     )
+
+
+def c4_line_filter(
+    text: Column,
+    min_words: int = 5,
+    blocklist: Sequence[str] = ("lorem", "javascript", "cookie"),
+) -> dict[str, Column]:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the public
+    heuristics): split the document on newlines, keep only lines with at
+    least ``min_words`` words and no blocklisted word, and re-join.
+    Returns ``{"n_lines", "n_kept", "cleaned"}``.
+
+    Row-local JVM HOFs over one split — zero shuffle, pipelines inside
+    the scan at any scale (the same posture as gopher_metrics; this is
+    the line-granular member of the cleaning family, vs the document-
+    granular Gopher rules and the token-granular stopword strip).
+    """
+    lines = F.split(text, "\n")
+    block = F.array(*[F.lit(w) for w in blocklist])
+    keep = F.filter(
+        lines,
+        lambda l: (F.size(F.split(l, " ")) >= min_words)
+        & ~F.exists(F.split(l, " "), lambda w: F.array_contains(block, w)),
+    )
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept": F.size(keep).cast("long"),
+        "cleaned": F.array_join(keep, "\n"),
+    }

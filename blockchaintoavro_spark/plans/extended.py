@@ -1537,3 +1537,59 @@ def x_profile(spark: SparkSession, sf: str) -> DataFrame:
     return profile_columns(
         li, ["l_orderkey", "l_linenumber", "l_returnflag"], exact_ndv=True
     ).orderBy("column")
+
+
+@declare(
+    "x_c4_line_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), ml AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(generate_series(0, len(toks) - 1, 12),
+                              st -> array_to_string(
+                                  list_slice(toks, st + 1, st + 12), ' ')),
+               chr(10)) AS mtext
+      FROM s
+    ), f AS (
+      SELECT doc_id, string_split(mtext, chr(10)) AS lines FROM ml
+    ), k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, l -> len(string_split(l, ' ')) >= 12
+                                     AND NOT list_contains(
+                                         string_split(l, ' '), 'slow')) AS kept
+      FROM f
+    )
+    SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           -- DuckDB renders an EMPTY list as NULL here; Spark's
+           -- array_join gives '' — canonicalize to ''
+           COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+    FROM k ORDER BY doc_id
+    """,
+)
+def x_c4(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line cleaning (operators/quality.py:c4_line_filter).
+    The single-line fixture docs are first re-lined at 12 tokens (both
+    engines identically), then lines shorter than 12 words or containing
+    the blocklisted word are dropped — exercising the line-granular
+    cleaning path on real data. Row-local, shuffle-free."""
+    from ..operators.quality import c4_line_filter
+
+    d = t(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    mtext = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(12)),
+            lambda s: F.array_join(F.slice(toks, s + 1, 12), " "),
+        ),
+        "\n",
+    )
+    m = c4_line_filter(mtext, min_words=12, blocklist=("slow",))
+    return d.select(
+        "doc_id",
+        m["n_lines"].alias("n_lines"),
+        m["n_kept"].alias("n_kept"),
+        m["cleaned"].alias("cleaned"),
+    ).orderBy("doc_id")

@@ -1196,3 +1196,19 @@ def test_load_events_utc_adjusted_layout(spark, tmpdir):
     assert out.schema["ts"].dataType.typeName() == "timestamp_ntz"
     row = out.first()
     assert row["ts"] == datetime.datetime(2024, 3, 1, 12, 30, 0)
+
+
+def test_c4_line_filter_known_vector(spark):
+    """Hand-checked multi-line doc: short lines and blocklisted lines
+    drop; survivors re-join in order."""
+    from blockchaintoavro_spark.operators.quality import c4_line_filter
+
+    txt = "keep this line here now\nshort one\nhas lorem inside it okay\nanother good line stays put"
+    df = spark.createDataFrame([(txt,)], "text string")
+    m = c4_line_filter(F.col("text"), min_words=5, blocklist=("lorem",))
+    row = df.select(
+        m["n_lines"].alias("nl"), m["n_kept"].alias("nk"), m["cleaned"].alias("c")
+    ).first()
+    assert row["nl"] == 4
+    assert row["nk"] == 2
+    assert row["c"] == "keep this line here now\nanother good line stays put"

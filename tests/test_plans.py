@@ -395,3 +395,11 @@ def test_dq32_token_topk_take_ordered(spark, registry, sf_dir):
     assert "TakeOrderedAndProject" in s
     assert s.count("Exchange") <= 1
     assert "partial_count" in s
+
+
+def test_c4_line_filter_shuffle_free(spark, registry, sf_dir):
+    """Line-level cleaning is row-local: presentation sort only."""
+    s = plan_of(spark, registry, "x_c4_line_filter", sf_dir, mode="simple")
+    assert s.count("Exchange") <= 1
+    assert "rangepartitioning" in s
+    assert "BatchEvalPython" not in s
