@@ -11,9 +11,13 @@ Avro Java library) through the public Python DataSource API instead of a
 private mapInArrow convention.
 
 Scale design:
-- one InputPartition per ``.avro`` file — executors read files in
-  parallel, Arrow-batched end to end; no driver-side row handling (the
-  driver only globs file names).
+- byte-range InputPartitions, sync-marker aligned: files above
+  ``split_size`` (default 128 MiB, the parquet-scan granularity) are
+  read as multiple splits that seek to the next 16-byte OCF sync
+  marker — a multi-GB rotated file (the reference's ``--rotationtime``
+  × ingest-rate sizing) parallelizes across executors instead of
+  single-threading one task. Arrow-batched end to end; no driver-side
+  row handling (the driver only globs names and stats sizes).
 - hive-style partition directories (``{col}={val}``) surface as a typed
   partition column, and predicates on it are consumed in ``pushFilters``
   — non-matching files are pruned from the partition list and never
@@ -58,12 +62,18 @@ from pyspark.sql.datasource import (
 from .avro_io import (
     OCFWriter,
     avro_to_spark_schema,
-    iter_ocf_blocks,
+    iter_ocf_blocks_split,
     read_ocf_header,
     spark_to_avro_schema,
 )
 
 FORMAT_NAME = "avro_ocf"
+
+# Files larger than this are read as multiple byte-range InputPartitions
+# that align on the OCF sync markers (option ``split_size`` overrides).
+# 128 MiB matches spark.sql.files.maxPartitionBytes' default — the same
+# granularity the parquet scans get.
+DEFAULT_SPLIT_SIZE = 128 * 1024 * 1024
 
 # Hive's directory name for a null partition value; int("None") would make
 # the whole dataset unreadable if a null ever reached the writer.
@@ -117,16 +127,39 @@ def _list_files(
         out = [(f, None) for f in sorted(glob.glob(os.path.join(path, "*.avro")))]
     committed = _manifest_paths(path) if use_manifest else None
     if committed is not None:
-        out = [
-            (f, v) for f, v in out if os.path.relpath(f, path) in committed
+        # Manifest entries are dataset-relative today, but earlier writer
+        # versions recorded ABSOLUTE paths — membership is tested on the
+        # layout-depth suffix (1 component flat, 2 hive-partitioned) so
+        # both vintages keep reading after a dataset move. Depth-exact
+        # matching (not bare basenames) keeps a committed file in one
+        # hive partition from vouching for a same-named orphan in another.
+        depth = 2 if partition_col else 1
+
+        def _suffix(p: str) -> str:
+            return "/".join(p.replace(os.sep, "/").split("/")[-depth:])
+
+        committed_sfx = {_suffix(e) for e in committed}
+        kept = [
+            (f, v)
+            for f, v in out
+            if _suffix(os.path.relpath(f, path)) in committed_sfx
         ]
+        # A manifest matching NOTHING is foreign to this layout (e.g. a
+        # renamed partition scheme): zeroing out the dataset would be a
+        # silent data loss, so fall back to the glob listing instead.
+        out = kept if kept or not out else out
     return out
 
 
 @dataclass
 class _FilePartition(InputPartition):
+    """One scan task: a byte range of one file. ``end == -1`` means
+    read to EOF (whole-file partition)."""
+
     path: str
     part_value: Any
+    start: int = 0
+    end: int = -1
 
 
 @dataclass
@@ -134,17 +167,40 @@ class _Committed(WriterCommitMessage):
     files: tuple[tuple[str, int], ...] = ()
 
 
+def _plan_splits(
+    files: list[tuple[str, Any]], split_size: int
+) -> list[_FilePartition]:
+    """Byte-range InputPartitions: files above ``split_size`` become
+    multiple ranges that the reader aligns on sync markers. The driver
+    only stats file sizes — no file content is touched here."""
+    parts: list[_FilePartition] = []
+    for p, v in files:
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            size = 0  # vanished/unstatable: one whole-file partition
+        if 0 < split_size < size:
+            for s in range(0, size, split_size):
+                parts.append(_FilePartition(p, v, s, min(s + split_size, size)))
+        else:
+            parts.append(_FilePartition(p, v))
+    return parts
+
+
 def _read_file_partition(
     schema: T.StructType, pcol: str | None, partition: "_FilePartition"
 ) -> Iterator[Any]:
-    """Shared batch/stream partition read: one OCF file → one Arrow batch
-    per data block, so executor memory is bounded by a block (the
-    writer's own granularity) even for multi-GB files."""
+    """Shared batch/stream partition read: one byte-range split of one
+    OCF file → one Arrow batch per data block, so executor memory is
+    bounded by a block (the writer's own granularity) even for multi-GB
+    files. Splits align on the 16-byte sync markers (avro_io.py), so a
+    split never sees a torn block."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(schema)
-    for _, block in iter_ocf_blocks(partition.path):
+    end: float = partition.end if partition.end >= 0 else float("inf")
+    for _, block in iter_ocf_blocks_split(partition.path, partition.start, end):
         if pcol:
             for r in block:
                 r[pcol] = partition.part_value
@@ -158,6 +214,7 @@ class AvroOCFReader(DataSourceReader):
         self._path = options["path"]
         self._pcol = options.get("partition_col")
         self._ptype = options.get("partition_type", "long")
+        self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self._files = _list_files(self._path, self._pcol, self._ptype)
         if not self._files:
             raise FileNotFoundError(f"no .avro files under {self._path}")
@@ -196,7 +253,7 @@ class AvroOCFReader(DataSourceReader):
         return None
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [_FilePartition(p, v) for p, v in self._files]
+        return _plan_splits(self._files, self._split_size)
 
     def read(self, partition: _FilePartition) -> Iterator[Any]:
         return _read_file_partition(self._schema, self._pcol, partition)
@@ -222,6 +279,7 @@ class AvroOCFStreamReader(DataSourceStreamReader):
         self._path = options["path"]
         self._pcol = options.get("partition_col")
         self._ptype = options.get("partition_type", "long")
+        self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
 
     def _current_files(self) -> list[str]:
         return [
@@ -239,14 +297,16 @@ class AvroOCFStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         new = sorted(set(end["files"]) - set(start["files"]))
-        out = []
+        files = []
         for p in new:
             if self._pcol:
                 raw = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
-                out.append(_FilePartition(p, _part_value(raw, self._ptype)))
+                files.append((p, _part_value(raw, self._ptype)))
             else:
-                out.append(_FilePartition(p, None))
-        return out
+                files.append((p, None))
+        # A micro-batch that picks up one huge rotated file still fans
+        # out across executors — same sync-aligned splits as batch.
+        return _plan_splits(files, self._split_size)
 
     def read(self, partition: _FilePartition) -> Iterator[Any]:
         return _read_file_partition(self._schema, self._pcol, partition)

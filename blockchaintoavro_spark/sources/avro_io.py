@@ -264,20 +264,64 @@ def read_ocf_header(path: str) -> dict:
     return json.loads(meta[b"avro.schema"] if b"avro.schema" in meta else meta["avro.schema"])
 
 
-def iter_ocf_blocks(path: str) -> Iterator[tuple[dict, list[dict]]]:
-    """Stream a container file one data block at a time, yielding
-    ``(schema, block_records)`` — memory stays bounded by a single
-    block regardless of file size (the writer's own contract), which is
-    what lets a multi-GB rotated file flow through an executor without
-    materializing every record at once."""
+def _scan_sync(fh: BinaryIO, sync: bytes, start: int, end: float) -> int | None:
+    """Byte offset of the first sync-marker occurrence starting in
+    ``[start, end)``, or None. Chunked forward scan with a 15-byte
+    overlap so a marker straddling a chunk boundary is still found —
+    the same seek-to-next-sync primitive Hadoop's AvroRecordReader uses
+    to make byte-range splits line up on block boundaries."""
+    fh.seek(start)
+    base = start
+    buf = b""
+    while True:
+        chunk = fh.read(1 << 20)
+        if not chunk:
+            return None
+        buf += chunk
+        idx = buf.find(sync)
+        if idx != -1:
+            off = base + idx
+            return off if off < end else None
+        if len(buf) > 15:
+            base += len(buf) - 15
+            buf = buf[-15:]
+        if base >= end:
+            return None
+
+
+def iter_ocf_blocks_split(
+    path: str, start: int, end: float
+) -> Iterator[tuple[dict, list[dict]]]:
+    """Stream the data blocks of the byte-range split ``[start, end)``.
+
+    Split ownership follows the Avro/Hadoop convention: a block belongs
+    to the split whose range contains the START of its PRECEDING sync
+    marker (the header's trailing sync precedes block 0). Each split
+    scans forward from ``start`` to the first sync in range and reads
+    whole blocks from there, running past ``end`` to finish the last
+    owned block — so N splits over one file partition the block set
+    exactly, with no block read twice and none dropped, regardless of
+    where the byte boundaries fall.
+
+    This is what makes a single multi-GB rotated file (the reference's
+    ``--rotationtime`` × ingest-rate sizing, AvroWriter.java:45-49)
+    parallelize across executors instead of single-threading one task.
+    Memory stays bounded by one block (the writer's own granularity).
+    """
     with open(path, "rb") as fh:
         meta, sync = _read_meta(fh)
         schema = json.loads(meta["avro.schema"])
         codec = meta.get("avro.codec", b"null").decode()
-        while True:
+        header_sync_pos = fh.tell() - 16
+        if start <= header_sync_pos:
+            sync_pos: int | None = header_sync_pos
+        else:
+            sync_pos = _scan_sync(fh, sync, start, end)
+        while sync_pos is not None and sync_pos < end:
+            fh.seek(sync_pos + 16)
             probe = fh.read(1)
             if not probe:
-                return
+                return  # clean EOF: file ends on a sync marker
             fh.seek(-1, os.SEEK_CUR)
             n = _read_long(fh)
             size = _read_long(fh)
@@ -289,6 +333,14 @@ def iter_ocf_blocks(path: str) -> Iterator[tuple[dict, list[dict]]]:
             if fh.read(16) != sync:
                 raise ValueError(f"sync marker mismatch in {path}")
             yield schema, block
+            sync_pos = fh.tell() - 16
+
+
+def iter_ocf_blocks(path: str) -> Iterator[tuple[dict, list[dict]]]:
+    """Stream a whole container file one data block at a time, yielding
+    ``(schema, block_records)`` — the degenerate single-split case of
+    :func:`iter_ocf_blocks_split`."""
+    yield from iter_ocf_blocks_split(path, 0, float("inf"))
 
 
 def read_ocf(path: str) -> tuple[dict, list[dict]]:

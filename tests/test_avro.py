@@ -382,3 +382,144 @@ def test_datasource_null_partition_value_roundtrips(spark, tmpdir):
     )
     got = {r["doc_id"]: r["bucket"] for r in back.collect()}
     assert got == {1: 10, 2: None, 3: 10}
+
+
+# ---------------------------------------------------------------------------
+# splittable byte-range reads (VERDICT r3 #1): sync-marker-aligned splits
+
+
+def _write_multiblock(path: str, n_records: int, per_block: int, codec: str):
+    """One OCF file with many small data blocks (the shape a long
+    rotation period produces at scale, miniaturized)."""
+    from blockchaintoavro_spark.sources.avro_io import OCFWriter
+
+    sch = spark_to_avro_schema(NESTED_SCHEMA, "Block")
+    recs = [{**RECORDS[i % 3], "id": i} for i in range(n_records)]
+    with open(path, "wb") as fh:
+        w = OCFWriter(fh, sch, codec)
+        for i in range(0, n_records, per_block):
+            w.append(recs[i : i + per_block])
+    return recs
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_split_read_covers_blocks_exactly(tmp_path, codec):
+    """Consecutive byte-range splits partition the block set exactly —
+    every record once, none dropped — for split counts from 1 to one
+    split per byte (boundaries landing inside headers, blocks, and sync
+    markers alike)."""
+    from blockchaintoavro_spark.sources.avro_io import (
+        iter_ocf_blocks_split,
+        read_ocf,
+    )
+
+    path = str(tmp_path / "multi.avro")
+    recs = _write_multiblock(path, 60, 5, codec)
+    size = os.path.getsize(path)
+    assert read_ocf(path)[1] == recs  # whole-file read unchanged
+
+    for n_splits in (1, 2, 3, 7, 13, size):
+        step = max(1, size // n_splits)
+        bounds = list(range(0, size, step)) + [size]
+        got = []
+        for s, e in zip(bounds, bounds[1:]):
+            for _, block in iter_ocf_blocks_split(path, s, e):
+                got.extend(block)
+        assert got == recs, f"n_splits={n_splits}"
+
+
+def test_avro_ocf_datasource_split_read(tmp_path, spark):
+    """A multi-block file above ``split_size`` is planned as N>1
+    byte-range InputPartitions and reads identical rows to the unsplit
+    read (VERDICT r3 done-condition)."""
+    from blockchaintoavro_spark.sources import avro_datasource as ads
+
+    ads.register(spark)
+    d = str(tmp_path / "split")
+    os.makedirs(d)
+    _write_multiblock(os.path.join(d, "part-0.avro"), 200, 10, "deflate")
+
+    opts = {"path": d, "split_size": "2048"}
+    schema = ads.AvroOCFDataSource(opts).schema()
+    n_parts = len(ads.AvroOCFReader(schema, opts).partitions())
+    assert n_parts > 1, "file above split_size must fan out"
+
+    whole = spark.read.format("avro_ocf").load(d)
+    split = spark.read.format("avro_ocf").option("split_size", "2048").load(d)
+    assert _as_dicts(split, "id") == _as_dicts(whole, "id")
+
+
+def test_manifest_legacy_absolute_paths_still_read(spark, tmpdir):
+    """Datasets whose _SUCCESS was written by the earlier writer (ABSOLUTE
+    paths) must keep reading (ADVICE r3): entries are matched on the
+    layout-depth suffix. Orphans stay invisible under either vintage."""
+    import shutil
+
+    d = os.path.join(tmpdir, "legacy")
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(30)], "doc_id long, text string"
+    )
+    df.write.format("avro_ocf").mode("overwrite").save(d)
+    mf = os.path.join(d, "_SUCCESS")
+    with open(mf) as fh:
+        entries = json.load(fh)
+    for e in entries:
+        e["path"] = os.path.join(d, e["path"])  # old absolute-path format
+    with open(mf, "w") as fh:
+        json.dump(entries, fh)
+    src = next(f for f in os.listdir(d) if f.endswith(".avro"))
+    shutil.copy(os.path.join(d, src), os.path.join(d, "part-orphan-7.avro"))
+    back = spark.read.format("avro_ocf").load(d)
+    assert back.count() == 30
+    assert back.select("doc_id").distinct().count() == 30
+
+
+def test_foreign_manifest_falls_back_to_glob(spark, tmpdir):
+    """A manifest that matches NO on-disk file (foreign/moved layout) must
+    not silently read the dataset as 0 rows — fall back to the glob."""
+    d = os.path.join(tmpdir, "foreign")
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    df.write.format("avro_ocf").mode("overwrite").save(d)
+    with open(os.path.join(d, "_SUCCESS"), "w") as fh:
+        json.dump([{"path": "elsewhere/unknown.avro", "n_records": 1}], fh)
+    back = spark.read.format("avro_ocf").load(d)
+    assert back.count() == 10
+
+
+@given(
+    records=st.lists(_records, max_size=25),
+    per_block=st.integers(1, 7),
+    n_splits=st.integers(1, 11),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_ocf_split_read_property(records, per_block, n_splits, codec):
+    """VERDICT r3 #7: hypothesis over record shapes × block sizes × split
+    boundaries — consecutive splits must reconstruct the file exactly
+    (unicode, int64 extremes, nulls, empty blocks/files all included).
+    Java-lib byte parity of the same writer is covered by
+    test_ocf_readable_by_official_java_avro."""
+    import tempfile
+
+    from blockchaintoavro_spark.sources.avro_io import (
+        OCFWriter,
+        iter_ocf_blocks_split,
+    )
+
+    sch = spark_to_avro_schema(NESTED_SCHEMA, "Block")
+    with tempfile.TemporaryDirectory(prefix="ocf_split_prop_") as d:
+        path = d + "/prop.avro"
+        with open(path, "wb") as fh:
+            w = OCFWriter(fh, sch, codec)
+            for i in range(0, len(records), per_block):
+                w.append(records[i : i + per_block])
+        size = os.path.getsize(path)
+        step = max(1, size // n_splits)
+        bounds = list(range(0, size, step)) + [size]
+        got = []
+        for s, e in zip(bounds, bounds[1:]):
+            for _, block in iter_ocf_blocks_split(path, s, e):
+                got.extend(block)
+    assert got == records
