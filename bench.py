@@ -24,8 +24,11 @@ from blockchaintoavro_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# headline set: flagship ETL, star join, Q1-style agg, cosine top-k,
-# token top-k (declared bench=True in the registry)
+# headline set (declared bench=True in the registry): flagship ETL, star
+# join, Q1-style agg, sessionize, cosine top-k, token top-k, plus the
+# LLM-pipeline ops (r3 VERDICT #2): minhash near-dup, dedup clustering,
+# training-prep composite — the r1-r3 keys are unchanged so rounds stay
+# comparable
 
 
 def main() -> None:

@@ -72,6 +72,12 @@ def bin_range_join(
         raise ValueError("bin_range_join supports inner joins only")
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    for side, frame in (("points", points), ("intervals", intervals)):
+        if _BIN in frame.columns:
+            raise ValueError(
+                f"{side} input already has a column named {_BIN!r} "
+                "(internal bin key) — rename it before joining"
+            )
     start_bin = _floor_div(start_key, bin_width)
     end_bin = _floor_div(end_key, bin_width)
     p = points.withColumn(_BIN, _floor_div(point_key, bin_width))

@@ -476,62 +476,64 @@ def epoch_shuffle(
 
     Scale: a global ``row_number()`` window would funnel the whole
     corpus through ONE task (Spark's no-partition Window). Instead this
-    is the distributed global-rank (zipWithIndex) pattern: ONE range
-    shuffle on the hash (sampled balanced boundaries) + in-partition
-    sorts, local indices from ``monotonically_increasing_id`` (which
-    encodes partition id << 33 | in-partition row number — no Window,
-    no second shuffle), and a broadcast join of per-partition cumulative
-    offsets. The only driver-side data is one count per partition.
-    Ranks are exact because (hash, id) totally orders rows across the
-    range partitions. The ranged frame is persisted before the offset
-    count so the heavy scan + range shuffle + sort runs ONCE (Exchange
-    reuse does not span separate jobs) and the final plan is guaranteed
-    to read the same partitioning the offsets were counted on; a
-    partition id that somehow misses the offset map raises
-    USER_RAISED_EXCEPTION from inside the position expression itself
-    (an unreferenced assert column would be pruned by Catalyst)
-    instead of silently mis-ranking. The cached frame is exposed as
-    ``result._epoch_shuffle_cache`` — call ``.unpersist()`` on it once
-    the result has been consumed (cache otherwise lives until LRU
-    eviction; unpersisting the *input* would not release it).
+    is a distributed global-rank with DETERMINISTIC hash-prefix
+    binning: the md5 key is uniform, so fixed equal-width bins on its
+    32-bit prefix are balanced without any boundary sampling. Pass 1
+    computes per-bin counts (map-side partial agg, one tiny shuffle →
+    driver sees ``n_bins`` rows); pass 2 ranks within each bin with a
+    PARTITIONED window (``n_bins`` partitions — never the
+    single-partition funnel) and adds the bin's broadcast cumulative
+    offset. Bin order equals key order (the bin is a key prefix), so
+    ``offset + row_number`` is the exact global rank.
+
+    Both passes are pure functions of the row values — unlike
+    ``repartitionByRange``, whose sampled boundaries can differ between
+    the two jobs (the sketch seed includes the RDD id), so NOTHING is
+    persisted and there is no cache to leak or unpersist (r3 ADVICE:
+    the old implementation leaked its pinned-partitioning cache through
+    a monkey-patched handle). A bin that somehow misses the broadcast
+    offset map raises USER_RAISED_EXCEPTION from inside the position
+    expression itself (an unreferenced assert column would be pruned by
+    Catalyst) instead of silently mis-ranking.
     """
+    from pyspark.sql import Window
+
     h = F.md5(F.concat_ws("|", F.lit(str(epoch)), F.col(id_col).cast("string")))
-    keyed = df.select(F.col(id_col), h.alias("shuffle_key"))
     n_parts = int(
         num_partitions
-        or keyed.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = (
-        keyed.repartitionByRange(n_parts, F.col("shuffle_key"), F.col(id_col))
-        .sortWithinPartitions(F.col("shuffle_key").asc(), F.col(id_col).asc())
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
-        .withColumn("_local", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
-        .persist()
+    n_bins = max(n_parts * 8, 256)
+    # first 8 hex chars as a long (exact: < 2^32); bin = v*n_bins >> 32
+    # keeps every product below 2^52 — no overflow, no float rounding
+    v32 = F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long")
+    keyed = df.select(F.col(id_col), h.alias("shuffle_key")).withColumn(
+        "_bin", F.shiftright(v32 * n_bins, 32).cast("int")
     )
     counts = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        r["_bin"]: r["n"]
+        for r in keyed.groupBy("_bin").agg(F.count("*").alias("n")).collect()
     }
     offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
     off_df = keyed.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "_pid int, _off long"
+        offsets or [(0, 0)], "_bin int, _off long"
     )
     off_or_fail = F.when(F.col("_off").isNotNull(), F.col("_off")).otherwise(
         F.raise_error(
-            F.lit("epoch_shuffle: partition missing from offset map")
+            F.lit("epoch_shuffle: bin missing from offset map")
         ).cast("long")
     )
-    out = ranged.join(F.broadcast(off_df), "_pid", "left").select(
+    w = Window.partitionBy("_bin").orderBy(
+        F.col("shuffle_key").asc(), F.col(id_col).asc()
+    )
+    return keyed.join(F.broadcast(off_df), "_bin", "left").select(
         id_col,
         "shuffle_key",
-        (F.col("_local") + off_or_fail + 1).cast("long").alias("position"),
+        (F.row_number().over(w) + off_or_fail).cast("long").alias("position"),
     )
-    out._epoch_shuffle_cache = ranged  # unpersist handle (see docstring)
-    return out
 
 
 def length_batches(
@@ -653,17 +655,26 @@ def c4_line_filter(
     least ``min_words`` words and no blocklisted word, and re-join.
     Returns ``{"n_lines", "n_kept", "cleaned"}``.
 
+    Blocklist matching is case-INsensitive (the C4 heuristics are; r3
+    ADVICE — 'JavaScript' must not slip past a 'javascript' entry) but
+    exact-token: a line token must equal a blocklist word after
+    lowercasing, so punctuation-adjacent forms like ``cookies.`` pass.
+    Callers wanting substring semantics should pre-normalize the text.
+    Kept lines keep their original case.
+
     Row-local JVM HOFs over one split — zero shuffle, pipelines inside
     the scan at any scale (the same posture as gopher_metrics; this is
     the line-granular member of the cleaning family, vs the document-
     granular Gopher rules and the token-granular stopword strip).
     """
     lines = F.split(text, "\n")
-    block = F.array(*[F.lit(w) for w in blocklist])
+    block = F.array(*[F.lit(w.lower()) for w in blocklist])
     keep = F.filter(
         lines,
         lambda l: (F.size(F.split(l, " ")) >= min_words)
-        & ~F.exists(F.split(l, " "), lambda w: F.array_contains(block, w)),
+        & ~F.exists(
+            F.split(F.lower(l), " "), lambda w: F.array_contains(block, w)
+        ),
     )
     return {
         "n_lines": F.size(lines).cast("long"),

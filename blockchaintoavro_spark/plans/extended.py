@@ -422,6 +422,7 @@ def dq33(spark: SparkSession, sf: str) -> DataFrame:
            CAST(MIN(label) AS BIGINT) AS cluster_id
     FROM reach GROUP BY node ORDER BY doc_id
     """,
+    bench=True,  # r3 VERDICT #2: iterative dedup graph op needs a wall-clock row
 )
 def x_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup cluster resolution: connected components over the dq33
@@ -464,7 +465,7 @@ def x_decon(spark: SparkSession, sf: str) -> DataFrame:
     return contamination_hits(chk, cont, n=5).orderBy("doc_id")
 
 
-@declare("x_minhash_neardup", oracle=None)
+@declare("x_minhash_neardup", oracle=None, bench=True)  # r3 VERDICT #2
 def x_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (doc_id < 100) — engine-defined
     hashing, so rows-only driver check; recall vs dq33 is test-asserted."""
@@ -517,6 +518,7 @@ def x_mm(spark: SparkSession, sf: str) -> DataFrame:
     JOIN embeddings e ON e.vec_id = d.doc_id
     ORDER BY d.doc_id
     """,
+    bench=True,  # r3 VERDICT #2: the composite prep pipeline needs a wall-clock row
 )
 def x_training(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-data prep composite: language filter → token-
@@ -1237,6 +1239,49 @@ def x_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", dbl(F.col("bits_per_token")).alias("bits4")
     )
     return score_buckets(s, "bits4").orderBy("doc_id")
+
+
+@declare(
+    "x_threshold_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+      FROM documents
+    ), cnt AS (
+      SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt
+    ), sc AS (
+      SELECT t.doc_id,
+             CAST(CAST(ROUND(AVG(-log2(CAST(c.c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 4)
+                  AS DECIMAL(38,4)) AS DOUBLE) AS bits4
+      FROM tok t JOIN cnt c USING (tk) CROSS JOIN tot
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, bits4,
+           CASE WHEN bits4 <= 4.905 THEN 'head'
+                WHEN bits4 <= 4.911 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc ORDER BY doc_id
+    """,
+)
+def x_threshold_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet PRODUCTION bucketing shape (operators/quality.py:
+    threshold_buckets): fixed perplexity cutoffs, row-local CASE — zero
+    added shuffle, pipelines in the scoring stage at any scale. The
+    oracle-checked twin of x_ppl_buckets' rank-tile form (r3 VERDICT #4:
+    the scale path must be hash-checked, not just the global-sort cliff
+    form). Cutoffs compare the 4-dp-rounded score on BOTH engines, so
+    bucket membership cannot flip on a last-ulp difference."""
+    from ..operators.quality import threshold_buckets, unigram_logprob
+
+    d = t(spark, sf, "documents")
+    s = unigram_logprob(d).select(
+        "doc_id", dbl(F.col("bits_per_token")).alias("bits4")
+    )
+    return threshold_buckets(s, "bits4", cutoffs=(4.905, 4.911)).orderBy(
+        "doc_id"
+    )
 
 
 @declare(

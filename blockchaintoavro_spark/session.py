@@ -125,9 +125,11 @@ def avro_supported(spark: SparkSession) -> bool:
     """True when the spark-avro connector is on the classpath.
 
     The pip-installed PySpark distribution ships core Avro libs but not the
-    ``spark-avro`` DataSource; the rotated-file sink (reference
-    ``AvroWriter.java``) falls back to Parquet when absent — the rotation
-    *semantics* (time-window id, per-window directories) are format-agnostic.
+    ``spark-avro`` DataSource. When absent, the rotated-file sink
+    (reference ``AvroWriter.java``) still writes REAL ``.avro`` container
+    files through the engine's own OCF codec (sources/avro_io.py,
+    operators/rotation.py) — there is no parquet downgrade; this probe
+    only selects which Avro writer handles the bytes.
     """
     key = "probe"
     if key not in _AVRO_PROBE:

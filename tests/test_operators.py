@@ -1212,3 +1212,38 @@ def test_c4_line_filter_known_vector(spark):
     assert row["nl"] == 4
     assert row["nk"] == 2
     assert row["c"] == "keep this line here now\nanother good line stays put"
+
+
+def test_c4_line_filter_blocklist_case_insensitive(spark):
+    """r3 ADVICE: 'JavaScript' must not slip past a 'javascript' entry
+    (C4 matches case-insensitively); exact-token contract still holds
+    ('cookies.' passes) and kept lines keep their original case."""
+    from blockchaintoavro_spark.operators.quality import c4_line_filter
+
+    txt = (
+        "Enable JavaScript to view this Page\n"
+        "We use cookies. on This Site okay\n"
+        "A Perfectly Good Line Stays Here"
+    )
+    df = spark.createDataFrame([(txt,)], "text string")
+    m = c4_line_filter(F.col("text"), min_words=5, blocklist=("JAVAscript",))
+    row = df.select(
+        m["n_kept"].alias("nk"), m["cleaned"].alias("c")
+    ).first()
+    assert row["nk"] == 2
+    assert row["c"] == (
+        "We use cookies. on This Site okay\nA Perfectly Good Line Stays Here"
+    )
+
+
+def test_bin_range_join_rejects_reserved_column(spark):
+    """r3 ADVICE: an input already carrying the internal _brj_bin column
+    must fail fast instead of mis-binning silently."""
+    import pytest
+
+    from blockchaintoavro_spark.operators.interval import bin_range_join
+
+    pts = spark.createDataFrame([(1, 5)], "p long, _brj_bin long")
+    iv = spark.createDataFrame([(0, 10)], "s long, e long")
+    with pytest.raises(ValueError, match="_brj_bin"):
+        bin_range_join(pts, iv, F.col("p"), F.col("s"), F.col("e"), 10)

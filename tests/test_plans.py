@@ -350,13 +350,31 @@ def test_bloom_decontaminate_no_join(spark, registry, sf_dir):
 
 
 def test_epoch_shuffle_no_global_window_funnel(spark, registry, sf_dir):
-    """The global permutation must use the distributed zipWithIndex
-    pattern: one range exchange + in-partition sort, never a
-    single-partition Window (the 100 TB funnel) and no Window at all."""
+    """The global permutation must use the deterministic binned
+    global-rank pattern: the row_number window is PARTITIONED by the
+    hash-prefix bin (never the single-partition 100 TB funnel), the
+    offset map joins as a broadcast, and nothing is persisted (the r3
+    cache-leak fix — both passes are deterministic, so no pinned cache
+    is needed)."""
     s = plan_of(spark, registry, "x_epoch_shuffle", sf_dir, mode="simple")
     assert "SinglePartition" not in s
-    assert "Window" not in s
-    assert "monotonically_increasing_id" in s
+    assert "row_number" in s
+    assert "_bin" in s  # window partition key is the hash-prefix bin
+    assert "BroadcastHashJoin" in s  # offsets broadcast, never shuffled
+    assert "InMemoryTableScan" not in s  # no persist → nothing to leak
+
+
+def test_threshold_buckets_adds_no_shuffle(spark, registry, sf_dir):
+    """The production bucketing path (x_threshold_buckets) is a row-local
+    CASE on the score: its plan must contain NO window and EXACTLY the
+    same number of exchanges as the underlying scoring query — the
+    bucketing stage itself is shuffle-free (unlike the rank-tile twin
+    x_ppl_buckets, whose global ntile is the documented cliff form)."""
+    bucketed = plan_of(spark, registry, "x_threshold_buckets", sf_dir, mode="simple")
+    scoring = plan_of(spark, registry, "x_unigram_logprob", sf_dir, mode="simple")
+    assert "Window" not in bucketed
+    assert "ntile" not in bucketed
+    assert bucketed.count("Exchange") == scoring.count("Exchange")
 
 
 def test_length_batches_per_bucket_sorts_only(spark, registry, sf_dir):
