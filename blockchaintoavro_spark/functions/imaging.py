@@ -1,0 +1,230 @@
+"""Pure-Python image codecs for the multimodal (X5) pipeline — NO Spark
+imports (workers import this module directly, the same pure-twin contract
+as base58.py).
+
+The container ships no PIL/ffmpeg, but PNG needs only ``zlib`` + ``struct``
+(both stdlib) and BMP is plain struct parsing — so the X5 decode step can
+be REAL for these two formats (r3 VERDICT #3), with the deterministic stub
+remaining only as the fallback for genuinely undecodable modalities
+(operators/multimodal.py).
+
+Scope (documented subset, not a general imaging library):
+- PNG (spec: https://www.w3.org/TR/png-3/): 8-bit depth, color types
+  0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); all five scanline filters
+  (None/Sub/Up/Average/Paeth); non-interlaced; chunk CRCs verified.
+  Palette (type 3), 16-bit and interlaced files raise ``ValueError``.
+- BMP (BITMAPINFOHEADER): uncompressed 8/24/32 bpp, bottom-up or
+  top-down; 8 bpp returns palette indices as pixels.
+
+Encoders exist so tests and declared queries can build deterministic
+fixtures without any external tool: ``encode_png`` (filter 0 rows) and
+``encode_bmp`` (24 bpp). Round-trip identity is property-tested.
+
+Decoded pixels are returned in row-major top-down scan order, channels
+interleaved exactly as stored (PNG: RGB(A)/gray; BMP: BGR) — feature
+extraction downstream reduces them (dims + checksum), so no color-space
+conversion is performed here.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CTYPE = {1: 0, 3: 2, 2: 4, 4: 6}
+
+
+def decode_png(data: bytes) -> dict:
+    """PNG → ``{format, width, height, channels, pixels}``.
+
+    Full scanline unfiltering per the spec; chunk CRCs are verified so a
+    corrupt payload raises instead of yielding silently wrong pixels.
+    """
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat = bytearray()
+    w = h = ctype = None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        pos += 8
+        chunk = data[pos : pos + ln]
+        if len(chunk) < ln or pos + ln + 4 > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", data[pos + ln : pos + ln + 4])
+        if zlib.crc32(typ + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        pos += ln + 4
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG has no IHDR")
+    channels = _PNG_CHANNELS[ctype]
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(h):
+        f = raw[p]
+        p += 1
+        cur = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out += cur
+        prev = cur
+    return {
+        "format": "png",
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """Minimal spec-valid PNG writer (filter 0 scanlines, one IDAT)."""
+    if channels not in _PNG_CTYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels length != width*height*channels")
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _PNG_CTYPE[channels], 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(data: bytes) -> dict:
+    """BMP (BITMAPINFOHEADER, uncompressed 8/24/32 bpp) →
+    ``{format, width, height, channels, pixels}`` with rows returned
+    top-down regardless of on-disk orientation."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    offset = struct.unpack("<I", data[10:14])[0]
+    hdrsize, w, h_signed = struct.unpack("<Iii", data[14:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    comp = struct.unpack("<I", data[30:34])[0]
+    if hdrsize < 40:
+        raise ValueError(f"unsupported BMP header size {hdrsize}")
+    if comp != 0:
+        raise ValueError(f"compressed BMP unsupported (method {comp})")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("degenerate BMP dimensions")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    channels = bpp // 8
+    stride = ((w * channels + 3) // 4) * 4  # rows pad to 4 bytes
+    rows = []
+    for r in range(h):
+        start = offset + r * stride
+        row = data[start : start + w * channels]
+        if len(row) < w * channels:
+            raise ValueError("truncated BMP pixel data")
+        rows.append(row)
+    if not top_down:
+        rows.reverse()  # stored bottom-up: normalize to top-down
+    return {
+        "format": "bmp",
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "pixels": b"".join(rows),
+    }
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 24 bpp bottom-up BMP writer (pixels given top-down BGR)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels length != width*height*3")
+    stride = ((width * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - width * 3)
+    body = b"".join(
+        pixels[r * width * 3 : (r + 1) * width * 3] + pad
+        for r in range(height - 1, -1, -1)  # bottom-up storage order
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def try_decode_image(payload: bytes | None) -> dict | None:
+    """Dispatch on magic bytes; None when the payload is not a decodable
+    PNG/BMP (caller falls back to the deterministic stub)."""
+    if not payload:
+        return None
+    b = bytes(payload)
+    try:
+        if b[:8] == PNG_MAGIC:
+            return decode_png(b)
+        if b[:2] == b"BM":
+            return decode_bmp(b)
+    except ValueError:
+        return None
+    return None
+
+
+def pixel_checksum(pixels: bytes) -> int:
+    """Order-sensitive checksum over decoded pixels: positionally
+    weighted byte sum ``Σ (i+1)·b_i  mod 2^31``. Weighted so a pixel
+    permutation changes the value, but still plain SUM arithmetic — an
+    SQL oracle can recompute it without any image code (the property
+    the declared x_png_decode query's DuckDB twin relies on)."""
+    return sum((i + 1) * b for i, b in enumerate(pixels)) % (1 << 31)

@@ -6,10 +6,12 @@ The reference's analog is the raw script-bytes columns
 132,161``) — binary travels through the pipeline untouched, derivations
 produce sibling typed columns.
 
-The actual media decode (image/audio libs) is STUBBED — this container has
-none — behind ``decode_stub``, which produces deterministic fake features
-from the bytes. Everything Spark-side is real and tested: BinaryType
-schema, Arrow batch transfer, mapInPandas iterator contract, output schema.
+Decode is REAL for PNG and BMP payloads — the pure-stdlib codecs in
+``functions/imaging.py`` (zlib + struct; known-answer- and
+round-trip-tested) run inside the mapInPandas batches, dispatched on the
+payload's magic bytes. Payloads in any other format fall back to
+``decode_stub``'s deterministic fake features (this container has no
+media libs for jpeg/audio/video; the stub keeps the pipeline total).
 At scale this pattern is the right one: mapInPandas streams Arrow batches
 through Python without materializing a partition, and the decode cost
 parallelizes per-partition with zero shuffle.
@@ -43,7 +45,8 @@ def with_binary_payload(
 
 
 def decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decode: stands in for PIL/librosa/ffmpeg.
+    """Deterministic fake decode for payloads the real codecs can't
+    handle (jpeg/audio/video — no media libs in this container).
 
     A real implementation would be dropped in here unchanged — signature
     bytes → feature dict. Raises nothing; bad payloads yield zeros (the
@@ -58,28 +61,61 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
+def decode_payload(payload: bytes | None) -> dict:
+    """Real-decode-first dispatch: PNG/BMP payloads go through the pure
+    stdlib codecs (functions/imaging.py — dims + order-sensitive pixel
+    checksum); anything else falls back to :func:`decode_stub`. Total —
+    never raises — so one corrupt payload can't fail a 100 TB stage."""
+    from ..functions.imaging import pixel_checksum, try_decode_image
+
+    info = try_decode_image(payload)
+    if info is None:
+        return decode_stub(payload)
+    return {
+        "width": info["width"],
+        "height": info["height"],
+        "checksum": pixel_checksum(info["pixels"]),
+    }
+
+
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads (Arrow batches)."""
+    """mapInPandas feature extraction over binary payloads (Arrow
+    batches): real PNG/BMP decode, stub fallback (see decode_payload).
 
-    # The worker-side closure must be self-contained: executors may not have
-    # this package on sys.path (the driver can launch from any cwd), and
-    # module-level functions pickle by reference. Nested copy of decode_stub
-    # (kept in sync — decode_stub is the unit-tested reference impl).
-
-    def _decode_stub(payload):
-        if not payload:
-            return {"width": 0, "height": 0, "checksum": 0}
-        return {
-            "width": payload[0] % 128 + 1,
-            "height": payload[-1] % 128 + 1,
-            "checksum": sum(payload) % (1 << 31),
-        }
+    The worker imports the pure imaging module by name (the same
+    pure-twin contract as functions/base58.py — session.configure ships
+    the package via addPyFile), keeping the heavy decode logic out of
+    the pickled closure."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blockchaintoavro_spark.functions.imaging import (
+            pixel_checksum,
+            try_decode_image,
+        )
+
+        def _decode_stub(payload):
+            if not payload:
+                return {"width": 0, "height": 0, "checksum": 0}
+            return {
+                "width": payload[0] % 128 + 1,
+                "height": payload[-1] % 128 + 1,
+                "checksum": sum(payload) % (1 << 31),
+            }
+
+        def _decode(payload):
+            info = try_decode_image(payload)
+            if info is None:
+                return _decode_stub(payload)
+            return {
+                "width": info["width"],
+                "height": info["height"],
+                "checksum": pixel_checksum(info["pixels"]),
+            }
+
         for pdf in batches:
-            feats = [_decode_stub(p) for p in pdf[payload_col]]
+            feats = [_decode(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -94,6 +130,63 @@ def extract_features(
     return df.select(id_col, payload_col, "modality").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+ROUNDTRIP_SCHEMA = (
+    "doc_id long, format string, width long, height long, checksum long"
+)
+
+
+def image_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """End-to-end exercise of the REAL image codecs on the cluster: per
+    row, synthesize a deterministic image from the id alone (even ids →
+    8-bit gray PNG, odd ids → 24 bpp BMP; ``pixel[i] = (id·31 + 7i) mod
+    256``), encode it to real container bytes, decode those bytes back
+    through the magic-dispatch path, and emit the decoded dims + pixel
+    checksum.
+
+    Because every output value is pure integer arithmetic on the id, an
+    SQL oracle can verify the WHOLE encode→decode pipeline without any
+    image code (the x_png_decode declared query) — if any stage of the
+    PNG/BMP codecs mangled a byte, the checksum would diverge.
+
+    Scale: mapInPandas, row-local, zero shuffle; Arrow streams batches so
+    no partition materializes in Python at once.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blockchaintoavro_spark.functions.imaging import (
+            encode_bmp,
+            encode_png,
+            pixel_checksum,
+            try_decode_image,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "format": [], "width": [],
+                "height": [], "checksum": [],
+            }
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                w = 4 + doc_id % 13
+                h = 3 + doc_id % 7
+                ch = 1 if doc_id % 2 == 0 else 3
+                px = bytes((doc_id * 31 + 7 * i) % 256 for i in range(w * h * ch))
+                payload = (
+                    encode_png(w, h, px, 1) if ch == 1 else encode_bmp(w, h, px)
+                )
+                info = try_decode_image(payload)
+                if info is None:  # a codec bug must fail loudly, not stub
+                    raise ValueError(f"roundtrip decode failed for id {doc_id}")
+                out["doc_id"].append(doc_id)
+                out["format"].append(info["format"])
+                out["width"].append(info["width"])
+                out["height"].append(info["height"])
+                out["checksum"].append(pixel_checksum(info["pixels"]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(run, schema=ROUNDTRIP_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id long, payload binary, width long, height long"
