@@ -6,9 +6,9 @@ Reference parity: the reference's entire output surface is Avro container
 files (AvroWriter.java:38-67; Main.java:229-232 loads FormatOptions.avro());
 the pip PySpark distribution ships no spark-avro DataSource, so the engine
 registers its own spec-implemented OCF codec (sources/avro_io.py — Avro
-1.12 binary encoding, null/deflate codecs, validated against the official
-Avro Java library) through the public Python DataSource API instead of a
-private mapInArrow convention.
+1.12 binary encoding, null/deflate/snappy codecs, validated against the
+official Avro Java library) through the public Python DataSource API
+instead of a private mapInArrow convention.
 
 Scale design:
 - byte-range InputPartitions, sync-marker aligned: files above
@@ -29,7 +29,8 @@ Scale design:
   partitioning and nothing shuffles.
 
 Options: ``partition_col`` (hive dir key), ``partition_type`` (``long``
-default / ``string``), ``codec`` (``deflate`` default / ``null``).
+default / ``string``), ``codec`` (``deflate`` default / ``null`` /
+``snappy``).
 """
 
 from __future__ import annotations

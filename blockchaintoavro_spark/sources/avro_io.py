@@ -195,7 +195,7 @@ class OCFWriter:
     memory stays bounded by a single batch regardless of file size."""
 
     def __init__(self, fh: BinaryIO, schema: dict, codec: str = "deflate"):
-        if codec not in ("null", "deflate"):
+        if codec not in ("null", "deflate", "snappy"):
             raise ValueError(f"unsupported codec {codec}")
         self._fh, self._schema, self._codec = fh, schema, codec
         sj = json.dumps(schema)
@@ -225,6 +225,13 @@ class OCFWriter:
         if self._codec == "deflate":  # raw deflate per spec (no zlib header)
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = co.compress(payload) + co.flush()
+        elif self._codec == "snappy":
+            # spec: snappy-compressed data followed by the 4-byte
+            # big-endian CRC32 of the UNCOMPRESSED data
+            from blockchaintoavro_spark.sources import snappy_codec
+
+            crc = zlib.crc32(payload) & 0xFFFFFFFF
+            payload = snappy_codec.compress(payload) + _struct.pack(">I", crc)
         out = io.BytesIO()
         _write_long(out, len(records))
         _write_long(out, len(payload))
@@ -328,6 +335,15 @@ def iter_ocf_blocks_split(
             payload = fh.read(size)
             if codec == "deflate":
                 payload = zlib.decompressobj(-15).decompress(payload)
+            elif codec == "snappy":
+                from blockchaintoavro_spark.sources import snappy_codec
+
+                crc = _struct.unpack(">I", payload[-4:])[0]
+                payload = snappy_codec.decompress(payload[:-4])
+                if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+                    raise ValueError(f"snappy block CRC mismatch in {path}")
+            elif codec != "null":
+                raise ValueError(f"unsupported avro codec {codec!r} in {path}")
             buf = io.BytesIO(payload)
             block = [_decode(buf, schema) for _ in range(n)]
             if fh.read(16) != sync:

@@ -76,7 +76,7 @@ RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_ocf_python_roundtrip(tmp_path, codec):
     """Byte-level encode/decode roundtrip incl. long extremes, empty
     bytes/strings/arrays, nulls at every level, both codecs."""
@@ -138,7 +138,7 @@ _records = st.fixed_dictionaries(
 )
 
 
-@given(st.lists(_records, max_size=20), st.sampled_from(["null", "deflate"]))
+@given(st.lists(_records, max_size=20), st.sampled_from(["null", "deflate", "snappy"]))
 @settings(max_examples=75, deadline=None)
 def test_ocf_codec_roundtrip_property(records, codec):
     """Hand-written binary codec hardening: arbitrary unicode, int64
@@ -402,7 +402,7 @@ def _write_multiblock(path: str, n_records: int, per_block: int, codec: str):
     return recs
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_ocf_split_read_covers_blocks_exactly(tmp_path, codec):
     """Consecutive byte-range splits partition the block set exactly —
     every record once, none dropped — for split counts from 1 to one
@@ -492,7 +492,7 @@ def test_foreign_manifest_falls_back_to_glob(spark, tmpdir):
     records=st.lists(_records, max_size=25),
     per_block=st.integers(1, 7),
     n_splits=st.integers(1, 11),
-    codec=st.sampled_from(["null", "deflate"]),
+    codec=st.sampled_from(["null", "deflate", "snappy"]),
 )
 @settings(max_examples=60, deadline=None)
 def test_ocf_split_read_property(records, per_block, n_splits, codec):
