@@ -39,7 +39,6 @@ import json
 import os
 import struct as _struct
 import zlib
-from hashlib import md5
 from typing import Any, BinaryIO, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -194,14 +193,29 @@ class OCFWriter:
     """Streaming OCF writer: header once, then one data block per append —
     memory stays bounded by a single batch regardless of file size."""
 
-    def __init__(self, fh: BinaryIO, schema: dict, codec: str = "deflate"):
+    def __init__(
+        self,
+        fh: BinaryIO,
+        schema: dict,
+        codec: str = "deflate",
+        sync: bytes | None = None,
+    ):
         if codec not in ("null", "deflate", "snappy"):
             raise ValueError(f"unsupported codec {codec}")
         self._fh, self._schema, self._codec = fh, schema, codec
         sj = json.dumps(schema)
-        # any 16 bytes are a valid sync marker; deterministic beats random
-        # here (reproducible files, no forbidden runtime RNG)
-        self.sync = md5((sj + "|" + codec).encode()).digest()
+        # Random per-file sync marker, as the spec recommends: a
+        # deterministic marker (pre-r5 this was md5(schema|codec)) meant a
+        # payload that happened to CONTAIN those 16 bytes — e.g.
+        # re-ingesting an engine-written .avro as a BinaryType column —
+        # made the split scanner seek to a false sync and refuse the file.
+        # With per-file randomness an embedded foreign marker is just data.
+        if sync is not None:
+            if len(sync) != 16:
+                raise ValueError("sync marker must be exactly 16 bytes")
+            self.sync = sync
+        else:
+            self.sync = os.urandom(16)
         out = io.BytesIO()
         out.write(MAGIC)
         meta = {"avro.schema": sj.encode(), "avro.codec": codec.encode()}
@@ -338,6 +352,8 @@ def iter_ocf_blocks_split(
             elif codec == "snappy":
                 from blockchaintoavro_spark.sources import snappy_codec
 
+                if len(payload) < 4:
+                    raise ValueError(f"truncated snappy block in {path}")
                 crc = _struct.unpack(">I", payload[-4:])[0]
                 payload = snappy_codec.decompress(payload[:-4])
                 if zlib.crc32(payload) & 0xFFFFFFFF != crc:

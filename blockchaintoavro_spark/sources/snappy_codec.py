@@ -61,7 +61,14 @@ def _read_uvarint(data: bytes, i: int) -> tuple[int, int]:
 
 def _emit_literal(out: bytearray, data: bytes, start: int, end: int) -> None:
     """Literal element(s) for data[start:end]; splits runs the tag byte
-    can't express (len-1 must fit the chosen length encoding)."""
+    can't express (len-1 must fit the chosen length encoding).
+
+    Deliberate subset: the 3-/4-byte literal-length encodings are never
+    emitted — runs over 64 KiB are split into multiple literal elements
+    instead. Every conforming decoder must accept this (the spec makes
+    length encodings interchangeable), and Avro blocks are batch-bounded
+    so the extra tag bytes are noise; it keeps the encoder branch-free.
+    The decoder side (:func:`decompress`) accepts all four encodings."""
     while start < end:
         n = end - start
         if n <= 60:
@@ -121,6 +128,12 @@ def decompress(data: bytes) -> bytes:
     out = bytearray()
     n = len(data)
     while i < n:
+        if len(out) > expected:
+            # fail fast: a malformed stream must not grow the output
+            # arbitrarily past the declared length before we notice
+            raise SnappyError(
+                f"decompressed past declared length {expected} at input byte {i}"
+            )
         tag = data[i]
         i += 1
         kind = tag & 3
