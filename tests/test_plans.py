@@ -462,3 +462,21 @@ def test_aqe_skew_join_splits_hot_key(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_x_chainwork_single_codegen_no_python(spark, registry, sf_dir):
+    """The compact-bits long division must stay one WholeStageCodegen
+    span of stacked projections (the named-intermediate structure that
+    keeps janino happy — functions/chainwork.py) with no Python and no
+    shuffle besides the presentation sort."""
+    s = plan_of(spark, registry, "x_chainwork", sf_dir, mode="simple")
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert s.count("Exchange") <= 1  # orderBy only
+    df = registry["x_chainwork"].spark(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan so codegen ids materialize
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "codegen id : 1" in p  # division chain fused into one stage
+    # ...and the fusion actually compiled: a janino failure falls back to
+    # interpreted Projects, which lose the codegen star in the final plan
+    assert "*(1) Project" in df._jdf.queryExecution().executedPlan().toString()
