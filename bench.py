@@ -5,7 +5,12 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Timing = per-query wall clock of plan + execution (df.collect()): one
 untimed warm-up pass over the whole set (JVM/codegen/arrow startup would
-otherwise be billed to whichever query runs first), then median of 3 runs.
+otherwise be billed to whichever query runs first), then median of 5
+runs. ``spread`` records each query's interquartile range (VERDICT r4
+#7): dq10/dq15 moved ±14% between identical plans across rounds, so the
+IQR is what separates a real regression from warm-JVM jitter. The
+r1-r4 keys (metric/value/unit/queries/sf) are unchanged so rounds stay
+comparable; ``spread`` is additive.
 """
 
 from __future__ import annotations
@@ -23,12 +28,26 @@ from blockchaintoavro_spark.plans import load_all
 from blockchaintoavro_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 # headline set (declared bench=True in the registry): flagship ETL, star
 # join, Q1-style agg, sessionize, cosine top-k, token top-k, plus the
 # LLM-pipeline ops (r3 VERDICT #2): minhash near-dup, dedup clustering,
 # training-prep composite — the r1-r3 keys are unchanged so rounds stay
 # comparable
+
+
+def _parse_sf(sf_dir: str):
+    """'…/sf0.1' → 0.1; a custom dir without the sf convention reports
+    its basename verbatim instead of a silently-wrong number."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        tail = base[2:]
+        try:
+            return float(tail)
+        except ValueError:
+            pass
+    return base
 
 
 def main() -> None:
@@ -41,16 +60,18 @@ def main() -> None:
         q.spark(spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, q in bench_set.items():
         runs = []
-        for _ in range(3):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             df = q.spark(spark, SF_DIR)
             df.collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        qs = statistics.quantiles(runs, n=4)  # [q1, median, q3]
+        spreads[name] = round(qs[2] - qs[0], 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
@@ -58,7 +79,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spread": spreads,
+                "runs": N_RUNS,
+                "sf": _parse_sf(SF_DIR),
             }
         )
     )
