@@ -199,9 +199,18 @@ def _read_file_partition(
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from blockchaintoavro_spark.sources.avro_io import spark_to_avro_schema
+
     arrow_schema = to_arrow_schema(schema)
+    # evolved-reader support: resolve each file against the EXPECTED avro
+    # schema (derived from the read schema, e.g. a user-supplied
+    # .schema(...)); files written with that exact schema skip resolution
+    data_schema = T.StructType([f for f in schema.fields if f.name != pcol])
+    reader_avro = spark_to_avro_schema(data_schema)
     end: float = partition.end if partition.end >= 0 else float("inf")
-    for _, block in iter_ocf_blocks_split(partition.path, partition.start, end):
+    for _, block in iter_ocf_blocks_split(
+        partition.path, partition.start, end, reader_avro
+    ):
         if pcol:
             for r in block:
                 r[pcol] = partition.part_value

@@ -28,11 +28,20 @@ Scale notes:
 
 Supported types (all the engine's sinks emit): null, boolean, int, long,
 float, double, bytes, string, record, array, map, and 2-branch unions with
-null. Enum/fixed/logical types are out of scope and raise.
+null, plus the temporal logical types (timestamp-millis/micros,
+local-timestamp-millis/micros, date) mapped to Spark
+Timestamp/TimestampNTZ/Date. Reader-writer schema RESOLUTION (spec
+"Schema Resolution") is implemented for this subset — field
+add-with-default / drop / reorder, numeric promotions (int→long→float→
+double), string↔bytes, nullability widening — so evolved readers consume
+old files (``reader_schema=`` on the read APIs; the Spark DataSource
+resolves per file against a user-supplied ``.schema(...)``). Enum/fixed
+and record-name/alias matching are out of scope and raise.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob
 import io
 import json
@@ -76,6 +85,51 @@ def _read_long(buf: BinaryIO) -> int:
         shift += 7
 
 
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _logical_to_long(logical: str, v: Any) -> int:
+    """Python temporal → the logical type's long/int representation
+    (spec: Logical Types — timestamp-millis/micros are UTC instants,
+    local-timestamp-* are wall-clock, date is days since epoch)."""
+    if isinstance(v, bool) or isinstance(v, int):
+        return v  # already the physical representation
+    if logical == "date":
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        return (v - _EPOCH_DATE).days
+    if isinstance(v, _dt.datetime):
+        if logical.startswith("local-"):
+            delta = v.replace(tzinfo=None) - _EPOCH_NAIVE
+        else:
+            if v.tzinfo is None:  # naive treated as UTC instant
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            delta = v - _EPOCH_UTC
+        us = delta // _dt.timedelta(microseconds=1)
+        return us // 1000 if logical.endswith("-millis") else us
+    raise ValueError(f"cannot encode {type(v).__name__} as {logical}")
+
+
+def _long_to_logical(logical: str, n: int) -> Any:
+    if logical == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=n)
+    us = n * 1000 if logical.endswith("-millis") else n
+    if logical.startswith("local-"):
+        return _EPOCH_NAIVE + _dt.timedelta(microseconds=us)
+    return _EPOCH_UTC + _dt.timedelta(microseconds=us)
+
+
+_LOGICAL_TYPES = {
+    ("long", "timestamp-millis"),
+    ("long", "timestamp-micros"),
+    ("long", "local-timestamp-millis"),
+    ("long", "local-timestamp-micros"),
+    ("int", "date"),
+}
+
+
 def _encode(out: BinaryIO, schema: Any, v: Any) -> None:
     if isinstance(schema, list):  # union — branch chosen by value nullness
         if v is None:
@@ -87,6 +141,10 @@ def _encode(out: BinaryIO, schema: Any, v: Any) -> None:
         return
     if isinstance(schema, dict):
         t = schema["type"]
+        lt = schema.get("logicalType")
+        if lt is not None and (t, lt) in _LOGICAL_TYPES:
+            _write_long(out, _logical_to_long(lt, v))
+            return
         if t == "record":
             for f in schema["fields"]:
                 _encode(out, f["type"], v.get(f["name"]) if v else None)
@@ -143,6 +201,9 @@ def _decode(buf: BinaryIO, schema: Any) -> Any:
         return _decode(buf, schema[_read_long(buf)])
     if isinstance(schema, dict):
         t = schema["type"]
+        lt = schema.get("logicalType")
+        if lt is not None and (t, lt) in _LOGICAL_TYPES:
+            return _long_to_logical(lt, _read_long(buf))
         if t == "record":
             return {f["name"]: _decode(buf, f["type"]) for f in schema["fields"]}
         if t == "array":
@@ -183,6 +244,125 @@ def _decode(buf: BinaryIO, schema: Any) -> Any:
     if schema == "string":
         return buf.read(_read_long(buf)).decode("utf-8")
     raise ValueError(f"unsupported avro schema: {schema!r}")
+
+
+# ---------------------------------------------------------------------------
+# reader-writer schema resolution (spec: "Schema Resolution")
+
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _norm(s: Any) -> Any:
+    """``{"type": "long"}`` wrapper (no annotations) → ``"long"``."""
+    if isinstance(s, dict) and set(s) == {"type"} and isinstance(s["type"], str):
+        return s["type"]
+    return s
+
+
+def _default_value(s: Any, d: Any) -> Any:
+    """Materialize a reader field's JSON default per the spec (bytes
+    defaults are latin-1 strings; union defaults match the FIRST branch)."""
+    s = _norm(s)
+    if isinstance(s, list):
+        s = _norm(s[0])
+    if s == "null":
+        return None
+    if isinstance(s, dict):
+        t = s["type"]
+        lt = s.get("logicalType")
+        if lt is not None and (t, lt) in _LOGICAL_TYPES:
+            return _long_to_logical(lt, int(d))
+        if t == "record":
+            return {
+                f["name"]: _default_value(
+                    f["type"], (d or {}).get(f["name"], f.get("default"))
+                )
+                for f in s["fields"]
+            }
+        if t == "array":
+            return [_default_value(s["items"], x) for x in (d or [])]
+        if t == "map":
+            return {k: _default_value(s["values"], x) for k, x in (d or {}).items()}
+        return _default_value(t, d)
+    if s == "bytes":
+        return d.encode("latin-1") if isinstance(d, str) else bytes(d)
+    if s in ("float", "double"):
+        return float(d)
+    if s in ("int", "long"):
+        return int(d)
+    return d
+
+
+def resolve_record(wschema: Any, rschema: Any, v: Any) -> Any:
+    """Adapt one decoded value tree from the writer's schema to the
+    reader's: field add-with-default / drop / reorder, numeric
+    promotions, string↔bytes, nullability widening, logical-type
+    (re)interpretation. Structural matching (record names/aliases are
+    not consulted — the codec never writes name-discriminated unions)."""
+    w, r = _norm(wschema), _norm(rschema)
+    if w == r:
+        return v
+    wu, ru = isinstance(w, list), isinstance(r, list)
+    if wu or ru:
+        wb = next((b for b in w if b != "null"), "null") if wu else w
+        rb = next((b for b in r if b != "null"), "null") if ru else r
+        if v is None:
+            if ru or r == "null":
+                return None
+            raise ValueError(
+                "schema resolution: null value for non-nullable reader type"
+            )
+        return resolve_record(wb, rb, v)
+    wd, rd = isinstance(w, dict), isinstance(r, dict)
+    wt = w["type"] if wd else w
+    rt = r["type"] if rd else r
+    wl = w.get("logicalType") if wd else None
+    rl = r.get("logicalType") if rd else None
+    if wl is not None or rl is not None:
+        phys = _logical_to_long(wl, v) if wl is not None else v
+        if rl is not None:
+            return _long_to_logical(rl, int(phys))
+        return resolve_record(wt, rt, phys)
+    if wt == "record" and rt == "record":
+        wmap = {f["name"]: f for f in w["fields"]}
+        out = {}
+        for f in r["fields"]:
+            name = f["name"]
+            ftype = f["type"]
+            if name in wmap:
+                out[name] = resolve_record(wmap[name]["type"], ftype, (v or {}).get(name))
+            elif "default" in f:
+                out[name] = _default_value(ftype, f["default"])
+            elif isinstance(ftype, list) and "null" in ftype:
+                # nullable reader field with no declared default: null —
+                # the Spark new-column semantics a .schema() caller expects
+                out[name] = None
+            else:
+                raise ValueError(
+                    f"schema resolution: reader field {name!r} absent from "
+                    "writer schema and has no default"
+                )
+        return out
+    if wt == "array" and rt == "array":
+        return [resolve_record(w["items"], r["items"], it) for it in (v or [])]
+    if wt == "map" and rt == "map":
+        return {
+            k: resolve_record(w["values"], r["values"], x)
+            for k, x in (v or {}).items()
+        }
+    if (wt, rt) in _PROMOTIONS:
+        if rt in ("float", "double"):
+            return float(v)
+        if rt == "long":
+            return int(v)
+        if rt == "bytes":
+            return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        return bytes(v).decode("utf-8")
+    raise ValueError(f"schema resolution: cannot read {wt!r} as {rt!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -311,7 +491,7 @@ def _scan_sync(fh: BinaryIO, sync: bytes, start: int, end: float) -> int | None:
 
 
 def iter_ocf_blocks_split(
-    path: str, start: int, end: float
+    path: str, start: int, end: float, reader_schema: Any = None
 ) -> Iterator[tuple[dict, list[dict]]]:
     """Stream the data blocks of the byte-range split ``[start, end)``.
 
@@ -362,25 +542,32 @@ def iter_ocf_blocks_split(
                 raise ValueError(f"unsupported avro codec {codec!r} in {path}")
             buf = io.BytesIO(payload)
             block = [_decode(buf, schema) for _ in range(n)]
+            if reader_schema is not None and reader_schema != schema:
+                # evolved reader over an old file: adapt per the spec's
+                # Schema Resolution rules (identical schemas skip this)
+                block = [resolve_record(schema, reader_schema, r) for r in block]
             if fh.read(16) != sync:
                 raise ValueError(f"sync marker mismatch in {path}")
             yield schema, block
             sync_pos = fh.tell() - 16
 
 
-def iter_ocf_blocks(path: str) -> Iterator[tuple[dict, list[dict]]]:
+def iter_ocf_blocks(
+    path: str, reader_schema: Any = None
+) -> Iterator[tuple[dict, list[dict]]]:
     """Stream a whole container file one data block at a time, yielding
     ``(schema, block_records)`` — the degenerate single-split case of
     :func:`iter_ocf_blocks_split`."""
-    yield from iter_ocf_blocks_split(path, 0, float("inf"))
+    yield from iter_ocf_blocks_split(path, 0, float("inf"), reader_schema)
 
 
-def read_ocf(path: str) -> tuple[dict, list[dict]]:
-    """Decode a whole container file → (schema, records). Convenience
+def read_ocf(path: str, reader_schema: Any = None) -> tuple[dict, list[dict]]:
+    """Decode a whole container file → (schema, records) — resolved to
+    ``reader_schema`` when given (spec Schema Resolution). Convenience
     for small files; scale paths should consume :func:`iter_ocf_blocks`."""
     schema = read_ocf_header(path)
     records: list[dict] = []
-    for schema, block in iter_ocf_blocks(path):
+    for schema, block in iter_ocf_blocks(path, reader_schema):
         records.extend(block)
     return schema, records
 
@@ -435,6 +622,12 @@ def spark_to_avro_schema(st: T.StructType, name: str = "Record") -> dict:
                     conv(dt.valueType, f"{path}_value"), dt.valueContainsNull
                 ),
             }
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.TimestampNTZType):
+            return {"type": "long", "logicalType": "local-timestamp-micros"}
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
         for py_t, avro_t in _PRIMITIVES:
             if isinstance(dt, py_t):
                 return avro_t
@@ -459,6 +652,13 @@ def avro_to_spark_schema(schema: dict) -> T.StructType:
             return dt, True
         if isinstance(s, dict):
             t = s["type"]
+            lt = s.get("logicalType")
+            if lt is not None and (t, lt) in _LOGICAL_TYPES:
+                if lt.startswith("local-timestamp"):
+                    return T.TimestampNTZType(), False
+                if lt.startswith("timestamp"):
+                    return T.TimestampType(), False
+                return T.DateType(), False
             if t == "record":
                 fields = []
                 for f in s["fields"]:

@@ -724,3 +724,256 @@ def test_ocf_split_read_property(records, per_block, n_splits, codec):
             for _, block in iter_ocf_blocks_split(path, s, e):
                 got.extend(block)
     assert got == records
+
+
+# ---------------------------------------------------------------------------
+# logical types + reader-writer schema resolution (VERDICT r4 missing #3)
+
+
+def test_ocf_temporal_logical_types_roundtrip(tmp_path):
+    """timestamp-micros / local-timestamp-micros / date annotate plain
+    long/int per the spec; encode→decode must return the same Python
+    temporals (aware-UTC, naive, date respectively)."""
+    import datetime as dt
+
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "ts_ms", "type": ["null", {"type": "long", "logicalType": "timestamp-millis"}]},
+            {"name": "lts", "type": {"type": "long", "logicalType": "local-timestamp-micros"}},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        ],
+    }
+    utc = dt.timezone.utc
+    recs = [
+        {
+            "ts": dt.datetime(2026, 8, 14, 12, 30, 15, 123456, tzinfo=utc),
+            "ts_ms": dt.datetime(1969, 12, 31, 23, 59, 59, 999000, tzinfo=utc),
+            "lts": dt.datetime(2026, 8, 14, 12, 30, 15, 123456),
+            "d": dt.date(2026, 8, 14),
+        },
+        {
+            "ts": dt.datetime(1970, 1, 1, tzinfo=utc),
+            "ts_ms": None,
+            "lts": dt.datetime(1970, 1, 1),
+            "d": dt.date(1969, 1, 1),  # negative days
+        },
+    ]
+    path = str(tmp_path / "temporal.avro")
+    write_ocf(path, sch, recs, codec="deflate")
+    schema_back, back = read_ocf(path)
+    assert schema_back == sch
+    assert back == recs
+
+
+def test_spark_temporal_types_map_to_logical_types():
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("nts", T.TimestampNTZType(), False),
+            T.StructField("d", T.DateType(), True),
+        ]
+    )
+    sch = spark_to_avro_schema(st, "R")
+    assert sch["fields"][0]["type"] == [
+        "null", {"type": "long", "logicalType": "timestamp-micros"}
+    ]
+    assert sch["fields"][1]["type"] == {
+        "type": "long", "logicalType": "local-timestamp-micros"
+    }
+    assert sch["fields"][2]["type"] == ["null", {"type": "int", "logicalType": "date"}]
+    assert avro_to_spark_schema(sch) == st
+
+
+def test_java_avro_reads_our_logical_types(tmp_path, spark):
+    """The JVM library must see the logicalType annotation AND read the
+    physical longs we wrote for it."""
+    import datetime as dt
+
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}}
+        ],
+    }
+    when = dt.datetime(2026, 8, 14, 6, 0, 0, 250000, tzinfo=dt.timezone.utc)
+    path = str(tmp_path / "lt.avro")
+    write_ocf(path, sch, [{"ts": when}], codec="null")
+    jvm = spark.sparkContext._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    jschema = reader.getSchema()
+    lt = jvm.org.apache.avro.LogicalTypes.fromSchema(jschema.getField("ts").schema())
+    assert lt.getName() == "timestamp-micros"
+    rec = reader.next()
+    assert rec.get("ts") == int(when.timestamp() * 1_000_000)
+
+
+def test_we_read_jvm_written_logical_types(tmp_path, spark):
+    """A JVM-written file whose schema declares timestamp-millis (physical
+    longs — the GenericDatumWriter path) must decode to aware datetimes."""
+    import datetime as dt
+
+    jvm = spark.sparkContext._jvm
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}}
+            ],
+        }
+    )
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    path = str(tmp_path / "jvm_lt.avro")
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    w.create(sch, jvm.java.io.File(path))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+    rec.put("ts", jvm.java.lang.Long.valueOf("1765700000123"))
+    w.append(rec)
+    w.close()
+    _, back = read_ocf(path)
+    assert back == [
+        {"ts": dt.datetime.fromtimestamp(1765700000.123, tz=dt.timezone.utc)}
+    ]
+
+
+def test_schema_resolution_evolved_reader(tmp_path):
+    """Spec Schema Resolution over one written file: drop a field, add a
+    defaulted field, add a nullable field with no default, reorder,
+    promote int→long and float→double, reinterpret string as bytes."""
+    writer = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": "float"},
+            {"name": "gone", "type": "string"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "R2",  # structural matching: record rename is fine
+        "fields": [
+            {"name": "s", "type": "bytes"},             # reordered + promoted
+            {"name": "a", "type": "long"},              # int → long
+            {"name": "b", "type": "double"},            # float → double
+            {"name": "added", "type": "long", "default": 7},
+            {"name": "opt", "type": ["null", "string"]},  # nullable, no default
+        ],
+    }
+    path = str(tmp_path / "evolve.avro")
+    write_ocf(path, writer, [{"a": 5, "b": 1.5, "gone": "x", "s": "héllo"}])
+    _, back = read_ocf(path, reader_schema=reader)
+    assert back == [
+        {"s": "héllo".encode(), "a": 5, "b": 1.5, "added": 7, "opt": None}
+    ]
+
+
+def test_schema_resolution_nested_and_errors(tmp_path):
+    from blockchaintoavro_spark.sources.avro_io import resolve_record
+
+    writer = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {
+                "name": "txs",
+                "type": ["null", {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "Tx",
+                        "fields": [{"name": "v", "type": "int"}],
+                    },
+                }],
+            }
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {
+                "name": "txs",
+                "type": ["null", {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "Tx",
+                        "fields": [
+                            {"name": "v", "type": "double"},
+                            {"name": "tag", "type": "string", "default": "t"},
+                        ],
+                    },
+                }],
+            }
+        ],
+    }
+    v = {"txs": [{"v": 3}, {"v": -1}]}
+    assert resolve_record(writer, reader, v) == {
+        "txs": [{"v": 3.0, "tag": "t"}, {"v": -1.0, "tag": "t"}]
+    }
+    # incompatible: long as int must raise, not truncate
+    with pytest.raises(ValueError, match="cannot read"):
+        resolve_record("long", "int", 5)
+    # missing non-nullable reader field without default must raise
+    with pytest.raises(ValueError, match="no default"):
+        resolve_record(
+            {"type": "record", "name": "A", "fields": []},
+            {"type": "record", "name": "A",
+             "fields": [{"name": "need", "type": "long"}]},
+            {},
+        )
+
+
+def test_datasource_reads_old_files_with_evolved_schema(spark, tmpdir):
+    """The Spark DataSource path: files written under an old schema keep
+    reading when the caller supplies an evolved .schema(...) — new
+    nullable column arrives as null, int column widens to long."""
+    import os as _os
+
+    from blockchaintoavro_spark.sources import avro_datasource as ads
+
+    ads.register(spark)
+    d = _os.path.join(tmpdir, "evolved")
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id long, score int"
+    )
+    old.write.format("avro_ocf").mode("overwrite").save(d)
+    new_schema = "doc_id long, score long, note string"
+    back = spark.read.format("avro_ocf").schema(new_schema).load(d)
+    got = sorted((r.asDict() for r in back.collect()), key=lambda x: x["doc_id"])
+    assert got == [
+        {"doc_id": 1, "score": 10, "note": None},
+        {"doc_id": 2, "score": 20, "note": None},
+    ]
+
+
+def test_datasource_timestamp_column_roundtrip(spark, tmpdir):
+    """A TimestampType column survives the avro_ocf write→read cycle via
+    the timestamp-micros logical type (schema and instants intact)."""
+    import os as _os
+
+    from blockchaintoavro_spark.sources import avro_datasource as ads
+
+    ads.register(spark)
+    d = _os.path.join(tmpdir, "ts")
+    df = spark.sql(
+        "SELECT id AS doc_id, "
+        "timestamp'2026-08-14 10:00:00.123456' + make_interval(0,0,0,0,0,0,id) AS ts "
+        "FROM range(5)"
+    )
+    df.write.format("avro_ocf").mode("overwrite").save(d)
+    back = spark.read.format("avro_ocf").load(d)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
