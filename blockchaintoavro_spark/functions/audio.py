@@ -1,0 +1,147 @@
+"""Pure-Python WAV (RIFF/PCM) codec for the multimodal (X5) audio leg —
+NO Spark imports (workers import this module directly, the same pure-twin
+contract as imaging.py / jpeg.py / gif.py).
+
+The container ships no audio libs, but WAV is plain ``struct`` parsing —
+so the X5 audio decode step can be REAL (r4 VERDICT left audio on the
+deterministic stub; this closes it the same way PNG/BMP/JPEG/GIF closed
+the image leg). The reference's analog is the opaque-binary convention
+(``BQRow.avsc:6,20`` — bytes travel untouched, derivations produce
+sibling typed columns).
+
+Scope (documented subset, not a general audio library):
+- RIFF/WAVE container: chunk walk tolerating unknown chunks (LIST, fact,
+  cue …), requiring one ``fmt `` before the ``data`` chunk.
+- PCM (format tag 1) at 8-bit unsigned or 16-bit signed little-endian,
+  any channel count / sample rate. IEEE-float, ADPCM, extensible
+  (tag 0xFFFE) and 24/32-bit raise ``ValueError`` — loud, not wrong.
+- Decoded samples are returned interleaved in file order as Python ints
+  in [-32768, 32767] (8-bit is widened: ``(b - 128) * 256``), so
+  feature extraction downstream is depth-independent.
+
+Encoders exist so tests and declared queries can build deterministic
+fixtures without any external tool; round-trip identity and stdlib
+``wave``-module cross-reads are tested in tests/test_imaging.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+WAV_MAGIC_RIFF = b"RIFF"
+WAV_MAGIC_WAVE = b"WAVE"
+
+
+def encode_wav(
+    sample_rate: int, channels: int, samples: list[int], bits: int = 16
+) -> bytes:
+    """Interleaved int16 samples → a standard RIFF/WAVE PCM file.
+
+    ``samples`` is the flat interleaved stream (``len(samples)`` must be
+    a multiple of ``channels``). ``bits`` is 16 (signed LE) or 8
+    (unsigned; values are narrowed ``s // 256 + 128``).
+    """
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported bit depth {bits}")
+    if channels <= 0:
+        raise ValueError("channels must be positive")
+    if len(samples) % channels:
+        raise ValueError("sample count not a multiple of channels")
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes((s // 256 + 128) & 0xFF for s in samples)
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = (
+        WAV_MAGIC_WAVE
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return WAV_MAGIC_RIFF + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> dict:
+    """WAV bytes → ``{format, sample_rate, channels, bits, n_frames,
+    samples}`` with ``samples`` interleaved ints in [-32768, 32767].
+
+    Walks RIFF chunks (skipping unknown ones, honoring odd-length pad
+    bytes per the spec) and fails loudly on truncation or non-PCM
+    encodings rather than yielding silently wrong audio.
+    """
+    if len(data) < 12 or data[:4] != WAV_MAGIC_RIFF or data[8:12] != WAV_MAGIC_WAVE:
+        raise ValueError("not a WAV (bad RIFF/WAVE signature)")
+    pos = 12
+    fmt_info = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid, ln = struct.unpack("<4sI", data[pos : pos + 8])
+        pos += 8
+        chunk = data[pos : pos + ln]
+        if len(chunk) < ln:
+            raise ValueError("truncated WAV chunk")
+        pos += ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("short fmt chunk")
+            tag, ch, rate, _brate, _balign, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if tag != 1:
+                raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported WAV bit depth {bits}")
+            if ch <= 0:
+                raise ValueError("invalid channel count 0")
+            fmt_info = (ch, rate, bits)
+        elif cid == b"data":
+            if fmt_info is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            pcm = chunk
+            break  # spec: one data chunk; trailing chunks irrelevant
+    if fmt_info is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    ch, rate, bits = fmt_info
+    if bits == 16:
+        if len(pcm) % 2:
+            raise ValueError("odd 16-bit PCM byte length")
+        samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    else:
+        samples = [(b - 128) * 256 for b in pcm]
+    if len(samples) % ch:
+        raise ValueError("PCM length not a multiple of channels")
+    return {
+        "format": "wav",
+        "sample_rate": rate,
+        "channels": ch,
+        "bits": bits,
+        "n_frames": len(samples) // ch,
+        "samples": samples,
+    }
+
+
+def try_decode_audio(data: bytes | None) -> dict | None:
+    """Magic-byte dispatch: decode if it looks like a WAV, else None
+    (mirrors imaging.try_decode_image — callers fall back to the stub)."""
+    if data is None or len(data) < 12:
+        return None
+    if data[:4] == WAV_MAGIC_RIFF and data[8:12] == WAV_MAGIC_WAVE:
+        return decode_wav(bytes(data))
+    return None
+
+
+def sample_checksum(samples: list[int]) -> int:
+    """Order-sensitive positional checksum over interleaved samples —
+    ``sum((i+1) * (s_i + 32768)) mod 2^31``. Shifting into [0, 65535]
+    keeps every term non-negative so an SQL oracle reproduces it with
+    plain integer arithmetic (the pixel_checksum convention)."""
+    return sum((i + 1) * (s + 32768) for i, s in enumerate(samples)) % (1 << 31)
+
+
+def sample_energy(samples: list[int]) -> int:
+    """Exact integer energy ``sum(s_i^2) mod 2^31`` — the RMS numerator,
+    kept integral so the oracle compare is exact (no float hashing)."""
+    return sum(s * s for s in samples) % (1 << 31)

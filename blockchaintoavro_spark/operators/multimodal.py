@@ -11,10 +11,14 @@ pure-stdlib codecs in ``functions/imaging.py`` / ``jpeg.py`` / ``gif.py``
 (known-answer-, round-trip- and javax.imageio-cross-tested) run inside
 the mapInPandas batches, dispatched on the payload's magic bytes. So are
 resize (nearest/box over decoded pixels, re-encoded as PNG) and frame
-sampling (real composited frames for multi-frame GIFs). Payloads in any
-other format fall back to ``decode_stub``'s deterministic fake features
-or the byte-window fallbacks (this container has no media libs for
-audio/video; the fallbacks keep the pipeline total).
+sampling (real composited frames for multi-frame GIFs). Audio is REAL
+for RIFF/WAVE PCM payloads (``functions/audio.py`` — stdlib struct
+parsing, stdlib-``wave`` cross-tested) via :func:`extract_audio_features`,
+and video is REAL for AVI/Motion-JPEG payloads (``functions/video.py`` —
+RIFF container walk + per-frame JFIF decode) via :func:`sample_frames` /
+:func:`video_frame_features`. Payloads in any other format fall back to
+``decode_stub``'s deterministic fake features or the byte-window
+fallbacks, which keep the pipeline total.
 At scale this pattern is the right one: mapInPandas streams Arrow batches
 through Python without materializing a partition, and the decode cost
 parallelizes per-partition with zero shuffle.
@@ -49,8 +53,8 @@ def with_binary_payload(
 
 def decode_stub(payload: bytes) -> dict:
     """Deterministic fake decode for payloads the real codecs can't
-    handle (audio/video — no media libs in this container; all four
-    common image formats PNG/BMP/JPEG/GIF now decode for real).
+    handle (everything outside PNG/BMP/JPEG/GIF images, WAV audio and
+    AVI/MJPEG video, which all decode for real).
 
     A real implementation would be dropped in here unchanged — signature
     bytes → feature dict. Raises nothing; bad payloads yield zeros (the
@@ -274,14 +278,19 @@ def sample_frames(
     composited frames (functions/gif.py — sub-rects, disposal and
     transparency applied) are materialized, every ``every_n``-th is kept,
     and each kept frame is re-encoded as a standalone RGB PNG (lossless,
-    self-describing, re-decodable downstream). Other payloads keep the
+    self-describing, re-decodable downstream). AVI/Motion-JPEG payloads
+    get REAL keyframe extraction too (functions/video.py): the container
+    is walked, every ``every_n``-th frame payload is kept AS the already
+    self-describing JPEG bytes — no pixel decode is paid for dropped
+    frames, the order that matters at 100 TB. Other payloads keep the
     fixed-size byte-window fallback (``frame_bytes`` per frame) — the
-    same row-explosion shape a video keyframe extractor would have.
+    same row-explosion shape with a degenerate "codec".
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from blockchaintoavro_spark.functions.gif import decode_gif_frames
         from blockchaintoavro_spark.functions.imaging import encode_png
+        from blockchaintoavro_spark.functions.video import try_decode_video
 
         for pdf in batches:
             ids, nos, frames = [], [], []
@@ -289,6 +298,16 @@ def sample_frames(
                 if p is None:
                     continue
                 b = bytes(p)
+                try:
+                    avi = try_decode_video(b)
+                except ValueError:
+                    avi = None
+                if avi is not None:
+                    for i in range(0, len(avi["frames"]), every_n):
+                        ids.append(doc_id)
+                        nos.append(i)
+                        frames.append(avi["frames"][i])
+                    continue
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     try:
                         d = decode_gif_frames(b)
@@ -492,3 +511,195 @@ def resize_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFram
             yield pd.DataFrame(out)
 
     return df.select(id_col).mapInPandas(run, schema=RESIZE_ROUNDTRIP_SCHEMA)
+
+
+AUDIO_ROUNDTRIP_SCHEMA = (
+    "doc_id long, format string, sample_rate long, channels long, "
+    "n_frames long, checksum long, energy long"
+)
+
+
+def audio_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """End-to-end exercise of the REAL WAV codec on the cluster (closes
+    the audio leg of X5 the same way x_png_decode closed images): per
+    row, synthesize a deterministic interleaved PCM stream from the id
+    alone (``1 + id%2`` channels at ``8000·(1 + id%3)`` Hz, ``50 +
+    id%101`` frames, ``sample[i] = ((id·131 + 17i) mod 65536) - 32768``),
+    encode it to real RIFF/WAVE bytes (functions/audio.py), decode those
+    bytes back through magic dispatch, and emit the decoded header fields
+    plus a positional sample checksum and exact integer energy.
+
+    Every output value is pure integer arithmetic on the id, so an SQL
+    oracle verifies the WHOLE encode→decode pipeline with no audio code
+    (the x_wav_decode declared query) — one mangled byte anywhere in the
+    RIFF framing or PCM packing diverges the checksum.
+
+    Scale: mapInPandas, row-local, zero shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blockchaintoavro_spark.functions.audio import (
+            encode_wav,
+            sample_checksum,
+            sample_energy,
+            try_decode_audio,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "format": [], "sample_rate": [],
+                "channels": [], "n_frames": [], "checksum": [], "energy": [],
+            }
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                ch = 1 + doc_id % 2
+                rate = 8000 * (1 + doc_id % 3)
+                n_frames = 50 + doc_id % 101
+                samples = [
+                    ((doc_id * 131 + 17 * i) % 65536) - 32768
+                    for i in range(n_frames * ch)
+                ]
+                info = try_decode_audio(encode_wav(rate, ch, samples))
+                if info is None or info["samples"] != samples:
+                    raise ValueError(f"wav roundtrip failed for id {doc_id}")
+                out["doc_id"].append(doc_id)
+                out["format"].append(info["format"])
+                out["sample_rate"].append(info["sample_rate"])
+                out["channels"].append(info["channels"])
+                out["n_frames"].append(info["n_frames"])
+                out["checksum"].append(sample_checksum(info["samples"]))
+                out["energy"].append(sample_energy(info["samples"]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(run, schema=AUDIO_ROUNDTRIP_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, is_audio boolean, sample_rate long, "
+    "channels long, n_frames long, checksum long"
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: WAV payloads
+    (magic dispatch) get REAL decoded header fields + sample checksum;
+    anything else yields ``is_audio = false`` with zeroed features —
+    total, so one corrupt payload can't fail a 100 TB stage.
+
+    Scale: mapInPandas, row-local, zero shuffle; Arrow streams batches.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blockchaintoavro_spark.functions.audio import (
+            sample_checksum,
+            try_decode_audio,
+        )
+
+        zero = {"sample_rate": 0, "channels": 0, "n_frames": 0, "samples": []}
+
+        def _decode(p):
+            if p is None:
+                return False, zero
+            try:
+                info = try_decode_audio(bytes(p))
+            except ValueError:
+                return False, zero
+            return (True, info) if info is not None else (False, zero)
+
+        for pdf in batches:
+            feats = [_decode(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf[payload_col]
+                    ],
+                    "is_audio": [ok for ok, _ in feats],
+                    "sample_rate": [f["sample_rate"] for _, f in feats],
+                    "channels": [f["channels"] for _, f in feats],
+                    "n_frames": [f["n_frames"] for _, f in feats],
+                    "checksum": [sample_checksum(f["samples"]) for _, f in feats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_no long, width long, height long, checksum long"
+)
+
+
+def video_frame_features(
+    df: DataFrame, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL video keyframe extraction on the cluster (closes the video
+    leg of X5): per row, synthesize a deterministic Motion-JPEG clip
+    from the id (``2 + id%4`` gray frames of ``8·(1 + id%3)`` × 8 where
+    every 8×8 block of frame ``k`` holds ``(id·19 + bx·29 + 7k) mod
+    256``), encode each frame to real JFIF bytes (functions/jpeg.py),
+    wrap them in a real AVI container (functions/video.py), then run the
+    extraction path a 100 TB pipeline would run: parse the container,
+    keep every ``every_n``-th frame payload, and only THEN pay for pixel
+    decode of the kept frames — emitting per-frame dims + pixel checksum.
+
+    Flat 8×8 blocks make the JPEG leg exactly lossless, so every output
+    is pure id arithmetic and the x_avi_frames declared query's DuckDB
+    twin verifies container framing + frame ordering + the JPEG stack
+    together: one mangled byte anywhere diverges the checksum.
+
+    Scale: mapInPandas flat-map, row-local, zero shuffle; sampling
+    before pixel decode is the order that matters at scale.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blockchaintoavro_spark.functions.imaging import (
+            pixel_checksum,
+            try_decode_image,
+        )
+        from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+        from blockchaintoavro_spark.functions.video import (
+            decode_avi,
+            encode_avi,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "width": [],
+                "height": [], "checksum": [],
+            }
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                w, h = 8 * (1 + doc_id % 3), 8
+                n_frames = 2 + doc_id % 4
+                jpegs = [
+                    encode_jpeg(
+                        w, h,
+                        bytes(
+                            (doc_id * 19 + (x // 8) * 29 + 7 * k) % 256
+                            for y in range(h)
+                            for x in range(w)
+                        ),
+                        1, quant=1,
+                    )
+                    for k in range(n_frames)
+                ]
+                d = decode_avi(encode_avi(w, h, jpegs))
+                if d["frames"] != jpegs:
+                    raise ValueError(f"avi roundtrip failed for id {doc_id}")
+                for k in range(0, n_frames, every_n):
+                    info = try_decode_image(d["frames"][k])
+                    if info is None:
+                        raise ValueError(f"mjpeg frame decode failed id {doc_id}")
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(k)
+                    out["width"].append(info["width"])
+                    out["height"].append(info["height"])
+                    out["checksum"].append(pixel_checksum(info["pixels"]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

@@ -641,6 +641,137 @@ def x_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_avi_frames",
+    oracle="""
+    SELECT doc_id, frame_no,
+           CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(list_aggregate(list_transform(
+                  range(8 * (1 + doc_id % 3) * 8),
+                  i -> (i + 1) * ((doc_id * 19
+                        + ((i % (8 * (1 + doc_id % 3))) // 8) * 29
+                        + frame_no * 7) % 256)), 'sum')
+                % 2147483648 AS BIGINT) AS checksum
+    FROM (
+      SELECT doc_id, UNNEST(range(0, 2 + doc_id % 4, 2)) AS frame_no
+      FROM documents
+    )
+    ORDER BY doc_id, frame_no
+    """,
+)
+def x_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video keyframe extraction (closes the video leg of X5): per
+    doc, synthesize a Motion-JPEG clip from the id (flat-block gray
+    frames → exact-lossless JPEG), wrap in a real AVI container
+    (functions/video.py), then parse the container, keep every 2nd frame
+    payload, and pixel-decode ONLY the kept frames. Every output is id
+    arithmetic, so DuckDB verifies container framing + frame order + the
+    whole JPEG stack with no video code. Row-local mapInPandas flat-map,
+    zero shuffle."""
+    from ..operators.multimodal import video_frame_features
+
+    d = t(spark, sf, "documents")
+    return video_frame_features(d, every_n=2).orderBy("doc_id", "frame_no")
+
+
+@declare(
+    "x_chunk_chars",
+    oracle="""
+    SELECT doc_id,
+           chunk_start // 64 AS chunk_no,
+           chunk_start,
+           substring(text, CAST(chunk_start + 1 AS INT), 96) AS chunk,
+           length(substring(text, CAST(chunk_start + 1 AS INT), 96)) AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             UNNEST(range(0, greatest(length(text) - 1, 0) + 1, 64))
+               AS chunk_start
+      FROM documents WHERE doc_id < 200
+    )
+    ORDER BY doc_id, chunk_no
+    """,
+)
+def x_chunk_chars(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG character-window chunking (operators/chunking.py): 96-char
+    windows every 64 chars with provenance offsets. Pure Catalyst
+    sequence+posexplode+substring — narrow flat-map, zero shuffle; the
+    row amplification is the chunk output itself, which is what a
+    100 TB chunker must write anyway."""
+    from ..operators.chunking import chunk_chars
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return chunk_chars(d, size=96, stride=64).orderBy("doc_id", "chunk_no")
+
+
+@declare(
+    "x_chunk_tokens",
+    oracle="""
+    SELECT doc_id,
+           tok_start // 12 AS chunk_no,
+           tok_start,
+           array_to_string(list_slice(string_split(text, ' '),
+                                      CAST(tok_start + 1 AS INT),
+                                      CAST(tok_start + 16 AS INT)), ' ') AS chunk,
+           len(list_slice(string_split(text, ' '),
+                          CAST(tok_start + 1 AS INT),
+                          CAST(tok_start + 16 AS INT))) AS n_tokens
+    FROM (
+      SELECT doc_id, text,
+             UNNEST(range(0, greatest(len(string_split(text, ' ')) - 1, 0) + 1,
+                          12)) AS tok_start
+      FROM documents WHERE doc_id < 200
+    )
+    ORDER BY doc_id, chunk_no
+    """,
+)
+def x_chunk_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG token-window chunking: 16-token windows every 12 tokens
+    (4-token overlap), single-space re-join matching the text.py
+    tokenizer convention so DuckDB list_slice is an exact twin. Narrow
+    flat-map, zero shuffle."""
+    from ..operators.chunking import chunk_tokens
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return chunk_tokens(d, width=16, stride=12).orderBy("doc_id", "chunk_no")
+
+
+@declare(
+    "x_wav_decode",
+    oracle="""
+    SELECT doc_id,
+           'wav' AS format,
+           CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(50 + doc_id % 101 AS BIGINT) AS n_frames,
+           CAST(list_aggregate(list_transform(
+                  range((50 + doc_id % 101) * (1 + doc_id % 2)),
+                  i -> (i + 1) * ((doc_id * 131 + 17 * i) % 65536)), 'sum')
+                % 2147483648 AS BIGINT) AS checksum,
+           CAST(list_aggregate(list_transform(
+                  range((50 + doc_id % 101) * (1 + doc_id % 2)),
+                  i -> ((doc_id * 131 + 17 * i) % 65536 - 32768)
+                       * ((doc_id * 131 + 17 * i) % 65536 - 32768)), 'sum')
+                % 2147483648 AS BIGINT) AS energy
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WAV/PCM audio decode on the cluster (closes the audio leg of
+    X5 left stubbed by r4): per doc, synthesize a deterministic
+    interleaved PCM stream from the id, encode to real RIFF/WAVE bytes
+    (functions/audio.py — stdlib struct, stdlib-``wave`` cross-tested),
+    decode back through magic dispatch, emit header fields + positional
+    sample checksum + exact integer energy. Every output is id
+    arithmetic, so DuckDB verifies the whole encode→decode pipeline with
+    no audio code: one mangled byte in the RIFF framing or PCM packing
+    diverges the checksum. Row-local mapInPandas, zero shuffle."""
+    from ..operators.multimodal import audio_roundtrip_features
+
+    d = t(spark, sf, "documents")
+    return audio_roundtrip_features(d).orderBy("doc_id")
+
+
+@declare(
     "x_training_prep",
     oracle="""
     WITH keep AS (

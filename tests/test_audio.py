@@ -1,0 +1,125 @@
+"""WAV codec (functions/audio.py) — round-trips, stdlib-``wave``
+cross-validation, corruption guards, and the Spark-side audio feature
+extraction plumbing (operators/multimodal.py)."""
+
+import io
+import struct
+import wave
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from blockchaintoavro_spark.functions.audio import (
+    decode_wav,
+    encode_wav,
+    sample_checksum,
+    sample_energy,
+    try_decode_audio,
+)
+
+_sample = st.integers(min_value=-32768, max_value=32767)
+
+
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=96000),
+    st.lists(_sample, max_size=64),
+)
+def test_wav_roundtrip_identity(channels, rate, samples):
+    samples = samples[: len(samples) - len(samples) % channels]
+    d = decode_wav(encode_wav(rate, channels, samples))
+    assert d["samples"] == samples
+    assert d["sample_rate"] == rate
+    assert d["channels"] == channels
+    assert d["n_frames"] == len(samples) // channels
+
+
+def test_wav_8bit_roundtrip():
+    """8-bit path is exact for samples that are multiples of 256."""
+    samples = [(i - 128) * 256 for i in range(256)]
+    d = decode_wav(encode_wav(8000, 1, samples, bits=8))
+    assert d["bits"] == 8
+    assert d["samples"] == samples
+
+
+def test_stdlib_wave_reads_our_output():
+    """Cross-impl: CPython's stdlib ``wave`` parses our RIFF bytes and
+    recovers identical PCM — the interop check a from-scratch codec
+    needs (a mutually-consistent format deviation can't hide)."""
+    samples = [((i * 37) % 65536) - 32768 for i in range(120)]
+    w = wave.open(io.BytesIO(encode_wav(22050, 2, samples)))
+    assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (2, 2, 22050)
+    assert w.getnframes() == 60
+    got = list(struct.unpack("<120h", w.readframes(60)))
+    assert got == samples
+
+
+def test_we_read_stdlib_wave_output():
+    samples = [((i * 91) % 65536) - 32768 for i in range(90)]
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(3)
+    w.setsampwidth(2)
+    w.setframerate(44100)
+    w.writeframes(struct.pack("<90h", *samples))
+    w.close()
+    d = decode_wav(buf.getvalue())
+    assert (d["channels"], d["sample_rate"], d["n_frames"]) == (3, 44100, 30)
+    assert d["samples"] == samples
+
+
+def test_wav_skips_unknown_chunks_and_pads():
+    """Spec behavior: unknown chunks (incl. odd-length + pad byte) before
+    ``data`` are skipped, not fatal."""
+    samples = [100, -100, 200, -200]
+    b = encode_wav(8000, 1, samples)
+    # splice a 3-byte 'LIST' chunk (odd → 1 pad byte) after fmt
+    fmt_end = b.index(b"data")
+    spliced = b[:fmt_end] + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + b[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced)["samples"] == samples
+
+
+@pytest.mark.parametrize(
+    "mangle",
+    [
+        lambda b: b[:8],  # truncated header
+        lambda b: b"JUNK" + b[4:],  # bad RIFF magic
+        lambda b: b[:-5],  # truncated data chunk
+        lambda b: b.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1),  # IEEE float tag
+    ],
+)
+def test_wav_corruption_raises(mangle):
+    b = encode_wav(8000, 1, [1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        decode_wav(mangle(b))
+
+
+def test_try_decode_audio_dispatch():
+    assert try_decode_audio(None) is None
+    assert try_decode_audio(b"\x89PNG\r\n\x1a\n rest") is None
+    assert try_decode_audio(encode_wav(8000, 1, [0, 1]))["n_frames"] == 2
+
+
+def test_checksum_is_positional():
+    assert sample_checksum([1, 2]) != sample_checksum([2, 1])
+    assert sample_energy([-5, 3]) == 34
+
+
+def test_extract_audio_features_mixed_payloads(spark):
+    """Spark plumbing: WAV payloads decode for real, others zero out;
+    one corrupt payload can't fail the stage (totality)."""
+    from blockchaintoavro_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    wav = encode_wav(16000, 2, [10, -10, 20, -20])
+    rows = [(0, bytearray(wav)), (1, b"not audio"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in extract_audio_features(df).collect()}
+    assert got[0]["is_audio"] and got[0]["sample_rate"] == 16000
+    assert got[0]["channels"] == 2 and got[0]["n_frames"] == 2
+    assert got[0]["checksum"] == sample_checksum([10, -10, 20, -20])
+    assert not got[1]["is_audio"] and got[1]["n_frames"] == 0
+    assert not got[2]["is_audio"] and got[2]["n_bytes"] == 0

@@ -1,0 +1,104 @@
+"""AVI/Motion-JPEG container codec (functions/video.py) — round-trips,
+corruption guards, RIFF dispatch separation from WAV, and the Spark-side
+keyframe sampling plumbing (operators/multimodal.py)."""
+
+import struct
+
+import pytest
+
+from blockchaintoavro_spark.functions.audio import encode_wav, try_decode_audio
+from blockchaintoavro_spark.functions.video import (
+    decode_avi,
+    encode_avi,
+    try_decode_video,
+)
+
+
+def _clip(n_frames=3, w=16, h=8, doc_id=5):
+    from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+
+    frames = [
+        encode_jpeg(
+            w, h,
+            bytes(
+                (doc_id * 19 + (x // 8) * 29 + 7 * k) % 256
+                for y in range(h)
+                for x in range(w)
+            ),
+            1, quant=1,
+        )
+        for k in range(n_frames)
+    ]
+    return frames, encode_avi(w, h, frames, usec_per_frame=33333)
+
+
+def test_avi_roundtrip_preserves_frames_and_header():
+    frames, avi = _clip()
+    d = decode_avi(avi)
+    assert (d["width"], d["height"], d["n_frames"]) == (16, 8, 3)
+    assert d["usec_per_frame"] == 33333
+    assert d["frames"] == frames
+
+
+def test_avi_frames_decode_to_exact_pixels():
+    """MJPEG leg: each extracted frame payload is a real JFIF that
+    decodes to the synthesized pixels exactly (flat-block losslessness)."""
+    from blockchaintoavro_spark.functions.imaging import try_decode_image
+
+    frames, avi = _clip()
+    for k, f in enumerate(decode_avi(avi)["frames"]):
+        info = try_decode_image(f)
+        expected = bytes(
+            (5 * 19 + (x // 8) * 29 + 7 * k) % 256
+            for y in range(8)
+            for x in range(16)
+        )
+        assert info["pixels"] == expected
+
+
+def test_avi_riff_dispatch_is_disjoint_from_wav():
+    _, avi = _clip()
+    wav = encode_wav(8000, 1, [1, -1, 2, -2])
+    assert try_decode_audio(avi) is None
+    assert try_decode_video(wav) is None
+    assert try_decode_video(avi)["format"] == "avi"
+    assert try_decode_audio(wav)["format"] == "wav"
+
+
+def test_avi_corruption_raises():
+    _, avi = _clip()
+    with pytest.raises(ValueError):
+        decode_avi(avi[:40])  # truncated inside hdrl
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF" + avi[4:8] + b"JUNK" + avi[12:])  # bad form type
+    # header/movi frame-count mismatch must be loud (silently dropped
+    # frames are the failure mode an idx1-trusting reader would hide)
+    mangled = avi.replace(struct.pack("<I", 3), struct.pack("<I", 9), 1)
+    with pytest.raises(ValueError, match="frame count"):
+        decode_avi(mangled)
+
+
+def test_avi_needs_at_least_one_frame():
+    with pytest.raises(ValueError):
+        encode_avi(8, 8, [])
+
+
+def test_sample_frames_avi_branch(spark):
+    """Spark plumbing: AVI payloads get real keyframe extraction — every
+    2nd frame payload kept as self-describing JPEG bytes, no pixel decode
+    for dropped frames; non-AVI payloads keep the byte-window fallback."""
+    from blockchaintoavro_spark.functions.imaging import try_decode_image
+    from blockchaintoavro_spark.operators.multimodal import sample_frames
+
+    frames, avi = _clip(n_frames=4)
+    rows = [(0, bytearray(avi)), (1, b"0123456789abcdef" * 2)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sample_frames(df, frame_bytes=16, every_n=2).collect()
+    avi_rows = sorted(
+        (r["frame_no"], bytes(r["frame"])) for r in got if r["doc_id"] == 0
+    )
+    assert [no for no, _ in avi_rows] == [0, 2]
+    assert [f for _, f in avi_rows] == [frames[0], frames[2]]
+    assert all(try_decode_image(f) is not None for _, f in avi_rows)
+    fallback = [r for r in got if r["doc_id"] == 1]
+    assert [r["frame_no"] for r in fallback] == [0]  # 32 bytes → frames 0 (every 2nd)
