@@ -380,7 +380,7 @@ class OCFWriter:
         codec: str = "deflate",
         sync: bytes | None = None,
     ):
-        if codec not in ("null", "deflate", "snappy"):
+        if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
             raise ValueError(f"unsupported codec {codec}")
         self._fh, self._schema, self._codec = fh, schema, codec
         sj = json.dumps(schema)
@@ -426,6 +426,14 @@ class OCFWriter:
 
             crc = zlib.crc32(payload) & 0xFFFFFFFF
             payload = snappy_codec.compress(payload) + _struct.pack(">I", crc)
+        elif self._codec == "bzip2":  # spec: plain bzip2 stream, no suffix
+            import bz2
+
+            payload = bz2.compress(payload)
+        elif self._codec == "xz":  # spec: plain .xz container stream
+            import lzma
+
+            payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
         out = io.BytesIO()
         _write_long(out, len(records))
         _write_long(out, len(payload))
@@ -538,6 +546,14 @@ def iter_ocf_blocks_split(
                 payload = snappy_codec.decompress(payload[:-4])
                 if zlib.crc32(payload) & 0xFFFFFFFF != crc:
                     raise ValueError(f"snappy block CRC mismatch in {path}")
+            elif codec == "bzip2":
+                import bz2
+
+                payload = bz2.decompress(payload)
+            elif codec == "xz":
+                import lzma
+
+                payload = lzma.decompress(payload, format=lzma.FORMAT_XZ)
             elif codec != "null":
                 raise ValueError(f"unsupported avro codec {codec!r} in {path}")
             buf = io.BytesIO(payload)

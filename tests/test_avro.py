@@ -76,7 +76,7 @@ RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_ocf_python_roundtrip(tmp_path, codec):
     """Byte-level encode/decode roundtrip incl. long extremes, empty
     bytes/strings/arrays, nulls at every level, both codecs."""
@@ -89,7 +89,7 @@ def test_ocf_python_roundtrip(tmp_path, codec):
     assert avro_to_spark_schema(sch) == NESTED_SCHEMA
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_ocf_readable_by_official_java_avro(tmp_path, spark, codec):
     """The parity proof: the Apache Avro Java library (the same codebase
     the reference's AvroWriter uses) must read our Python-written file —
@@ -119,7 +119,7 @@ def test_ocf_readable_by_official_java_avro(tmp_path, spark, codec):
     assert [tx0.get("vals").get(i) for i in range(3)] == [1, -2, 3]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_ocf_reads_file_written_by_java_avro(tmp_path, spark, codec):
     """The other direction of the interop contract (ADVICE r4): a file
     written by the JVM DataFileWriter — including
@@ -147,6 +147,10 @@ def test_ocf_reads_file_written_by_java_avro(tmp_path, spark, codec):
         writer.setCodec(cf.snappyCodec())
     elif codec == "deflate":
         writer.setCodec(cf.deflateCodec(6))
+    elif codec == "bzip2":
+        writer.setCodec(cf.bzip2Codec())
+    elif codec == "xz":
+        writer.setCodec(cf.xzCodec(6))
     else:
         writer.setCodec(cf.nullCodec())
     writer.create(sch, jvm.java.io.File(path))
@@ -456,7 +460,7 @@ def _write_multiblock(path: str, n_records: int, per_block: int, codec: str):
     return recs
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_ocf_split_read_covers_blocks_exactly(tmp_path, codec):
     """Consecutive byte-range splits partition the block set exactly —
     every record once, none dropped — for split counts from 1 to one
@@ -611,7 +615,7 @@ def _legacy_marker(codec: str) -> bytes:
     return hashlib.md5((sj + "|" + codec).encode()).digest()
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_split_read_survives_embedded_foreign_sync(tmp_path, codec):
     """VERDICT r4 nit #1 regression: a payload containing another file's
     sync marker (the re-ingestion scenario — and, pre-r5, EVERY payload
