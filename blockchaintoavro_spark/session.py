@@ -50,6 +50,11 @@ def get_spark(app_name: str = "blockchaintoavro_spark") -> SparkSession:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # ship the package regardless of driver cwd — Python workers import
+    # engine modules by name inside mapInPandas closures, and a session
+    # built from an unrelated cwd (pytest from /tmp) otherwise hits
+    # worker-side ModuleNotFoundError where a repo-cwd run passes
+    _ship_package(spark)
     return spark
 
 
