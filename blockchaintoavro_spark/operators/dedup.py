@@ -112,6 +112,11 @@ def minhash_signature(
 
     Pure JVM expressions: token base hash once, then affine permutations
     (a_i·h + b_i mod p) folded with array_min — no Python, no shuffle.
+    The base hash array is materialized in its own projection so the 32
+    permutation expressions share ONE tokenization+hash evaluation
+    (codegen subexpression elimination doesn't reach across big
+    expression trees reliably — without the barrier each sig element
+    re-tokenizes the document).
     """
     import random
 
@@ -125,14 +130,16 @@ def minhash_signature(
         *[
             F.array_min(
                 F.transform(
-                    base,
+                    F.col("_base"),
                     lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P),
                 )
             )
             for (a, b) in coeffs
         ]
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    return df.select(F.col(id_col), base.alias("_base")).select(
+        F.col(id_col), sig.alias("minhash")
+    )
 
 
 def minhash_candidate_pairs(
@@ -158,15 +165,13 @@ def minhash_candidate_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.sha2(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("minhash")[i].cast("string")
-                                for i in range(b * r, (b + 1) * r)
-                            ],
-                        ),
-                        256,
+                    # xxhash64 over the band's signature slice: only
+                    # bucket-grouping quality is needed (banding is
+                    # probabilistic by construction) and it stays in
+                    # whole-stage codegen, unlike a SHA round per band
+                    F.xxhash64(
+                        *[F.col("minhash")[i] for i in range(b * r, (b + 1) * r)],
+                        F.lit(b),
                     )
                     for b in range(n_bands)
                 ]
@@ -583,4 +588,91 @@ def contamination_hits_bloom(
         probe.filter(_might_contain("_pos"))
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring deduplication (character k-grams across documents) —
+# the detection half of "Deduplicating Training Data Makes Language
+# Models Better" (Lee et al. 2022, public paper): memorization risk
+# concentrates in long character spans repeated VERBATIM across
+# documents, which token-level MinHash misses.
+
+
+def substring_positions(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_only: bool = False,
+) -> DataFrame:
+    """One row per sliding ``k``-char window: ``(id, sub)``.
+
+    ``hash_only=True`` emits ``xxhash64(window)`` instead of the window
+    text — the scale path: the shuffle carries 8-byte keys instead of
+    ``k``-char strings (Lee et al. use a suffix array; a 64-bit
+    fingerprint join finds the same ≥k-char verbatim repeats up to hash
+    collisions, which a verbatim recheck on the candidate set removes).
+    Docs shorter than ``k`` contribute nothing. Narrow flat-map.
+    """
+    win = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - k + 1),
+        lambda i: F.substring(F.col(text_col), i, k),
+    )
+    subs = F.when(F.length(text_col) >= k, win).otherwise(
+        F.array().cast("array<string>")
+    )
+    out = df.select(F.col(id_col), F.explode(subs).alias("sub"))
+    if hash_only:
+        out = out.select(id_col, F.xxhash64("sub").alias("sub"))
+    return out
+
+
+def duplicated_substrings(
+    df: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_only: bool = False,
+) -> DataFrame:
+    """``k``-char windows appearing verbatim in ≥ ``min_docs`` distinct
+    documents: ``(sub, n_docs)``.
+
+    Plan: per-doc distinct BEFORE the count (the boilerplate_ngrams
+    pattern — a window repeated 1000× inside one doc is one vote), so
+    the gram-keyed shuffle is bounded by distinct (doc, gram) pairs.
+    At corpus scale run ``hash_only=True`` and recheck the candidate
+    grams verbatim (collision scrub) — same two-shuffle shape.
+    """
+    pos = substring_positions(df, k, id_col, text_col, hash_only)
+    return (
+        pos.distinct()
+        .groupBy("sub")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def substring_dup_counts(
+    df: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document count of window positions whose ``k``-char content
+    is duplicated cross-doc — the per-doc severity score used to decide
+    strip-vs-drop. Docs with no duplicated span produce no row.
+
+    The duplicated-gram set joins back against ALL positions (not the
+    per-doc-distinct ones): a doc repeating a shared span 50 times
+    scores 50, which is the memorization-risk signal wanted here.
+    """
+    pos = substring_positions(df, k, id_col, text_col)
+    dups = duplicated_substrings(df, k, min_docs, id_col, text_col).select("sub")
+    return (
+        pos.join(dups, "sub")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_spans"))
     )

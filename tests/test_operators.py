@@ -933,7 +933,7 @@ def test_gopher_metrics_known_vector(spark):
 def test_chunk_tokens_invariants(spark, sf_dir):
     """Every token position is covered, chunks except the last are full
     size, and overlap equals size - stride."""
-    from blockchaintoavro_spark.operators.quality import chunk_tokens
+    from blockchaintoavro_spark.operators.chunking import chunk_tokens
     from blockchaintoavro_spark.sources.tables import load_table
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
@@ -1311,3 +1311,65 @@ def test_compact_work_matches_python_bigint(spark):
             else:
                 assert r.th == exp_th and r.the is None, hex(r.bits)
     assert valid_seen > 250 and overflow_seen > 10  # both legs exercised
+
+
+# ---------------------------------------------------------------------------
+# exact substring duplication (Lee et al. verbatim-span detection)
+
+
+def test_duplicated_substrings_known_answer(spark):
+    from blockchaintoavro_spark.operators.dedup import (
+        duplicated_substrings,
+        substring_dup_counts,
+    )
+
+    rows = [
+        (0, "the shared verbatim span here xx"),
+        (1, "yy the shared verbatim span here"),
+        (2, "completely different content abc"),
+        (3, "tiny"),  # shorter than k → no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dups = {
+        r["sub"]: r["n_docs"]
+        for r in duplicated_substrings(df, k=20).collect()
+    }
+    # every 20-char window inside the 30-char shared span, and only those
+    assert dups and all(n == 2 for n in dups.values())
+    assert all("shared verbatim" in s or "verbatim span" in s or
+               s in "the shared verbatim span here" for s in dups)
+    counts = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in substring_dup_counts(df, k=20).collect()
+    }
+    assert set(counts) == {0, 1} and counts[0] == counts[1] == len(dups) // 1
+    assert 2 not in counts and 3 not in counts
+
+
+def test_duplicated_substrings_hash_twin_matches_verbatim(spark, sf_dir):
+    """The 8-byte-fingerprint scale path finds the same duplicated set
+    as the verbatim-string path after the collision scrub (here: no
+    collisions at this size, so the sets are equal outright)."""
+    from blockchaintoavro_spark.operators.dedup import duplicated_substrings
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 60")
+    verbatim = duplicated_substrings(d, k=15)
+    hashed = duplicated_substrings(d, k=15, hash_only=True)
+    nv = verbatim.count()
+    assert nv > 0, "fixture should contain shared 15-char spans"
+    assert hashed.count() == nv
+    # severity counts agree too (n_docs multiset)
+    mv = sorted(r["n_docs"] for r in verbatim.collect())
+    mh = sorted(r["n_docs"] for r in hashed.collect())
+    assert mv == mh
+
+
+def test_duplicated_substrings_within_doc_repeat_is_one_vote(spark):
+    from blockchaintoavro_spark.operators.dedup import duplicated_substrings
+
+    span = "a repeated twenty chr"  # 21 chars
+    rows = [(0, span + " filler " + span), (1, "unrelated text entirely xyz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # repeated only WITHIN doc 0 → n_docs = 1 → not duplicated cross-doc
+    assert duplicated_substrings(df, k=20, min_docs=2).count() == 0
