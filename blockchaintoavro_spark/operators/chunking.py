@@ -67,45 +67,41 @@ def chunk_chars(
 
 
 def chunk_tokens(
-    df: DataFrame,
-    width: int = 128,
-    stride: int = 96,
-    text_col: str = "text",
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 24,
     id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """Token-window chunking: windows of ``width`` whitespace tokens
-    every ``stride`` tokens, re-joined with single spaces (the
-    functions/text.py tokenizer convention, so DuckDB's
-    ``string_split(text, ' ')`` is an exact oracle twin).
+    """Sliding token-window chunking (RAG / retrieval indexing prep): cut
+    each document's whitespace tokens into windows of ``size`` tokens
+    starting every ``stride`` (overlap = size - stride), emitting
+    ``(id, chunk_id, n_tokens, chunk_text)``; the token start offset of
+    a chunk is ``chunk_id * stride``.
 
-    Output: ``(id, chunk_no, tok_start, chunk, n_tokens)``.
+    The window generation is ``sequence`` + ``slice`` + ``posexplode`` —
+    a Generate over row-local arrays with no shuffle and no Python; at
+    100 TB the chunker is scan-stage-parallel and output size is a
+    predictable ``~n_tokens/stride`` rows per doc. Chunk boundaries
+    depend only on the document itself, so appends never re-chunk old
+    rows (same determinism contract as hash_split).
     """
-    if width <= 0 or stride <= 0:
-        raise ValueError("width and stride must be positive")
-    toks = F.split(F.col(text_col), " ")
+    if stride <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size (stride > size drops tokens)")
+    toks = F.split(F.lower(F.col(text_col)), " ")
     starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.size(toks) - F.lit(1), F.lit(0)),
-        F.lit(stride),
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
     )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, size))
     return (
-        df.select(
-            id_col,
-            F.posexplode(starts).alias("chunk_no", "tok_start"),
-            toks.alias("_toks"),
+        docs.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "_ctoks"),
         )
         .select(
             id_col,
-            F.col("chunk_no").cast("long").alias("chunk_no"),
-            F.col("tok_start").cast("long").alias("tok_start"),
-            F.array_join(
-                F.slice(F.col("_toks"), F.col("tok_start") + F.lit(1), F.lit(width)),
-                " ",
-            ).alias("chunk"),
-            F.size(
-                F.slice(F.col("_toks"), F.col("tok_start") + F.lit(1), F.lit(width))
-            )
-            .cast("long")
-            .alias("n_tokens"),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("_ctoks").cast("long").alias("n_tokens"),
+            F.array_join("_ctoks", " ").alias("chunk_text"),
         )
     )

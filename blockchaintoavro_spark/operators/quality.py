@@ -421,46 +421,6 @@ def gopher_pass(
     )
 
 
-def chunk_tokens(
-    docs: DataFrame,
-    size: int = 32,
-    stride: int = 24,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Sliding token-window chunking (RAG / retrieval indexing prep): cut
-    each document's whitespace tokens into windows of ``size`` tokens
-    starting every ``stride`` (overlap = size - stride), emitting
-    ``(id, chunk_id, n_tokens, chunk_text)``.
-
-    The window generation is ``sequence`` + ``slice`` + ``posexplode`` —
-    a Generate over row-local arrays with no shuffle and no Python; at
-    100 TB the chunker is scan-stage-parallel and output size is a
-    predictable ``~n_tokens/stride`` rows per doc. Chunk boundaries
-    depend only on the document itself, so appends never re-chunk old
-    rows (same determinism contract as hash_split).
-    """
-    if stride <= 0 or stride > size:
-        raise ValueError("need 0 < stride <= size (stride > size drops tokens)")
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
-    )
-    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, size))
-    return (
-        docs.select(
-            F.col(id_col),
-            F.posexplode(chunks).alias("chunk_id", "_ctoks"),
-        )
-        .select(
-            id_col,
-            F.col("chunk_id").cast("long").alias("chunk_id"),
-            F.size("_ctoks").cast("long").alias("n_tokens"),
-            F.array_join("_ctoks", " ").alias("chunk_text"),
-        )
-    )
-
-
 def epoch_shuffle(
     df: DataFrame,
     epoch: int,

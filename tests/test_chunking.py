@@ -57,13 +57,13 @@ def test_chunk_chars_nonoverlapping_reconstructs(docs):
 
 
 def test_chunk_tokens_windows(docs):
-    out = chunk_tokens(docs.filter("doc_id = 3"), width=4, stride=3).collect()
-    got = {r["chunk_no"]: r.asDict() for r in out}
-    # 9 tokens, stride 3 → starts 0,3,6
-    assert [got[i]["tok_start"] for i in range(3)] == [0, 3, 6]
-    assert got[0]["chunk"] == "the quick brown fox"
-    assert got[1]["chunk"] == "fox jumps over the"  # 1-token overlap
-    assert got[2]["chunk"] == "the lazy dog"
+    out = chunk_tokens(docs.filter("doc_id = 3"), size=4, stride=3).collect()
+    got = {r["chunk_id"]: r.asDict() for r in out}
+    # 9 tokens, stride 3 → chunk starts at token offsets 0,3,6 (= id*stride)
+    assert sorted(got) == [0, 1, 2]
+    assert got[0]["chunk_text"] == "the quick brown fox"
+    assert got[1]["chunk_text"] == "fox jumps over the"  # 1-token overlap
+    assert got[2]["chunk_text"] == "the lazy dog"
     assert [got[i]["n_tokens"] for i in range(3)] == [4, 4, 3]
 
 
@@ -71,7 +71,9 @@ def test_chunk_rejects_bad_params(docs):
     with pytest.raises(ValueError):
         chunk_chars(docs, size=0, stride=8)
     with pytest.raises(ValueError):
-        chunk_tokens(docs, width=4, stride=0)
+        chunk_tokens(docs, size=4, stride=0)
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, size=4, stride=5)  # stride > size drops tokens
 
 
 def test_chunking_plan_has_no_shuffle(docs):

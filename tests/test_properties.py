@@ -199,7 +199,7 @@ def test_chunk_tokens_reconstructs_any_doc(spark, n_tokens, size_stride):
     first chunk with each later chunk's non-overlapping tail rebuilds
     the document exactly (no token lost or duplicated)."""
     size, stride = size_stride
-    from blockchaintoavro_spark.operators.quality import chunk_tokens
+    from blockchaintoavro_spark.operators.chunking import chunk_tokens
 
     toks = [f"t{i}" for i in range(n_tokens)]
     df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
