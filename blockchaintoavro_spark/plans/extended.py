@@ -465,6 +465,59 @@ def x_decon(spark: SparkSession, sf: str) -> DataFrame:
     return contamination_hits(chk, cont, n=5).orderBy("doc_id")
 
 
+@declare(
+    "x_dup_substrings",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 20) AS sub
+      FROM documents,
+           UNNEST(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS t(i)
+      WHERE doc_id < 100
+    ), d AS (SELECT DISTINCT doc_id, sub FROM pos)
+    SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY sub HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, sub
+    """,
+)
+def x_dup_substrings(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring duplication (Lee et al. 2022's verbatim-span
+    signal, operators/dedup.py:duplicated_substrings): 20-char windows
+    appearing in ≥2 distinct docs. Per-doc distinct BEFORE the count
+    bounds the gram shuffle; the hash_only=True twin carries 8-byte
+    fingerprints instead of strings at corpus scale (collision-scrub
+    tested in tests/test_operators.py)."""
+    from ..operators.dedup import duplicated_substrings
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return duplicated_substrings(d, k=20).orderBy(F.desc("n_docs"), "sub")
+
+
+@declare(
+    "x_dup_span_counts",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 20) AS sub
+      FROM documents,
+           UNNEST(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS t(i)
+      WHERE doc_id < 100
+    ), d AS (SELECT DISTINCT doc_id, sub FROM pos),
+    dups AS (SELECT sub FROM d GROUP BY sub HAVING COUNT(*) >= 2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+    FROM pos JOIN dups USING (sub)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x_dup_span_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc duplicated-span severity (strip-vs-drop decision input):
+    positions whose 20-char window is duplicated cross-doc, counted with
+    within-doc repeats included (memorization risk counts every
+    occurrence)."""
+    from ..operators.dedup import substring_dup_counts
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return substring_dup_counts(d, k=20).orderBy("doc_id")
+
+
 @declare("x_minhash_neardup", oracle=None, bench=True)  # r3 VERDICT #2
 def x_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (doc_id < 100) — engine-defined
@@ -641,6 +694,58 @@ def x_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_bpe_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT UNNEST(string_split(lower(text), ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word
+    ), p AS (
+      SELECT UNNEST(list_transform(range(1, length(word) + 1),
+               i -> substring(word, CAST(i AS INT), 1) || '|' ||
+                    CASE WHEN i = length(word) THEN '</w>'
+                         ELSE substring(word, CAST(i + 1 AS INT), 1) END)) AS pair,
+             n
+      FROM wc
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def x_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE step-0 statistics (operators/bpe.py): weighted adjacent
+    character-pair counts (with the Sennrich ``</w>`` end-of-word
+    marker) over the word-frequency table — the candidate table the
+    first merge is chosen from, and the SQL-checkable slice of the
+    iterative trainer. Two bounded-key shuffles (vocab, then pairs);
+    the corpus is scanned once."""
+    from ..operators.bpe import char_pair_counts
+
+    d = t(spark, sf, "documents")
+    return char_pair_counts(d).orderBy(F.desc("cnt"), "pair").limit(20)
+
+
+@declare("x_bpe_tokenize", oracle=None)
+def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end BPE: learn 12 merges from the corpus word-frequency
+    table (iterative argmax — one collected row per step, the model
+    parameter pattern), then tokenize documents with the learned
+    subwords. Not SQL-expressible (iterative training loop) → rows-only
+    driver check; tests/test_bpe.py proves trainer parity against a
+    pure-Python Sennrich reference on a known corpus."""
+    from ..operators.bpe import apply_bpe, train_bpe, word_counts
+
+    d = t(spark, sf, "documents")
+    merges = train_bpe(word_counts(d.filter(F.col("doc_id") < 300)), 12)
+    out = apply_bpe(d.filter(F.col("doc_id") < 100), merges)
+    return out.select(
+        "doc_id",
+        F.col("n_bpe_tokens"),
+        F.slice("bpe_tokens", 1, 8).alias("head_tokens"),
+    ).orderBy("doc_id")
+
+
+@declare(
     "x_avi_frames",
     oracle="""
     SELECT doc_id, frame_no,
@@ -701,38 +806,6 @@ def x_chunk_chars(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     return chunk_chars(d, size=96, stride=64).orderBy("doc_id", "chunk_no")
-
-
-@declare(
-    "x_chunk_tokens",
-    oracle="""
-    SELECT doc_id,
-           tok_start // 12 AS chunk_no,
-           tok_start,
-           array_to_string(list_slice(string_split(text, ' '),
-                                      CAST(tok_start + 1 AS INT),
-                                      CAST(tok_start + 16 AS INT)), ' ') AS chunk,
-           len(list_slice(string_split(text, ' '),
-                          CAST(tok_start + 1 AS INT),
-                          CAST(tok_start + 16 AS INT))) AS n_tokens
-    FROM (
-      SELECT doc_id, text,
-             UNNEST(range(0, greatest(len(string_split(text, ' ')) - 1, 0) + 1,
-                          12)) AS tok_start
-      FROM documents WHERE doc_id < 200
-    )
-    ORDER BY doc_id, chunk_no
-    """,
-)
-def x_chunk_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """RAG token-window chunking: 16-token windows every 12 tokens
-    (4-token overlap), single-space re-join matching the text.py
-    tokenizer convention so DuckDB list_slice is an exact twin. Narrow
-    flat-map, zero shuffle."""
-    from ..operators.chunking import chunk_tokens
-
-    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return chunk_tokens(d, width=16, stride=12).orderBy("doc_id", "chunk_no")
 
 
 @declare(
@@ -1670,11 +1743,11 @@ def x_gopher(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def x_chunks(spark: SparkSession, sf: str) -> DataFrame:
-    """Sliding token-window RAG chunking (operators/quality.py:
+    """Sliding token-window RAG chunking (operators/chunking.py:
     chunk_tokens, 32-token windows every 24): sequence + slice +
     posexplode — a Generate over row-local arrays, shuffle-free and
     append-stable at any corpus size."""
-    from ..operators.quality import chunk_tokens
+    from ..operators.chunking import chunk_tokens
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     return chunk_tokens(d, size=32, stride=24).orderBy("doc_id", "chunk_id")
