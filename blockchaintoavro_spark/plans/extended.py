@@ -694,6 +694,109 @@ def x_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS total,
+        SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45)
+                   OR l_quantity IS NULL THEN 1 ELSE 0 END) AS v_qty,
+        SUM(CASE WHEN NOT (l_discount <= 0.08)
+                   OR l_discount IS NULL THEN 1 ELSE 0 END) AS v_disc,
+        SUM(CASE WHEN NOT (l_tax <= 0.06)
+                   OR l_tax IS NULL THEN 1 ELSE 0 END) AS v_tax,
+        SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS v_part
+      FROM lineitem
+    ), u AS (
+      SELECT 'discount_le_8pct' AS rule, v_disc AS v, total FROM agg
+      UNION ALL SELECT 'partkey_set', v_part, total FROM agg
+      UNION ALL SELECT 'qty_in_range', v_qty, total FROM agg
+      UNION ALL SELECT 'tax_le_6pct', v_tax, total FROM agg
+    )
+    SELECT rule, CAST(v AS BIGINT) AS n_violations,
+           CAST(CAST(ROUND(v * 1.0 / total, 6) AS DECIMAL(38,6)) AS DOUBLE)
+             AS violation_rate
+    FROM u ORDER BY rule
+    """,
+)
+def x_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectations (operators/validate.py): four named
+    rules over lineitem evaluated in ONE aggregate pass — conditional
+    counts, so adding a rule never adds a scan at 100 TB; nulls count as
+    violations (unknown does not satisfy a constraint)."""
+    from ..operators.validate import expect, validate
+
+    li = t(spark, sf, "lineitem")
+    rules = [
+        expect("qty_in_range", F.col("l_quantity").between(1, 45)),
+        expect("discount_le_8pct", F.col("l_discount") <= 0.08),
+        expect("tax_le_6pct", F.col("l_tax") <= 0.06),
+        expect("partkey_set", F.col("l_partkey").isNotNull()),
+    ]
+    return (
+        validate(li, rules)
+        .select("rule", "n_violations", dbl(F.col("violation_rate"), 6).alias("violation_rate"))
+        .orderBy("rule")
+    )
+
+
+@declare(
+    "x_merge_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey < 2000
+    ), src AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+    )
+    SELECT COALESCE(tgt.o_orderkey, src.o_orderkey) AS o_orderkey,
+           CASE WHEN src.o_orderkey IS NOT NULL
+                THEN src.o_custkey ELSE tgt.o_custkey END AS o_custkey,
+           CAST(CAST(ROUND(CASE WHEN src.o_orderkey IS NOT NULL
+                                THEN src.o_totalprice
+                                ELSE tgt.o_totalprice END, 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS o_totalprice,
+           CASE WHEN src.o_orderkey IS NOT NULL
+                THEN src.o_orderstatus ELSE tgt.o_orderstatus END
+             AS o_orderstatus
+    FROM tgt FULL OUTER JOIN src ON tgt.o_orderkey = src.o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def x_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics without a table format (operators/
+    validate.py:merge_upsert): CDC-style upsert of a doubled-price 'U'
+    batch into an orders snapshot — matched keys take the source row,
+    unmatched target rows persist, unmatched source rows insert. One
+    key shuffle; bucket both sides by the key at 100 TB for a
+    shuffle-free merge."""
+    from ..operators.validate import merge_upsert
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    target = o.filter(F.col("o_orderkey") < 2000)
+    source = o.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    merged = merge_upsert(target, source, "o_orderkey")
+    from ._util import money
+
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        money(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    ).orderBy("o_orderkey")
+
+
+@declare(
     "x_bpe_pairs",
     oracle="""
     WITH w AS (
