@@ -56,11 +56,15 @@ def encode_avi(
         b"vids" + b"MJPG"
         + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, usec_per_frame, 1_000_000,
                       0, len(frames), 0, 0xFFFFFFFF, 0)
-        + struct.pack("<4H", 0, 0, width, height)
+        # rcFrame is 16-bit per the stream-header struct; the true dims
+        # live in the 32-bit avih fields (which the decoder reads), so
+        # oversized frames clamp here instead of failing the pack
+        + struct.pack("<4H", 0, 0, min(width, 0xFFFF), min(height, 0xFFFF))
     )
     strf = struct.pack(
         "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
-        width * height * 3, 0, 0, 0, 0,
+        min(width * height * 3, 0xFFFFFFFF),  # advisory for compressed streams
+        0, 0, 0, 0,
     )
     hdrl = _list(
         b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))

@@ -125,8 +125,11 @@ def merge_upsert(
     t = target.alias("t")
     # sentinel marks "source side matched" unambiguously — a null key
     # column cannot (keys may legitimately be null on either side)
-    s = source.withColumn("_m", F.lit(True)).alias("s")
-    matched = F.col("_m").isNotNull()
+    marker = "_merge_matched"
+    while marker in source.columns:  # never silently clobber user data
+        marker = "_" + marker
+    s = source.withColumn(marker, F.lit(True)).alias("s")
+    matched = F.col(marker).isNotNull()
     return t.join(s, keys, "full_outer").select(
         # USING-join output carries one coalesced column per key
         *[F.col(k) for k in keys],

@@ -83,6 +83,14 @@ def test_avi_needs_at_least_one_frame():
         encode_avi(8, 8, [])
 
 
+def test_avi_dims_beyond_16bit_survive():
+    """True dims live in the 32-bit avih fields; the 16-bit advisory
+    rcFrame/biSizeImage clamp instead of failing the pack."""
+    d = decode_avi(encode_avi(100_000, 70_000, [b"frame"]))
+    assert (d["width"], d["height"]) == (100_000, 70_000)
+    assert d["frames"] == [b"frame"]
+
+
 def test_sample_frames_avi_branch(spark):
     """Spark plumbing: AVI payloads get real keyframe extraction — every
     2nd frame payload kept as self-describing JPEG bytes, no pixel decode

@@ -122,6 +122,59 @@ def bench_operators(spark) -> dict:
     return results
 
 
+def bench_round5_operators(spark) -> dict:
+    """Round-5 additions, measured unbounded at the same scales:
+
+    - chunk_chars: pure flat-map — should scale linearly with corpus
+      bytes and parallelize with the scan (zero shuffle).
+    - duplicated_substrings(hash_only=True): the Lee-et-al scale path —
+      sliding-window fingerprints through a distinct + count. On this
+      corpus the duplicated set is the planted near-dup pairs only, so
+      output grows linearly and the measurement is the shuffle plan.
+    - char_pair_counts: BPE step-0 — two bounded-key shuffles; the pair
+      key space is ~alphabet², so cost is the explode, not the agg.
+    - validate: 4-rule one-pass summary — must track the plain scan.
+    """
+    from blockchaintoavro_spark.operators.chunking import chunk_chars
+    from blockchaintoavro_spark.operators.bpe import char_pair_counts
+    from blockchaintoavro_spark.operators.dedup import duplicated_substrings
+    from blockchaintoavro_spark.operators.validate import expect, validate
+
+    results: dict[str, dict] = {
+        "chunk_chars": {}, "dup_substrings_hash": {},
+        "bpe_pair_counts": {}, "validate_rules": {},
+    }
+    for mult in SCALES:
+        docs = scaled_documents(spark, mult)
+        n_docs = docs.count()
+        key = str(n_docs)
+
+        n, sec = timed(chunk_chars(docs, size=96, stride=64).count)
+        results["chunk_chars"][key] = {"rows_in": n_docs, "chunks": n, "sec": sec}
+        print(f"chunk_chars {n_docs} -> {n} chunks in {sec}s", flush=True)
+
+        n, sec = timed(
+            duplicated_substrings(docs, k=20, hash_only=True).count
+        )
+        results["dup_substrings_hash"][key] = {"rows_in": n_docs, "dups": n, "sec": sec}
+        print(f"dup_substrings {n_docs} -> {n} dup grams in {sec}s", flush=True)
+
+        n, sec = timed(char_pair_counts(docs).count)
+        results["bpe_pair_counts"][key] = {"rows_in": n_docs, "pairs": n, "sec": sec}
+        print(f"bpe_pairs {n_docs} -> {n} distinct pairs in {sec}s", flush=True)
+
+        rules = [
+            expect("text_set", F.col("text").isNotNull()),
+            expect("text_min_len", F.length("text") >= 50),
+            expect("id_nonneg", F.col("doc_id") >= 0),
+            expect("id_parity_demo", F.col("doc_id") % 2 == 0),
+        ]
+        _, sec = timed(lambda: validate(docs, rules).collect())
+        results["validate_rules"][key] = {"rows_in": n_docs, "rules": len(rules), "sec": sec}
+        print(f"validate {n_docs} x {len(rules)} rules in {sec}s", flush=True)
+    return results
+
+
 def bench_ocf_split(spark) -> dict:
     """One large multi-block OCF file: whole-file single InputPartition vs
     sync-marker-aligned byte-range splits (sources/avro_datasource.py)."""
@@ -193,6 +246,7 @@ def main() -> None:
         "cpus": int(cpus),
         "scales": SCALES,
         "operators": bench_operators(spark),
+        "round5_operators": bench_round5_operators(spark),
         "ocf_split": bench_ocf_split(spark),
     }
     dest = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_BENCH.json")
