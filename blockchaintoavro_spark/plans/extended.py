@@ -694,6 +694,153 @@ def x_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+)
+def x_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority composite: segment-filtered
+    customer broadcast into orders, date predicates pushed to both fact
+    scans, exact decimal revenue, rank-limited top-10 with a total
+    tie-break. The orderkey group rides the lineitem join key, so AQE
+    can keep the aggregation on the join partitioning."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    from ._util import dec2, money
+
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            money(
+                F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@declare(
+    "x_tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN big      ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN lineitem ON lineitem.l_orderkey = o_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def x_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order query: a HAVING aggregate
+    subquery (orders whose line quantities exceed a threshold) semi-
+    drives the main join, then re-aggregates per order. The `big` set
+    is threshold-small, so it broadcasts into orders; lineitem is
+    scanned twice by design (pre-agg + detail) — at 100 TB the first
+    pass's partial agg shrinks to the key set before any join."""
+    from ._util import dec2, money
+
+    li = t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"])
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.alias("det"), F.col("det.l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(money(F.sum(dec2("det.l_quantity"))).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@declare(
+    "x_tpch_q19_like",
+    oracle="""
+    SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def x_tpch_q19_like(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join predicate: three OR-ed
+    brand/size/quantity conjunctions spanning both join sides. Catalyst
+    pushes the single-side residuals (brand∈set, size≤35, quantity
+    ranges) below the join while keeping the cross-side disjunction as
+    a join filter — the pattern that turns a scan-everything OR into
+    pruned scans."""
+    from ._util import dec2, money
+
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            money(
+                F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@declare(
     "x_expectations",
     oracle="""
     WITH agg AS (

@@ -480,3 +480,22 @@ def test_x_chainwork_single_codegen_no_python(spark, registry, sf_dir):
     # ...and the fusion actually compiled: a janino failure falls back to
     # interpreted Projects, which lose the codegen star in the final plan
     assert "*(1) Project" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q3_broadcasts_customer_and_pushes_dates(spark, registry, sf_dir):
+    """Q3 shape: the segment-filtered customer dim broadcasts; both date
+    predicates reach their parquet scans as PushedFilters."""
+    p = plan_of(spark, registry, "x_tpch_q3", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "o_orderdate" in p.split("PushedFilters", 1)[-1] or "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+
+
+def test_tpch_q19_pushes_single_side_residuals(spark, registry, sf_dir):
+    """The OR-of-conjunctions keeps per-side residuals below the join:
+    the part scan receives brand/size filters, the lineitem scan the
+    quantity-range disjunction — neither side scans unfiltered."""
+    p = plan_of(spark, registry, "x_tpch_q19_like", sf_dir)
+    li_scan = [s for s in p.split("Scan parquet") if "l_quantity" in s]
+    assert any("PushedFilters: [" in s and "l_quantity" in s.split("PushedFilters", 1)[-1][:400] for s in li_scan), p
+    assert "p_brand" in p.split("PushedFilters", 1)[-1] or "In(p_brand" in p

@@ -345,3 +345,49 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, tmpdir):
     assert want.count() > 0, "fixture should produce interval matches"
     assert got.subtract(want).count() == 0
     assert want.subtract(got).count() == 0
+
+
+def test_streaming_chunking_and_quarantine_equal_batch(spark, sf_dir, tmpdir):
+    """The round-5 row-local operators run UNCHANGED on streaming
+    DataFrames (stateless narrow plans pass Structured Streaming's
+    unsupported-operations check): chunk the stream, quarantine rows
+    failing expectations, and both outputs equal their batch twins."""
+    from blockchaintoavro_spark.operators.chunking import chunk_chars
+    from blockchaintoavro_spark.operators.validate import check_rows, expect
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 80")
+    src = f"{tmpdir}/docs"
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    rules = [
+        expect("has_text", F.length("text") > 0),
+        expect("en_only", F.col("lang") == "en"),
+    ]
+    q1 = (
+        chunk_chars(stream, size=96, stride=64)
+        .writeStream.format("memory").queryName("chunks_out")
+        .trigger(availableNow=True).start()
+    )
+    q2 = (
+        check_rows(stream, rules)
+        .select("doc_id", "failed_rules")
+        .writeStream.format("memory").queryName("quarantine_out")
+        .trigger(availableNow=True).start()
+    )
+    _drain(q1)
+    _drain(q2)
+
+    got_chunks = spark.table("chunks_out")
+    want_chunks = chunk_chars(spark.read.parquet(src), size=96, stride=64)
+    assert got_chunks.subtract(want_chunks).count() == 0
+    assert want_chunks.subtract(got_chunks).count() == 0
+
+    got_q = spark.table("quarantine_out")
+    want_q = check_rows(spark.read.parquet(src), rules).select(
+        "doc_id", "failed_rules"
+    )
+    assert got_q.subtract(want_q).count() == 0
+    assert want_q.subtract(got_q).count() == 0
+    assert want_q.count() > 0  # the fixture has non-en docs → rules bite
