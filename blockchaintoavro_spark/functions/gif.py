@@ -43,6 +43,12 @@ def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> bytearray:
     """GIF-flavor LZW: little-endian bit packing, growing code width,
     CLEAR resets the dictionary, stops at EOI or when ``expected``
     pixels are produced (tolerates missing EOI, a common wild quirk)."""
+    # spec: LZW minimum code size is 1..8 (palette bit depth; code widths
+    # cap at 12). A corrupt byte here (fuzz finding: 30) would otherwise
+    # make reset() allocate a 2^30-entry dictionary — an allocation bomb
+    # from one flipped byte.
+    if not 1 <= min_code_size <= 8:
+        raise ValueError(f"GIF: bad LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
@@ -130,6 +136,9 @@ def decode_gif_frames(data: bytes) -> dict:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     w, h = struct.unpack("<HH", data[6:10])
+    from blockchaintoavro_spark.functions.imaging import check_dims
+
+    check_dims(w, h, "GIF")  # corrupt headers → pixel bombs (fuzz finding)
     flags = data[10]
     bg_index = data[11]
     pos = 13
@@ -173,6 +182,9 @@ def decode_gif_frames(data: bytes) -> dict:
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block {block:#x}")
         left, top, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
+        from blockchaintoavro_spark.functions.imaging import check_dims
+
+        check_dims(fw, fh, "GIF frame")  # sub-rects are bombable too
         iflags = data[pos + 8]
         pos += 9
         table = global_table

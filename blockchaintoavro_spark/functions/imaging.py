@@ -37,6 +37,21 @@ import zlib
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Decompression-bomb guard shared by every decoder (PNG/BMP/JPEG/GIF/AVI
+# compositing): a corrupt header can declare billions of pixels, turning
+# one bad payload into an executor-killing allocation/CPU bomb (fuzzing
+# caught multi-second GIF composites from flipped dimension bytes).
+# 2^26 pixels = an 8192x8192 frame = 200 MB RGB - far beyond anything
+# this pipeline decodes; implausible dims raise the loud ValueError that
+# try_decode_* turns into the stub fallback.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def check_dims(w: int, h: int, what: str) -> None:
+    """Raise on implausible decoded dimensions (see MAX_DECODE_PIXELS)."""
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(f"implausible {what} dimensions {w}x{h}")
+
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _PNG_CTYPE = {1: 0, 3: 2, 2: 4, 4: 6}
 
@@ -74,6 +89,7 @@ def decode_png(data: bytes) -> dict:
                 raise ValueError("unsupported PNG compression/filter method")
             if interlace != 0:
                 raise ValueError("interlaced PNG unsupported")
+            check_dims(w, h, "PNG")
         elif typ == b"IDAT":
             idat += chunk
         elif typ == b"IEND":
@@ -172,6 +188,7 @@ def decode_bmp(data: bytes) -> dict:
         raise ValueError(f"unsupported BMP bit depth {bpp}")
     if w <= 0 or h_signed == 0:
         raise ValueError("degenerate BMP dimensions")
+    check_dims(w, abs(h_signed), "BMP")
     top_down = h_signed < 0
     h = abs(h_signed)
     channels = bpp // 8
@@ -211,7 +228,14 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
 
 def try_decode_image(payload: bytes | None) -> dict | None:
     """Dispatch on magic bytes; None when the payload is not a decodable
-    PNG/BMP/JPEG/GIF (caller falls back to the deterministic stub)."""
+    PNG/BMP/JPEG/GIF (caller falls back to the deterministic stub).
+
+    Corrupt magic-matched payloads surface as more than ValueError —
+    fuzzing found zlib.error from mangled IDAT streams and IndexError
+    from truncated JPEG bitstreams / out-of-range GIF codes — so the
+    totality contract ("one corrupt payload cannot fail a 100 TB
+    stage") catches the full corrupt-data error set, while anything
+    else (a genuine codec bug) still raises loudly."""
     if not payload:
         return None
     b = bytes(payload)
@@ -228,7 +252,8 @@ def try_decode_image(payload: bytes | None) -> dict | None:
             from blockchaintoavro_spark.functions.gif import decode_gif
 
             return decode_gif(b)
-    except ValueError:
+    except (ValueError, IndexError, KeyError, OverflowError, EOFError,
+            struct.error, zlib.error):
         return None
     return None
 

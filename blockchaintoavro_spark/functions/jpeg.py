@@ -389,6 +389,9 @@ def decode_jpeg(data: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
+            from blockchaintoavro_spark.functions.imaging import check_dims
+
+            check_dims(w, h, "JPEG")  # corrupt SOF dims → block-loop bomb
             frame = (w, h, comps)
         elif marker == 0xC2:
             raise ValueError("progressive JPEG unsupported")

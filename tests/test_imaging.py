@@ -656,3 +656,75 @@ def test_try_decode_image_dispatch_jpeg_gif():
     g = try_decode_image(encode_gif(3, 2, [bytes([1, 2, 3, 4, 5, 6])]))
     assert g is not None and g["format"] == "gif" and g["n_frames"] == 1
     assert try_decode_image(b"\xff\xd8corrupt") is None
+
+
+def test_decoders_total_on_fuzzed_payloads():
+    """Totality + bomb-resistance regression (fuzz findings): corrupt
+    magic-matched payloads must yield None/ValueError quickly — never an
+    unexpected exception type (zlib.error, IndexError escaped before)
+    and never a pixel-bomb allocation from corrupt dimension bytes (a
+    flipped GIF header byte used to trigger a multi-GB canvas fill)."""
+    import random
+    import time
+
+    from blockchaintoavro_spark.functions.audio import encode_wav, try_decode_audio
+    from blockchaintoavro_spark.functions.gif import encode_gif
+    from blockchaintoavro_spark.functions.imaging import (
+        encode_bmp,
+        encode_png,
+        try_decode_image,
+    )
+    from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+    from blockchaintoavro_spark.functions.video import encode_avi, try_decode_video
+
+    rng = random.Random(7)
+    base = [
+        encode_png(6, 4, bytes(range(24)), 1),
+        encode_bmp(5, 3, bytes(45)),
+        encode_jpeg(8, 8, bytes(64), 1, quant=1),
+        encode_gif(5, 4, [bytes(20), bytes(range(20))]),
+        encode_avi(8, 8, [b"xx", b"yy"]),
+        encode_wav(8000, 2, [1, 2, 3, 4]),
+    ]
+    t0 = time.time()
+    for b in base:
+        for _ in range(1500):
+            ba = bytearray(b)
+            for _ in range(rng.randrange(1, 7)):
+                if len(ba) < 12:
+                    break
+                op = rng.random()
+                if op < 0.5:
+                    ba[rng.randrange(len(ba))] = rng.randrange(256)
+                elif op < 0.8:
+                    del ba[rng.randrange(10, len(ba)):]
+                else:
+                    i = rng.randrange(len(ba))
+                    ba[i : i + 1] = bytes(
+                        rng.randrange(256) for _ in range(rng.randrange(8))
+                    )
+            payload = bytes(ba)
+            for fn in (try_decode_image, try_decode_video, try_decode_audio):
+                try:
+                    fn(payload)
+                except ValueError:
+                    pass  # audio/video corruption is documented-loud
+    # the pre-guard GIF bomb made this loop take minutes; bound it hard
+    assert time.time() - t0 < 60
+
+
+def test_decoder_rejects_bomb_dimensions():
+    """A syntactically valid header declaring implausible dimensions is
+    refused before any allocation (MAX_DECODE_PIXELS)."""
+    import struct
+
+    import pytest
+
+    from blockchaintoavro_spark.functions.gif import decode_gif_frames, encode_gif
+    from blockchaintoavro_spark.functions.imaging import MAX_DECODE_PIXELS
+
+    g = bytearray(encode_gif(5, 4, [bytes(20)]))
+    g[6:10] = struct.pack("<HH", 65535, 65535)  # 4.3e9-pixel canvas
+    with pytest.raises(ValueError, match="implausible"):
+        decode_gif_frames(bytes(g))
+    assert 65535 * 65535 > MAX_DECODE_PIXELS
