@@ -468,9 +468,15 @@ def _read_meta(fh: BinaryIO) -> tuple[dict, bytes]:
 
 def read_ocf_header(path: str) -> dict:
     """Schema (parsed JSON) from the file's own metadata — self-describing."""
-    with open(path, "rb") as fh:
-        meta, _ = _read_meta(fh)
-    return json.loads(meta[b"avro.schema"] if b"avro.schema" in meta else meta["avro.schema"])
+    try:
+        with open(path, "rb") as fh:
+            meta, _ = _read_meta(fh)
+        key = b"avro.schema" if b"avro.schema" in meta else "avro.schema"
+        return json.loads(meta[key])
+    except (EOFError, IndexError, KeyError, OverflowError, UnicodeDecodeError) as e:
+        raise ValueError(
+            f"corrupt avro container header {path}: {type(e).__name__}: {e}"
+        ) from e
 
 
 def _scan_sync(fh: BinaryIO, sync: bytes, start: int, end: float) -> int | None:
@@ -498,7 +504,36 @@ def _scan_sync(fh: BinaryIO, sync: bytes, start: int, end: float) -> int | None:
             return None
 
 
+# Raw exception types a corrupt container surfaces through the binary
+# decoder (fuzz-derived): zigzag reads off the end (EOFError), truncated
+# struct/union indices (IndexError), missing meta keys or bad union
+# branches (KeyError), mangled deflate streams (zlib.error), and
+# pathological varint shifts (OverflowError). The read paths convert all
+# of them into the descriptive ValueError the corruption tests expect --
+# one loud, uniform failure mode (r4 ADVICE convention).
+_CORRUPT_ERRORS = (EOFError, IndexError, KeyError, _struct.error, zlib.error, OverflowError)
+
+
 def iter_ocf_blocks_split(
+    path: str, start: int, end: float, reader_schema: Any = None
+) -> Iterator[tuple[dict, list[dict]]]:
+    """Corruption-normalizing wrapper over :func:`_iter_ocf_blocks_split`:
+    any corrupt-data exception class becomes ``ValueError`` naming the
+    file, so callers (and executors at 100 TB) see one failure mode."""
+    it = _iter_ocf_blocks_split(path, start, end, reader_schema)
+    while True:
+        try:
+            item = next(it)
+        except StopIteration:
+            return
+        except _CORRUPT_ERRORS as e:
+            raise ValueError(
+                f"corrupt avro container {path}: {type(e).__name__}: {e}"
+            ) from e
+        yield item
+
+
+def _iter_ocf_blocks_split(
     path: str, start: int, end: float, reader_schema: Any = None
 ) -> Iterator[tuple[dict, list[dict]]]:
     """Stream the data blocks of the byte-range split ``[start, end)``.

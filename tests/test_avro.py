@@ -981,3 +981,41 @@ def test_datasource_timestamp_column_roundtrip(spark, tmpdir):
     back = spark.read.format("avro_ocf").load(d)
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def test_ocf_corruption_always_raises_descriptive_valueerror(tmp_path, codec):
+    """Fuzz regression: corrupt container bytes must surface as the
+    descriptive ValueError convention — never raw EOFError/IndexError/
+    KeyError/zlib.error from the binary decoder internals (all four
+    escaped before the corruption-normalizing wrapper), and never a
+    hang."""
+    import random
+
+    sch = spark_to_avro_schema(NESTED_SCHEMA, "Block")
+    path = str(tmp_path / "base.avro")
+    write_ocf(path, sch, RECORDS, codec)
+    base = open(path, "rb").read()
+    mut = str(tmp_path / "mut.avro")
+    rng = random.Random(3)
+    for _ in range(800):
+        ba = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            if len(ba) < 12:
+                break
+            op = rng.random()
+            if op < 0.5:
+                ba[rng.randrange(len(ba))] = rng.randrange(256)
+            elif op < 0.8:
+                del ba[rng.randrange(4, len(ba)):]
+            else:
+                i = rng.randrange(len(ba))
+                ba[i : i + 1] = bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(6))
+                )
+        with open(mut, "wb") as fh:
+            fh.write(bytes(ba))
+        try:
+            read_ocf(mut)
+        except ValueError:
+            pass  # the one sanctioned corruption failure mode
