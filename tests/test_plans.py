@@ -499,3 +499,51 @@ def test_tpch_q19_pushes_single_side_residuals(spark, registry, sf_dir):
     li_scan = [s for s in p.split("Scan parquet") if "l_quantity" in s]
     assert any("PushedFilters: [" in s and "l_quantity" in s.split("PushedFilters", 1)[-1][:400] for s in li_scan), p
     assert "p_brand" in p.split("PushedFilters", 1)[-1] or "In(p_brand" in p
+
+
+def test_bucketed_merge_upsert_eliminates_shuffle(spark, sf_dir):
+    """The CDC-apply claim in merge_upsert's docstring, proven: with
+    target and source co-bucketed (+ sorted) on the merge key, the
+    full-outer MERGE plan contains zero Exchange — the 100 TB upsert
+    re-shuffles nothing."""
+    from blockchaintoavro_spark.operators.validate import merge_upsert
+    from blockchaintoavro_spark.sources.bucketing import write_bucketed
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS m_tgt")
+    spark.sql("DROP TABLE IF EXISTS m_src")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("m_tgt", "m_src"):  # stale dirs from aborted runs block saveAsTable
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    write_bucketed(o, "m_tgt", ["o_orderkey"], 8, sort_keys=["o_orderkey"])
+    from pyspark.sql import functions as F
+
+    src = o.filter("o_orderkey % 3 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    write_bucketed(src, "m_src", ["o_orderkey"], 8, sort_keys=["o_orderkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = merge_upsert(
+            spark.table("m_tgt"), spark.table("m_src"), "o_orderkey"
+        )
+        jvm = spark.sparkContext._jvm
+        p = jvm.PythonSQLUtils.explainString(
+            merged._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in p and "FullOuter" in p
+        assert "Exchange" not in p, p  # co-located buckets: shuffle-free MERGE
+        # semantics spot-check: every %3 key doubled, others untouched
+        row = merged.filter("o_orderkey % 3 = 0").limit(1).collect()[0]
+        orig = o.filter(f"o_orderkey = {row['o_orderkey']}").collect()[0]
+        assert abs(row["o_totalprice"] - 2 * orig["o_totalprice"]) < 1e-6
+        assert merged.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS m_tgt")
+        spark.sql("DROP TABLE IF EXISTS m_src")
