@@ -1373,3 +1373,58 @@ def test_duplicated_substrings_within_doc_repeat_is_one_vote(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     # repeated only WITHIN doc 0 → n_docs = 1 → not duplicated cross-doc
     assert duplicated_substrings(df, k=20, min_docs=2).count() == 0
+
+
+def test_pretraining_shard_pipeline_roundtrips_avro(spark, sf_dir, tmp_path):
+    """End-to-end pretraining shard prep in the reference's own output
+    format: train a BPE on the corpus word-frequency table, tokenize,
+    assign hash shards, pack into fixed-budget sequences, write the
+    result as partitioned Avro container files (write_ocf_dataset — the
+    AvroWriter-parity sink), and read them back bit-exactly. This is
+    the full composite a training-data pipeline runs; every stage is
+    individually oracle-checked, this pins their composition + sink."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_counts,
+    )
+    from blockchaintoavro_spark.operators.quality import pack_sequences
+    from blockchaintoavro_spark.sources.avro_io import (
+        read_ocf_dataset,
+        write_ocf_dataset,
+    )
+    from blockchaintoavro_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 120")
+    merges = train_bpe(word_counts(docs), 6)
+    assert merges, "corpus should yield at least one merge"
+    toks = apply_bpe(docs, merges)
+    sharded = toks.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("long")
+    )
+    packed = pack_sequences(
+        sharded, F.col("n_bpe_tokens"), budget=256, shard="shard",
+        order="doc_id",
+    )
+    out = packed.join(
+        sharded.select("doc_id", "bpe_tokens"), "doc_id"
+    ).select("shard", "doc_id", "seq_id", "seq_offset", "n_tok", "bpe_tokens")
+
+    dest = str(tmp_path / "shards")
+    manifest = write_ocf_dataset(out, dest, partition_col="shard")
+    assert {m["partition"] for m in manifest} == {"0", "1", "2", "3"}
+    assert sum(m["n_records"] for m in manifest) == out.count()
+
+    back = read_ocf_dataset(spark, dest, partition_col="shard").withColumn(
+        "shard", F.col("shard").cast("long")
+    )
+    assert back.count() == out.count()
+    assert sorted(back.columns) == sorted(out.columns)
+    cols = sorted(out.columns)  # subtract matches positionally
+    back_c, out_c = back.select(*cols), out.select(*cols)
+    assert back_c.subtract(out_c).count() == 0
+    assert out_c.subtract(back_c).count() == 0
+    # packing invariant survives the round trip: offsets stay in budget
+    assert back.filter("seq_offset < 0 OR seq_offset >= 256").count() == 0
