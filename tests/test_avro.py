@@ -983,7 +983,98 @@ def test_datasource_timestamp_column_roundtrip(spark, tmpdir):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def _zigzag_varint(n: int) -> bytes:
+    import io as _io
+
+    from blockchaintoavro_spark.sources.avro_io import _write_long
+
+    out = _io.BytesIO()
+    _write_long(out, n)
+    return out.getvalue()
+
+
+def test_ocf_corrupt_declared_length_2e50_raises_valueerror(tmp_path):
+    """Deterministic regression for the r5 allocation bomb: a corrupt
+    string length declaring 2^50 bytes must raise the descriptive
+    ValueError — never attempt the allocation (which surfaced as a raw
+    MemoryError under memory pressure, avro_io.py:245 pre-fix)."""
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    path = str(tmp_path / "len.avro")
+    write_ocf(path, sch, [{"s": "hello"}], codec="null")
+    base = open(path, "rb").read()
+    needle = _zigzag_varint(5) + b"hello"
+    idx = base.find(needle)
+    assert idx != -1
+    corrupt = base[:idx] + _zigzag_varint(1 << 50) + base[idx + len(needle):]
+    mut = str(tmp_path / "len_mut.avro")
+    with open(mut, "wb") as fh:
+        fh.write(corrupt)
+    with pytest.raises(ValueError, match="corrupt"):
+        read_ocf(mut)
+
+
+def test_ocf_corrupt_block_record_count_raises_valueerror(tmp_path):
+    """A corrupt block record count of 2^40 (beyond any real writer) is
+    rejected up front instead of looping/allocating per range(n)."""
+    from blockchaintoavro_spark.sources.avro_io import _read_meta
+
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    path = str(tmp_path / "count.avro")
+    write_ocf(path, sch, [{"s": "hello"}], codec="null")
+    with open(path, "rb") as fh:
+        _read_meta(fh)
+        block_start = fh.tell()
+    base = open(path, "rb").read()
+    old = _zigzag_varint(1)
+    assert base[block_start : block_start + len(old)] == old
+    corrupt = (
+        base[:block_start]
+        + _zigzag_varint(1 << 40)
+        + base[block_start + len(old):]
+    )
+    mut = str(tmp_path / "count_mut.avro")
+    with open(mut, "wb") as fh:
+        fh.write(corrupt)
+    with pytest.raises(ValueError, match="corrupt"):
+        read_ocf(mut)
+
+
+@pytest.mark.parametrize("codec", ["bzip2", "xz"])
+def test_ocf_corrupt_compressed_block_raises_valueerror(tmp_path, codec):
+    """Deterministic regression (r5 ADVICE): corrupt bzip2/xz payloads
+    raise OSError / lzma.LZMAError from the stdlib decompressors — both
+    must be normalized into the descriptive ValueError, not escape raw."""
+    from blockchaintoavro_spark.sources.avro_io import _read_meta
+
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    path = str(tmp_path / f"{codec}.avro")
+    write_ocf(path, sch, [{"s": "payload " * 50}], codec=codec)
+    with open(path, "rb") as fh:
+        _read_meta(fh)
+        block_start = fh.tell()
+    base = bytearray(open(path, "rb").read())
+    # flip a byte well inside the compressed payload (past count+size varints)
+    base[block_start + 10] ^= 0xFF
+    mut = str(tmp_path / f"{codec}_mut.avro")
+    with open(mut, "wb") as fh:
+        fh.write(bytes(base))
+    with pytest.raises(ValueError, match="corrupt"):
+        read_ocf(mut)
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_ocf_corruption_always_raises_descriptive_valueerror(tmp_path, codec):
     """Fuzz regression: corrupt container bytes must surface as the
     descriptive ValueError convention — never raw EOFError/IndexError/
