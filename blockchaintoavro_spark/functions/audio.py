@@ -21,7 +21,7 @@ Scope (documented subset, not a general audio library):
 
 Encoders exist so tests and declared queries can build deterministic
 fixtures without any external tool; round-trip identity and stdlib
-``wave``-module cross-reads are tested in tests/test_imaging.py.
+``wave``-module cross-reads are tested in tests/test_audio.py.
 """
 
 from __future__ import annotations

@@ -177,8 +177,12 @@ def apply_bpe(
                 }
             )
 
+    # derive the id field's type from the input instead of hardcoding
+    # long, so string/int id columns pass through uncoerced (r5 ADVICE)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} long, bpe_tokens array<string>, n_bpe_tokens long"
+        run,
+        schema=f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe_tokens long",
     )
 
 

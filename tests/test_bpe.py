@@ -102,3 +102,16 @@ def test_bpe_plan_shapes(docs):
     tok = apply_bpe(docs, [("l", "o")])
     tok_plan = tok._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in tok_plan, tok_plan
+
+
+def test_apply_bpe_preserves_string_id_column(spark):
+    """apply_bpe derives the id field's type from the input schema
+    instead of hardcoding long (r5 ADVICE) — a string id column passes
+    through uncoerced."""
+    docs = spark.createDataFrame(
+        [("doc-a", "low lower"), ("doc-b", "low")], "doc_id string, text string"
+    )
+    tok = apply_bpe(docs, [("l", "o")])
+    assert tok.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r["doc_id"]: r["bpe_tokens"] for r in tok.collect()}
+    assert set(got) == {"doc-a", "doc-b"}
