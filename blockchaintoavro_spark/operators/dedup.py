@@ -628,6 +628,40 @@ def substring_positions(
     return out
 
 
+# Substring dedup materializes ~one fingerprint per character position —
+# orders of magnitude more shuffle rows than the input has rows — so a
+# session-level spark.sql.shuffle.partitions sized for ordinary queries
+# under-partitions it badly (r5 SCALE.md measured 43 s at 32 partitions
+# vs 30 s at 128 for 500 k docs). The operator now derives its own
+# partition count from the estimated fingerprint volume (VERDICT r5 #3)
+# instead of leaving the lever to the caller.
+_SUBSTRING_ROWS_PER_PARTITION = 1_000_000
+_SUBSTRING_MAX_PARTITIONS = 32_768
+
+
+def _substring_shuffle_partitions(
+    df: DataFrame, k: int, text_col: str, target_rows: int | None = None
+) -> int:
+    """Gram-shuffle partition count ≈ estimated window count /
+    ``target_rows`` (floor: the session default). The estimate is one
+    shuffle-free column aggregate over text lengths — negligible next
+    to the explode+distinct it sizes, and the column is about to be
+    scanned anyway."""
+    target = target_rows or _SUBSTRING_ROWS_PER_PARTITION
+    est = (
+        df.select(
+            F.sum(F.greatest(F.length(text_col) - (k - 1), F.lit(0))).alias("w")
+        ).first()["w"]
+        or 0
+    )
+    try:
+        default = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        default = 200
+    n = max(default, -(-est // target))
+    return int(min(n, _SUBSTRING_MAX_PARTITIONS))
+
+
 def duplicated_substrings(
     df: DataFrame,
     k: int = 20,
@@ -635,6 +669,7 @@ def duplicated_substrings(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_only: bool = False,
+    target_rows_per_partition: int | None = None,
 ) -> DataFrame:
     """``k``-char windows appearing verbatim in ≥ ``min_docs`` distinct
     documents: ``(sub, n_docs)``.
@@ -644,10 +679,18 @@ def duplicated_substrings(
     the gram-keyed shuffle is bounded by distinct (doc, gram) pairs.
     At corpus scale run ``hash_only=True`` and recheck the candidate
     grams verbatim (collision scrub) — same two-shuffle shape.
+
+    Both gram shuffles are sized by :func:`_substring_shuffle_partitions`
+    (explicit ``repartition`` whose partitioning the downstream
+    aggregates reuse — still exactly two Exchanges, now with a
+    volume-derived partition count instead of the session default).
     """
     pos = substring_positions(df, k, id_col, text_col, hash_only)
+    n_parts = _substring_shuffle_partitions(df, k, text_col, target_rows_per_partition)
     return (
-        pos.distinct()
+        pos.repartition(n_parts, id_col, "sub")
+        .distinct()
+        .repartition(n_parts, "sub")
         .groupBy("sub")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
@@ -660,6 +703,7 @@ def substring_dup_counts(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_rows_per_partition: int | None = None,
 ) -> DataFrame:
     """Per-document count of window positions whose ``k``-char content
     is duplicated cross-doc — the per-doc severity score used to decide
@@ -670,7 +714,13 @@ def substring_dup_counts(
     scores 50, which is the memorization-risk signal wanted here.
     """
     pos = substring_positions(df, k, id_col, text_col)
-    dups = duplicated_substrings(df, k, min_docs, id_col, text_col).select("sub")
+    dups = duplicated_substrings(
+        df, k, min_docs, id_col, text_col,
+        target_rows_per_partition=target_rows_per_partition,
+    ).select("sub")
+    # dups carries HashPartitioning(sub, n) from the volume-derived
+    # repartition; EnsureRequirements co-partitions the pos side to the
+    # same n, so the join-back inherits the auto-scaled count too.
     return (
         pos.join(dups, "sub")
         .groupBy(id_col)

@@ -547,3 +547,40 @@ def test_bucketed_merge_upsert_eliminates_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS m_tgt")
         spark.sql("DROP TABLE IF EXISTS m_src")
+
+
+def test_substring_dedup_autoscales_shuffle_partitions(spark):
+    """duplicated_substrings derives its gram-shuffle partition count
+    from the estimated fingerprint volume (r5 VERDICT #3): with a small
+    target_rows_per_partition forcing the scale-up, both Exchanges in
+    the plan carry the derived count — and there are still exactly two
+    (repartition replaces the implicit agg exchanges, it doesn't add)."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.dedup import (
+        _substring_shuffle_partitions,
+        duplicated_substrings,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x" * 40), F.col("id").cast("string")).alias("text"),
+    )
+    # ~200 × (42-ish − 19) ≈ 4.6k windows; target 100/partition → ~46,
+    # well above the 32-partition session default
+    n = _substring_shuffle_partitions(docs, k=20, text_col="text", target_rows=100)
+    assert n > int(spark.conf.get("spark.sql.shuffle.partitions"))
+    plan = (
+        duplicated_substrings(docs, k=20, target_rows_per_partition=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count(f", {n})") >= 2, plan  # both Exchanges at the derived count
+    assert plan.count("Exchange") == 2, plan
+
+    # floor: tiny volume keeps the session default (no pointless scale-up)
+    small = spark.createDataFrame([(1, "abcdefghijklmnopqrstuvwxyz")], "doc_id long, text string")
+    assert _substring_shuffle_partitions(small, k=20, text_col="text") == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
