@@ -11,10 +11,13 @@ genuinely undecodable modalities (audio/video).
 Scope (documented subset, not libjpeg):
 
 - **Decoder**: baseline sequential DCT (SOF0; SOF1 accepted — identical
-  entropy coding), 8-bit samples, 1 or 3 components, arbitrary sampling
+  entropy coding) AND progressive DCT (SOF2, T.81 Annex G: spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, EOB runs — the common libjpeg web-crawl scan scripts; r5
+  VERDICT #5), 8-bit samples, 1 or 3 components, arbitrary sampling
   factors (4:4:4 / 4:2:2 / 4:2:0 via pixel-replication upsampling),
   restart markers (DRI/RSTn), FF00 byte stuffing, multi-table DQT/DHT
-  segments. Progressive (SOF2), arithmetic coding and 12-bit precision
+  segments. Arithmetic coding, hierarchical and 12-bit precision
   raise ``ValueError`` (callers fall back to the stub).
 - **Color**: decoded component samples are returned AS STORED (Y, or
   interleaved Y/Cb/Cr) — the same no-color-conversion contract as the
@@ -22,9 +25,10 @@ Scope (documented subset, not libjpeg):
   reduces pixels to dims + checksum. :func:`ycbcr_to_rgb` is provided
   (JFIF/BT.601 full-range) for callers that want RGB, and is what the
   javax.imageio cross-validation tests use.
-- **Encoder**: baseline SOF0 JFIF, 1 or 3 components, 4:4:4 only, the
-  spec's Annex-K "typical" Huffman tables, uniform quantization tables
-  (``quant=1`` by default). Three-component input is treated as raw
+- **Encoder**: baseline SOF0 JFIF (:func:`encode_jpeg`) and a
+  progressive SOF2 twin (:func:`encode_jpeg_progressive`), 1 or 3
+  components, 4:4:4 only, the spec's Annex-K "typical" Huffman tables,
+  uniform quantization tables (``quant=1`` by default). Three-component input is treated as raw
   Y/Cb/Cr planes (no RGB conversion on either side — symmetric with the
   decoder). With ``quant=1`` an image whose every 8×8 block is constant
   round-trips EXACTLY (flat block ⇒ DC-only spectrum ⇒ integer DC ⇒
@@ -322,11 +326,88 @@ class _BitReader:
         raise ValueError("JPEG: invalid Huffman code in scan")
 
 
+def _parse_dqt(seg: bytes, qtables: dict) -> None:
+    """DQT segment (possibly several tables) → natural-order tables."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0xF
+        i += 1
+        if pq == 0:
+            vals = list(seg[i : i + 64])
+            i += 64
+        else:  # 16-bit table
+            vals = [(seg[i + 2 * k] << 8) | seg[i + 2 * k + 1] for k in range(64)]
+            i += 128
+        tbl = [0] * 64
+        for z in range(64):
+            tbl[ZIGZAG[z]] = vals[z]
+        qtables[tq] = tbl
+
+
+def _parse_dht(seg: bytes, htables: dict) -> None:
+    """DHT segment (possibly several tables) → decode tables."""
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0xF
+        i += 1
+        counts = list(seg[i : i + 16])
+        i += 16
+        nsym = sum(counts)
+        symbols = list(seg[i : i + nsym])
+        i += nsym
+        htables[(tc, th)] = _build_decode_table(counts, symbols)
+
+
+def _assemble_planes(
+    planes: list, comps: list, w: int, h: int, mcux: int, hmax: int, vmax: int
+) -> bytes:
+    """Crop each component plane to its natural size, upsample to full
+    resolution (triangular filter for the standard 2× factors — the
+    filter libjpeg calls "fancy", so 4:2:0/4:2:2 decodes agree with the
+    IJG-based ImageIO plugin to IDCT-rounding tolerance; replication
+    fallback for exotic factors) and interleave."""
+    nch = len(comps)
+    out = bytearray(w * h * nch)
+    for ci, c in enumerate(comps):
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch_ = (h * c["v"] + vmax - 1) // vmax
+        bw_px = mcux * c["h"] * 8
+        plane = planes[ci]
+        rows = [plane[y * bw_px : y * bw_px + cw] for y in range(ch_)]
+        xf = hmax // c["h"] if hmax % c["h"] == 0 else 0
+        yf = vmax // c["v"] if vmax % c["v"] == 0 else 0
+        if xf == 1 and yf == 1:
+            up = rows
+        elif xf == 2 and yf == 2:
+            up = _upsample_h2v2(rows)
+        elif xf == 2 and yf == 1:
+            up = [_upsample_h2(r) for r in rows]
+        else:  # replication / fractional mapping fallback
+            up = []
+            for y in range(h):
+                sy = min(y // yf if yf else (y * ch_) // h, ch_ - 1)
+                src = rows[sy]
+                up.append(
+                    bytes(
+                        src[min(x // xf if xf else (x * cw) // w, cw - 1)]
+                        for x in range(w)
+                    )
+                )
+        for y in range(h):
+            row = up[y] if y < len(up) else up[-1]
+            o0 = y * w * nch + ci
+            for x in range(w):
+                out[o0 + x * nch] = row[x] if x < len(row) else row[-1]
+    return bytes(out)
+
+
 def decode_jpeg(data: bytes) -> dict:
-    """Baseline JPEG → ``{format, width, height, channels, pixels}``.
+    """Baseline or progressive JPEG → ``{format, width, height,
+    channels, pixels}``.
 
     ``pixels`` are the decoded component samples AS STORED (gray, or
     interleaved YCbCr), row-major top-down — see module docstring.
+    Progressive (SOF2) streams dispatch to :func:`_decode_progressive`.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
@@ -348,35 +429,10 @@ def decode_jpeg(data: bytes) -> dict:
             continue  # TEM/RSTn: no segment body
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT (possibly several tables)
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0xF
-                i += 1
-                if pq == 0:
-                    vals = list(seg[i : i + 64])
-                    i += 64
-                else:  # 16-bit table
-                    vals = [
-                        (seg[i + 2 * k] << 8) | seg[i + 2 * k + 1]
-                        for k in range(64)
-                    ]
-                    i += 128
-                tbl = [0] * 64
-                for z in range(64):
-                    tbl[ZIGZAG[z]] = vals[z]
-                qtables[tq] = tbl
-        elif marker == 0xC4:  # DHT (possibly several tables)
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0xF
-                i += 1
-                counts = list(seg[i : i + 16])
-                i += 16
-                nsym = sum(counts)
-                symbols = list(seg[i : i + nsym])
-                i += nsym
-                htables[(tc, th)] = _build_decode_table(counts, symbols)
+        if marker == 0xDB:  # DQT
+            _parse_dqt(seg, qtables)
+        elif marker == 0xC4:  # DHT
+            _parse_dht(seg, htables)
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-compatible
             prec, h, w, nc = seg[0], (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4], seg[5]
             if prec != 8:
@@ -393,8 +449,8 @@ def decode_jpeg(data: bytes) -> dict:
 
             check_dims(w, h, "JPEG")  # corrupt SOF dims → block-loop bomb
             frame = (w, h, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported")
+        elif marker == 0xC2:  # progressive DCT: multi-scan path
+            return _decode_progressive(data)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF marker {marker:#x}")
         elif marker == 0xDD:  # DRI
@@ -485,50 +541,314 @@ def decode_jpeg(data: bytes) -> dict:
                             )
             mcu_i += 1
 
-    # crop each plane to the component's natural size, upsample to full
-    # resolution (triangular filter for the standard 2× factors — the
-    # filter libjpeg calls "fancy", so 4:2:0/4:2:2 decodes agree with the
-    # IJG-based ImageIO plugin to IDCT-rounding tolerance; replication
-    # fallback for exotic factors) and interleave
-    nch = len(order)
-    out = bytearray(w * h * nch)
-    for ci, (c, _) in enumerate(order):
-        cw = (w * c["h"] + hmax - 1) // hmax
-        ch_ = (h * c["v"] + vmax - 1) // vmax
-        bw_px = mcux * c["h"] * 8
-        plane = planes[ci]
-        rows = [plane[y * bw_px : y * bw_px + cw] for y in range(ch_)]
-        xf = hmax // c["h"] if hmax % c["h"] == 0 else 0
-        yf = vmax // c["v"] if vmax % c["v"] == 0 else 0
-        if xf == 1 and yf == 1:
-            up = rows
-        elif xf == 2 and yf == 2:
-            up = _upsample_h2v2(rows)
-        elif xf == 2 and yf == 1:
-            up = [_upsample_h2(r) for r in rows]
-        else:  # replication / fractional mapping fallback
-            up = []
-            for y in range(h):
-                sy = min(y // yf if yf else (y * ch_) // h, ch_ - 1)
-                src = rows[sy]
-                up.append(
-                    bytes(
-                        src[min(x // xf if xf else (x * cw) // w, cw - 1)]
-                        for x in range(w)
-                    )
-                )
-        for y in range(h):
-            row = up[y] if y < len(up) else up[-1]
-            o0 = y * w * nch + ci
-            for x in range(w):
-                out[o0 + x * nch] = row[x] if x < len(row) else row[-1]
+    out = _assemble_planes(planes, [c for c, _ in order], w, h, mcux, hmax, vmax)
     return {
         "format": "jpeg",
         "width": w,
         "height": h,
-        "channels": nch,
-        "pixels": bytes(out),
+        "channels": len(order),
+        "pixels": out,
     }
+
+
+# ---------------------------------------------------------------------------
+# progressive decoder (T.81 Annex G, Huffman successive approximation +
+# spectral selection — the common libjpeg web-crawl scan scripts)
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """First byte offset ≥ ``pos`` of a real marker (FF followed by
+    neither 00 stuffing nor an RSTn). Entropy-coded segments cannot
+    contain a bare FF, so this is exact from any in-scan position."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _ac_first_block(blk, reader, ac_tbl, ss, se, al, eobrun):
+    """First AC scan of a band (Ah=0, G.2): place new coefficients at
+    magnitude << Al; EOBn codes start a run of all-zero-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huffman(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overrun")
+        blk[ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(blk, reader, ac_tbl, ss, se, al, eobrun):
+    """AC refinement scan (Ah>0, G.2): one correction bit per already-
+    nonzero coefficient in the band; new coefficients arrive as ±1<<Al.
+    Python's ``&`` on negative ints is two's-complement, matching the
+    spec's bit-append semantics directly."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huffman(ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("JPEG: invalid refinement magnitude")
+                newval = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            # advance over r zero-history positions, emitting correction
+            # bits for the nonzero ones passed along the way
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    if reader.read_bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[ZIGZAG[k]] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB run still corrects nonzero history
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                if reader.read_bit() and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(data: bytes) -> dict:
+    """Progressive JPEG (SOF2): accumulate DCT coefficients across all
+    scans (DC/AC, first/refinement, per T.81 G.2), then dequantize +
+    IDCT once at EOI. Same output contract as :func:`decode_jpeg`."""
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    frame = None
+    coeff: list[list[list[int]]] = []  # per component, per block, 64 ints
+    geom: list[dict] = []
+    n = len(data)
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            raise ValueError("JPEG: truncated segment header")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            _parse_dqt(seg, qtables)
+        elif marker == 0xC4:
+            _parse_dht(seg, htables)
+        elif marker == 0xC2:
+            prec, h, w, nc = seg[0], (seg[1] << 8) | seg[2], (seg[3] << 8) | seg[4], seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            from blockchaintoavro_spark.functions.imaging import check_dims
+
+            check_dims(w, h, "JPEG")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            frame = (w, h, comps, hmax, vmax, mcux, mcuy)
+            for c in comps:
+                bw, bh = mcux * c["h"], mcuy * c["v"]  # MCU-padded blocks
+                cw = (w * c["h"] + hmax - 1) // hmax
+                ch_ = (h * c["v"] + vmax - 1) // vmax
+                geom.append(
+                    {
+                        "bw": bw,
+                        "bh": bh,
+                        # non-interleaved scans cover only the natural
+                        # block grid (no MCU padding) — T.81 A.2.2
+                        "nbw": (cw + 7) // 8,
+                        "nbh": (ch_ + 7) // 8,
+                    }
+                )
+                coeff.append([[0] * 64 for _ in range(bw * bh)])
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("JPEG: mixed/unsupported SOF in progressive stream")
+        elif marker == 0xDD:
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            pos = _progressive_scan(
+                data, pos + seglen, seg, frame, htables, restart_interval, coeff, geom
+            )
+            continue
+        pos += seglen
+    if frame is None:
+        raise ValueError("JPEG: missing SOF")
+
+    w, h, comps, hmax, vmax, mcux, mcuy = frame
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = qtables.get(c["tq"])
+        if qt is None:
+            raise ValueError("JPEG: missing quant table")
+        g = geom[ci]
+        bw_px = g["bw"] * 8
+        plane = bytearray(bw_px * g["bh"] * 8)
+        for bi, blk in enumerate(coeff[ci]):
+            block = _idct_block([blk[z] * qt[z] for z in range(64)])
+            x0 = (bi % g["bw"]) * 8
+            y0 = (bi // g["bw"]) * 8
+            for yy in range(8):
+                row0 = (y0 + yy) * bw_px + x0
+                plane[row0 : row0 + 8] = bytes(block[yy * 8 : yy * 8 + 8])
+        planes.append(plane)
+    out = _assemble_planes(planes, comps, w, h, mcux, hmax, vmax)
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "channels": len(comps),
+        "pixels": out,
+    }
+
+
+def _progressive_scan(
+    data, spos, seg, frame, htables, restart_interval, coeff, geom
+) -> int:
+    """Decode one SOS of a progressive stream into the coefficient
+    accumulators; returns the byte offset of the next marker."""
+    w, h, comps, hmax, vmax, mcux, mcuy = frame
+    ns = seg[0]
+    sel = []
+    for c in range(ns):
+        cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+        sel.append({"cs": cs, "td": tables >> 4, "ta": tables & 0xF})
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    a = seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0xF
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    order = []
+    for s in sel:
+        ci = by_id.get(s["cs"])
+        if ci is None:
+            raise ValueError("JPEG: scan selects unknown component")
+        order.append((ci, s))
+    reader = _BitReader(data, spos)
+
+    if ss == 0:  # DC scan (se must be 0 per G.1.1.1.1)
+        if se != 0:
+            raise ValueError("JPEG: DC scan with Se != 0")
+        preds = [0] * len(order)
+        eob = 0  # unused for DC, kept for restart symmetry
+        rst = 0
+        mcu_i = 0
+        if ns == 1:  # non-interleaved DC scan: MCU = one block
+            ci, s = order[0]
+            g = geom[ci]
+            dc_tbl = htables.get((0, s["td"]))
+            if ah == 0 and dc_tbl is None:
+                raise ValueError("JPEG: missing Huffman table")
+            for by in range(g["nbh"]):
+                for bx in range(g["nbw"]):
+                    if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                        reader.sync_restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = [0] * len(order)
+                    blk = coeff[ci][by * g["bw"] + bx]
+                    if ah == 0:
+                        ssss = reader.decode_huffman(dc_tbl)
+                        diff = _extend(reader.receive(ssss), ssss)
+                        preds[0] += diff
+                        blk[0] = preds[0] << al
+                    else:
+                        blk[0] |= reader.read_bit() << al
+                    mcu_i += 1
+        else:  # interleaved over MCUs
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                        reader.sync_restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = [0] * len(order)
+                    for oi, (ci, s) in enumerate(order):
+                        c = comps[ci]
+                        g = geom[ci]
+                        dc_tbl = htables.get((0, s["td"]))
+                        if ah == 0 and dc_tbl is None:
+                            raise ValueError("JPEG: missing Huffman table")
+                        for vblk in range(c["v"]):
+                            for hblk in range(c["h"]):
+                                bx = mx * c["h"] + hblk
+                                by = my * c["v"] + vblk
+                                blk = coeff[ci][by * g["bw"] + bx]
+                                if ah == 0:
+                                    ssss = reader.decode_huffman(dc_tbl)
+                                    diff = _extend(reader.receive(ssss), ssss)
+                                    preds[oi] += diff
+                                    blk[0] = preds[oi] << al
+                                else:
+                                    blk[0] |= reader.read_bit() << al
+                    mcu_i += 1
+    else:  # AC scan: single component, non-interleaved (G.1.1.1.1)
+        if ns != 1:
+            raise ValueError("JPEG: interleaved AC scan in progressive stream")
+        if not 1 <= ss <= se <= 63:
+            raise ValueError("JPEG: bad spectral selection")
+        ci, s = order[0]
+        g = geom[ci]
+        ac_tbl = htables.get((1, s["ta"]))
+        if ac_tbl is None:
+            raise ValueError("JPEG: missing Huffman table")
+        eobrun = 0
+        rst = 0
+        mcu_i = 0
+        refine = _ac_refine_block if ah else _ac_first_block
+        for by in range(g["nbh"]):
+            for bx in range(g["nbw"]):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    reader.sync_restart(rst)
+                    rst = (rst + 1) & 7
+                    eobrun = 0
+                blk = coeff[ci][by * g["bw"] + bx]
+                eobrun = refine(blk, reader, ac_tbl, ss, se, al, eobrun)
+                mcu_i += 1
+
+    return _skip_to_marker(data, reader.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -567,6 +887,40 @@ def _magnitude(v: int) -> int:
 def _dht_segment(tc: int, th: int, counts: list[int], symbols: list[int]) -> bytes:
     body = bytes([tc << 4 | th]) + bytes(counts) + bytes(symbols)
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _quantize_blocks(
+    width: int, height: int, pixels: bytes, channels: int, qtbl: list[int]
+) -> list[list[list[int]]]:
+    """Per channel, per block (row-major), the quantized DCT coefficients
+    in ZIGZAG order — the shared front half of both encoders. Partial
+    edge blocks are padded by edge replication; flat blocks skip the
+    fDCT (DC-only spectrum — the exactness guarantee the oracle queries
+    rely on)."""
+    bx_n = (width + 7) // 8
+    by_n = (height + 7) // 8
+    out: list[list[list[int]]] = [[] for _ in range(channels)]
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for c in range(channels):
+                samples = [0] * 64
+                for yy in range(8):
+                    sy = min(by * 8 + yy, height - 1)
+                    for xx in range(8):
+                        sx = min(bx * 8 + xx, width - 1)
+                        samples[yy * 8 + xx] = pixels[
+                            (sy * width + sx) * channels + c
+                        ]
+                if samples.count(samples[0]) == 64:
+                    quantized = [0] * 64
+                    quantized[0] = int(round(8.0 * (samples[0] - 128) / qtbl[0]))
+                else:
+                    coeffs = _fdct_block(samples)
+                    quantized = [
+                        int(round(coeffs[ZIGZAG[z]] / qtbl[z])) for z in range(64)
+                    ]
+                out[c].append(quantized)
+    return out
 
 
 def encode_jpeg(
@@ -612,63 +966,214 @@ def encode_jpeg(
     enc_dc = [_build_encode_table(*DC_LUM), _build_encode_table(*DC_CHROM)]
     enc_ac = [_build_encode_table(*AC_LUM), _build_encode_table(*AC_CHROM)]
     bw = _BitWriter()
-    bx_n = (width + 7) // 8
-    by_n = (height + 7) // 8
+    blocks = _quantize_blocks(width, height, pixels, channels, qtbl)
     preds = [0] * channels
-    for by in range(by_n):
-        for bx in range(bx_n):
-            for c in range(channels):
-                samples = [0] * 64
-                for yy in range(8):
-                    sy = min(by * 8 + yy, height - 1)
-                    for xx in range(8):
-                        sx = min(bx * 8 + xx, width - 1)
-                        samples[yy * 8 + xx] = pixels[
-                            (sy * width + sx) * channels + c
-                        ]
-                if samples.count(samples[0]) == 64:
-                    # flat block: DC-only spectrum, no fDCT needed (also
-                    # the exactness guarantee the oracle queries rely on)
-                    quantized = [0] * 64
-                    quantized[0] = int(round(8.0 * (samples[0] - 128) / qtbl[0]))
-                else:
-                    coeffs = _fdct_block(samples)
-                    quantized = [
-                        int(round(coeffs[ZIGZAG[z]] / qtbl[z])) for z in range(64)
-                    ]
-                t = 0 if c == 0 else 1
-                diff = quantized[0] - preds[c]
-                preds[c] = quantized[0]
-                ssss = _magnitude(diff)
-                code, ln = enc_dc[t][ssss]
+    for bi in range(len(blocks[0])):
+        for c in range(channels):
+            quantized = blocks[c][bi]
+            t = 0 if c == 0 else 1
+            diff = quantized[0] - preds[c]
+            preds[c] = quantized[0]
+            ssss = _magnitude(diff)
+            code, ln = enc_dc[t][ssss]
+            bw.write(code, ln)
+            if ssss:
+                bw.write(diff if diff > 0 else diff + (1 << ssss) - 1, ssss)
+            run = 0
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if quantized[k]:
+                    last_nz = k
+                    break
+            for k in range(1, last_nz + 1):
+                v = quantized[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[t][0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size = _magnitude(v)
+                code, ln = enc_ac[t][(run << 4) | size]
                 bw.write(code, ln)
-                if ssss:
-                    bw.write(diff if diff > 0 else diff + (1 << ssss) - 1, ssss)
+                bw.write(v if v > 0 else v + (1 << size) - 1, size)
                 run = 0
-                last_nz = 0
-                for k in range(63, 0, -1):
-                    if quantized[k]:
-                        last_nz = k
-                        break
-                for k in range(1, last_nz + 1):
-                    v = quantized[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[t][0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    size = _magnitude(v)
-                    code, ln = enc_ac[t][(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(v if v > 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if last_nz != 63:
-                    code, ln = enc_ac[t][0x00]  # EOB
-                    bw.write(code, ln)
+            if last_nz != 63:
+                code, ln = enc_ac[t][0x00]  # EOB
+                bw.write(code, ln)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, pixels: bytes, channels: int = 1, quant: int = 1
+) -> bytes:
+    """Spec-valid PROGRESSIVE JFIF writer (SOF2, 4:4:4, Annex-K tables,
+    uniform quant) — the pure twin that lets the declared query exercise
+    the multi-scan decoder worker-side with no external tool.
+
+    Scan script (successive approximation Al=1→0, full-band spectral
+    selection): interleaved DC first (Al=1); per component AC first
+    (Ss=1..63, Al=1); per component AC refinement (Ah=1, Al=0);
+    interleaved DC refinement. Annex-K AC tables carry only EOB0, so
+    end-of-band runs are emitted one block at a time (spec-legal;
+    decoder EOBn>0 handling is exercised by the libjpeg-written files in
+    tests/test_imaging.py). Same exactness property as the baseline
+    encoder: flat blocks are DC-only, and ``(d>>1)<<1 | (d&1) == d`` in
+    two's complement, so quant=1 flat images round-trip EXACTLY through
+    the successive-approximation path."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels length != width*height*channels")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in [1, 255]")
+
+    qtbl = [quant] * 64
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qtbl)
+    if channels == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qtbl)
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
+    for c in range(channels):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0, 0, *DC_LUM)
+    out += _dht_segment(1, 0, *AC_LUM)
+    if channels == 3:
+        out += _dht_segment(0, 1, *DC_CHROM)
+        out += _dht_segment(1, 1, *AC_CHROM)
+
+    enc_dc = [_build_encode_table(*DC_LUM), _build_encode_table(*DC_CHROM)]
+    enc_ac = [_build_encode_table(*AC_LUM), _build_encode_table(*AC_CHROM)]
+    blocks = _quantize_blocks(width, height, pixels, channels, qtbl)
+
+    def sos_header(comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytearray([len(comps)])
+        for cid, tables in comps:
+            body += bytes([cid, tables])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + bytes(body)
+
+    # scan 1: DC first, interleaved, Al=1 (point transform = arithmetic
+    # shift right, G.1.2.1; diffs are coded in the shifted domain)
+    out += sos_header([(c + 1, 0x00 if c == 0 else 0x11) for c in range(channels)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * channels
+    for bi in range(len(blocks[0])):
+        for c in range(channels):
+            d = blocks[c][bi][0] >> 1
+            t = 0 if c == 0 else 1
+            diff = d - preds[c]
+            preds[c] = d
+            ssss = _magnitude(diff)
+            code, ln = enc_dc[t][ssss]
+            bw.write(code, ln)
+            if ssss:
+                bw.write(diff if diff > 0 else diff + (1 << ssss) - 1, ssss)
+    out += bw.flush()
+
+    # per component: AC first scan, Ss=1..63, Al=1 (AC point transform
+    # truncates toward zero, G.1.2.2)
+    for c in range(channels):
+        t = 0 if c == 0 else 1
+        out += sos_header([(c + 1, t << 4 | t)], 1, 63, 0, 1)
+        bw = _BitWriter()
+        for bi in range(len(blocks[c])):
+            band = blocks[c][bi]
+            v1 = [
+                (abs(band[k]) >> 1) * (1 if band[k] > 0 else -1)
+                for k in range(1, 64)
+            ]
+            run = 0
+            last_nz = -1
+            for i in range(62, -1, -1):
+                if v1[i]:
+                    last_nz = i
+                    break
+            for i in range(last_nz + 1):
+                v = v1[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[t][0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                size = _magnitude(v)
+                code, ln = enc_ac[t][(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz != 62:
+                code, ln = enc_ac[t][0x00]  # EOB0 (run of exactly 1)
+                bw.write(code, ln)
+        out += bw.flush()
+
+    # per component: AC refinement scan, Ah=1, Al=0 — emission order
+    # mirrors the decoder's consumption exactly: Huffman symbol, sign
+    # bit, then the buffered correction bits of the nonzero-history
+    # positions the decoder passes while advancing that symbol's span
+    for c in range(channels):
+        t = 0 if c == 0 else 1
+        out += sos_header([(c + 1, t << 4 | t)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for bi in range(len(blocks[c])):
+            band = [blocks[c][bi][k] for k in range(1, 64)]
+            # pending events since the last emitted symbol, in position
+            # order: 'z' (zero-history, still zero) or ('b', bit)
+            # (nonzero-history → correction bit = bit Al of |v|)
+            pending: list = []
+            for v in band:
+                av = abs(v)
+                if av == 0:
+                    pending.append("z")
+                elif av > 1:
+                    pending.append(("b", av & 1))
+                else:  # newly significant (|v| == 1 at this Al)
+                    while sum(1 for e in pending if e == "z") > 15:
+                        code, ln = enc_ac[t][0xF0]  # ZRL: next 16 zeros
+                        bw.write(code, ln)
+                        nz = 0
+                        while nz < 16:
+                            e = pending.pop(0)
+                            if e == "z":
+                                nz += 1
+                            else:
+                                bw.write(e[1], 1)
+                    r = sum(1 for e in pending if e == "z")
+                    code, ln = enc_ac[t][(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)  # sign
+                    for e in pending:
+                        if e != "z":
+                            bw.write(e[1], 1)
+                    pending = []
+            if pending:
+                code, ln = enc_ac[t][0x00]  # EOB0: corrections to band end
+                bw.write(code, ln)
+                for e in pending:
+                    if e != "z":
+                        bw.write(e[1], 1)
+        out += bw.flush()
+
+    # final scan: DC refinement, interleaved, Ah=1, Al=0 (raw bits, no
+    # Huffman table)
+    out += sos_header([(c + 1, 0x00) for c in range(channels)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for bi in range(len(blocks[0])):
+        for c in range(channels):
+            bw.write(blocks[c][bi][0] & 1, 1)
+    out += bw.flush()
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -304,17 +304,24 @@ def test_jpeg_coarse_quant_still_decodes():
     assert max(abs(a - b) for a, b in zip(px, dec["pixels"])) <= 16
 
 
-def test_jpeg_rejects_progressive_and_bad_magic():
+def test_jpeg_rejects_bad_magic_arithmetic_and_truncated_progressive():
     from blockchaintoavro_spark.functions.jpeg import decode_jpeg
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
-    # SOI + minimal SOF2 (progressive) segment
+    # SOI + minimal SOF2: progressive now DISPATCHES (r5 VERDICT #5),
+    # but a stream with no DQT/SOS is still a descriptive ValueError
     sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(
         [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
     )
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="quant"):
         decode_jpeg(sof2)
+    # arithmetic-coded (SOF9) remains out of scope
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(sof9)
 
 
 def test_imageio_reads_our_jpeg_gray(spark):
@@ -419,6 +426,148 @@ def test_we_read_imageio_written_jpeg_gray_and_420(spark):
         for b in img3.getRaster().getDataElements(0, 0, w, h, None)
     )
     assert max(abs(a - b) for a, b in zip(ours, ref2)) <= 2
+
+
+def test_jpeg_progressive_flat_block_roundtrip_exact():
+    """The oracle contract extends to progressive (r5 VERDICT #5): flat
+    8×8 blocks are DC-only, and ``(d>>1)<<1 | (d&1) == d`` in two's
+    complement, so quant=1 flat images survive the DC successive-
+    approximation scans (Al=1 then refine) bit-exactly."""
+    from blockchaintoavro_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for w, h, ch in [(8, 8, 1), (24, 16, 3), (19, 13, 1), (21, 11, 3)]:
+        px = bytearray(w * h * ch)
+        for y in range(h):
+            for x in range(w):
+                for c in range(ch):
+                    px[(y * w + x) * ch + c] = (
+                        (x // 8) * 29 + (y // 8) * 41 + c * 53 + 17
+                    ) % 256
+        dec = decode_jpeg(encode_jpeg_progressive(w, h, bytes(px), ch))
+        assert (dec["width"], dec["height"], dec["channels"]) == (w, h, ch)
+        assert dec["pixels"] == bytes(px)
+
+
+def test_jpeg_progressive_equals_baseline_on_arbitrary_content():
+    """Strong equivalence: for ANY pixel content, the progressive scan
+    script carries exactly the same quantized coefficients as the
+    baseline encoding, so the two decodes must be IDENTICAL (not merely
+    close) — any error in AC first/refinement, EOB runs, ZRL spans or
+    the correction-bit interleave diverges the bytes."""
+    import random
+
+    from blockchaintoavro_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(11)
+    for trial in range(6):
+        w, h, ch = rng.choice(
+            [(8, 8, 1), (17, 9, 1), (16, 16, 3), (23, 14, 3), (40, 33, 1)]
+        )
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        base = decode_jpeg(encode_jpeg(w, h, px, ch))
+        prog = decode_jpeg(encode_jpeg_progressive(w, h, px, ch))
+        assert base["pixels"] == prog["pixels"], f"trial {trial}"
+
+
+def test_we_read_imageio_written_progressive_jpeg(spark):
+    """Cross-impl parity for REAL progressive scripts: the JVM's IJG
+    encoder in progressive mode (spectral-selection bands, optimized
+    Huffman tables, EOBn>0 runs — none of which our own encoder emits)
+    must decode to ImageIO's own pixel values within IDCT rounding."""
+    from blockchaintoavro_spark.functions.jpeg import decode_jpeg, ycbcr_to_rgb
+
+    jvm = spark.sparkContext._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="jpeg_prog_jvm_")
+
+    def write_progressive(img, path):
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(
+            jvm.java.io.File(path)
+        )
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.close()
+        writer.dispose()
+
+    # gray, large enough that smooth regions produce multi-block EOB runs
+    w, h = 64, 48
+    img = BI(w, h, BI.TYPE_BYTE_GRAY)
+    gray = bytes(min(255, (x + y) * 2) for y in range(h) for x in range(w))
+    img.getRaster().setDataElements(0, 0, w, h, bytearray(gray))
+    pg = os.path.join(d, "g.jpg")
+    write_progressive(img, pg)
+    data = open(pg, "rb").read()
+    assert b"\xff\xc2" in data  # really progressive (SOF2 marker)
+    dec = decode_jpeg(data)
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 1)
+    ref = bytes(
+        (b + 256) % 256
+        for b in jvm.javax.imageio.ImageIO.read(jvm.java.io.File(pg))
+        .getRaster()
+        .getDataElements(0, 0, w, h, None)
+    )
+    assert max(abs(a - b) for a, b in zip(ref, dec["pixels"])) <= 1
+
+    # color (4:2:0 subsampled by default → interleaved DC scan with
+    # per-component block loops + chroma upsample on the same path)
+    w2, h2 = 37, 25
+    img2 = BI(w2, h2, BI.TYPE_3BYTE_BGR)
+    for y in range(h2):
+        for x in range(w2):
+            r, g, b = (x * 11) % 200 + 20, (y * 17) % 200 + 20, ((x + y) * 7) % 200 + 20
+            img2.setRGB(x, y, (r << 16) | (g << 8) | b)
+    pc = os.path.join(d, "c.jpg")
+    write_progressive(img2, pc)
+    data2 = open(pc, "rb").read()
+    assert b"\xff\xc2" in data2
+    dec2 = decode_jpeg(data2)
+    assert dec2["channels"] == 3
+    ours = ycbcr_to_rgb(dec2["pixels"], w2, h2)
+    ref2 = bytes(
+        (b + 256) % 256
+        for b in jvm.javax.imageio.ImageIO.read(jvm.java.io.File(pc))
+        .getRaster()
+        .getDataElements(0, 0, w2, h2, None)
+    )
+    assert max(abs(a - b) for a, b in zip(ours, ref2)) <= 2
+
+
+def test_imageio_reads_our_progressive_jpeg(spark):
+    """Encoder validity the other direction: the IJG decoder must accept
+    our progressive scan script and reproduce the flat-block pixels
+    exactly (gray; quant=1 → DC-only → lossless)."""
+    from blockchaintoavro_spark.functions.jpeg import encode_jpeg_progressive
+
+    jvm = spark.sparkContext._jvm
+    import os
+    import tempfile
+
+    w, h = 24, 16
+    px = bytes(((x // 8) * 50 + (y // 8) * 30 + 40) % 256 for y in range(h) for x in range(w))
+    d = tempfile.mkdtemp(prefix="jpeg_prog_rev_")
+    path = os.path.join(d, "p.jpg")
+    with open(path, "wb") as fh:
+        fh.write(encode_jpeg_progressive(w, h, px, 1))
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    assert img.getWidth() == w and img.getHeight() == h
+    ref = bytes(
+        (b + 256) % 256
+        for b in img.getRaster().getDataElements(0, 0, w, h, None)
+    )
+    assert ref == px
 
 
 # ---------------------------------------------------------------------------
@@ -674,7 +823,10 @@ def test_decoders_total_on_fuzzed_payloads():
         encode_png,
         try_decode_image,
     )
-    from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+    from blockchaintoavro_spark.functions.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from blockchaintoavro_spark.functions.video import encode_avi, try_decode_video
 
     rng = random.Random(7)
@@ -682,6 +834,7 @@ def test_decoders_total_on_fuzzed_payloads():
         encode_png(6, 4, bytes(range(24)), 1),
         encode_bmp(5, 3, bytes(45)),
         encode_jpeg(8, 8, bytes(64), 1, quant=1),
+        encode_jpeg_progressive(16, 8, bytes(range(128)), 1, quant=1),
         encode_gif(5, 4, [bytes(20), bytes(range(20))]),
         encode_avi(8, 8, [b"xx", b"yy"]),
         encode_wav(8000, 2, [1, 2, 3, 4]),
