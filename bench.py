@@ -33,8 +33,9 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 # headline set (declared bench=True in the registry): flagship ETL, star
 # join, Q1-style agg, sessionize, cosine top-k, token top-k, plus the
 # LLM-pipeline ops (r3 VERDICT #2): minhash near-dup, dedup clustering,
-# training-prep composite — the r1-r3 keys are unchanged so rounds stay
-# comparable
+# training-prep composite, and the round-5 surface (r5 VERDICT #4):
+# substring dedup, MERGE upsert, JPEG decode — existing keys are
+# unchanged so rounds stay comparable; new keys are additive
 
 
 def _parse_sf(sf_dir: str):

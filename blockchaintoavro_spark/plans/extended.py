@@ -467,6 +467,7 @@ def x_decon(spark: SparkSession, sf: str) -> DataFrame:
 
 @declare(
     "x_dup_substrings",
+    bench=True,  # r5 VERDICT #4: round-over-round visibility for the new surface
     oracle="""
     WITH pos AS (
       SELECT doc_id, substring(text, CAST(i AS INT), 20) AS sub
@@ -584,6 +585,7 @@ def x_png_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 @declare(
     "x_jpeg_decode",
+    bench=True,  # r5 VERDICT #4
     oracle="""
     SELECT doc_id,
            'jpeg' AS format,
@@ -888,6 +890,7 @@ def x_expectations(spark: SparkSession, sf: str) -> DataFrame:
 
 @declare(
     "x_merge_upsert",
+    bench=True,  # r5 VERDICT #4
     oracle="""
     WITH tgt AS (
       SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
