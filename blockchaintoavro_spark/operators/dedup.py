@@ -670,23 +670,47 @@ def duplicated_substrings(
     text_col: str = "text",
     hash_only: bool = False,
     target_rows_per_partition: int | None = None,
+    plan: str = "single_shuffle",
 ) -> DataFrame:
     """``k``-char windows appearing verbatim in ≥ ``min_docs`` distinct
     documents: ``(sub, n_docs)``.
 
-    Plan: per-doc distinct BEFORE the count (the boilerplate_ngrams
-    pattern — a window repeated 1000× inside one doc is one vote), so
-    the gram-keyed shuffle is bounded by distinct (doc, gram) pairs.
-    At corpus scale run ``hash_only=True`` and recheck the candidate
-    grams verbatim (collision scrub) — same two-shuffle shape.
+    Semantics for both plans: per-doc distinct BEFORE the count (the
+    boilerplate_ngrams pattern — a window repeated 1000× inside one doc
+    is one vote). At corpus scale run ``hash_only=True`` and recheck
+    the candidate grams verbatim (collision scrub).
 
-    Both gram shuffles are sized by :func:`_substring_shuffle_partitions`
-    (explicit ``repartition`` whose partitioning the downstream
-    aggregates reuse — still exactly two Exchanges, now with a
-    volume-derived partition count instead of the session default).
+    ``plan`` picks the physical shape (both sized by
+    :func:`_substring_shuffle_partitions` from the estimated
+    fingerprint volume — r5 VERDICT #3):
+
+    - ``"single_shuffle"`` (default): ONE Exchange — ``repartition(n,
+      sub)`` of the raw exploded rows, then the two-level
+      ``count_distinct`` aggregation runs entirely within partitions
+      (HashPartitioning(sub) satisfies clustering on both (sub, id) and
+      (sub) by the subset rule, so Catalyst inserts no further
+      Exchange; plan-asserted). This is the sorted-gram-merge idea
+      expressed Spark-first: co-locate equal grams once, then reduce
+      locally. Unlike the r5-measured-slower rewrite (SCALE.md), there
+      is no map-side dedup hash table before the shuffle — raw rows
+      stream straight into the Exchange and every hash table is
+      per-reducer, bounded by the derived partition sizing.
+    - ``"two_shuffle"``: the r5 shape — distinct on (id, sub), then a
+      second Exchange on sub for the count. Moves the gram volume
+      TWICE; kept for comparison and for corpora with heavy within-doc
+      repetition (where the intermediate dedup shrinks Exchange 2).
     """
     pos = substring_positions(df, k, id_col, text_col, hash_only)
     n_parts = _substring_shuffle_partitions(df, k, text_col, target_rows_per_partition)
+    if plan == "single_shuffle":
+        return (
+            pos.repartition(n_parts, "sub")
+            .groupBy("sub")
+            .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+        )
+    if plan != "two_shuffle":
+        raise ValueError(f"unknown substring-dedup plan {plan!r}")
     return (
         pos.repartition(n_parts, id_col, "sub")
         .distinct()

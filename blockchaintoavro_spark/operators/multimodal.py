@@ -339,7 +339,9 @@ JPEG_ROUNDTRIP_SCHEMA = (
 )
 
 
-def jpeg_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def jpeg_roundtrip_features(
+    df: DataFrame, id_col: str = "doc_id", progressive: bool = False
+) -> DataFrame:
     """End-to-end exercise of the REAL baseline-JPEG codec on the cluster
     (r4 VERDICT #1 — the X5 format-breadth gap): per row, synthesize a
     deterministic image from the id alone where every 8×8 block is
@@ -355,6 +357,14 @@ def jpeg_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     with no image code (the x_jpeg_decode declared query): one mangled
     bit anywhere diverges the checksum.
 
+    With ``progressive=True`` the same images go through the SOF2
+    encoder instead (functions/jpeg.py:encode_jpeg_progressive), so the
+    decode exercises the multi-scan successive-approximation path — the
+    worker asserts the payload really carries the SOF2 marker, and the
+    DC first+refinement identity ``(d>>1)<<1 | (d&1) == d`` keeps flat
+    blocks exactly lossless, so the SAME id-arithmetic oracle verifies
+    the progressive stack (the x_jpeg_progressive declared query).
+
     Scale: mapInPandas, row-local, zero shuffle.
     """
 
@@ -363,8 +373,12 @@ def jpeg_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             pixel_checksum,
             try_decode_image,
         )
-        from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+        from blockchaintoavro_spark.functions.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
+        encoder = encode_jpeg_progressive if progressive else encode_jpeg
         for pdf in batches:
             out: dict[str, list] = {
                 "doc_id": [], "format": [], "width": [],
@@ -382,7 +396,9 @@ def jpeg_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     for x in range(w)
                     for c in range(ch)
                 )
-                payload = encode_jpeg(w, h, px, ch, quant=1)
+                payload = encoder(w, h, px, ch, quant=1)
+                if progressive and b"\xff\xc2" not in payload:
+                    raise ValueError("progressive encoder produced no SOF2")
                 info = try_decode_image(payload)
                 if info is None or info["pixels"] != px:
                     raise ValueError(f"jpeg roundtrip failed for id {doc_id}")

@@ -623,6 +623,46 @@ def x_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_jpeg_progressive",
+    oracle="""
+    SELECT doc_id,
+           'jpeg' AS format,
+           CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+           CAST(list_aggregate(list_transform(
+                  range(8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2) *
+                        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)),
+                  i -> (i + 1) * ((doc_id * 17
+                        + (((i // (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END))
+                            % (8 * (1 + doc_id % 3))) // 8) * 29
+                        + (((i // (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END))
+                            // (8 * (1 + doc_id % 3))) // 8) * 41
+                        + (i % (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)) * 53
+                        ) % 256)), 'sum')
+                % 2147483648 AS BIGINT) AS checksum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) decode on the cluster (r5 VERDICT
+    #5 — the last real-world-frequency gap in X5): the same flat-block
+    images as x_jpeg_decode, but encoded with the successive-
+    approximation scan script (DC Al=1 + refinement, per-component AC
+    first + refinement; functions/jpeg.py:encode_jpeg_progressive) and
+    decoded through the multi-scan coefficient-accumulating path. The
+    worker asserts the SOF2 marker, and ``(d>>1)<<1 | (d&1) == d``
+    keeps flat blocks exactly lossless, so the identical id-arithmetic
+    oracle verifies the whole Annex-G machinery — one mangled
+    refinement bit, EOB run or scan header diverges the checksum.
+    Row-local mapInPandas, zero shuffle."""
+    from ..operators.multimodal import jpeg_roundtrip_features
+
+    d = t(spark, sf, "documents")
+    return jpeg_roundtrip_features(d, progressive=True).orderBy("doc_id")
+
+
+@declare(
     "x_gif_frames",
     oracle="""
     WITH base AS (

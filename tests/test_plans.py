@@ -551,10 +551,11 @@ def test_bucketed_merge_upsert_eliminates_shuffle(spark, sf_dir):
 
 def test_substring_dedup_autoscales_shuffle_partitions(spark):
     """duplicated_substrings derives its gram-shuffle partition count
-    from the estimated fingerprint volume (r5 VERDICT #3): with a small
-    target_rows_per_partition forcing the scale-up, both Exchanges in
-    the plan carry the derived count — and there are still exactly two
-    (repartition replaces the implicit agg exchanges, it doesn't add)."""
+    from the estimated fingerprint volume (r5 VERDICT #3). Default
+    single_shuffle plan: exactly ONE Exchange at the derived count (the
+    count_distinct two-level aggregation reuses HashPartitioning(sub)
+    by the subset rule — no Catalyst-inserted Exchange). two_shuffle:
+    both Exchanges carry the derived count."""
     from pyspark.sql import functions as F
 
     from blockchaintoavro_spark.operators.dedup import (
@@ -570,17 +571,55 @@ def test_substring_dedup_autoscales_shuffle_partitions(spark):
     # well above the 32-partition session default
     n = _substring_shuffle_partitions(docs, k=20, text_col="text", target_rows=100)
     assert n > int(spark.conf.get("spark.sql.shuffle.partitions"))
-    plan = (
+
+    single = (
         duplicated_substrings(docs, k=20, target_rows_per_partition=100)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count(f", {n})") >= 2, plan  # both Exchanges at the derived count
-    assert plan.count("Exchange") == 2, plan
+    assert single.count("Exchange") == 1, single
+    assert f", {n})" in single, single  # the one Exchange at the derived count
+
+    two = (
+        duplicated_substrings(
+            docs, k=20, target_rows_per_partition=100, plan="two_shuffle"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert two.count("Exchange") == 2, two
+    assert two.count(f", {n})") >= 2, two
 
     # floor: tiny volume keeps the session default (no pointless scale-up)
     small = spark.createDataFrame([(1, "abcdefghijklmnopqrstuvwxyz")], "doc_id long, text string")
     assert _substring_shuffle_partitions(small, k=20, text_col="text") == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_substring_dedup_plans_agree(spark):
+    """single_shuffle and two_shuffle are the same operator: identical
+    (sub, n_docs) output on a corpus with cross-doc AND within-doc
+    repetition (within-doc repeats must still count as one vote)."""
+    from blockchaintoavro_spark.operators.dedup import duplicated_substrings
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog AAAA"),
+        (2, "the quick brown fox jumps over the lazy dog BBBB"),
+        (3, "unrelated text body with nothing shared here at all"),
+        # within-doc repetition of a cross-doc gram: one vote
+        (4, "the quick brown fox jumps over the quick brown fox jumps over"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        (r["sub"], r["n_docs"])
+        for r in duplicated_substrings(docs, k=20).collect()
+    }
+    b = {
+        (r["sub"], r["n_docs"])
+        for r in duplicated_substrings(docs, k=20, plan="two_shuffle").collect()
+    }
+    assert a == b
+    assert a  # non-degenerate: the shared span really is detected

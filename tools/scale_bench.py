@@ -142,6 +142,7 @@ def bench_round5_operators(spark) -> dict:
 
     results: dict[str, dict] = {
         "chunk_chars": {}, "dup_substrings_hash": {},
+        "dup_substrings_hash_two_shuffle": {},
         "bpe_pair_counts": {}, "validate_rules": {},
     }
     for mult in SCALES:
@@ -158,6 +159,18 @@ def bench_round5_operators(spark) -> dict:
         )
         results["dup_substrings_hash"][key] = {"rows_in": n_docs, "dups": n, "sec": sec}
         print(f"dup_substrings {n_docs} -> {n} dup grams in {sec}s", flush=True)
+
+        # the r5 two-Exchange shape, same auto-scaled partition count —
+        # records the single-vs-two-shuffle comparison per scale
+        n2, sec2 = timed(
+            duplicated_substrings(
+                docs, k=20, hash_only=True, plan="two_shuffle"
+            ).count
+        )
+        results["dup_substrings_hash_two_shuffle"][key] = {
+            "rows_in": n_docs, "dups": n2, "sec": sec2,
+        }
+        print(f"dup_substrings[two_shuffle] {n_docs} -> {n2} in {sec2}s", flush=True)
 
         n, sec = timed(char_pair_counts(docs).count)
         results["bpe_pair_counts"][key] = {"rows_in": n_docs, "pairs": n, "sec": sec}
