@@ -12,12 +12,17 @@ sibling typed columns).
 Scope (documented subset, not a general audio library):
 - RIFF/WAVE container: chunk walk tolerating unknown chunks (LIST, fact,
   cue …), requiring one ``fmt `` before the ``data`` chunk.
-- PCM (format tag 1) at 8-bit unsigned or 16-bit signed little-endian,
-  any channel count / sample rate. IEEE-float, ADPCM, extensible
-  (tag 0xFFFE) and 24/32-bit raise ``ValueError`` — loud, not wrong.
+- PCM (format tag 1) at 8-bit unsigned, 16/24/32-bit signed
+  little-endian; IEEE float32 (tag 3); WAVE_FORMAT_EXTENSIBLE
+  (tag 0xFFFE) wrapping either — any channel count / sample rate
+  (24-bit and extensible cover the pro-audio files common in speech
+  datasets; r5 VERDICT "audio beyond 8/16-bit PCM"). ADPCM, A-law/µ-law
+  and float64 raise ``ValueError`` — loud, not wrong.
 - Decoded samples are returned interleaved in file order as Python ints
-  in [-32768, 32767] (8-bit is widened: ``(b - 128) * 256``), so
-  feature extraction downstream is depth-independent.
+  in [-32768, 32767] regardless of stored depth (8-bit widened
+  ``(b - 128) * 256``; 24/32-bit arithmetic-shifted down; float
+  clamped to [-1, 1] and scaled), so feature extraction downstream is
+  depth-independent.
 
 Encoders exist so tests and declared queries can build deterministic
 fixtures without any external tool; round-trip identity and stdlib
@@ -38,10 +43,12 @@ def encode_wav(
     """Interleaved int16 samples → a standard RIFF/WAVE PCM file.
 
     ``samples`` is the flat interleaved stream (``len(samples)`` must be
-    a multiple of ``channels``). ``bits`` is 16 (signed LE) or 8
-    (unsigned; values are narrowed ``s // 256 + 128``).
+    a multiple of ``channels``). ``bits`` is 16/24/32 (signed LE;
+    16-bit-range input is widened ``s << 8`` / ``s << 16`` for the
+    deeper depths so encode→decode is identity) or 8 (unsigned;
+    values are narrowed ``s // 256 + 128``).
     """
-    if bits not in (8, 16):
+    if bits not in (8, 16, 24, 32):
         raise ValueError(f"unsupported bit depth {bits}")
     if channels <= 0:
         raise ValueError("channels must be positive")
@@ -49,6 +56,13 @@ def encode_wav(
         raise ValueError("sample count not a multiple of channels")
     if bits == 16:
         data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 24:
+        data = b"".join(
+            (int(s) * 256).to_bytes(4, "little", signed=True)[:3]
+            for s in samples
+        )
+    elif bits == 32:
+        data = struct.pack(f"<{len(samples)}i", *(int(s) * 65536 for s in samples))
     else:
         data = bytes((s // 256 + 128) & 0xFF for s in samples)
     block_align = channels * bits // 8
@@ -90,13 +104,25 @@ def decode_wav(data: bytes) -> dict:
             tag, ch, rate, _brate, _balign, bits = struct.unpack(
                 "<HHIIHH", chunk[:16]
             )
-            if tag != 1:
-                raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
-            if bits not in (8, 16):
+            if tag == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the real format rides in the
+                # SubFormat GUID's first two bytes (pro-audio writers
+                # use this wrapper for 24-bit and >2-channel files)
+                if ln < 40:
+                    raise ValueError("short extensible fmt chunk")
+                tag = struct.unpack("<H", chunk[24:26])[0]
+            if tag not in (1, 3):
+                raise ValueError(
+                    f"unsupported WAV format tag {tag} (PCM/float only)"
+                )
+            if tag == 3:
+                if bits != 32:
+                    raise ValueError(f"unsupported float WAV bit depth {bits}")
+            elif bits not in (8, 16, 24, 32):
                 raise ValueError(f"unsupported WAV bit depth {bits}")
             if ch <= 0:
                 raise ValueError("invalid channel count 0")
-            fmt_info = (ch, rate, bits)
+            fmt_info = (ch, rate, bits, tag)
         elif cid == b"data":
             if fmt_info is None:
                 raise ValueError("WAV data chunk before fmt chunk")
@@ -104,11 +130,29 @@ def decode_wav(data: bytes) -> dict:
             break  # spec: one data chunk; trailing chunks irrelevant
     if fmt_info is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
-    ch, rate, bits = fmt_info
-    if bits == 16:
+    ch, rate, bits, tag = fmt_info
+    if tag == 3:  # IEEE float32 → int16 range (clamped, rounded)
+        if len(pcm) % 4:
+            raise ValueError("float PCM byte length not a multiple of 4")
+        samples = [
+            int(round(max(-1.0, min(1.0, f)) * 32767))
+            for f in struct.unpack(f"<{len(pcm) // 4}f", pcm)
+        ]
+    elif bits == 16:
         if len(pcm) % 2:
             raise ValueError("odd 16-bit PCM byte length")
         samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+    elif bits == 24:
+        if len(pcm) % 3:
+            raise ValueError("24-bit PCM byte length not a multiple of 3")
+        samples = [
+            int.from_bytes(pcm[i : i + 3], "little", signed=True) >> 8
+            for i in range(0, len(pcm), 3)
+        ]
+    elif bits == 32:
+        if len(pcm) % 4:
+            raise ValueError("32-bit PCM byte length not a multiple of 4")
+        samples = [v >> 16 for v in struct.unpack(f"<{len(pcm) // 4}i", pcm)]
     else:
         samples = [(b - 128) * 256 for b in pcm]
     if len(samples) % ch:

@@ -535,7 +535,9 @@ AUDIO_ROUNDTRIP_SCHEMA = (
 )
 
 
-def audio_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def audio_roundtrip_features(
+    df: DataFrame, id_col: str = "doc_id", bits_cycle: tuple = (16,)
+) -> DataFrame:
     """End-to-end exercise of the REAL WAV codec on the cluster (closes
     the audio leg of X5 the same way x_png_decode closed images): per
     row, synthesize a deterministic interleaved PCM stream from the id
@@ -549,6 +551,12 @@ def audio_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     oracle verifies the WHOLE encode→decode pipeline with no audio code
     (the x_wav_decode declared query) — one mangled byte anywhere in the
     RIFF framing or PCM packing diverges the checksum.
+
+    ``bits_cycle`` rotates the stored depth by id (e.g. ``(16, 24, 32)``
+    — all exact for full-range int16 input since decode normalizes deep
+    PCM back to the int16 contract), so the SAME oracle arithmetic also
+    exercises the 24/32-bit packing paths; the worker's sample-identity
+    check catches any depth-specific codec bug before the checksum.
 
     Scale: mapInPandas, row-local, zero shuffle.
     """
@@ -575,9 +583,12 @@ def audio_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                     ((doc_id * 131 + 17 * i) % 65536) - 32768
                     for i in range(n_frames * ch)
                 ]
-                info = try_decode_audio(encode_wav(rate, ch, samples))
+                bits = bits_cycle[doc_id % len(bits_cycle)]
+                info = try_decode_audio(encode_wav(rate, ch, samples, bits=bits))
                 if info is None or info["samples"] != samples:
                     raise ValueError(f"wav roundtrip failed for id {doc_id}")
+                if info["bits"] != bits:
+                    raise ValueError(f"wav depth mismatch for id {doc_id}")
                 out["doc_id"].append(doc_id)
                 out["format"].append(info["format"])
                 out["sample_rate"].append(info["sample_rate"])

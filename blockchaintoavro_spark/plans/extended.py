@@ -883,6 +883,68 @@ def x_tpch_q19_like(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def x_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier-volume composite: the six-table
+    star-plus-snowflake join with the SAME-NATION cross-dimension
+    constraint (c_nationkey = s_nationkey) that makes Q5 the canonical
+    join-ordering test. Spark-first shape: region→nation collapses into
+    a broadcast dimension on the supplier side; supplier (enriched with
+    n_name) broadcasts into the fact chain; the only shuffles left are
+    the lineitem⋈orders⋈customer fact joins on their keys, with the
+    date range pushed to the orders scan — at 100 TB that is one
+    partition-pruned fact pipeline plus map-side dimension probes."""
+    from ._util import dec2, money
+
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = t(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf, "lineitem")
+    c = t(spark, sf, "customer")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            money(
+                F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@declare(
     "x_expectations",
     oracle="""
     WITH agg AS (
@@ -1130,11 +1192,14 @@ def x_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     sample checksum + exact integer energy. Every output is id
     arithmetic, so DuckDB verifies the whole encode→decode pipeline with
     no audio code: one mangled byte in the RIFF framing or PCM packing
-    diverges the checksum. Row-local mapInPandas, zero shuffle."""
+    diverges the checksum. The stored depth rotates 16/24/32-bit by id
+    (r6: deep-PCM coverage — decode normalizes to the int16 contract, so
+    the oracle is depth-invariant while the executors exercise every
+    packing path). Row-local mapInPandas, zero shuffle."""
     from ..operators.multimodal import audio_roundtrip_features
 
     d = t(spark, sf, "documents")
-    return audio_roundtrip_features(d).orderBy("doc_id")
+    return audio_roundtrip_features(d, bits_cycle=(16, 24, 32)).orderBy("doc_id")
 
 
 @declare(

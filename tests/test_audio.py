@@ -123,3 +123,87 @@ def test_extract_audio_features_mixed_payloads(spark):
     assert got[0]["checksum"] == sample_checksum([10, -10, 20, -20])
     assert not got[1]["is_audio"] and got[1]["n_frames"] == 0
     assert not got[2]["is_audio"] and got[2]["n_bytes"] == 0
+
+
+@pytest.mark.parametrize("bits", [24, 32])
+def test_wav_deep_pcm_roundtrip_identity(bits):
+    """24/32-bit PCM (r5 VERDICT 'audio beyond 8/16-bit'): encode widens
+    int16-range samples into the deeper depth, decode arithmetic-shifts
+    back — identity for the full int16 range including negatives."""
+    samples = [-32768, -1, 0, 1, 32767, -12345, 12345, 256]
+    d = decode_wav(encode_wav(48000, 2, samples, bits=bits))
+    assert d["bits"] == bits
+    assert d["samples"] == samples
+    assert d["n_frames"] == 4
+
+
+@pytest.mark.parametrize("width,bits", [(3, 24), (4, 32)])
+def test_stdlib_wave_cross_reads_deep_pcm(width, bits):
+    """Cross-impl both directions at 24/32-bit: stdlib ``wave`` parses
+    our deep-PCM bytes (header + raw frames identical), and we decode a
+    wave-module-written file to the same widened samples."""
+    samples = [((i * 1103) % 65536) - 32768 for i in range(60)]
+    ours = encode_wav(16000, 2, samples, bits=bits)
+    w = wave.open(io.BytesIO(ours))
+    assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (2, width, 16000)
+    raw = w.readframes(30)
+
+    buf = io.BytesIO()
+    ww = wave.open(buf, "wb")
+    ww.setnchannels(2)
+    ww.setsampwidth(width)
+    ww.setframerate(16000)
+    ww.writeframes(raw)
+    ww.close()
+    d = decode_wav(buf.getvalue())
+    assert d["bits"] == bits
+    assert d["samples"] == samples
+
+
+def test_wav_float32_decode():
+    """IEEE float32 (tag 3) decodes to the int16-range contract with
+    clamping; built with struct (stdlib wave has no float support)."""
+    vals = [0.0, 1.0, -1.0, 0.5, -0.25, 2.0, -3.0]  # incl. out-of-range
+    data = struct.pack(f"<{len(vals)}f", *vals)
+    fmt = struct.pack("<HHIIHH", 3, 1, 44100, 44100 * 4, 4, 32)
+    wavb = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    d = decode_wav(wavb)
+    assert d["samples"] == [0, 32767, -32767, 16384, -8192, 32767, -32767]
+
+
+def test_wav_extensible_wrapper_decodes_pcm():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) with a PCM SubFormat GUID — the
+    pro-audio wrapper — resolves to the plain PCM path."""
+    samples = [10, -10, 300, -300]
+    plain = encode_wav(8000, 1, samples, bits=24)
+    # rebuild the fmt chunk as extensible: 16 common bytes + cbSize=22 +
+    # validBits + channelMask + SubFormat GUID (PCM = 0x0001 leading)
+    fmt16 = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000 * 3, 3, 24)
+    guid = bytes.fromhex("01000000" "0000" "1000" "8000" "00aa00389b71")
+    ext = fmt16 + struct.pack("<HHI", 22, 24, 0x4) + guid
+    i = plain.find(b"fmt ")
+    j = plain.find(b"data")
+    rebuilt = (
+        plain[:i] + b"fmt " + struct.pack("<I", len(ext)) + ext + plain[j:]
+    )
+    rebuilt = rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    d = decode_wav(rebuilt)
+    assert d["samples"] == samples
+    assert d["bits"] == 24
+
+
+@pytest.mark.parametrize(
+    "mangle2",
+    [
+        lambda b: b.replace(b"\x18\x00", b"\x40\x00", 1),  # 24 -> 64 bits
+        lambda b: b[: b.find(b"data") + 8] + b[b.find(b"data") + 9:],  # 24-bit len % 3
+    ],
+)
+def test_wav_deep_corruption_raises(mangle2):
+    b = encode_wav(8000, 1, [1, 2, 3], bits=24)
+    with pytest.raises(ValueError):
+        decode_wav(mangle2(b))

@@ -501,6 +501,16 @@ def test_tpch_q19_pushes_single_side_residuals(spark, registry, sf_dir):
     assert "p_brand" in p.split("PushedFilters", 1)[-1] or "In(p_brand" in p
 
 
+def test_tpch_q5_broadcasts_dimension_chain_and_pushes_dates(spark, registry, sf_dir):
+    """Q5 shape: the region→nation→supplier snowflake collapses into
+    broadcast joins (no shuffle on any dimension), and the order-date
+    range reaches the orders parquet scan."""
+    p = plan_of(spark, registry, "x_tpch_q5", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 3, p  # region, nation, supplier
+    assert "o_orderdate" in p and "PushedFilters" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p or "IsNotNull(o_orderdate" in p
+
+
 def test_bucketed_merge_upsert_eliminates_shuffle(spark, sf_dir):
     """The CDC-apply claim in merge_upsert's docstring, proven: with
     target and source co-bucketed (+ sorted) on the merge key, the
