@@ -45,6 +45,7 @@ tests/test_imaging.py.
 
 from __future__ import annotations
 
+import functools as _functools
 import math
 import struct
 
@@ -120,8 +121,8 @@ _B = [
 ]
 
 
-def _build_decode_table(counts: list[int], symbols: list[int]) -> dict:
-    """Canonical Huffman: {(length, code): symbol} (T.81 annex C)."""
+@_functools.lru_cache(maxsize=64)
+def _build_decode_table_cached(counts: tuple, symbols: tuple) -> dict:
     table = {}
     code = 0
     k = 0
@@ -134,12 +135,25 @@ def _build_decode_table(counts: list[int], symbols: list[int]) -> dict:
     return table
 
 
-def _build_encode_table(counts: list[int], symbols: list[int]) -> dict:
-    """Canonical Huffman the other way: {symbol: (code, length)}."""
+def _build_decode_table(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman: {(length, code): symbol} (T.81 annex C).
+    Memoized on the (BITS, HUFFVAL) pair — real corpora overwhelmingly
+    reuse the Annex-K tables, and rebuilding per file dominated the
+    profile of bulk decode (the cached dict is read-only downstream)."""
+    return _build_decode_table_cached(tuple(counts), tuple(symbols))
+
+
+@_functools.lru_cache(maxsize=16)
+def _build_encode_table_cached(counts: tuple, symbols: tuple) -> dict:
     return {
         sym: (code, length)
-        for (length, code), sym in _build_decode_table(counts, symbols).items()
+        for (length, code), sym in _build_decode_table(list(counts), list(symbols)).items()
     }
+
+
+def _build_encode_table(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman the other way: {symbol: (code, length)}."""
+    return _build_encode_table_cached(tuple(counts), tuple(symbols))
 
 
 def _extend(value: int, size: int) -> int:

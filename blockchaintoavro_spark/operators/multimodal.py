@@ -146,6 +146,20 @@ ROUNDTRIP_SCHEMA = (
 )
 
 
+def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """The *_roundtrip_features operators synthesize payloads from the id
+    alone, so only the 8-byte id column enters the Python stage — but a
+    single-file scan (one input partition) would then run the whole
+    pure-Python codec serially in one task. Repartitioning the ids to
+    the cluster's default parallelism is a negligible shuffle that makes
+    the codec work embarrassingly parallel. Operators over REAL payload
+    columns (extract_*_features) deliberately skip this: at 100 TB their
+    inputs arrive pre-partitioned and reshuffling binary payloads would
+    cost more than it saves."""
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism)
+
+
 def image_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """End-to-end exercise of the REAL image codecs on the cluster: per
     row, synthesize a deterministic image from the id alone (even ids →
@@ -195,7 +209,7 @@ def image_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 out["checksum"].append(pixel_checksum(info["pixels"]))
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(run, schema=ROUNDTRIP_SCHEMA)
+    return _spread_ids(df, id_col).mapInPandas(run, schema=ROUNDTRIP_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id long, payload binary, width long, height long"
@@ -410,7 +424,7 @@ def jpeg_roundtrip_features(
                 out["checksum"].append(pixel_checksum(info["pixels"]))
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(run, schema=JPEG_ROUNDTRIP_SCHEMA)
+    return _spread_ids(df, id_col).mapInPandas(run, schema=JPEG_ROUNDTRIP_SCHEMA)
 
 
 GIF_FRAME_SCHEMA = (
@@ -472,7 +486,7 @@ def gif_frame_features(
                     out["checksum"].append(pixel_checksum(d["frames"][k]))
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+    return _spread_ids(df, id_col).mapInPandas(run, schema=GIF_FRAME_SCHEMA)
 
 
 RESIZE_ROUNDTRIP_SCHEMA = (
@@ -526,7 +540,7 @@ def resize_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 out["checksum"].append(pixel_checksum(resized))
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(run, schema=RESIZE_ROUNDTRIP_SCHEMA)
+    return _spread_ids(df, id_col).mapInPandas(run, schema=RESIZE_ROUNDTRIP_SCHEMA)
 
 
 AUDIO_ROUNDTRIP_SCHEMA = (
@@ -598,7 +612,7 @@ def audio_roundtrip_features(
                 out["energy"].append(sample_energy(info["samples"]))
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(run, schema=AUDIO_ROUNDTRIP_SCHEMA)
+    return _spread_ids(df, id_col).mapInPandas(run, schema=AUDIO_ROUNDTRIP_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = (
@@ -729,4 +743,73 @@ def video_frame_features(
                     out["checksum"].append(pixel_checksum(info["pixels"]))
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+    return _spread_ids(df, id_col).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+def raw_video_frame_features(
+    df: DataFrame, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Uncompressed-AVI twin of :func:`video_frame_features` (the non-
+    MJPG leg of X5 video): per row, synthesize a deterministic RAW
+    BI_RGB clip from the id (``2 + id%3`` frames of ``(5 + id%7)`` ×
+    ``(4 + id%5)``, pixel ``(x, y)`` channel ``c`` of frame ``k`` =
+    ``(id·13 + 5x + 3y + 7c + 11k) mod 256`` in RGB), pack each frame
+    into the DIB wire layout (bottom-up BGR rows padded to 4 bytes),
+    wrap in a real ``DIB `` AVI container, then run the scale-order
+    extraction: parse container, keep every ``every_n``-th payload, and
+    only then convert kept frames to pixels (functions/video.py:
+    dib_to_pixels) — emitting per-frame dims + RGB checksum.
+
+    Raw frames are lossless by construction, so every output is pure id
+    arithmetic and the x_avi_raw_frames oracle verifies container
+    framing + strf codec metadata + the DIB row/padding/BGR math with
+    no video code. The non-multiple-of-4 widths exercise row padding.
+
+    Scale: mapInPandas flat-map, row-local, zero shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blockchaintoavro_spark.functions.imaging import pixel_checksum
+        from blockchaintoavro_spark.functions.video import (
+            decode_avi,
+            dib_to_pixels,
+            encode_avi,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "width": [],
+                "height": [], "checksum": [],
+            }
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                w, h = 5 + doc_id % 7, 4 + doc_id % 5
+                n_frames = 2 + doc_id % 3
+                stride = (w * 3 + 3) & ~3
+                dibs = []
+                for k in range(n_frames):
+                    rows = bytearray()
+                    for y in range(h - 1, -1, -1):  # bottom-up
+                        row = bytearray()
+                        for x in range(w):
+                            rgb = [
+                                (doc_id * 13 + 5 * x + 3 * y + 7 * c + 11 * k) % 256
+                                for c in range(3)
+                            ]
+                            row += bytes([rgb[2], rgb[1], rgb[0]])  # BGR
+                        row += b"\x00" * (stride - w * 3)
+                        rows += row
+                    dibs.append(bytes(rows))
+                d = decode_avi(encode_avi(w, h, dibs, fourcc=b"DIB "))
+                if d["frames"] != dibs or d["compression"] != "raw":
+                    raise ValueError(f"raw avi roundtrip failed for id {doc_id}")
+                for k in range(0, n_frames, every_n):
+                    info = dib_to_pixels(d["frames"][k], w, h, d["bit_count"])
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(k)
+                    out["width"].append(info["width"])
+                    out["height"].append(info["height"])
+                    out["checksum"].append(pixel_checksum(info["pixels"]))
+            yield pd.DataFrame(out)
+
+    return _spread_ids(df, id_col).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

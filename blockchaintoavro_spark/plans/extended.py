@@ -1135,6 +1135,49 @@ def x_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_avi_raw_frames",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             5 + doc_id % 7 AS w,
+             4 + doc_id % 5 AS h,
+             unnest(range(0, 2 + doc_id % 3, 2)) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_no,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(list_aggregate(list_transform(
+                  range(w * h * 3),
+                  i -> (i + 1) * ((doc_id * 13
+                        + 5 * ((i // 3) % w)
+                        + 3 * ((i // 3) // w)
+                        + 7 * (i % 3)
+                        + 11 * k) % 256)), 'sum')
+                % 2147483648 AS BIGINT) AS checksum
+    FROM base ORDER BY doc_id, frame_no
+    """,
+)
+def x_avi_raw_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """UNCOMPRESSED (BI_RGB 'DIB ') AVI keyframe extraction — the
+    non-MJPG video leg (r5 VERDICT's remaining-rarity list): per doc,
+    synthesize a raw clip from the id, pack frames into the DIB wire
+    layout (bottom-up BGR, 4-byte row padding — widths here are NOT
+    multiples of 4, so the padding math is load-bearing), wrap in a
+    real AVI whose strf declares biCompression=0, sample every 2nd
+    payload, then convert only kept frames to RGB pixels
+    (functions/video.py:dib_to_pixels). Raw frames are lossless by
+    construction, so DuckDB verifies container framing + codec metadata
+    + the row/padding/BGR math by pure id arithmetic. Row-local
+    mapInPandas flat-map, zero shuffle."""
+    from ..operators.multimodal import raw_video_frame_features
+
+    d = t(spark, sf, "documents")
+    return raw_video_frame_features(d, every_n=2).orderBy("doc_id", "frame_no")
+
+
+@declare(
     "x_chunk_chars",
     oracle="""
     SELECT doc_id,

@@ -837,7 +837,9 @@ def test_decoders_total_on_fuzzed_payloads():
         encode_jpeg_progressive(16, 8, bytes(range(128)), 1, quant=1),
         encode_gif(5, 4, [bytes(20), bytes(range(20))]),
         encode_avi(8, 8, [b"xx", b"yy"]),
+        encode_avi(3, 2, [bytes(24)], fourcc=b"DIB "),
         encode_wav(8000, 2, [1, 2, 3, 4]),
+        encode_wav(8000, 1, [1, -2, 3], bits=24),
     ]
     t0 = time.time()
     for b in base:

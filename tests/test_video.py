@@ -110,3 +110,51 @@ def test_sample_frames_avi_branch(spark):
     assert all(try_decode_image(f) is not None for _, f in avi_rows)
     fallback = [r for r in got if r["doc_id"] == 1]
     assert [r["frame_no"] for r in fallback] == [0]  # 32 bytes → frames 0 (every 2nd)
+
+
+def test_avi_raw_dib_roundtrip_and_metadata():
+    """DIB (BI_RGB) AVI: raw frames travel 00db chunks, strh fourcc and
+    strf biCompression/biBitCount surface through decode, and
+    dib_to_pixels unpacks bottom-up padded BGR rows to top-down RGB."""
+    from blockchaintoavro_spark.functions.video import (
+        decode_avi,
+        dib_to_pixels,
+        encode_avi,
+    )
+
+    w, h = 3, 2  # stride 12 (w*3=9 -> 3 pad bytes): padding load-bearing
+    # RGB top-down target: pixel (x,y) -> (x, y, x+y)
+    rgb = bytes(v for y in range(h) for x in range(w) for v in (x, y, x + y))
+    stride = (w * 3 + 3) & ~3
+    dib = bytearray()
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            dib += bytes([x + y, y, x])  # BGR
+        dib += b"\x00" * (stride - w * 3)
+    frames = [bytes(dib), bytes(dib)]
+    d = decode_avi(encode_avi(w, h, frames, fourcc=b"DIB "))
+    assert d["fourcc"] == "DIB "
+    assert d["compression"] == "raw"
+    assert d["bit_count"] == 24
+    assert d["frames"] == frames
+    got = dib_to_pixels(d["frames"][0], w, h, d["bit_count"])
+    assert got["pixels"] == rgb
+    assert (got["width"], got["height"], got["channels"]) == (w, h, 3)
+
+
+def test_avi_mjpg_metadata_surfaces():
+    from blockchaintoavro_spark.functions.video import decode_avi, encode_avi
+
+    d = decode_avi(encode_avi(8, 8, [b"frame"]))
+    assert d["fourcc"] == "MJPG"
+    assert d["compression"] == "MJPG"
+    assert d["bit_count"] == 24
+
+
+def test_dib_to_pixels_rejects_bad_input():
+    from blockchaintoavro_spark.functions.video import dib_to_pixels
+
+    with pytest.raises(ValueError, match="bit depth"):
+        dib_to_pixels(b"\x00" * 64, 2, 2, bit_count=8)
+    with pytest.raises(ValueError, match="short DIB"):
+        dib_to_pixels(b"\x00" * 4, 4, 4)
