@@ -648,16 +648,20 @@ def _substring_shuffle_partitions(
     to the explode+distinct it sizes, and the column is about to be
     scanned anyway."""
     target = target_rows or _SUBSTRING_ROWS_PER_PARTITION
+    try:
+        default = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        default = 200
+    if df.isStreaming:
+        # no eager estimate on an unbounded input — fall back to the
+        # session sizing (micro-batch volumes are bounded anyway)
+        return default
     est = (
         df.select(
             F.sum(F.greatest(F.length(text_col) - (k - 1), F.lit(0))).alias("w")
         ).first()["w"]
         or 0
     )
-    try:
-        default = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        default = 200
     n = max(default, -(-est // target))
     return int(min(n, _SUBSTRING_MAX_PARTITIONS))
 

@@ -391,3 +391,22 @@ def test_streaming_chunking_and_quarantine_equal_batch(spark, sf_dir, tmpdir):
     assert got_q.subtract(want_q).count() == 0
     assert want_q.subtract(got_q).count() == 0
     assert want_q.count() > 0  # the fixture has non-en docs → rules bite
+
+
+def test_duplicated_substrings_builds_on_streaming_input(spark):
+    """The volume-derived partition sizing skips its eager estimate on
+    unbounded inputs (no .first() on a streaming frame) — building the
+    dedup plan over a stream must not throw."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.dedup import duplicated_substrings
+
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.concat(F.lit("abcdefghij" * 3), F.col("value").cast("string")).alias("text"),
+        )
+    )
+    out = duplicated_substrings(sdf, k=10)
+    assert out.isStreaming
