@@ -13,11 +13,14 @@ Scope (documented subset, not a general audio library):
 - RIFF/WAVE container: chunk walk tolerating unknown chunks (LIST, fact,
   cue …), requiring one ``fmt `` before the ``data`` chunk.
 - PCM (format tag 1) at 8-bit unsigned, 16/24/32-bit signed
-  little-endian; IEEE float32 (tag 3); WAVE_FORMAT_EXTENSIBLE
-  (tag 0xFFFE) wrapping either — any channel count / sample rate
-  (24-bit and extensible cover the pro-audio files common in speech
-  datasets; r5 VERDICT "audio beyond 8/16-bit PCM"). ADPCM, A-law/µ-law
-  and float64 raise ``ValueError`` — loud, not wrong.
+  little-endian; IEEE float32 (tag 3); G.711 A-law (tag 6) and µ-law
+  (tag 7) — the telephony codings common in speech corpora, expanded
+  by the ITU-T formulas and cross-validated against stdlib
+  ``audioop``; WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping any of
+  them — any channel count / sample rate (24-bit and extensible cover
+  the pro-audio files common in speech datasets; r5 VERDICT "audio
+  beyond 8/16-bit PCM"). ADPCM and float64 raise ``ValueError`` —
+  loud, not wrong.
 - Decoded samples are returned interleaved in file order as Python ints
   in [-32768, 32767] regardless of stored depth (8-bit widened
   ``(b - 128) * 256``; 24/32-bit arithmetic-shifted down; float
@@ -35,6 +38,36 @@ import struct
 
 WAV_MAGIC_RIFF = b"RIFF"
 WAV_MAGIC_WAVE = b"WAVE"
+
+
+def _ulaw_expand(b: int) -> int:
+    """G.711 µ-law byte → linear sample (ITU-T G.711 table semantics:
+    complement, split exponent/mantissa, remove the +33 bias)."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exponent = (b >> 4) & 0x07
+    mantissa = b & 0x0F
+    sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return -sample if sign else sample
+
+
+def _alaw_expand(b: int) -> int:
+    """G.711 A-law byte → linear sample (even-bit inversion, then
+    segment expansion per the ITU-T companding law)."""
+    b ^= 0x55
+    sign = b & 0x80
+    exponent = (b >> 4) & 0x07
+    mantissa = b & 0x0F
+    if exponent == 0:
+        sample = (mantissa << 4) + 8
+    else:
+        sample = ((mantissa << 4) + 0x108) << (exponent - 1)
+    # A-law's sign convention is inverted vs µ-law: MSB set = positive
+    return sample if sign else -sample
+
+
+_ULAW_TABLE = [_ulaw_expand(i) for i in range(256)]
+_ALAW_TABLE = [_alaw_expand(i) for i in range(256)]
 
 
 def encode_wav(
@@ -111,13 +144,16 @@ def decode_wav(data: bytes) -> dict:
                 if ln < 40:
                     raise ValueError("short extensible fmt chunk")
                 tag = struct.unpack("<H", chunk[24:26])[0]
-            if tag not in (1, 3):
+            if tag not in (1, 3, 6, 7):
                 raise ValueError(
-                    f"unsupported WAV format tag {tag} (PCM/float only)"
+                    f"unsupported WAV format tag {tag} (PCM/float/G.711 only)"
                 )
             if tag == 3:
                 if bits != 32:
                     raise ValueError(f"unsupported float WAV bit depth {bits}")
+            elif tag in (6, 7):
+                if bits != 8:
+                    raise ValueError(f"unsupported G.711 WAV bit depth {bits}")
             elif bits not in (8, 16, 24, 32):
                 raise ValueError(f"unsupported WAV bit depth {bits}")
             if ch <= 0:
@@ -131,7 +167,11 @@ def decode_wav(data: bytes) -> dict:
     if fmt_info is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
     ch, rate, bits, tag = fmt_info
-    if tag == 3:  # IEEE float32 → int16 range (clamped, rounded)
+    if tag == 6:  # G.711 A-law → linear int16
+        samples = [_ALAW_TABLE[b] for b in pcm]
+    elif tag == 7:  # G.711 µ-law → linear int16
+        samples = [_ULAW_TABLE[b] for b in pcm]
+    elif tag == 3:  # IEEE float32 → int16 range (clamped, rounded)
         if len(pcm) % 4:
             raise ValueError("float PCM byte length not a multiple of 4")
         samples = [

@@ -207,3 +207,38 @@ def test_wav_deep_corruption_raises(mangle2):
     b = encode_wav(8000, 1, [1, 2, 3], bits=24)
     with pytest.raises(ValueError):
         decode_wav(mangle2(b))
+
+
+@pytest.mark.parametrize("tag,aop", [(7, "ulaw2lin"), (6, "alaw2lin")])
+def test_wav_g711_decode_matches_audioop(tag, aop):
+    """G.711 µ-law/A-law expansion must agree byte-for-byte with the
+    CPython reference implementation (stdlib audioop, the same G.711
+    tables every telephony stack uses) across all 256 code points."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    codes = bytes(range(256))
+    ref = list(struct.unpack("<256h", getattr(audioop, aop)(codes, 2)))
+    fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+    wavb = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(codes)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+    )
+    d = decode_wav(wavb)
+    assert d["samples"] == ref
+    assert d["n_frames"] == 256
+
+
+def test_wav_g711_wrong_depth_raises():
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+    wavb = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 2) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    with pytest.raises(ValueError, match="G.711"):
+        decode_wav(wavb)
