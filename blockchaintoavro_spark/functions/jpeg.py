@@ -893,6 +893,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padded; an FF pad byte still gets its stuffed
+        00 — it is entropy data) and emit the RSTn marker raw."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _magnitude(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
@@ -1022,7 +1030,12 @@ def encode_jpeg(
 
 
 def encode_jpeg_progressive(
-    width: int, height: int, pixels: bytes, channels: int = 1, quant: int = 1
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Spec-valid PROGRESSIVE JFIF writer (SOF2, 4:4:4, Annex-K tables,
     uniform quant) — the pure twin that lets the declared query exercise
@@ -1037,7 +1050,13 @@ def encode_jpeg_progressive(
     tests/test_imaging.py). Same exactness property as the baseline
     encoder: flat blocks are DC-only, and ``(d>>1)<<1 | (d&1) == d`` in
     two's complement, so quant=1 flat images round-trip EXACTLY through
-    the successive-approximation path."""
+    the successive-approximation path.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs in EVERY scan (predictors and EOB-run state reset,
+    modulo-8 marker numbering restarting per scan, T.81 E.1.4) — the
+    resync points a 100 TB pipeline wants so one flipped bit corrupts
+    one restart interval, not the rest of the image."""
     if channels not in (1, 3):
         raise ValueError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
@@ -1065,6 +1084,9 @@ def encode_jpeg_progressive(
         out += _dht_segment(0, 1, *DC_CHROM)
         out += _dht_segment(1, 1, *AC_CHROM)
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
     enc_dc = [_build_encode_table(*DC_LUM), _build_encode_table(*DC_CHROM)]
     enc_ac = [_build_encode_table(*AC_LUM), _build_encode_table(*AC_CHROM)]
     blocks = _quantize_blocks(width, height, pixels, channels, qtbl)
@@ -1081,7 +1103,12 @@ def encode_jpeg_progressive(
     out += sos_header([(c + 1, 0x00 if c == 0 else 0x11) for c in range(channels)], 0, 0, 0, 1)
     bw = _BitWriter()
     preds = [0] * channels
+    rst = 0
     for bi in range(len(blocks[0])):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * channels
         for c in range(channels):
             d = blocks[c][bi][0] >> 1
             t = 0 if c == 0 else 1
@@ -1100,7 +1127,11 @@ def encode_jpeg_progressive(
         t = 0 if c == 0 else 1
         out += sos_header([(c + 1, t << 4 | t)], 1, 63, 0, 1)
         bw = _BitWriter()
+        rst = 0
         for bi in range(len(blocks[c])):
+            if restart_interval and bi and bi % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
             band = blocks[c][bi]
             v1 = [
                 (abs(band[k]) >> 1) * (1 if band[k] > 0 else -1)
@@ -1139,7 +1170,11 @@ def encode_jpeg_progressive(
         t = 0 if c == 0 else 1
         out += sos_header([(c + 1, t << 4 | t)], 1, 63, 1, 0)
         bw = _BitWriter()
+        rst = 0
         for bi in range(len(blocks[c])):
+            if restart_interval and bi and bi % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
             band = [blocks[c][bi][k] for k in range(1, 64)]
             # pending events since the last emitted symbol, in position
             # order: 'z' (zero-history, still zero) or ('b', bit)
@@ -1182,7 +1217,11 @@ def encode_jpeg_progressive(
     # Huffman table)
     out += sos_header([(c + 1, 0x00) for c in range(channels)], 0, 0, 1, 0)
     bw = _BitWriter()
+    rst = 0
     for bi in range(len(blocks[0])):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
         for c in range(channels):
             bw.write(blocks[c][bi][0] & 1, 1)
     out += bw.flush()

@@ -883,3 +883,27 @@ def test_decoder_rejects_bomb_dimensions():
     with pytest.raises(ValueError, match="implausible"):
         decode_gif_frames(bytes(g))
     assert 65535 * 65535 > MAX_DECODE_PIXELS
+
+
+def test_jpeg_progressive_restart_markers_roundtrip():
+    """Restart markers in EVERY progressive scan type (DC first/refine,
+    AC first/refine): DRI + per-scan RSTn emission must decode
+    identically to the unrestarted stream — exercises sync_restart,
+    predictor reset and EOB-run reset across all four scan kinds."""
+    import random
+
+    from blockchaintoavro_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(29)
+    for w, h, ch in [(17, 9, 1), (16, 16, 3), (40, 33, 1)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        base = decode_jpeg(encode_jpeg(w, h, px, ch))
+        for ri in (1, 3):
+            data = encode_jpeg_progressive(w, h, px, ch, restart_interval=ri)
+            assert b"\xff\xdd" in data  # DRI present
+            assert b"\xff\xd0" in data  # at least one RST0
+            assert decode_jpeg(data)["pixels"] == base["pixels"]
