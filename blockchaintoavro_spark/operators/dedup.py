@@ -605,8 +605,11 @@ def substring_positions(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_only: bool = False,
+    with_pos: bool = False,
 ) -> DataFrame:
-    """One row per sliding ``k``-char window: ``(id, sub)``.
+    """One row per sliding ``k``-char window: ``(id, sub)`` — or
+    ``(id, pos, sub)`` with 1-based start positions when
+    ``with_pos=True`` (what span stripping needs).
 
     ``hash_only=True`` emits ``xxhash64(window)`` instead of the window
     text — the scale path: the shuffle carries 8-byte keys instead of
@@ -622,9 +625,14 @@ def substring_positions(
     subs = F.when(F.length(text_col) >= k, win).otherwise(
         F.array().cast("array<string>")
     )
-    out = df.select(F.col(id_col), F.explode(subs).alias("sub"))
+    if with_pos:
+        out = df.select(
+            F.col(id_col), F.posexplode(subs).alias("pos0", "sub")
+        ).select(id_col, (F.col("pos0") + 1).alias("pos"), "sub")  # 1-based
+    else:
+        out = df.select(F.col(id_col), F.explode(subs).alias("sub"))
     if hash_only:
-        out = out.select(id_col, F.xxhash64("sub").alias("sub"))
+        out = out.withColumn("sub", F.xxhash64("sub"))
     return out
 
 
@@ -753,4 +761,82 @@ def substring_dup_counts(
         pos.join(dups, "sub")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_dup_spans"))
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_rows_per_partition: int | None = None,
+) -> DataFrame:
+    """REMOVE cross-doc verbatim spans from the corpus — the remediation
+    step Lee et al. 2022 apply after detection (``substring_dup_counts``
+    scores strip-vs-drop; this is the strip): every maximal run of
+    ``k``-char windows duplicated in ≥ ``min_docs`` docs is cut from
+    the text. Output: ``(id, clean_text, n_stripped)``; docs without
+    duplicated spans pass through unchanged.
+
+    Plan, all Catalyst: duplicated-gram set (single gram Exchange, see
+    :func:`duplicated_substrings`) joins back against positioned
+    windows; per-doc interval merge is one gaps-and-islands window
+    (running-max + island cumsum — ONE doc-keyed Exchange; the island
+    and per-doc aggregations reuse its partitioning by the subset
+    rule); the kept text is rebuilt by a single ``aggregate`` HOF over
+    the doc's sorted spans (cursor + substr concat) — no Python, no
+    per-segment text duplication.
+    """
+    dups = duplicated_substrings(
+        df, k, min_docs, id_col, text_col,
+        target_rows_per_partition=target_rows_per_partition,
+    ).select("sub")
+    pos = substring_positions(df, k, id_col, text_col, with_pos=True)
+    spans = pos.join(dups, "sub").select(
+        id_col,
+        F.col("pos").alias("s"),
+        (F.col("pos") + k - 1).alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = spans.withColumn(
+        "ni",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = islands.groupBy(id_col, "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans")
+    )
+    text = F.col(text_col)
+    rebuilt = F.aggregate(
+        F.col("spans"),
+        F.struct(
+            F.lit(1).cast("int").alias("cursor"), F.lit("").alias("kept")
+        ),
+        lambda acc, sp: F.struct(
+            (sp["e"] + 1).cast("int").alias("cursor"),
+            F.concat(
+                acc["kept"],
+                text.substr(acc["cursor"], (sp["s"] - acc["cursor"]).cast("int")),
+            ).alias("kept"),
+        ),
+        lambda acc: F.concat(
+            acc["kept"],
+            text.substr(
+                acc["cursor"], (F.length(text) - acc["cursor"] + 1).cast("int")
+            ),
+        ),
+    )
+    out = df.join(per_doc, id_col, "left")
+    clean = F.when(F.col("spans").isNull(), text).otherwise(rebuilt)
+    return out.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        (F.length(text) - F.length(clean)).cast("long").alias("n_stripped"),
     )

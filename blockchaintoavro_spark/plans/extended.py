@@ -494,6 +494,79 @@ def x_dup_substrings(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_strip_dup_spans",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+    pos AS (
+      SELECT doc_id, CAST(i AS INT) AS p,
+             substring(text, CAST(i AS INT), 20) AS sub
+      FROM docs,
+           UNNEST(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS t(i)
+    ),
+    dd AS (SELECT DISTINCT doc_id, sub FROM pos),
+    dup AS (SELECT sub FROM dd GROUP BY sub HAVING COUNT(*) >= 2),
+    spans AS (SELECT doc_id, p AS s, p + 19 AS e FROM pos JOIN dup USING (sub)),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM spans
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    pieces AS (
+      SELECT doc_id, s AS ord,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+             s - 1 AS ge
+      FROM merged
+      UNION ALL
+      SELECT doc_id, 2147483647 AS ord, MAX(e) + 1 AS gs, 2147483646 AS ge
+      FROM merged GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT p.doc_id, p.ord,
+             substring(d.text, p.gs, greatest(p.ge - p.gs + 1, 0)) AS piece
+      FROM pieces p JOIN docs d USING (doc_id)
+    ),
+    stripped AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+      FROM joined GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.clean_text, d.text) AS clean_text,
+           CAST(length(d.text) - length(COALESCE(s.clean_text, d.text)) AS BIGINT)
+             AS n_stripped
+    FROM docs d LEFT JOIN stripped s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def x_strip_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Verbatim-span STRIPPING (operators/dedup.py:strip_duplicated_spans)
+    — the remediation step after Lee-et-al detection: maximal runs of
+    cross-doc-duplicated 20-char windows are CUT from the text (interval
+    merge via one gaps-and-islands window, kept text rebuilt by a single
+    aggregate HOF — all Catalyst, no Python). The oracle rebuilds the
+    same text with LAG-segment substrings + ordered string_agg, so any
+    off-by-one in span boundaries, island merging or tail handling
+    diverges the hash."""
+    from ..operators.dedup import strip_duplicated_spans
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 80)
+    return strip_duplicated_spans(d, k=20).orderBy("doc_id")
+
+
+@declare(
     "x_dup_span_counts",
     oracle="""
     WITH pos AS (

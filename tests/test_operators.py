@@ -1428,3 +1428,48 @@ def test_pretraining_shard_pipeline_roundtrips_avro(spark, sf_dir, tmp_path):
     assert out_c.subtract(back_c).count() == 0
     # packing invariant survives the round trip: offsets stay in budget
     assert back.filter("seq_offset < 0 OR seq_offset >= 256").count() == 0
+
+
+def test_strip_duplicated_spans_known_answers(spark):
+    """Span stripping semantics: cross-doc spans cut (maximal merged
+    runs), unique docs untouched, a fully-duplicated doc strips to
+    empty, and within-doc-only repetition is NOT stripped (min_docs
+    counts distinct documents)."""
+    from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
+
+    shared = "the exact same forty characters run here"  # len 40
+    rows = [
+        (1, f"AAAA {shared} BBBB"),
+        (2, f"CCCC {shared} DDDD"),
+        (3, shared),  # nothing but the shared span (+boundary windows)
+        (4, "entirely unique text with no repeats anywhere in corpus"),
+        (5, "zz self repeat self repeat self repeat self repeat zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in strip_duplicated_spans(df, k=20).collect()}
+    # docs 1/2: the shared span plus the windows straddling the
+    # boundary spaces are duplicated; the unique 4-char affixes survive
+    assert got[1]["clean_text"].startswith("AAAA") and got[1]["clean_text"].endswith("BBBB")
+    assert shared not in got[1]["clean_text"]
+    assert got[2]["clean_text"].startswith("CCCC") and got[2]["clean_text"].endswith("DDDD")
+    assert got[3]["clean_text"] == ""
+    assert got[3]["n_stripped"] == len(shared)
+    assert got[4]["clean_text"] == rows[3][1]
+    assert got[4]["n_stripped"] == 0
+    assert got[5]["clean_text"] == rows[4][1]  # within-doc only: kept
+    for r in got.values():
+        assert r["n_stripped"] >= 0
+
+
+def test_strip_duplicated_spans_single_doc_pair_exact(spark):
+    """Exact boundary check on a crafted pair: only the k-window-covered
+    region disappears; characters outside every duplicated window stay."""
+    from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
+
+    span = "0123456789abcdefghij"  # exactly k=20, duplicated verbatim
+    rows = [(1, f"X{span}Y"), (2, f"P{span}Q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in strip_duplicated_spans(df, k=20).collect()}
+    assert got[1]["clean_text"] == "XY"
+    assert got[1]["n_stripped"] == 20
+    assert got[2]["clean_text"] == "PQ"
