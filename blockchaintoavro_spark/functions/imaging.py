@@ -14,9 +14,12 @@ over any decoded format.
 
 Scope (documented subset, not a general imaging library):
 - PNG (spec: https://www.w3.org/TR/png-3/): 8-bit depth, color types
-  0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); all five scanline filters
-  (None/Sub/Up/Average/Paeth); non-interlaced; chunk CRCs verified.
-  Palette (type 3), 16-bit and interlaced files raise ``ValueError``.
+  0 (gray), 2 (RGB), 3 (palette — PLTE lookup, tRNS alpha → RGBA),
+  4 (gray+alpha), 6 (RGBA); all five scanline filters
+  (None/Sub/Up/Average/Paeth); non-interlaced AND Adam7-interlaced
+  streams (7-pass sub-image unfilter + scatter — the web-crawl
+  progressive-render variant; r6); chunk CRCs verified. 16-bit files
+  raise ``ValueError``.
 - BMP (BITMAPINFOHEADER): uncompressed 8/24/32 bpp, bottom-up or
   top-down; 8 bpp returns palette indices as pixels.
 
@@ -52,21 +55,73 @@ def check_dims(w: int, h: int, what: str) -> None:
     if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
         raise ValueError(f"implausible {what} dimensions {w}x{h}")
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _PNG_CTYPE = {1: 0, 3: 2, 2: 4, 4: 6}
+
+# Adam7 interlace passes: (xstart, ystart, xstep, ystep) per the spec's
+# pixel-distribution diagram
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, p: int, h: int, stride: int, bpp: int) -> tuple[bytearray, int]:
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at offset
+    ``p`` (each preceded by its filter byte); returns (pixels, new_p).
+    ``bpp`` is bytes per pixel (the filter's left-neighbor distance)."""
+    out = bytearray()
+    prev = bytearray(stride)
+    for _ in range(h):
+        if p >= len(raw):
+            raise ValueError("PNG pixel data size mismatch")
+        f = raw[p]
+        p += 1
+        cur = bytearray(raw[p : p + stride])
+        if len(cur) != stride:
+            raise ValueError("PNG pixel data size mismatch")
+        p += stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out += cur
+        prev = cur
+    return out, p
 
 
 def decode_png(data: bytes) -> dict:
     """PNG → ``{format, width, height, channels, pixels}``.
 
-    Full scanline unfiltering per the spec; chunk CRCs are verified so a
-    corrupt payload raises instead of yielding silently wrong pixels.
+    Full scanline unfiltering per the spec (per-pass for Adam7
+    streams); palette images expand through PLTE (+tRNS alpha); chunk
+    CRCs are verified so a corrupt payload raises instead of yielding
+    silently wrong pixels.
     """
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     idat = bytearray()
     w = h = ctype = None
+    interlace = 0
+    plte = None
+    trns = None
     while pos + 8 <= len(data):
         ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
         pos += 8
@@ -87,9 +142,15 @@ def decode_png(data: bytes) -> dict:
                 raise ValueError(f"unsupported PNG color type {ctype}")
             if comp != 0 or filt != 0:
                 raise ValueError("unsupported PNG compression/filter method")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
             check_dims(w, h, "PNG")
+        elif typ == b"PLTE":
+            if ln % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = bytes(chunk)
+        elif typ == b"tRNS":
+            trns = bytes(chunk)
         elif typ == b"IDAT":
             idat += chunk
         elif typ == b"IEND":
@@ -97,40 +158,41 @@ def decode_png(data: bytes) -> dict:
     if w is None:
         raise ValueError("PNG has no IHDR")
     channels = _PNG_CHANNELS[ctype]
-    stride = w * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG pixel data size mismatch")
-    out = bytearray()
-    prev = bytearray(stride)
-    p = 0
-    for _ in range(h):
-        f = raw[p]
-        p += 1
-        cur = bytearray(raw[p : p + stride])
-        p += stride
-        if f == 1:  # Sub
-            for i in range(channels, stride):
-                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                cur[i] = (cur[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
-                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
-        elif f != 0:
-            raise ValueError(f"bad PNG filter byte {f}")
-        out += cur
-        prev = cur
+    if interlace == 0:
+        out, p = _png_unfilter(raw, 0, h, w * channels, channels)
+        if p != len(raw):
+            raise ValueError("PNG pixel data size mismatch")
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        out = bytearray(w * h * channels)
+        p = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, p = _png_unfilter(raw, p, ph, pw * channels, channels)
+            for j in range(ph):
+                for i in range(pw):
+                    dst = ((ys + j * ystep) * w + (xs + i * xstep)) * channels
+                    src = (j * pw + i) * channels
+                    out[dst : dst + channels] = sub[src : src + channels]
+        if p != len(raw):
+            raise ValueError("PNG pixel data size mismatch")
+    if ctype == 3:  # palette expansion (indices → RGB, or RGBA w/ tRNS)
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        n_entries = len(plte) // 3
+        channels = 4 if trns is not None else 3
+        expanded = bytearray(w * h * channels)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} out of range")
+            o = i * channels
+            expanded[o : o + 3] = plte[3 * idx : 3 * idx + 3]
+            if channels == 4:
+                expanded[o + 3] = trns[idx] if idx < len(trns) else 255
+        out = expanded
     return {
         "format": "png",
         "width": w,

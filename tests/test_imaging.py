@@ -907,3 +907,129 @@ def test_jpeg_progressive_restart_markers_roundtrip():
             assert b"\xff\xdd" in data  # DRI present
             assert b"\xff\xd0" in data  # at least one RST0
             assert decode_jpeg(data)["pixels"] == base["pixels"]
+
+
+def _adam7_passes(w, h):
+    for xs, ys, xstep, ystep in [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]:
+        pw = (w - xs + xstep - 1) // xstep
+        ph = (h - ys + ystep - 1) // ystep
+        if pw > 0 and ph > 0:
+            yield xs, ys, xstep, ystep, pw, ph
+
+
+def test_png_palette_decode_known_answer():
+    """Color type 3: indices expand through PLTE; with tRNS the output
+    grows an alpha channel (missing entries default opaque)."""
+    w, h = 4, 2
+    indices = bytes([0, 1, 2, 1, 2, 0, 1, 0])
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + indices[r * w : (r + 1) * w] for r in range(h))
+    data = (
+        PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    info = decode_png(data)
+    assert (info["width"], info["height"], info["channels"]) == (w, h, 3)
+    want = b"".join(plte[3 * i : 3 * i + 3] for i in indices)
+    assert info["pixels"] == want
+
+    # with tRNS: entry 0 transparent, entry 1 half, entry 2 defaults 255
+    data_a = (
+        PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+        + _chunk(b"tRNS", bytes([0, 128]))
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    info_a = decode_png(data_a)
+    assert info_a["channels"] == 4
+    alphas = [info_a["pixels"][4 * i + 3] for i in range(w * h)]
+    assert alphas == [{0: 0, 1: 128, 2: 255}[i] for i in indices]
+
+
+def test_png_adam7_decode_equals_sequential():
+    """A hand-assembled Adam7 stream (filter-0 sub-images per the spec's
+    pass layout) must decode to the same pixels as the sequential
+    encoding of the same image — scatter math checked exactly, on dims
+    that exercise partial passes (neither a multiple of 8)."""
+    for w, h, ch in [(11, 7, 1), (9, 10, 3), (8, 8, 4), (3, 2, 1), (1, 1, 3)]:
+        px = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+        ctype = {1: 0, 3: 2, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)  # interlace=1
+        raw = bytearray()
+        for xs, ys, xstep, ystep, pw, ph in _adam7_passes(w, h):
+            for j in range(ph):
+                raw += b"\x00"
+                for i in range(pw):
+                    src = ((ys + j * ystep) * w + (xs + i * xstep)) * ch
+                    raw += px[src : src + ch]
+        data = (
+            PNG_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+        )
+        info = decode_png(data)
+        assert (info["width"], info["height"], info["channels"]) == (w, h, ch)
+        assert info["pixels"] == px, (w, h, ch)
+
+
+def test_we_read_imageio_written_palette_and_interlaced_png(spark):
+    """Cross-impl: the JVM codec's indexed-color PNGs (real PLTE
+    writers choose their own palettes) and its Adam7 output must decode
+    to ImageIO's own pixel values."""
+    import os
+    import tempfile
+
+    jvm = spark.sparkContext._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    d = tempfile.mkdtemp(prefix="png_jvm_")
+
+    # indexed-color (palette) PNG
+    w, h = 9, 6
+    img = BI(w, h, BI.TYPE_BYTE_INDEXED)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (x * 30) % 256, (y * 45) % 256, ((x + y) * 20) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    pp = os.path.join(d, "pal.png")
+    jvm.javax.imageio.ImageIO.write(img, "png", jvm.java.io.File(pp))
+    info = decode_png(open(pp, "rb").read())
+    assert (info["width"], info["height"]) == (w, h)
+    ch = info["channels"]
+    assert ch in (3, 4)
+    back = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(pp))
+    for y in range(h):
+        for x in range(w):
+            argb = back.getRGB(x, y) & 0xFFFFFFFF
+            o = (y * w + x) * ch
+            got = (info["pixels"][o] << 16) | (info["pixels"][o + 1] << 8) | info["pixels"][o + 2]
+            assert got == (argb & 0xFFFFFF), (x, y)
+
+    # Adam7 interlaced PNG via the writer's progressive mode
+    w2, h2 = 13, 11
+    img2 = BI(w2, h2, BI.TYPE_3BYTE_BGR)
+    for y in range(h2):
+        for x in range(w2):
+            img2.setRGB(x, y, ((x * 19) % 256 << 16) | ((y * 23) % 256 << 8) | ((x * y) % 256))
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    pi = os.path.join(d, "adam7.png")
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(pi))
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img2, None, None), param)
+    ios.close()
+    writer.dispose()
+    raw = open(pi, "rb").read()
+    # IHDR interlace byte really is 1
+    ihdr_off = raw.find(b"IHDR")
+    assert raw[ihdr_off + 4 + 12] == 1
+    info2 = decode_png(raw)
+    assert (info2["width"], info2["height"], info2["channels"]) == (w2, h2, 3)
+    for y in range(h2):
+        for x in range(w2):
+            argb = img2.getRGB(x, y) & 0xFFFFFF
+            o = (y * w2 + x) * 3
+            got = (info2["pixels"][o] << 16) | (info2["pixels"][o + 1] << 8) | info2["pixels"][o + 2]
+            assert got == argb, (x, y)
