@@ -1018,6 +1018,49 @@ def x_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_zorder_key",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             MIN(o_custkey)    OVER () AS lo_c, MAX(o_custkey)    OVER () AS hi_c,
+             MIN(o_totalprice) OVER () AS lo_p, MAX(o_totalprice) OVER () AS hi_p
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey,
+             least(greatest(CAST(floor((CAST(o_custkey AS DOUBLE) - lo_c)
+                    / (hi_c - lo_c) * 256) AS BIGINT), 0), 255) AS bc,
+             least(greatest(CAST(floor((o_totalprice - lo_p)
+                    / (hi_p - lo_p) * 256) AS BIGINT), 0), 255) AS bp
+      FROM o
+    )
+    SELECT o_orderkey,
+           CAST(list_aggregate(list_transform(range(8),
+                  i -> (((bc >> i) & 1) << (2 * i))
+                     + (((bp >> i) & 1) << (2 * i + 1))), 'sum')
+                AS BIGINT) AS zkey
+    FROM b ORDER BY o_orderkey
+    """,
+)
+def x_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, o_totalprice) —
+    the data-layout maintenance primitive (operators/layout.py): each
+    column equi-width-bucketed to 8 bits from a one-pass global min/max
+    (bounded driver scalars, the model-parameter pattern), then
+    bit-interleaved with pure Catalyst shifts/masks. DuckDB rebuilds the
+    identical key with window min/max + the same float bucket math, so
+    any drift in the scaling, clamping or interleave order diverges the
+    hash. ``zorder_by`` range-partitions + sorts on this key so every
+    parquet file covers a small rectangle in BOTH columns (bounding-box
+    shrinkage is measured in tests/test_layout.py)."""
+    from ..operators.layout import zorder_key
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    key, _ = zorder_key(o, ["o_custkey", "o_totalprice"], bits=8)
+    return o.select("o_orderkey", key.alias("zkey")).orderBy("o_orderkey")
+
+
+@declare(
     "x_expectations",
     oracle="""
     WITH agg AS (

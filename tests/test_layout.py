@@ -1,0 +1,98 @@
+"""Z-order layout (operators/layout.py): Morton math known-answers, row
+preservation, and the property that matters at 100 TB — every output
+file's bounding box is small in EVERY clustered dimension."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchaintoavro_spark.operators.layout import (
+    equiwidth_bucket,
+    morton_interleave,
+    zorder_by,
+    zorder_key,
+)
+
+
+def test_morton_interleave_known_answer(spark):
+    # b0=0b11 at even bit positions, b1=0b01 at odd → 0b0111 = 7
+    df = spark.range(1).select(
+        morton_interleave([F.lit(3).cast("long"), F.lit(1).cast("long")], 2).alias("m"),
+        morton_interleave([F.lit(0).cast("long"), F.lit(2).cast("long")], 2).alias("m2"),
+        morton_interleave(
+            [F.lit(5).cast("long"), F.lit(2).cast("long"), F.lit(1).cast("long")], 3
+        ).alias("m3"),
+    )
+    row = df.first()
+    assert row["m"] == 0b0111
+    # b1=0b10 at odd positions → bit 3 → 8
+    assert row["m2"] == 0b1000
+    # d=3: b0 bits {0,2} → pos 0,6; b1 bit 1 → pos 4; b2 bit 0 → pos 2
+    assert row["m3"] == (1 << 0) | (1 << 6) | (1 << 4) | (1 << 2)
+
+
+def test_equiwidth_bucket_edges(spark):
+    b = lambda v, lo, hi: equiwidth_bucket(F.lit(v), lo, hi, 4)
+    row = spark.range(1).select(
+        b(0.0, 0.0, 16.0).alias("lo"),
+        b(16.0, 0.0, 16.0).alias("hi"),      # == hi clamps to 15
+        b(-5.0, 0.0, 16.0).alias("under"),   # clamps to 0
+        b(7.999, 0.0, 16.0).alias("mid"),
+        b(3.0, 3.0, 3.0).alias("degenerate"),
+    ).first()
+    assert (row["lo"], row["hi"], row["under"], row["mid"], row["degenerate"]) == (
+        0, 15, 0, 7, 0
+    )
+
+
+def test_zorder_by_preserves_rows_and_tightens_boxes(spark):
+    """4096 rows over two INDEPENDENT uniform dimensions, z-ordered into
+    16 range partitions: rows survive exactly, and the mean per-file
+    bounding-box area shrinks to a small fraction of the domain (a
+    single-column sort would leave the other dimension's extent ~full
+    in every file)."""
+    n, files = 4096, 16
+    # exact 64x64 grid: x = id mod 64, y = bijective shuffle of id div 64
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        (((F.col("id") / 64).cast("long") * 17) % 64).cast("double").alias("y"),
+    )
+    z = zorder_by(df, ["x", "y"], n_files=files, bits=6)
+    assert sorted(r["id"] for r in z.collect()) == list(range(n))
+    boxes = (
+        z.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+            F.count("*").alias("cnt"),
+        )
+        .collect()
+    )
+    assert sum(r["cnt"] for r in boxes) == n
+    area = sum(((r["dx"] + 1) * (r["dy"] + 1)) for r in boxes) / len(boxes)
+    domain = 64.0 * 64.0
+    assert area / domain < 0.15, [
+        (round(r["dx"]), round(r["dy"]), r["cnt"]) for r in boxes
+    ]
+    # contrast: ordering by x alone leaves y's extent ~full per file
+    sx = (
+        df.repartitionByRange(files, "x")
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg((F.max("y") - F.min("y")).alias("dy"))
+        .agg(F.avg("dy"))
+        .first()[0]
+    )
+    assert sx > 50  # nearly the whole y domain in every x-sorted file
+
+
+def test_zorder_key_domains(spark):
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("a"),
+        (99 - F.col("id")).cast("double").alias("b"),
+    )
+    _, domains = zorder_key(df, ["a", "b"], bits=8)
+    assert domains == {"a": (0.0, 99.0), "b": (0.0, 99.0)}
