@@ -367,6 +367,53 @@ def budget_mixture(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    target_total: int,
+    tau: float = 0.5,
+    source: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-pretraining
+    recipe: sample source ``s`` with probability ∝ ``p_s^τ`` where
+    ``p_s`` is its natural share — τ<1 upweights small sources, τ=1 is
+    natural sampling): deterministically select ``floor(target_total ·
+    q_s)`` documents per source (capped at the source's size), picked
+    as the md5-order prefix so re-runs and any partitioning choose the
+    identical subset.
+
+    Per-source counts are one tiny aggregate collected to the driver
+    (#sources rows — model parameters, not data); the take counts use
+    ``floor`` (not ``round``) so the DuckDB oracle's half-rounding
+    convention can't diverge. Selection is one per-source window
+    (row_number over the md5 shuffle) — same single-keyed-shuffle shape
+    as budget_mixture.
+    """
+    from pyspark.sql import Window
+
+    counts = {
+        r[source]: r["n"]
+        for r in df.groupBy(source).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    weights = {s: (n / total) ** tau for s, n in sorted(counts.items())}
+    wsum = sum(weights[s] for s in sorted(weights))
+    takes = {
+        s: min(int(target_total * (weights[s] / wsum)), counts[s])
+        for s in sorted(counts)
+    }
+    t = F.lit(0)
+    for s, n in sorted(takes.items()):
+        t = F.when(F.col(source) == s, F.lit(n)).otherwise(t)
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(source).orderBy(h, key)
+    return (
+        df.select(F.col(key), F.col(source), F.row_number().over(w).alias("_rn"))
+        .where(F.col("_rn") <= t)
+        .select(key, source)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
 # Models" appendix A — the publicly documented heuristic filter suite)

@@ -1018,6 +1018,40 @@ def x_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_temperature_mixture",
+    oracle="""
+    WITH n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+    tot AS (SELECT SUM(ns) AS nn FROM n),
+    wgt AS (SELECT source, ns,
+                   POWER(CAST(ns AS DOUBLE) / nn, 0.5) AS w
+            FROM n, tot),
+    t AS (SELECT source, ns,
+                 LEAST(CAST(FLOOR(200 * (w / SUM(w) OVER ())) AS BIGINT), ns)
+                   AS take
+          FROM wgt),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    SELECT r.doc_id, r.source
+    FROM r JOIN t USING (source) WHERE r.rn <= t.take
+    ORDER BY r.doc_id
+    """,
+)
+def x_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source mixing (operators/quality.py:
+    temperature_mixture — the multilingual-pretraining τ-sampling
+    recipe, q_s ∝ p_s^0.5, 200-doc target): per-source take counts from
+    bounded driver scalars, md5-order prefix selection so the subset is
+    deterministic and partition-invariant. DuckDB recomputes the same
+    power/normalize/floor math and the same md5 shuffle."""
+    from ..operators.quality import temperature_mixture
+
+    d = t(spark, sf, "documents")
+    return temperature_mixture(d, target_total=200, tau=0.5).orderBy("doc_id")
+
+
+@declare(
     "x_zorder_key",
     oracle="""
     WITH o AS (

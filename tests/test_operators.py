@@ -1473,3 +1473,35 @@ def test_strip_duplicated_spans_single_doc_pair_exact(spark):
     assert got[1]["clean_text"] == "XY"
     assert got[1]["n_stripped"] == 20
     assert got[2]["clean_text"] == "PQ"
+
+
+def test_temperature_mixture_properties(spark):
+    """τ-sampling semantics: τ<1 upweights small sources relative to
+    natural share; selection is deterministic and partition-invariant;
+    take counts never exceed a source's size."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.quality import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, target_total=100, tau=0.5)
+    got = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    by = {r["source"]: r["n"] for r in got}
+    # natural shares: 90/10. At tau=0.5: sqrt(.9)=.949, sqrt(.1)=.316 →
+    # q_small = .25 → small takes ~25 of 100 (vs 10 naturally)
+    assert 20 <= by["small"] <= 30, by
+    assert by["small"] + by["big"] <= 100
+
+    # partition invariance + determinism
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixture(df.repartition(13), 100, tau=0.5).collect()
+    )
+    assert a == b
+
+    # tau=1 → natural sampling shares
+    nat = temperature_mixture(df, target_total=100, tau=1.0)
+    byn = {r["source"]: r["n"] for r in nat.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert byn["big"] == 90 and byn["small"] == 10
