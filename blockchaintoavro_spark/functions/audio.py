@@ -90,6 +90,11 @@ def encode_wav(
     if bits == 16:
         data = struct.pack(f"<{len(samples)}h", *samples)
     elif bits == 24:
+        # 16/32-bit get range enforcement from struct.pack; match that
+        # loud contract here instead of letting bit 23 wrap the sign
+        for s in samples:
+            if not -32768 <= int(s) <= 32767:
+                raise ValueError(f"sample {s} out of int16 range for 24-bit encode")
         data = b"".join(
             (int(s) * 256).to_bytes(4, "little", signed=True)[:3]
             for s in samples

@@ -647,14 +647,26 @@ _SUBSTRING_ROWS_PER_PARTITION = 1_000_000
 _SUBSTRING_MAX_PARTITIONS = 32_768
 
 
+# (semanticHash(plan), text_col, k) → summed window count. The sizing
+# estimate is one shuffle-free pass over text lengths; memoizing it
+# means composite operators (substring_dup_counts, strip_duplicated_
+# spans) that size several stages over the SAME input pay for it once,
+# and repeated interactive calls don't re-scan. Bounded: estimates are
+# 8-byte ints and sessions see few distinct inputs.
+_SUBSTRING_EST_CACHE: dict[tuple, int] = {}
+
+
 def _substring_shuffle_partitions(
     df: DataFrame, k: int, text_col: str, target_rows: int | None = None
 ) -> int:
     """Gram-shuffle partition count ≈ estimated window count /
     ``target_rows`` (floor: the session default). The estimate is one
-    shuffle-free column aggregate over text lengths — negligible next
-    to the explode+distinct it sizes, and the column is about to be
-    scanned anyway."""
+    shuffle-free column aggregate over text lengths — an eager job at
+    plan-build time, deliberate and documented: it is the only way to
+    size the gram Exchange before it runs, it reads one string column's
+    lengths (a fraction of the explode+shuffle it sizes), and it is
+    memoized per input plan. Callers that know their volume can skip it
+    entirely via the operators' ``n_partitions`` argument."""
     target = target_rows or _SUBSTRING_ROWS_PER_PARTITION
     try:
         default = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -664,12 +676,21 @@ def _substring_shuffle_partitions(
         # no eager estimate on an unbounded input — fall back to the
         # session sizing (micro-batch volumes are bounded anyway)
         return default
-    est = (
-        df.select(
-            F.sum(F.greatest(F.length(text_col) - (k - 1), F.lit(0))).alias("w")
-        ).first()["w"]
-        or 0
-    )
+    try:
+        cache_key = (df.semanticHash(), text_col, k)
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _SUBSTRING_EST_CACHE:
+        est = _SUBSTRING_EST_CACHE[cache_key]
+    else:
+        est = (
+            df.select(
+                F.sum(F.greatest(F.length(text_col) - (k - 1), F.lit(0))).alias("w")
+            ).first()["w"]
+            or 0
+        )
+        if cache_key is not None:
+            _SUBSTRING_EST_CACHE[cache_key] = est
     n = max(default, -(-est // target))
     return int(min(n, _SUBSTRING_MAX_PARTITIONS))
 
@@ -683,6 +704,7 @@ def duplicated_substrings(
     hash_only: bool = False,
     target_rows_per_partition: int | None = None,
     plan: str = "single_shuffle",
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """``k``-char windows appearing verbatim in ≥ ``min_docs`` distinct
     documents: ``(sub, n_docs)``.
@@ -713,7 +735,9 @@ def duplicated_substrings(
       repetition (where the intermediate dedup shrinks Exchange 2).
     """
     pos = substring_positions(df, k, id_col, text_col, hash_only)
-    n_parts = _substring_shuffle_partitions(df, k, text_col, target_rows_per_partition)
+    n_parts = n_partitions or _substring_shuffle_partitions(
+        df, k, text_col, target_rows_per_partition
+    )
     if plan == "single_shuffle":
         return (
             pos.repartition(n_parts, "sub")
@@ -740,6 +764,7 @@ def substring_dup_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     target_rows_per_partition: int | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Per-document count of window positions whose ``k``-char content
     is duplicated cross-doc — the per-doc severity score used to decide
@@ -753,6 +778,7 @@ def substring_dup_counts(
     dups = duplicated_substrings(
         df, k, min_docs, id_col, text_col,
         target_rows_per_partition=target_rows_per_partition,
+        n_partitions=n_partitions,
     ).select("sub")
     # dups carries HashPartitioning(sub, n) from the volume-derived
     # repartition; EnsureRequirements co-partitions the pos side to the
@@ -771,6 +797,7 @@ def strip_duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     target_rows_per_partition: int | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """REMOVE cross-doc verbatim spans from the corpus — the remediation
     step Lee et al. 2022 apply after detection (``substring_dup_counts``
@@ -791,6 +818,7 @@ def strip_duplicated_spans(
     dups = duplicated_substrings(
         df, k, min_docs, id_col, text_col,
         target_rows_per_partition=target_rows_per_partition,
+        n_partitions=n_partitions,
     ).select("sub")
     pos = substring_positions(df, k, id_col, text_col, with_pos=True)
     spans = pos.join(dups, "sub").select(

@@ -50,6 +50,11 @@ def morton_interleave(buckets: list[Column], bits: int) -> Column:
     Morton key: bit ``i`` of bucket ``j`` lands at position ``i*d + j``.
     Pure shifts/masks — stays inside whole-stage codegen."""
     d = len(buckets)
+    if d * bits > 63:
+        raise ValueError(
+            f"morton key needs {d * bits} bits but a Spark long holds 63 "
+            f"(signed): lower bits to <= {63 // d} for {d} columns"
+        )
     terms = []
     for j, b in enumerate(buckets):
         for i in range(bits):
@@ -73,6 +78,14 @@ def zorder_key(
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     row = df.agg(*aggs).first()
     domains = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+    for c, (lo, hi) in domains.items():
+        if lo is None or hi is None:
+            raise ValueError(
+                f"cannot z-order on column {c!r}: no non-NULL values"
+            )
+    # NULL values bucket to 0 (the greatest(NULL, 0) clamp), i.e. they
+    # co-cluster with the column's minimum — documented behavior; filter
+    # or impute first if NULLs should live elsewhere
     buckets = [
         equiwidth_bucket(F.col(c), float(lo), float(hi), bits)
         for c, (lo, hi) in domains.items()

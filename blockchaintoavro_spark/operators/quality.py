@@ -391,10 +391,16 @@ def temperature_mixture(
     """
     from pyspark.sql import Window
 
+    # NULL sources are excluded (same semantics as budget_mixture, where
+    # a NULL never matches any budget) — and would otherwise break the
+    # sorted() driver math
+    df = df.filter(F.col(source).isNotNull())
     counts = {
         r[source]: r["n"]
         for r in df.groupBy(source).agg(F.count("*").alias("n")).collect()
     }
+    if not counts:
+        return df.select(key, source)  # empty in, empty out
     total = sum(counts.values())
     weights = {s: (n / total) ** tau for s, n in sorted(counts.items())}
     wsum = sum(weights[s] for s in sorted(weights))

@@ -87,11 +87,15 @@ def _read_long(buf: BinaryIO) -> int:
 
 
 # Sanity ceiling on any single corruption-controlled count (records per
-# block, array/map block entries). Real writers never exceed this; a
-# decoded count above it is corrupt by construction, and rejecting it up
-# front keeps ``range(n)`` loops from building multi-GiB lists of
-# zero-byte values (the all-null-schema edge the EOF guard can't catch).
-_MAX_DECODE_COUNT = 1 << 31
+# block, array/map block entries). Real writers never exceed this (our
+# writer emits 5k-record blocks; arrays are the engine's 64-d embeddings
+# and transaction lists), and the ceiling is what bounds the
+# zero-byte-item bomb: items of an all-``null`` schema consume NO input
+# bytes, so the EOF guard never fires and ``range(n)`` would otherwise
+# materialize the declared count outright — at 2^26 the worst transient
+# list is ~0.5 GB (survivable, normalized by the MemoryError belt if
+# not) instead of unbounded.
+_MAX_DECODE_COUNT = 1 << 26
 
 
 def _check_count(n: int, what: str) -> int:
@@ -560,9 +564,12 @@ def _scan_sync(fh: BinaryIO, sync: bytes, start: int, end: float) -> int | None:
 # behind the bounded-length reads (_read_exact/_check_count): should any
 # remaining path still over-allocate on corrupt input, the failure is
 # normalized instead of escaping as a raw MemoryError (r5 VERDICT #1).
-# Corrupt bzip2/xz payloads raise OSError / lzma.LZMAError from the
-# stdlib decompressors; both are normalized at the decompress call site
-# (naming the file) AND listed here as the belt (r5 ADVICE).
+# Corrupt bzip2 payloads raise OSError from the stdlib decompressor —
+# normalized AT THE DECOMPRESS CALL SITE only (r5 ADVICE), deliberately
+# NOT listed here: a blanket OSError entry would misclassify genuine
+# transient I/O failures (EIO on flaky storage, network filesystems) as
+# data corruption and permanently quarantine healthy files. xz's
+# lzma.LZMAError is corruption-specific, so it is safe as a belt.
 _CORRUPT_ERRORS = (
     EOFError,
     IndexError,
@@ -571,7 +578,6 @@ _CORRUPT_ERRORS = (
     zlib.error,
     OverflowError,
     MemoryError,
-    OSError,
     _lzma.LZMAError,
 )
 
@@ -589,8 +595,6 @@ def iter_ocf_blocks_split(
         except StopIteration:
             return
         except _CORRUPT_ERRORS as e:
-            if isinstance(e, (FileNotFoundError, PermissionError, IsADirectoryError)):
-                raise  # genuine filesystem errors are not data corruption
             raise ValueError(
                 f"corrupt avro container {path}: {type(e).__name__}: {e}"
             ) from e

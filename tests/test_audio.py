@@ -242,3 +242,10 @@ def test_wav_g711_wrong_depth_raises():
     )
     with pytest.raises(ValueError, match="G.711"):
         decode_wav(wavb)
+
+
+def test_wav_24bit_encode_rejects_out_of_range():
+    """Review fix: bit 23 must not silently wrap the sign — out-of-int16
+    input raises like the struct-enforced 16/32-bit paths."""
+    with pytest.raises(ValueError, match="out of int16 range"):
+        encode_wav(8000, 1, [40000], bits=24)

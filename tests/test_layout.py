@@ -96,3 +96,21 @@ def test_zorder_key_domains(spark):
     )
     _, domains = zorder_key(df, ["a", "b"], bits=8)
     assert domains == {"a": (0.0, 99.0), "b": (0.0, 99.0)}
+
+
+def test_morton_guard_and_null_domain(spark):
+    """Review fixes: a key wider than a signed long raises with guidance
+    instead of silently corrupting the sort; an all-NULL column raises
+    descriptively; NULL values bucket with the minimum (documented)."""
+    with pytest.raises(ValueError, match="63"):
+        morton_interleave([F.lit(1)] * 4, 16)
+    allnull = spark.range(5).select(F.lit(None).cast("double").alias("a"))
+    with pytest.raises(ValueError, match="no non-NULL"):
+        zorder_key(allnull, ["a"], bits=4)
+    mixed = spark.createDataFrame(
+        [(0, None), (1, 10.0), (2, 20.0)], "id long, a double"
+    )
+    key, _ = zorder_key(mixed, ["a"], bits=4)
+    got = {r["id"]: r["k"] for r in mixed.select("id", key.alias("k")).collect()}
+    assert got[0] == got[1] == 0  # NULL clusters with the minimum
+    assert got[2] == 15

@@ -1505,3 +1505,14 @@ def test_temperature_mixture_properties(spark):
     nat = temperature_mixture(df, target_total=100, tau=1.0)
     byn = {r["source"]: r["n"] for r in nat.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert byn["big"] == 90 and byn["small"] == 10
+
+
+def test_temperature_mixture_ignores_null_sources(spark):
+    """Review fix: NULL sources are excluded (budget_mixture parity)
+    instead of crashing the driver-side sorted() math."""
+    from blockchaintoavro_spark.operators.quality import temperature_mixture
+
+    rows = [(0, None), (1, "a"), (2, "a"), (3, "b"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(r["doc_id"] for r in temperature_mixture(df, 10, tau=1.0).collect())
+    assert got == [1, 2, 3]
