@@ -143,6 +143,7 @@ def bench_round5_operators(spark) -> dict:
     results: dict[str, dict] = {
         "chunk_chars": {}, "dup_substrings_hash": {},
         "dup_substrings_hash_two_shuffle": {},
+        "strip_dup_spans": {}, "zorder_by": {},
         "bpe_pair_counts": {}, "validate_rules": {},
     }
     for mult in SCALES:
@@ -171,6 +172,26 @@ def bench_round5_operators(spark) -> dict:
             "rows_in": n_docs, "dups": n2, "sec": sec2,
         }
         print(f"dup_substrings[two_shuffle] {n_docs} -> {n2} in {sec2}s", flush=True)
+
+        # r6: span stripping (detection + interval merge + HOF rebuild —
+        # the heaviest composite over the same gram machinery)
+        from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
+
+        n, sec = timed(
+            strip_duplicated_spans(docs, k=20).filter("n_stripped > 0").count
+        )
+        results["strip_dup_spans"][key] = {"rows_in": n_docs, "stripped_docs": n, "sec": sec}
+        print(f"strip_dup_spans {n_docs} -> {n} docs touched in {sec}s", flush=True)
+
+        # r6: z-order clustering of the corpus on (doc_id, length)
+        from blockchaintoavro_spark.operators.layout import zorder_by
+
+        zin = docs.select(
+            "doc_id", F.length("text").cast("double").alias("n_chars")
+        ).withColumn("did", F.col("doc_id").cast("double"))
+        n, sec = timed(zorder_by(zin, ["did", "n_chars"], n_files=32).count)
+        results["zorder_by"][key] = {"rows_in": n_docs, "rows_out": n, "sec": sec}
+        print(f"zorder_by {n_docs} -> {n} rows in {sec}s", flush=True)
 
         n, sec = timed(char_pair_counts(docs).count)
         results["bpe_pair_counts"][key] = {"rows_in": n_docs, "pairs": n, "sec": sec}
