@@ -798,6 +798,7 @@ def strip_duplicated_spans(
     text_col: str = "text",
     target_rows_per_partition: int | None = None,
     n_partitions: int | None = None,
+    hash_only: bool = False,
 ) -> DataFrame:
     """REMOVE cross-doc verbatim spans from the corpus — the remediation
     step Lee et al. 2022 apply after detection (``substring_dup_counts``
@@ -814,13 +815,21 @@ def strip_duplicated_spans(
     rule); the kept text is rebuilt by a single ``aggregate`` HOF over
     the doc's sorted spans (cursor + substr concat) — no Python, no
     per-segment text duplication.
+
+    ``hash_only=True`` is the corpus-scale path: detection AND the
+    join-back carry 8-byte xxhash64 fingerprints instead of ``k``-char
+    strings (same trade as duplicated_substrings). A fingerprint
+    collision would strip a span that is not actually duplicated —
+    probability ~positions²/2^64, negligible against the corpus sizes
+    this targets, and twin-tested equal to the verbatim path on real
+    fixtures.
     """
     dups = duplicated_substrings(
-        df, k, min_docs, id_col, text_col,
+        df, k, min_docs, id_col, text_col, hash_only=hash_only,
         target_rows_per_partition=target_rows_per_partition,
         n_partitions=n_partitions,
     ).select("sub")
-    pos = substring_positions(df, k, id_col, text_col, with_pos=True)
+    pos = substring_positions(df, k, id_col, text_col, hash_only, with_pos=True)
     spans = pos.join(dups, "sub").select(
         id_col,
         F.col("pos").alias("s"),

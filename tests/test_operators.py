@@ -1516,3 +1516,26 @@ def test_temperature_mixture_ignores_null_sources(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string")
     got = sorted(r["doc_id"] for r in temperature_mixture(df, 10, tau=1.0).collect())
     assert got == [1, 2, 3]
+
+
+def test_strip_duplicated_spans_hash_twin_matches_verbatim(spark, sf_dir):
+    """The hash_only scale path (8-byte fingerprints through detection
+    and join-back) must produce the same cleaned corpus as the verbatim
+    path on real fixture text."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    a = {
+        r["doc_id"]: (r["clean_text"], r["n_stripped"])
+        for r in strip_duplicated_spans(d, k=15).collect()
+    }
+    b = {
+        r["doc_id"]: (r["clean_text"], r["n_stripped"])
+        for r in strip_duplicated_spans(d, k=15, hash_only=True).collect()
+    }
+    assert a == b
+    assert any(v[1] > 0 for v in a.values())  # non-degenerate
