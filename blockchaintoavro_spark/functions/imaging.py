@@ -13,13 +13,15 @@ including multi-frame — live in the sibling modules ``jpeg.py`` /
 over any decoded format.
 
 Scope (documented subset, not a general imaging library):
-- PNG (spec: https://www.w3.org/TR/png-3/): 8-bit depth, color types
-  0 (gray), 2 (RGB), 3 (palette — PLTE lookup, tRNS alpha → RGBA),
+- PNG (spec: https://www.w3.org/TR/png-3/): 8-bit and 16-bit depths
+  (16-bit samples unfilter at their stored width, then reduce to the
+  8-bit pixel contract by keeping the high byte — the standard 8-bit
+  rendering of photographic PNGs; r6), color types 0 (gray), 2 (RGB),
+  3 (palette — PLTE lookup, tRNS alpha → RGBA; 8-bit only),
   4 (gray+alpha), 6 (RGBA); all five scanline filters
   (None/Sub/Up/Average/Paeth); non-interlaced AND Adam7-interlaced
   streams (7-pass sub-image unfilter + scatter — the web-crawl
-  progressive-render variant; r6); chunk CRCs verified. 16-bit files
-  raise ``ValueError``.
+  progressive-render variant; r6); chunk CRCs verified.
 - BMP (BITMAPINFOHEADER): uncompressed 8/24/32 bpp, bottom-up or
   top-down; 8 bpp returns palette indices as pixels.
 
@@ -136,7 +138,7 @@ def decode_png(data: bytes) -> dict:
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
-            if depth != 8:
+            if depth not in (8, 16) or (depth == 16 and ctype == 3):
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if ctype not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {ctype}")
@@ -158,27 +160,35 @@ def decode_png(data: bytes) -> dict:
     if w is None:
         raise ValueError("PNG has no IHDR")
     channels = _PNG_CHANNELS[ctype]
+    # bytes per pixel as stored (16-bit samples are 2 bytes each; the
+    # filter's left-neighbor distance follows the stored layout)
+    bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        out, p = _png_unfilter(raw, 0, h, w * channels, channels)
+        out, p = _png_unfilter(raw, 0, h, w * bpp, bpp)
         if p != len(raw):
             raise ValueError("PNG pixel data size mismatch")
     else:  # Adam7: 7 independently-filtered sub-images, scattered back
-        out = bytearray(w * h * channels)
+        out = bytearray(w * h * bpp)
         p = 0
         for xs, ys, xstep, ystep in _ADAM7:
             pw = (w - xs + xstep - 1) // xstep
             ph = (h - ys + ystep - 1) // ystep
             if pw <= 0 or ph <= 0:
                 continue
-            sub, p = _png_unfilter(raw, p, ph, pw * channels, channels)
+            sub, p = _png_unfilter(raw, p, ph, pw * bpp, bpp)
             for j in range(ph):
                 for i in range(pw):
-                    dst = ((ys + j * ystep) * w + (xs + i * xstep)) * channels
-                    src = (j * pw + i) * channels
-                    out[dst : dst + channels] = sub[src : src + channels]
+                    dst = ((ys + j * ystep) * w + (xs + i * xstep)) * bpp
+                    src = (j * pw + i) * bpp
+                    out[dst : dst + bpp] = sub[src : src + bpp]
         if p != len(raw):
             raise ValueError("PNG pixel data size mismatch")
+    if depth == 16:
+        # reduce big-endian 16-bit samples to the 8-bit pixel contract
+        # by keeping the high byte (the spec-blessed approximation —
+        # what every 8-bit consumer of 16-bit PNGs renders)
+        out = out[0::2]
     if ctype == 3:  # palette expansion (indices → RGB, or RGBA w/ tRNS)
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

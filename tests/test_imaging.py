@@ -1033,3 +1033,52 @@ def test_we_read_imageio_written_palette_and_interlaced_png(spark):
             o = (y * w2 + x) * 3
             got = (info2["pixels"][o] << 16) | (info2["pixels"][o + 1] << 8) | info2["pixels"][o + 2]
             assert got == argb, (x, y)
+
+
+def test_png_16bit_decode_high_byte():
+    """16-bit PNG: samples unfilter at stored width (2-byte left
+    neighbor) and reduce to 8-bit by the high byte. Hand-crafted gray
+    image with a Sub-filtered row so the bpp=2 neighbor math is
+    load-bearing."""
+    w, h = 3, 2
+    samples = [[0x1234, 0x5678, 0x9ABC], [0x1111, 0x2222, 0x3333]]
+    row0 = b"\x00" + b"".join(struct.pack(">H", v) for v in samples[0])
+    # row 1 Sub-filtered at 2-byte bpp: raw = cur - left (byte-wise)
+    cur = b"".join(struct.pack(">H", v) for v in samples[1])
+    filt = bytearray(cur)
+    for i in range(len(cur) - 1, 1, -1):
+        filt[i] = (cur[i] - cur[i - 2]) & 0xFF
+    row1 = b"\x01" + bytes(filt)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    data = (
+        PNG_MAGIC + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(row0 + row1)) + _chunk(b"IEND", b"")
+    )
+    info = decode_png(data)
+    assert (info["width"], info["height"], info["channels"]) == (w, h, 1)
+    assert list(info["pixels"]) == [0x12, 0x56, 0x9A, 0x11, 0x22, 0x33]
+
+
+def test_we_read_imageio_written_16bit_png(spark):
+    """Cross-impl: a 16-bit gray PNG written by the JVM codec decodes to
+    the high bytes of ImageIO's own 16-bit raster."""
+    import os
+    import tempfile
+
+    jvm = spark.sparkContext._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    w, h = 7, 5
+    img = BI(w, h, BI.TYPE_USHORT_GRAY)
+    vals = [((x * 9277 + y * 4099) * 57) % 65536 for y in range(h) for x in range(w)]
+    for y in range(h):
+        for x in range(w):
+            img.getRaster().setSample(x, y, 0, vals[y * w + x])
+    d = tempfile.mkdtemp(prefix="png16_")
+    p = os.path.join(d, "g16.png")
+    jvm.javax.imageio.ImageIO.write(img, "png", jvm.java.io.File(p))
+    raw = open(p, "rb").read()
+    ihdr_off = raw.find(b"IHDR")
+    assert raw[ihdr_off + 12] == 16  # bit depth byte really is 16
+    info = decode_png(raw)
+    assert (info["width"], info["height"], info["channels"]) == (w, h, 1)
+    assert list(info["pixels"]) == [v >> 8 for v in vals]
