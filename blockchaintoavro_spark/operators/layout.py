@@ -99,7 +99,14 @@ def zorder_by(
     """Rows re-clustered on the Z-curve over ``cols`` into ``n_files``
     contiguous key ranges (write the result with a plain
     ``.write.parquet`` — one file per partition, each covering a small
-    hyper-rectangle in every clustered column)."""
+    hyper-rectangle in every clustered column).
+
+    Cost note: ``repartitionByRange`` samples the child once for its
+    range boundaries and once for the exchange (standard Spark range
+    partitioning), on top of the min/max pass — i.e. layout maintenance
+    reads the input ~3×, which is the same order as the lakehouse
+    OPTIMIZE jobs this mirrors; run it on compacted batches, not per
+    micro-batch."""
     key, _ = zorder_key(df, cols, bits)
     tagged = df.withColumn("_zkey", key)
     return (

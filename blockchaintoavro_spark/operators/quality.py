@@ -373,6 +373,7 @@ def temperature_mixture(
     tau: float = 0.5,
     source: str = "source",
     key: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
     """Temperature-based source mixing (the multilingual-pretraining
     recipe: sample source ``s`` with probability ∝ ``p_s^τ`` where
@@ -387,7 +388,12 @@ def temperature_mixture(
     ``floor`` (not ``round``) so the DuckDB oracle's half-rounding
     convention can't diverge. Selection is one per-source window
     (row_number over the md5 shuffle) — same single-keyed-shuffle shape
-    as budget_mixture.
+    as budget_mixture, and the same scale ceiling: each source ranks in
+    one task, so the cost is the LARGEST source. At 100 TB use
+    ``exact=False``: rows are kept where their md5 falls below the
+    source's take fraction — a shuffle-free, state-free scan whose
+    per-source counts are binomially distributed around the target
+    (±√n) instead of exact, which is what a trillion-row mixture wants.
     """
     from pyspark.sql import Window
 
@@ -408,6 +414,20 @@ def temperature_mixture(
         s: min(int(target_total * (weights[s] / wsum)), counts[s])
         for s in sorted(counts)
     }
+    if not exact:
+        # shuffle-free scale path: keep a row iff the top 52 bits of
+        # xxhash64(key, source) fall below the source's take fraction —
+        # expected per-source counts hit the target with binomial noise,
+        # no window, no sort, no state
+        frac = F.lit(0.0)
+        for s, n in sorted(takes.items()):
+            frac = F.when(
+                F.col(source) == s, F.lit(n / max(counts[s], 1))
+            ).otherwise(frac)
+        u = (F.abs(F.xxhash64(F.col(key), F.col(source))) % F.lit(1 << 52)) / F.lit(
+            float(1 << 52)
+        )
+        return df.select(key, source).where(u < frac)
     t = F.lit(0)
     for s, n in sorted(takes.items()):
         t = F.when(F.col(source) == s, F.lit(n)).otherwise(t)

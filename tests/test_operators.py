@@ -1539,3 +1539,29 @@ def test_strip_duplicated_spans_hash_twin_matches_verbatim(spark, sf_dir):
     }
     assert a == b
     assert any(v[1] > 0 for v in a.values())  # non-degenerate
+
+
+def test_temperature_mixture_approximate_path(spark):
+    """exact=False: shuffle-free hash-threshold selection — per-source
+    counts land within binomial noise of the exact targets, the plan has
+    no Exchange/Window, and the selection is deterministic."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.quality import temperature_mixture
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, target_total=1000, tau=0.5, exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan, plan
+    by = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # exact targets: q_small = sqrt(.1)/(sqrt(.9)+sqrt(.1)) = .25 → 250
+    assert 190 <= by.get("small", 0) <= 310, by
+    assert 650 <= by.get("big", 0) <= 850, by
+    again = temperature_mixture(df, 1000, tau=0.5, exact=False)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
