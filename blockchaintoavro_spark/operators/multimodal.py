@@ -813,3 +813,64 @@ def raw_video_frame_features(
             yield pd.DataFrame(out)
 
     return _spread_ids(df, id_col).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+G711_SCHEMA = "doc_id long, law string, n_frames long, checksum long, energy long"
+
+
+def g711_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """End-to-end exercise of the G.711 µ-law/A-law WAV paths (the
+    telephony codings of speech corpora): per row, synthesize a
+    deterministic code-byte stream from the id (``64 + id%64`` codes,
+    ``code[i] = (id·7 + 13i) mod 256``; µ-law for even ids, A-law for
+    odd), wrap it in a real RIFF/WAVE container with the matching format
+    tag, decode through magic dispatch (functions/audio.py expands via
+    the ITU-T formulas), and emit the decoded sample checksum + energy.
+
+    The expansion formulas are pure integer arithmetic on the code byte,
+    so the x_g711_decode oracle recomputes them in SQL — a wrong table
+    entry, sign convention or container tag diverges the hash (the
+    audioop cross-test pins the tables; this pins the full container +
+    dispatch path under the driver-compare regime).
+
+    Scale: mapInPandas, row-local, zero shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _s
+
+        from blockchaintoavro_spark.functions.audio import (
+            sample_checksum,
+            sample_energy,
+            try_decode_audio,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "law": [], "n_frames": [],
+                "checksum": [], "energy": [],
+            }
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                tag = 7 if doc_id % 2 == 0 else 6  # µ-law / A-law
+                n = 64 + doc_id % 64
+                codes = bytes((doc_id * 7 + 13 * i) % 256 for i in range(n))
+                fmt = _s.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+                wav = (
+                    b"RIFF"
+                    + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(codes))
+                    + b"WAVE"
+                    + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                    + b"data" + _s.pack("<I", len(codes)) + codes
+                )
+                info = try_decode_audio(wav)
+                if info is None or info["n_frames"] != n:
+                    raise ValueError(f"g711 roundtrip failed for id {doc_id}")
+                out["doc_id"].append(doc_id)
+                out["law"].append("ulaw" if tag == 7 else "alaw")
+                out["n_frames"].append(n)
+                out["checksum"].append(sample_checksum(info["samples"]))
+                out["energy"].append(sample_energy(info["samples"]))
+            yield pd.DataFrame(out)
+
+    return _spread_ids(df, id_col).mapInPandas(run, schema=G711_SCHEMA)

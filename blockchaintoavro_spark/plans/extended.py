@@ -1018,6 +1018,70 @@ def x_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_g711_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             64 + doc_id % 64 AS n,
+             doc_id % 2 = 0 AS is_ulaw
+      FROM documents
+    ),
+    expanded AS (
+      SELECT doc_id, n, is_ulaw,
+             list_transform(range(n), i -> (doc_id * 7 + 13 * i) % 256) AS codes
+      FROM base
+    ),
+    samples AS (
+      SELECT doc_id, n, is_ulaw,
+             list_transform(codes, c -> CASE WHEN is_ulaw THEN
+               CASE WHEN (255 - c) >= 128 THEN
+                 -(((((255 - c) & 15) * 8 + 132) << (((255 - c) >> 4) & 7)) - 132)
+               ELSE
+                  ((((255 - c) & 15) * 8 + 132) << (((255 - c) >> 4) & 7)) - 132
+               END
+             ELSE
+               CASE WHEN xor(c, 85) >= 128 THEN
+                 CASE WHEN ((xor(c, 85) >> 4) & 7) = 0
+                      THEN (xor(c, 85) & 15) * 16 + 8
+                      ELSE ((xor(c, 85) & 15) * 16 + 264)
+                           << (((xor(c, 85) >> 4) & 7) - 1) END
+               ELSE
+                 -(CASE WHEN ((xor(c, 85) >> 4) & 7) = 0
+                        THEN (xor(c, 85) & 15) * 16 + 8
+                        ELSE ((xor(c, 85) & 15) * 16 + 264)
+                             << (((xor(c, 85) >> 4) & 7) - 1) END)
+               END
+             END) AS s
+      FROM expanded
+    )
+    SELECT doc_id,
+           CASE WHEN is_ulaw THEN 'ulaw' ELSE 'alaw' END AS law,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(list_aggregate(list_transform(range(n),
+                  i -> (i + 1) * (s[i + 1] + 32768)), 'sum')
+                % 2147483648 AS BIGINT) AS checksum,
+           CAST(list_aggregate(list_transform(s, v -> v * v), 'sum')
+                % 2147483648 AS BIGINT) AS energy
+    FROM samples ORDER BY doc_id
+    """,
+)
+def x_g711_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL G.711 µ-law/A-law WAV decode on the cluster (the telephony
+    codings of speech corpora; operators/multimodal.py:
+    g711_roundtrip_features): code bytes synthesized from the id wrap in
+    a real RIFF container with format tag 7/6, expand through the ITU-T
+    companding formulas (functions/audio.py — byte-exact vs stdlib
+    audioop), and the oracle recomputes the same expansion in SQL — a
+    wrong table entry, sign convention (A-law's is inverted) or
+    container tag diverges the hash. Row-local mapInPandas, zero
+    shuffle."""
+    from ..operators.multimodal import g711_roundtrip_features
+
+    d = t(spark, sf, "documents")
+    return g711_roundtrip_features(d).orderBy("doc_id")
+
+
+@declare(
     "x_temperature_mixture",
     oracle="""
     WITH n AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
