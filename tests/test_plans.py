@@ -654,3 +654,22 @@ def test_strip_dup_spans_single_doc_exchange(spark, sf_dir):
     assert p.count("Exchange hashpartitioning(doc_id") == 1, p
     assert p.count("Sort ") == 1, p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q10_pushes_flag_and_dates(spark, registry, sf_dir):
+    """Q10 shape: the 'R' return-flag reaches the lineitem scan, the
+    quarter range reaches the orders scan, and nation broadcasts."""
+    p = plan_of(spark, registry, "x_tpch_q10", sf_dir)
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q14_prunes_and_broadcasts_part(spark, registry, sf_dir):
+    """Q14 shape: part broadcasts with only (p_partkey, p_type) read;
+    the date range reaches the orders scan."""
+    p = plan_of(spark, registry, "x_tpch_q14", sf_dir)
+    assert "BroadcastHashJoin" in p
+    read = [l for l in p.splitlines() if "ReadSchema" in l and "p_type" in l]
+    assert read and all("p_retailprice" not in l for l in read)
+    assert "GreaterThanOrEqual(o_orderdate" in p
