@@ -932,3 +932,47 @@ def read_ocf_dataset(
                         ).to_batches()[0]
 
     return fdf.mapInArrow(task, out_schema)
+
+
+def compact_ocf_dir(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    partition_col: str | None = None,
+    codec: str = "deflate",
+) -> dict:
+    """Small-file compaction for a rotated-sink drop directory: rewrite
+    ``src``'s container files into ``dst`` sized at ~``target_mb`` per
+    file. The rotated sink legitimately produces files per (task ×
+    window) — exactly the small-file pile that throttles a 100 TB reader
+    with per-file open/seek overhead; compaction is the maintenance job
+    every file-based pipeline runs (the lakehouse OPTIMIZE analog for
+    this engine's Avro layout).
+
+    Deliberately built ONLY from the existing proven paths: the parallel
+    :func:`read_ocf_dataset` reader feeds a ``repartition(n)`` (n from
+    total input bytes / target) into :func:`write_ocf_dataset` — a NEW
+    directory, never an in-place rewrite, so a failed compaction leaves
+    the source untouched and the swap is the caller's atomic rename.
+    Returns ``{"n_in", "bytes_in", "n_out", "rows"}``.
+    """
+    pattern = (
+        os.path.join(src, f"{partition_col}=*", "*.avro")
+        if partition_col
+        else os.path.join(src, "*.avro")
+    )
+    files = sorted(glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {src}")
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-bytes_in // (target_mb << 20)))
+    df = read_ocf_dataset(spark, src, partition_col)
+    df = df.repartition(int(n_out))
+    manifest = write_ocf_dataset(df, dst, partition_col, codec=codec)
+    return {
+        "n_in": len(files),
+        "bytes_in": bytes_in,
+        "n_out": len(manifest),
+        "rows": sum(m["n_records"] for m in manifest),
+    }

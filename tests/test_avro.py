@@ -1110,3 +1110,36 @@ def test_ocf_corruption_always_raises_descriptive_valueerror(tmp_path, codec):
             read_ocf(mut)
         except ValueError:
             pass  # the one sanctioned corruption failure mode
+
+
+def test_compact_ocf_dir_merges_small_files(spark, tmp_path):
+    """Compaction: a many-small-files drop dir rewrites into few files
+    in a NEW directory with identical row content (the source is never
+    touched), and the result still reads through the parallel reader."""
+    import os as _os
+
+    from blockchaintoavro_spark.sources.avro_io import (
+        compact_ocf_dir,
+        read_ocf_dataset,
+        write_ocf_dataset,
+    )
+
+    src = str(tmp_path / "drop")
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload "), F.col("id").cast("string")).alias("text"),
+    )
+    # many tiny files: 16 tasks x 1 window
+    write_ocf_dataset(df.repartition(16), src)
+    n_src = len([f for f in _os.listdir(src) if f.endswith(".avro")])
+    assert n_src >= 8
+
+    dst = str(tmp_path / "compact")
+    stats = compact_ocf_dir(spark, src, dst, target_mb=128)
+    assert stats["n_in"] == n_src
+    assert stats["n_out"] == 1  # tiny input -> one target-sized file
+    assert stats["rows"] == 2000
+    # source untouched, content identical
+    assert len([f for f in _os.listdir(src) if f.endswith(".avro")]) == n_src
+    back = read_ocf_dataset(spark, dst)
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(2000))
