@@ -829,6 +829,25 @@ def strip_duplicated_spans(
         target_rows_per_partition=target_rows_per_partition,
         n_partitions=n_partitions,
     ).select("sub")
+    return strip_spans_against(df, dups, k, id_col, text_col, hash_only)
+
+
+def strip_spans_against(
+    df: DataFrame,
+    dups: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_only: bool = False,
+) -> DataFrame:
+    """Strip every maximal run of ``k``-char windows whose content
+    appears in ``dups`` (a one-column ``sub`` DataFrame of gram text, or
+    of xxhash64 fingerprints with ``hash_only=True``) — the decomposed
+    half of :func:`strip_duplicated_spans` for STANDING dictionaries:
+    detect once on a corpus snapshot, then scrub incoming batches (or a
+    ``foreachBatch`` stream — stripping is per-doc-local given the gram
+    set, so stream equals batch exactly; proven in
+    tests/test_streaming.py)."""
     pos = substring_positions(df, k, id_col, text_col, hash_only, with_pos=True)
     spans = pos.join(dups, "sub").select(
         id_col,

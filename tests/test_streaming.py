@@ -429,3 +429,55 @@ def test_temperature_mixture_approx_builds_on_stream(spark):
     # stateless predicate shape to a stream
     out = temperature_mixture(profile, target_total=100, tau=0.5, exact=False)
     assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_strip_spans_stream_equals_batch(spark, tmpdir):
+    """Incremental remediation: a standing duplicated-gram dictionary
+    (detected once on the corpus snapshot) scrubs a document STREAM via
+    foreachBatch — the accumulated output must equal the batch strip
+    against the same dictionary exactly (stripping is per-doc-local
+    given the gram set)."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.dedup import (
+        duplicated_substrings,
+        strip_spans_against,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    dups = duplicated_substrings(docs, k=20).select("sub").localCheckpoint()
+
+    src = f"{tmpdir}/strip_src"
+    out = f"{tmpdir}/strip_out"
+    ckpt = f"{tmpdir}/strip_ckpt"
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+
+    def apply_batch(batch, batch_id):
+        strip_spans_against(batch, dups, k=20).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_stripped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["clean_text"], r["n_stripped"])
+        for r in strip_spans_against(docs, dups, k=20).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())  # non-degenerate
