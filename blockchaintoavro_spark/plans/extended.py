@@ -1018,6 +1018,48 @@ def x_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def x_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: a correlated EXISTS whose
+    inner predicate COMPARES ACROSS RELATIONS (l_shipdate >
+    o_orderdate — the fixture's analog of Q4's commit<receipt), declared
+    through spark.sql so Catalyst's decorrelation turns it into a
+    left-semi join carrying the inequality as a join condition (no
+    per-row subquery execution, no cartesian). Priority cardinality is
+    tiny, so the final agg is one bounded-key shuffle."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@declare(
     "x_tpch_q10",
     oracle="""
     SELECT c_custkey, c_name,

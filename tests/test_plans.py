@@ -708,3 +708,12 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     n = joined.first()["n"]
     want = fact.filter(F.col("o_month").isin(months[:2])).count()
     assert n == want
+
+
+def test_tpch_q4_decorrelates_to_semi_join(spark, registry, sf_dir):
+    """The correlated EXISTS with a cross-relation inequality must
+    decorrelate into a LeftSemi join (inequality riding the join), never
+    per-row subqueries or a nested loop without the equi key."""
+    p = plan_of(spark, registry, "x_tpch_q4", sf_dir, mode="simple")
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p
