@@ -97,6 +97,26 @@ def cmd_prices(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Rewrite a rotated drop directory's small files into ~target-size
+    Avro containers (the maintenance job a long-running daemon needs:
+    file count grows with tasks x windows; readers pay per-file
+    overhead). Always writes a NEW directory — swap is the operator's
+    atomic rename."""
+    import json as _json
+
+    from .sources.avro_io import compact_ocf_dir
+
+    spark = _session(args.threads)
+    stats = compact_ocf_dir(
+        spark, args.source, args.out,
+        target_mb=args.target_mb,
+        partition_col=args.partition_col,
+    )
+    print(_json.dumps(stats))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m blockchaintoavro_spark",
@@ -124,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--source", required=True, help="csv[.gz] glob/dir")
     pr.add_argument("--out", required=True, help="prices table dir")
     pr.set_defaults(fn=cmd_prices)
+
+    co = sub.add_parser("compact", help=cmd_compact.__doc__.split("\n", 1)[0])
+    co.add_argument("--source", required=True, help=".avro drop directory")
+    co.add_argument("--out", required=True, help="NEW compacted output directory")
+    co.add_argument("--target-mb", type=int, default=128)
+    co.add_argument("--partition-col", default=None)
+    co.set_defaults(fn=cmd_compact)
     return p
 
 

@@ -56,3 +56,28 @@ def test_cli_prices_ingest(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.columns == ["ts", "priceUSD", "volumeBTC"]
     assert got.count() > 0
+
+
+def test_cli_compact_merges_drop_dir(spark, tmp_path, capsys):
+    """`compact` subcommand: many small containers rewrite into one
+    target-sized file in a new directory; stats print as one JSON line."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.sources.avro_io import (
+        read_ocf_dataset,
+        write_ocf_dataset,
+    )
+
+    src = str(tmp_path / "cli_drop")
+    out = str(tmp_path / "cli_compacted")
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    write_ocf_dataset(df.repartition(8), src)
+    rc = main(["compact", "--source", src, "--out", out])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == 500 and stats["n_out"] == 1 and stats["n_in"] >= 4
+    assert read_ocf_dataset(spark, out).count() == 500
