@@ -143,7 +143,7 @@ def bench_round5_operators(spark) -> dict:
     results: dict[str, dict] = {
         "chunk_chars": {}, "dup_substrings_hash": {},
         "dup_substrings_hash_two_shuffle": {},
-        "strip_dup_spans": {}, "zorder_by": {},
+        "strip_dup_spans": {}, "strip_dup_spans_hash": {}, "zorder_by": {},
         "bpe_pair_counts": {}, "validate_rules": {},
     }
     for mult in SCALES:
@@ -182,6 +182,15 @@ def bench_round5_operators(spark) -> dict:
         )
         results["strip_dup_spans"][key] = {"rows_in": n_docs, "stripped_docs": n, "sec": sec}
         print(f"strip_dup_spans {n_docs} -> {n} docs touched in {sec}s", flush=True)
+
+        n, sec = timed(
+            strip_duplicated_spans(docs, k=20, hash_only=True)
+            .filter("n_stripped > 0").count
+        )
+        results["strip_dup_spans_hash"][key] = {
+            "rows_in": n_docs, "stripped_docs": n, "sec": sec,
+        }
+        print(f"strip_dup_spans[hash] {n_docs} -> {n} in {sec}s", flush=True)
 
         # r6: z-order clustering of the corpus on (doc_id, length)
         from blockchaintoavro_spark.operators.layout import zorder_by
