@@ -240,10 +240,16 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 1) -> byt
     )
 
 
-def decode_bmp(data: bytes) -> dict:
+def decode_bmp(data: bytes, expand_palette: bool = False) -> dict:
     """BMP (BITMAPINFOHEADER, uncompressed 8/24/32 bpp) →
     ``{format, width, height, channels, pixels}`` with rows returned
-    top-down regardless of on-disk orientation."""
+    top-down regardless of on-disk orientation.
+
+    8 bpp returns palette INDICES as pixels by default (the documented
+    historical contract); ``expand_palette=True`` looks each index up in
+    the color table that follows the header (BGRA entries) and returns
+    3-channel BGR like the 24 bpp path — what indexed screenshots/icons
+    in a crawl need (r6; the PNG/GIF decoders already expand)."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP (bad signature)")
     if len(data) < 54:
@@ -274,12 +280,28 @@ def decode_bmp(data: bytes) -> dict:
         rows.append(row)
     if not top_down:
         rows.reverse()  # stored bottom-up: normalize to top-down
+    out = b"".join(rows)
+    if bpp == 8 and expand_palette:
+        # color table: biClrUsed entries (0 → 2^8) of BGRA directly
+        # after the info header (and before any gap to the pixel offset)
+        n_colors = struct.unpack("<I", data[46:50])[0] or 256
+        tab_off = 14 + hdrsize
+        table = data[tab_off : tab_off + 4 * n_colors]
+        if len(table) < 4 * n_colors:
+            raise ValueError("truncated BMP color table")
+        expanded = bytearray(w * h * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_colors:
+                raise ValueError(f"BMP palette index {idx} out of range")
+            expanded[3 * i : 3 * i + 3] = table[4 * idx : 4 * idx + 3]
+        out = bytes(expanded)
+        channels = 3
     return {
         "format": "bmp",
         "width": w,
         "height": h,
         "channels": channels,
-        "pixels": b"".join(rows),
+        "pixels": out,
     }
 
 

@@ -1095,3 +1095,37 @@ def test_we_read_imageio_written_16bit_png(spark):
     info = decode_png(raw)
     assert (info["width"], info["height"], info["channels"]) == (w, h, 1)
     assert list(info["pixels"]) == [v >> 8 for v in vals]
+
+
+def test_bmp_palette_expansion(spark):
+    """expand_palette=True resolves 8bpp indices through the BGRA color
+    table to BGR pixels (cross-validated against an ImageIO-written
+    indexed BMP); the default keeps the historical index contract."""
+    import os
+    import tempfile
+
+    jvm = spark.sparkContext._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    w, h = 7, 5
+    img = BI(w, h, BI.TYPE_BYTE_INDEXED)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (x * 37) % 256, (y * 53) % 256, ((x + y) * 29) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    d = tempfile.mkdtemp(prefix="bmp8_")
+    p = os.path.join(d, "i.bmp")
+    jvm.javax.imageio.ImageIO.write(img, "bmp", jvm.java.io.File(p))
+    raw = open(p, "rb").read()
+    assert struct.unpack("<H", raw[28:30])[0] == 8  # really 8bpp
+
+    idx = decode_bmp(raw)
+    assert idx["channels"] == 1  # default: index contract unchanged
+    exp = decode_bmp(raw, expand_palette=True)
+    assert exp["channels"] == 3
+    back = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    for y in range(h):
+        for x in range(w):
+            argb = back.getRGB(x, y) & 0xFFFFFF
+            o = (y * w + x) * 3
+            bgr = exp["pixels"][o : o + 3]  # BGR like the 24bpp path
+            assert (bgr[2] << 16) | (bgr[1] << 8) | bgr[0] == argb, (x, y)
