@@ -279,8 +279,12 @@ def test_jpeg_flat_block_roundtrip_exact():
 @settings(max_examples=40, deadline=None)
 def test_jpeg_quant1_roundtrip_property(w, h, channels, seed):
     """quant=1 on ARBITRARY images (incl. non-multiple-of-8 dims → edge
-    block padding + crop): reconstruction within ±1 per sample (the only
-    loss left is DCT-coefficient rounding)."""
+    block padding + crop): reconstruction within ±2 per sample. The loss
+    is DCT-coefficient rounding; quantize-round and IDCT-round can stack
+    in the same direction, so ±1 was empirically WRONG — hypothesis
+    found a ±2 example (pinned below) that reproduces identically on
+    every prior version of the codec. Flat-block EXACTNESS (the oracle
+    contract) is a separate test and unaffected."""
     import random
 
     from blockchaintoavro_spark.functions.jpeg import decode_jpeg, encode_jpeg
@@ -289,7 +293,21 @@ def test_jpeg_quant1_roundtrip_property(w, h, channels, seed):
     px = bytes(rnd.randrange(256) for _ in range(w * h * channels))
     dec = decode_jpeg(encode_jpeg(w, h, px, channels, quant=1))
     assert (dec["width"], dec["height"], dec["channels"]) == (w, h, channels)
-    assert max(abs(a - b) for a, b in zip(px, dec["pixels"])) <= 1
+    assert max(abs(a - b) for a, b in zip(px, dec["pixels"])) <= 2
+
+
+def test_jpeg_quant1_error2_regression():
+    """The hypothesis-found double-rounding boundary (w=10, h=2, seed
+    154): error is exactly 2, stable, and identical on the pre-round-6
+    codec — pinned so the tolerance above stays honest."""
+    import random
+
+    from blockchaintoavro_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rnd = random.Random(154)
+    px = bytes(rnd.randrange(256) for _ in range(10 * 2))
+    dec = decode_jpeg(encode_jpeg(10, 2, px, 1, quant=1))
+    assert max(abs(a - b) for a, b in zip(px, dec["pixels"])) == 2
 
 
 def test_jpeg_coarse_quant_still_decodes():
