@@ -436,6 +436,12 @@ def decode_jpeg(data: bytes) -> dict:
         if data[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
         marker = data[pos + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker — skip one and re-read (r6 ADVICE: treating 0xFF as
+            # a marker code mis-parsed conformant encoder output)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break
@@ -673,6 +679,10 @@ def _decode_progressive(data: bytes) -> dict:
         if data[pos] != 0xFF:
             raise ValueError("JPEG: expected marker")
         marker = data[pos + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2 fill bytes before a marker (r6 ADVICE)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break

@@ -108,6 +108,23 @@ def train_bpe(
     """
     vocab = vocab.localCheckpoint(eager=True)  # materialize once, n_merges re-scans
     merges: list[tuple[str, str]] = []
+    try:
+        return _train_bpe_loop(vocab, n_merges, min_count, merges)
+    finally:
+        # the merge list is the model — the checkpointed vocab blocks are
+        # dead once training returns; free them instead of leaking one
+        # vocab-sized block set per training call into storage memory
+        from ..session import release_local_checkpoint
+
+        release_local_checkpoint(vocab)
+
+
+def _train_bpe_loop(
+    vocab: DataFrame,
+    n_merges: int,
+    min_count: int,
+    merges: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
     for _ in range(n_merges):
         sym = _symbols_df(vocab, merges)
         pairs = F.when(

@@ -16,11 +16,14 @@ for LLM-data pipelines, each designed to avoid O(n²) work at 100 TB.
 
 from __future__ import annotations
 
+import os as _os
+
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at module scope
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..session import release_local_checkpoint
 
 # Mersenne prime 2^31-1: universal-hash modulus. Kept at 31 bits so
 # (a*h + b) stays within a signed 64-bit long — Spark 4 runs ANSI mode by
@@ -318,6 +321,7 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("_nl"))
         )
+        superseded = labels
         labels = (
             labels.join(
                 nbr_min.select(F.col("src").alias("node"), "_nl"),
@@ -332,13 +336,21 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
+        # the new checkpoint is eager + lineage-truncated, so the prior
+        # round's blocks are dead weight from here — free them now
+        # instead of leaking one node-set per round into storage memory
+        # for the session's lifetime (r6 bench-drift suspect)
+        release_local_checkpoint(superseded)
         cur = checksum(labels)
         if cur == prev:
+            release_local_checkpoint(sym)
             return labels.select(
                 F.col("node").alias(id_out),
                 F.col("label").alias("cluster_id"),
             )
         prev = cur
+    release_local_checkpoint(sym)
+    release_local_checkpoint(labels)
     raise RuntimeError(
         f"dedup_clusters did not converge in {max_iterations} rounds"
     )
@@ -647,13 +659,42 @@ _SUBSTRING_ROWS_PER_PARTITION = 1_000_000
 _SUBSTRING_MAX_PARTITIONS = 32_768
 
 
-# (semanticHash(plan), text_col, k) → summed window count. The sizing
-# estimate is one shuffle-free pass over text lengths; memoizing it
-# means composite operators (substring_dup_counts, strip_duplicated_
-# spans) that size several stages over the SAME input pay for it once,
-# and repeated interactive calls don't re-scan. Bounded: estimates are
-# 8-byte ints and sessions see few distinct inputs.
+# (semanticHash(plan), data fingerprint, text_col, k) → summed window
+# count. The sizing estimate is one shuffle-free pass over text
+# lengths; memoizing it means composite operators (substring_dup_
+# counts, strip_duplicated_spans) that size several stages over the
+# SAME input pay for it once, and repeated interactive calls don't
+# re-scan. Bounded: estimates are 8-byte ints and sessions see few
+# distinct inputs. semanticHash alone is NOT a safe key for file
+# sources — the same path's data can grow within a session while the
+# plan hash stays constant, silently under-sizing the gram shuffle
+# (r6 ADVICE) — so the key also folds in the input file listing plus
+# each file's (size, mtime) where statable.
 _SUBSTRING_EST_CACHE: dict[tuple, int] = {}
+
+
+def _input_fingerprint(df: DataFrame) -> int:
+    """Cheap content fingerprint of a DataFrame's file inputs: hash of
+    the sorted file listing plus per-file (size, mtime) for locally
+    statable paths (remote URIs contribute name-only — new/removed
+    files still invalidate). Metadata-only, no Spark job. In-memory
+    DataFrames return 0: their data cannot drift under an unchanged
+    semanticHash, so the plan hash alone remains sound for them."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not files:
+        return 0
+    parts = []
+    for f in sorted(files):
+        local = f[7:] if f.startswith("file://") else f
+        try:
+            st = _os.stat(local)
+            parts.append((f, st.st_size, st.st_mtime_ns))
+        except OSError:
+            parts.append((f, -1, -1))
+    return hash(tuple(parts))
 
 
 def _substring_shuffle_partitions(
@@ -677,7 +718,7 @@ def _substring_shuffle_partitions(
         # session sizing (micro-batch volumes are bounded anyway)
         return default
     try:
-        cache_key = (df.semanticHash(), text_col, k)
+        cache_key = (df.semanticHash(), _input_fingerprint(df), text_col, k)
     except Exception:
         cache_key = None
     if cache_key is not None and cache_key in _SUBSTRING_EST_CACHE:

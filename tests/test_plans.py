@@ -717,3 +717,38 @@ def test_tpch_q4_decorrelates_to_semi_join(spark, registry, sf_dir):
     p = plan_of(spark, registry, "x_tpch_q4", sf_dir, mode="simple")
     assert "LeftSemi" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_substring_sizing_cache_tracks_data_growth(spark, tmp_path):
+    """r6 ADVICE regression: the memoized sizing estimate must not go
+    stale when the SAME source path's data grows within a session —
+    semanticHash(plan) is identical for both reads, so the cache key
+    also folds in the input file listing + (size, mtime)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.dedup import (
+        _substring_shuffle_partitions,
+    )
+
+    path = str(tmp_path / "docs")
+    base = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("y" * 40), F.col("id").cast("string")).alias("text"),
+    )
+    base.write.mode("overwrite").parquet(path)
+    first = _substring_shuffle_partitions(
+        spark.read.parquet(path), k=20, text_col="text", target_rows=10
+    )
+
+    # 40× more data lands at the same path (new files: the append case)
+    spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("y" * 40), F.col("id").cast("string")).alias("text"),
+    ).write.mode("append").parquet(path)
+    time.sleep(0.01)
+    second = _substring_shuffle_partitions(
+        spark.read.parquet(path), k=20, text_col="text", target_rows=10
+    )
+    assert second > first, (first, second)
