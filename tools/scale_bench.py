@@ -218,6 +218,67 @@ def bench_round5_operators(spark) -> dict:
     return results
 
 
+def bench_round7_operators(spark) -> dict:
+    """Round-7 additions (r6 VERDICT #2+#3): the sorted-gram
+    suffix-array-flavored substring-dedup plan vs the Catalyst hash
+    plan, at the same scales.
+
+    - dup_substrings_sorted: detection via packed sorted fingerprint
+      runs (one small Exchange) — compare against dup_substrings_hash.
+    - strip_dup_spans_sorted: detection + size-gated broadcast
+      dictionary + doc-local strip (zero per-position shuffle rows) —
+      this is also what plan='auto' (the default for hash_only) runs,
+      so strip_dup_spans_hash above now records the same physical plan;
+      strip_dup_spans_catalyst_hash preserves the r6 Catalyst shape for
+      round-over-round comparison.
+    """
+    from blockchaintoavro_spark.operators.dedup import (
+        duplicated_substrings,
+        strip_duplicated_spans,
+    )
+
+    results: dict[str, dict] = {
+        "dup_substrings_sorted": {},
+        "strip_dup_spans_sorted": {},
+        "strip_dup_spans_catalyst_hash": {},
+    }
+    for mult in SCALES:
+        docs = scaled_documents(spark, mult)
+        n_docs = docs.count()
+        key = str(n_docs)
+
+        n, sec = timed(
+            duplicated_substrings(
+                docs, k=20, hash_only=True, plan="sorted_gram"
+            ).count
+        )
+        results["dup_substrings_sorted"][key] = {
+            "rows_in": n_docs, "dups": n, "sec": sec,
+        }
+        print(f"dup_substrings[sorted] {n_docs} -> {n} in {sec}s", flush=True)
+
+        n, sec = timed(
+            lambda: strip_duplicated_spans(
+                docs, k=20, hash_only=True, plan="sorted_gram"
+            ).filter("n_stripped > 0").count()
+        )
+        results["strip_dup_spans_sorted"][key] = {
+            "rows_in": n_docs, "stripped_docs": n, "sec": sec,
+        }
+        print(f"strip_dup_spans[sorted] {n_docs} -> {n} in {sec}s", flush=True)
+
+        n, sec = timed(
+            lambda: strip_duplicated_spans(
+                docs, k=20, hash_only=True, plan="catalyst"
+            ).filter("n_stripped > 0").count()
+        )
+        results["strip_dup_spans_catalyst_hash"][key] = {
+            "rows_in": n_docs, "stripped_docs": n, "sec": sec,
+        }
+        print(f"strip_dup_spans[catalyst,hash] {n_docs} -> {n} in {sec}s", flush=True)
+    return results
+
+
 def bench_ocf_split(spark) -> dict:
     """One large multi-block OCF file: whole-file single InputPartition vs
     sync-marker-aligned byte-range splits (sources/avro_datasource.py)."""
@@ -290,6 +351,7 @@ def main() -> None:
         "scales": SCALES,
         "operators": bench_operators(spark),
         "round5_operators": bench_round5_operators(spark),
+        "round7_operators": bench_round7_operators(spark),
         "ocf_split": bench_ocf_split(spark),
     }
     dest = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_BENCH.json")
