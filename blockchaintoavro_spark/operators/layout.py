@@ -20,16 +20,31 @@ z-ordering), re-expressed as plain DataFrame ops:
   ``sortWithinPartitions`` so row groups inside each file are tight
   too.
 
-Equi-width buckets keep the key computable without a quantile pass;
-heavily skewed columns still prune correctly (min/max stats are exact)
-but balance less evenly — pass more ``bits`` or pre-transform (log) a
-skewed column if file sizes matter more than simplicity.
+Two bucketing modes (r6 VERDICT #4):
+
+- ``buckets="width"`` (default): equi-width codes from a one-pass
+  min/max aggregate — key computable without a quantile pass; heavily
+  skewed columns still prune correctly (min/max stats are exact) but a
+  dense value region collapses into few codes, so range queries inside
+  it stop pruning.
+- ``buckets="quantile"``: equi-depth codes from one bounded
+  ``approxQuantile`` pass per column (driver-side model parameters,
+  same pattern as the min/max pass). Every code covers ~equal row
+  mass, so the dense region subdivides and stays selective — the safe
+  choice for the skewed keys (user ids, hot days) a 100 TB layout job
+  actually clusters on. Code lookup is a vectorized
+  ``np.searchsorted`` pandas UDF (an O(log n) binary search per value;
+  a Catalyst expression over thousands of split literals would blow up
+  codegen) — acceptable on the maintenance path, and the Morton
+  interleave stays pure Catalyst either way.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def equiwidth_bucket(col: Column, lo: float, hi: float, bits: int) -> Column:
@@ -67,12 +82,69 @@ def morton_interleave(buckets: list[Column], bits: int) -> Column:
     return out
 
 
+def equidepth_bucket(col: Column, splits: list[float]) -> Column:
+    """Value → its equi-depth bucket index: the count of split
+    boundaries ≤ value, found by vectorized binary search over the
+    (sorted) boundary list riding the UDF closure. NULLs bucket to 0,
+    matching :func:`equiwidth_bucket`'s clamp semantics."""
+    import numpy as np
+
+    bounds = np.asarray(splits, dtype=np.float64)
+
+    @pandas_udf("long")
+    def bucket(s: pd.Series) -> pd.Series:
+        v = pd.to_numeric(s, errors="coerce").to_numpy(dtype=np.float64)
+        idx = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        idx[np.isnan(v)] = 0
+        return pd.Series(idx)
+
+    return bucket(col)
+
+
+def equidepth_splits(
+    df: DataFrame,
+    cols: list[str],
+    bits: int,
+    relative_error: float | None = None,
+) -> dict[str, list[float]]:
+    """Per-column equi-depth boundaries: one bounded ``approxQuantile``
+    pass over all columns at once (2**bits - 1 probabilities each —
+    driver-side model parameters, never data). The default sketch
+    error is ``1/(4·2**bits)`` so adjacent codes stay distinguishable;
+    that makes the pass cost grow with ``bits`` — quantile mode wants
+    modest widths (8-12 bits ≈ 256-4096 codes, plenty for file-level
+    clustering), not the 16-bit default that equi-width gets for free.
+    Ties in heavy-hitter values collapse adjacent boundaries; the
+    affected codes just carry that value's full mass, which is the
+    best any ordering can do."""
+    n = 1 << bits
+    if relative_error is None:
+        relative_error = max(1.0 / (4 * n), 1e-5)
+    probs = [i / n for i in range(1, n)]
+    quantiles = df.stat.approxQuantile(cols, probs, relative_error)
+    return dict(zip(cols, quantiles))
+
+
 def zorder_key(
-    df: DataFrame, cols: list[str], bits: int = 16
+    df: DataFrame, cols: list[str], bits: int = 16, buckets: str = "width"
 ) -> tuple[Column, dict]:
-    """The Morton key expression for ``cols`` plus the per-column
-    ``(min, max)`` domains it was built from (one aggregate pass,
-    driver-side scalars)."""
+    """The Morton key expression for ``cols`` plus the model it was
+    built from: per-column ``(min, max)`` domains (``buckets="width"``,
+    one aggregate pass) or per-column quantile boundaries
+    (``buckets="quantile"``, one ``approxQuantile`` pass — use for
+    skewed columns; see the module docstring). Both models are bounded
+    driver-side scalars."""
+    if buckets == "quantile":
+        splits = equidepth_splits(df, cols, bits)
+        for c, s in splits.items():
+            if not s:
+                raise ValueError(
+                    f"cannot z-order on column {c!r}: no non-NULL values"
+                )
+        codes = [equidepth_bucket(F.col(c), splits[c]) for c in cols]
+        return morton_interleave(codes, bits), splits
+    if buckets != "width":
+        raise ValueError(f"unknown zorder bucket mode {buckets!r}")
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
@@ -86,15 +158,19 @@ def zorder_key(
     # NULL values bucket to 0 (the greatest(NULL, 0) clamp), i.e. they
     # co-cluster with the column's minimum — documented behavior; filter
     # or impute first if NULLs should live elsewhere
-    buckets = [
+    buckets_ = [
         equiwidth_bucket(F.col(c), float(lo), float(hi), bits)
         for c, (lo, hi) in domains.items()
     ]
-    return morton_interleave(buckets, bits), domains
+    return morton_interleave(buckets_, bits), domains
 
 
 def zorder_by(
-    df: DataFrame, cols: list[str], n_files: int, bits: int = 16
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    buckets: str = "width",
 ) -> DataFrame:
     """Rows re-clustered on the Z-curve over ``cols`` into ``n_files``
     contiguous key ranges (write the result with a plain
@@ -106,8 +182,9 @@ def zorder_by(
     partitioning), on top of the min/max pass — i.e. layout maintenance
     reads the input ~3×, which is the same order as the lakehouse
     OPTIMIZE jobs this mirrors; run it on compacted batches, not per
-    micro-batch."""
-    key, _ = zorder_key(df, cols, bits)
+    micro-batch. ``buckets="quantile"`` switches to equi-depth codes
+    for skewed columns (module docstring)."""
+    key, _ = zorder_key(df, cols, bits, buckets)
     tagged = df.withColumn("_zkey", key)
     return (
         tagged.repartitionByRange(n_files, "_zkey")

@@ -383,17 +383,30 @@ def temperature_mixture(
     as the md5-order prefix so re-runs and any partitioning choose the
     identical subset.
 
-    Per-source counts are one tiny aggregate collected to the driver
-    (#sources rows — model parameters, not data); the take counts use
-    ``floor`` (not ``round``) so the DuckDB oracle's half-rounding
-    convention can't diverge. Selection is one per-source window
-    (row_number over the md5 shuffle) — same single-keyed-shuffle shape
-    as budget_mixture, and the same scale ceiling: each source ranks in
-    one task, so the cost is the LARGEST source. At 100 TB use
-    ``exact=False``: rows are kept where their md5 falls below the
-    source's take fraction — a shuffle-free, state-free scan whose
-    per-source counts are binomially distributed around the target
-    (±√n) instead of exact, which is what a trillion-row mixture wants.
+    Per-source/bucket counts are one tiny aggregate collected to the
+    driver (#sources × 4096 rows — model parameters, not data); the
+    take counts use ``floor`` (not ``round``) so the DuckDB oracle's
+    half-rounding convention can't diverge.
+
+    Exact selection without the largest-source ceiling (r6 VERDICT #5):
+    the md5 order statistic is located with a PREFIX-BUCKET histogram
+    instead of ranking whole sources. Each row's first 12 md5 bits name
+    one of 4096 buckets; one aggregate pass counts (source, bucket)
+    cells, and the driver finds per source the boundary bucket that
+    contains its ``takes[s]``-th element. Everything BELOW the boundary
+    is kept by a pure filter — no sort, no window, no per-source task —
+    and only the boundary-bucket sliver (~1/4096 of each source) is
+    ranked, in one tiny window. The earlier shape ranked EVERY row with
+    ``row_number`` partitioned by source, so the largest source ran in
+    one task; now the heavy path is a scan + filter and the plan holds
+    at any source size. Output is row-for-row identical (both select
+    the md5-order prefix; bucket order is md5-prefix order).
+
+    ``exact=False`` remains the cheapest path: rows are kept where
+    their xxhash64 falls below the source's take fraction — a
+    shuffle-free, state-free scan whose per-source counts are
+    binomially distributed around the target (±√n) instead of exact —
+    for mixtures where the aggregate pass itself is unwanted.
     """
     from pyspark.sql import Window
 
@@ -401,10 +414,19 @@ def temperature_mixture(
     # a NULL never matches any budget) — and would otherwise break the
     # sorted() driver math
     df = df.filter(F.col(source).isNotNull())
-    counts = {
-        r[source]: r["n"]
-        for r in df.groupBy(source).agg(F.count("*").alias("n")).collect()
-    }
+    n_buckets = 4096
+    h = F.md5(F.col(key).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    cells = (
+        df.groupBy(F.col(source).alias("_s"), bucket.alias("_b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    counts: dict = {}
+    per_bucket: dict = {}
+    for r in cells:
+        counts[r["_s"]] = counts.get(r["_s"], 0) + r["n"]
+        per_bucket[(r["_s"], r["_b"])] = r["n"]
     if not counts:
         return df.select(key, source)  # empty in, empty out
     total = sum(counts.values())
@@ -428,16 +450,39 @@ def temperature_mixture(
             float(1 << 52)
         )
         return df.select(key, source).where(u < frac)
-    t = F.lit(0)
-    for s, n in sorted(takes.items()):
-        t = F.when(F.col(source) == s, F.lit(n)).otherwise(t)
-    h = F.md5(F.col(key).cast("string"))
+    # driver threshold merge: per source, walk the bucket histogram to
+    # the boundary bucket holding the takes[s]-th element
+    boundary: dict = {}  # source -> (boundary_bucket, remainder_in_it)
+    for s in sorted(takes):
+        need = takes[s]
+        b = 0
+        while need > 0 and b < n_buckets:
+            in_b = per_bucket.get((s, b), 0)
+            if in_b >= need:
+                break
+            need -= in_b
+            b += 1
+        boundary[s] = (b if need > 0 else -1, need)
+    below = F.lit(-1)
+    edge = F.lit(-1)
+    rem = F.lit(0)
+    for s in sorted(boundary):
+        b, r = boundary[s]
+        below = F.when(F.col(source) == s, F.lit(b)).otherwise(below)
+        edge = F.when(
+            F.col(source) == s, F.lit(b if r > 0 else -1)
+        ).otherwise(edge)
+        rem = F.when(F.col(source) == s, F.lit(r)).otherwise(rem)
+    tagged = df.select(F.col(key), F.col(source), bucket.alias("_b"))
+    bulk = tagged.where(F.col("_b") < below).select(key, source)
     w = Window.partitionBy(source).orderBy(h, key)
-    return (
-        df.select(F.col(key), F.col(source), F.row_number().over(w).alias("_rn"))
-        .where(F.col("_rn") <= t)
+    sliver = (
+        tagged.where(F.col("_b") == edge)
+        .select(F.col(key), F.col(source), F.row_number().over(w).alias("_rn"))
+        .where(F.col("_rn") <= rem)
         .select(key, source)
     )
+    return bulk.unionAll(sliver)
 
 
 # ---------------------------------------------------------------------------

@@ -114,3 +114,80 @@ def test_morton_guard_and_null_domain(spark):
     got = {r["id"]: r["k"] for r in mixed.select("id", key.alias("k")).collect()}
     assert got[0] == got[1] == 0  # NULL clusters with the minimum
     assert got[2] == 15
+
+
+def test_zorder_quantile_buckets_on_skewed_column(spark):
+    """r6 VERDICT #4: equi-depth codes keep a SKEWED column selective.
+    95% of rows live in a dense value region ([0, 1000)) with a long
+    sparse tail to ~10^9; equi-width 8-bit codes collapse the whole
+    dense region into code 0, so a range query inside it intersects
+    most files — quantile codes subdivide the region, files stay
+    row-balanced, and the same query prunes the vast majority of
+    files. Both modes keep exact min/max stats, so pruning is always
+    CORRECT; this asserts it stays EFFECTIVE."""
+    n, files = 20_000, 16
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 20 < 19, (F.col("id") * 37) % 1000)
+        .otherwise(F.col("id") * 50_000)
+        .cast("double")
+        .alias("x"),
+        ((F.col("id") * 13) % 997).cast("double").alias("y"),
+    )
+
+    def file_stats(z):
+        return (
+            z.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                F.min("x").alias("lo"),
+                F.max("x").alias("hi"),
+                F.count("*").alias("cnt"),
+            )
+            .collect()
+        )
+
+    def hits(stats, lo, hi):
+        return sum(1 for r in stats if r["hi"] >= lo and r["lo"] <= hi)
+
+    sw = file_stats(zorder_by(df, ["x", "y"], n_files=files, bits=8))
+    sq = file_stats(
+        zorder_by(df, ["x", "y"], n_files=files, bits=8, buckets="quantile")
+    )
+    assert sum(r["cnt"] for r in sw) == sum(r["cnt"] for r in sq) == n
+
+    # row balance: quantile files stay within 3x of the ideal share
+    ideal = n / files
+    assert max(r["cnt"] for r in sq) < 3 * ideal, sorted(
+        r["cnt"] for r in sq
+    )
+
+    # a 5%-wide range query inside the dense region: equi-width codes
+    # cannot separate it (code 0 spans the whole region → every file
+    # hits), quantile codes prune — at most half the files (a 5% x-slab
+    # crossed with the full y extent legitimately clips several 2-D
+    # z-blobs; the win is the difference, not zero hits)
+    dense_hits_w = hits(sw, 100.0, 150.0)
+    dense_hits_q = hits(sq, 100.0, 150.0)
+    assert dense_hits_w >= files - 2, dense_hits_w  # width: ~no pruning
+    assert dense_hits_q <= files // 2, (dense_hits_q, dense_hits_w)
+    assert dense_hits_q < dense_hits_w
+
+    # and the sparse tail still prunes under both modes
+    assert hits(sq, 4.9e8, 5.1e8) <= files // 2
+
+
+def test_equidepth_bucket_nulls_and_model(spark):
+    """NULLs bucket to 0 (equiwidth parity) and the returned model is
+    the per-column boundary list — bounded driver-side scalars."""
+    from blockchaintoavro_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)],
+        "id long, a double",
+    )
+    key, model = zorder_key(df, ["a"], bits=2, buckets="quantile")
+    assert set(model) == {"a"} and len(model["a"]) == 3
+    got = {r["id"]: r["k"] for r in df.select("id", key.alias("k")).collect()}
+    assert got[0] == 0  # NULL clusters with the minimum
+    assert got[1] < got[4]  # monotone codes

@@ -237,15 +237,36 @@ def bench_round7_operators(spark) -> dict:
         strip_duplicated_spans,
     )
 
+    from blockchaintoavro_spark.operators.quality import temperature_mixture
+
     results: dict[str, dict] = {
         "dup_substrings_sorted": {},
         "strip_dup_spans_sorted": {},
         "strip_dup_spans_catalyst_hash": {},
+        "temperature_mixture_exact": {},
     }
     for mult in SCALES:
         docs = scaled_documents(spark, mult)
         n_docs = docs.count()
         key = str(n_docs)
+
+        # r6 VERDICT #5: exact temperature selection via the
+        # prefix-bucket histogram — heavy path is scan+filter, only the
+        # boundary sliver ranks; skewed 3-source split (~70/25/5%)
+        src = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 20 == 0, "small")
+            .when(F.col("doc_id") % 4 == 0, "mid")
+            .otherwise("large")
+            .alias("source"),
+        )
+        n, sec = timed(
+            temperature_mixture(src, target_total=n_docs // 2, tau=0.5).count
+        )
+        results["temperature_mixture_exact"][key] = {
+            "rows_in": n_docs, "selected": n, "sec": sec,
+        }
+        print(f"temperature_mixture[exact] {n_docs} -> {n} in {sec}s", flush=True)
 
         n, sec = timed(
             duplicated_substrings(
