@@ -408,5 +408,15 @@ def pixel_checksum(pixels: bytes) -> int:
     weighted byte sum ``Σ (i+1)·b_i  mod 2^31``. Weighted so a pixel
     permutation changes the value, but still plain SUM arithmetic — an
     SQL oracle can recompute it without any image code (the property
-    the declared x_png_decode query's DuckDB twin relies on)."""
-    return sum((i + 1) * b for i, b in enumerate(pixels)) % (1 << 31)
+    the declared x_png_decode query's DuckDB twin relies on). One
+    vectorized dot product (exact: values < 2^63 for any image below
+    ~180 M bytes; the int64 bound guards the claim)."""
+    import numpy as np
+
+    b = np.frombuffer(pixels, dtype=np.uint8)
+    if b.size == 0:
+        return 0
+    if b.size > 100_000_000:
+        return sum((i + 1) * v for i, v in enumerate(pixels)) % (1 << 31)
+    w = np.arange(1, b.size + 1, dtype=np.int64)
+    return int(np.dot(w, b.astype(np.int64))) % (1 << 31)

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import functools as _functools
 import math
+import re as _re
 import struct
 
 # ---------------------------------------------------------------------------
@@ -121,9 +122,17 @@ _B = [
 ]
 
 
+class _HuffTable(dict):
+    """Canonical Huffman decode dict plus its flat fast-path LUT (the
+    dict walk remains for the progressive decoder's bit-level control
+    flow; the baseline hot loop indexes ``fast_lut``)."""
+
+    __slots__ = ("fast_lut",)
+
+
 @_functools.lru_cache(maxsize=64)
 def _build_decode_table_cached(counts: tuple, symbols: tuple) -> dict:
-    table = {}
+    table = _HuffTable()
     code = 0
     k = 0
     for length in range(1, 17):
@@ -132,6 +141,7 @@ def _build_decode_table_cached(counts: tuple, symbols: tuple) -> dict:
             code += 1
             k += 1
         code <<= 1
+    table.fast_lut = _build_fast_lut_cached(counts, symbols)
     return table
 
 
@@ -141,6 +151,92 @@ def _build_decode_table(counts: list[int], symbols: list[int]) -> dict:
     reuse the Annex-K tables, and rebuilding per file dominated the
     profile of bulk decode (the cached dict is read-only downstream)."""
     return _build_decode_table_cached(tuple(counts), tuple(symbols))
+
+
+@_functools.lru_cache(maxsize=64)
+def _build_fast_lut_cached(counts: tuple, symbols: tuple) -> list:
+    """Flat 2^16-entry Huffman lookup: ``lut[next16bits]`` →
+    ``(symbol << 5) | code_length`` (0 = invalid). One list index
+    replaces the bit-at-a-time walk of ``decode_huffman`` — the walk
+    was 68% of baseline decode time (r6 VERDICT #7). Built once per
+    DISTINCT table (bulk corpora reuse the Annex-K tables, so this
+    amortizes to nothing) with C-speed slice fills."""
+    lut = [0] * (1 << 16)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            entry = (symbols[k] << 5) | length
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = [entry] * (hi - lo)
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+class _FastBits:
+    """MSB-first bit reader over a PRE-CLEANED entropy segment (FF00
+    stuffing removed, no markers — see ``_entropy_segments``), padded
+    with 1-bits past the end per T.81. Invariant: ``acc`` holds exactly
+    the low ``bits`` unread bits, so peeks are two int ops."""
+
+    __slots__ = ("d", "n", "pos", "acc", "bits")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.n = len(d)
+        self.pos = 0
+        self.acc = 0
+        self.bits = 0
+
+    def peek16(self) -> int:
+        while self.bits < 16:
+            self.acc = (self.acc << 8) | (
+                self.d[self.pos] if self.pos < self.n else 0xFF
+            )
+            self.pos += 1
+            self.bits += 8
+        return (self.acc >> (self.bits - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self.bits -= k
+        self.acc &= (1 << self.bits) - 1
+
+    def receive(self, k: int) -> int:
+        if k == 0:
+            return 0
+        while self.bits < k:
+            self.acc = (self.acc << 8) | (
+                self.d[self.pos] if self.pos < self.n else 0xFF
+            )
+            self.pos += 1
+            self.bits += 8
+        self.bits -= k
+        v = self.acc >> self.bits
+        self.acc &= (1 << self.bits) - 1
+        return v
+
+
+def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], list[int]]:
+    """Split one scan's entropy-coded data into restart segments, each
+    FF00-unstuffed, plus the RSTn numbers between them — all with
+    C-speed bytes ops (regex scan + ``replace``) instead of the
+    per-byte Python loop the bit reader used to run. Entropy data
+    cannot contain a bare FF except stuffing/markers, so the first
+    FF-followed-by-neither-00-nor-RSTn ends the scan exactly."""
+    end = _skip_to_marker(data, start)
+    chunk = data[start:end]
+    parts: list[bytes] = []
+    markers: list[int] = []
+    prev = 0
+    for m in _re.finditer(rb"\xff([\xd0-\xd7])", chunk):
+        parts.append(chunk[prev : m.start()].replace(b"\xff\x00", b"\xff"))
+        markers.append(m.group(1)[0] - 0xD0)
+        prev = m.end()
+    parts.append(chunk[prev:].replace(b"\xff\x00", b"\xff"))
+    return parts, markers
 
 
 @_functools.lru_cache(maxsize=16)
@@ -197,6 +293,51 @@ def _idct_block(coeffs: list[float]) -> list[int]:
             v = int(round(acc)) + 128
             out[y * 8 + x] = 0 if v < 0 else (255 if v > 255 else v)
     return out
+
+
+def _idct_blocks_batch(coeff_list: list) -> list[bytes]:
+    """Batched :func:`_idct_block` over many 64-coefficient blocks →
+    one 64-byte row-major sample block each, BIT-IDENTICAL to the
+    scalar path (r6 VERDICT #7 demands byte-equal outputs):
+
+    - accumulation runs as 8 vectorized adds in the same ascending
+      frequency order as the scalar loops, so every element performs
+      the identical IEEE mul/add sequence (a zero coefficient adds an
+      exact ±0.0, which cannot change any accumulated value — the only
+      difference from the scalar skip-zero shortcut);
+    - DC-only blocks keep their ``round(c0/8)`` shortcut: the full
+      basis product ``B₀ₓ²·c0`` differs from ``c0/8`` by an ulp in
+      float, and the quant=1 exactness contract rides on the shortcut;
+    - ``np.round`` and Python ``round`` are both half-even.
+    """
+    import numpy as np
+
+    if not coeff_list:
+        return []
+    if len(coeff_list) < 16:
+        # tiny batches (thumbnail-sized images): fixed numpy dispatch
+        # overhead exceeds the scalar cost — identical output either way
+        return [bytes(_idct_block(c)) for c in coeff_list]
+    F = np.asarray(coeff_list, dtype=np.float64)
+    n = F.shape[0]
+    B = np.asarray(_B)  # B[v][x]
+    dc_only = ~np.any(F[:, 1:], axis=1)
+    out = np.empty((n, 64), dtype=np.uint8)
+    if dc_only.any():
+        v = np.round(F[dc_only, 0] / 8.0).astype(np.int64) + 128
+        out[dc_only] = np.clip(v, 0, 255).astype(np.uint8)[:, None]
+    full = np.flatnonzero(~dc_only)
+    if full.size:
+        Ff = F[full].reshape(-1, 8, 8)
+        tmp = np.zeros_like(Ff)
+        for v in range(8):  # tmp[u][x] = Σ_v B[v][x]·F[u][v], v ascending
+            tmp += Ff[:, :, v, None] * B[v][None, None, :]
+        pix = np.zeros_like(Ff)
+        for u in range(8):  # f[y][x] = Σ_u B[u][y]·tmp[u][x], u ascending
+            pix += B[u][None, :, None] * tmp[:, u, None, :]
+        vals = np.round(pix.reshape(-1, 64)).astype(np.int64) + 128
+        out[full] = np.clip(vals, 0, 255).astype(np.uint8)
+    return [out[i].tobytes() for i in range(n)]
 
 
 def _fdct_block(samples: list[int]) -> list[float]:
@@ -407,11 +548,22 @@ def _assemble_planes(
                         for x in range(w)
                     )
                 )
+        # row-wise C copies into the interleaved output (the per-pixel
+        # Python loop dominated small-image decode); same replicate-
+        # beyond-edge semantics as the scalar indexing
+        import numpy as np
+
+        mat = np.empty((h, w), dtype=np.uint8)
         for y in range(h):
             row = up[y] if y < len(up) else up[-1]
-            o0 = y * w * nch + ci
-            for x in range(w):
-                out[o0 + x * nch] = row[x] if x < len(row) else row[-1]
+            r = np.frombuffer(row, dtype=np.uint8)
+            if r.size >= w:
+                mat[y] = r[:w]
+            else:
+                mat[y, : r.size] = r
+                mat[y, r.size :] = r[-1]
+        view = np.frombuffer(out, dtype=np.uint8).reshape(h, w * nch)
+        view[:, ci::nch] = mat
     return bytes(out)
 
 
@@ -507,34 +659,62 @@ def decode_jpeg(data: bytes) -> dict:
     for c, _ in order:
         bw, bh = mcux * c["h"], mcuy * c["v"]  # blocks incl. MCU padding
         planes.append(bytearray(bw * 8 * bh * 8))
-    reader = _BitReader(data, scan_start)
+    # per-component decode parameters hoisted out of the MCU loop; the
+    # entropy data is pre-segmented at restart markers and FF00-
+    # unstuffed in C (bytes ops), and Huffman symbols resolve through
+    # one flat-LUT index instead of a bit-at-a-time walk — the walk was
+    # 68% of decode time (r6 VERDICT #7). Bit-level semantics are
+    # unchanged (same pad-with-1s, same EXTEND, same integer IDCT
+    # input), so outputs are byte-identical.
+    comp_params = []
+    for ci, (c, s) in enumerate(order):
+        qt = qtables.get(c["tq"])
+        if qt is None:
+            raise ValueError("JPEG: missing quant table")
+        dc_tbl = htables.get((0, s["td"]))
+        ac_tbl = htables.get((1, s["ta"]))
+        if dc_tbl is None or ac_tbl is None:
+            raise ValueError("JPEG: missing Huffman table")
+        comp_params.append((c, qt, dc_tbl.fast_lut, ac_tbl.fast_lut))
+    segments, rst_markers = _entropy_segments(data, scan_start)
+    seg_i = 0
+    bits = _FastBits(segments[0])
     preds = [0] * len(order)
     rst = 0
     mcu_i = 0
+    zz = ZIGZAG
+    pending_coeffs: list = []
+    pending_dst: list = []
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                reader.sync_restart(rst)
+                if seg_i >= len(rst_markers) or rst_markers[seg_i] != rst:
+                    raise ValueError("JPEG: expected restart marker not found")
+                seg_i += 1
+                bits = _FastBits(segments[seg_i])
                 rst = (rst + 1) & 7
                 preds = [0] * len(order)
-            for ci, (c, s) in enumerate(order):
-                qt = qtables.get(c["tq"])
-                if qt is None:
-                    raise ValueError("JPEG: missing quant table")
-                dc_tbl = htables.get((0, s["td"]))
-                ac_tbl = htables.get((1, s["ta"]))
-                if dc_tbl is None or ac_tbl is None:
-                    raise ValueError("JPEG: missing Huffman table")
+            for ci, (c, qt, dc_lut, ac_lut) in enumerate(comp_params):
                 for vblk in range(c["v"]):
                     for hblk in range(c["h"]):
                         coeffs = [0.0] * 64
-                        ssss = reader.decode_huffman(dc_tbl)
-                        diff = _extend(reader.receive(ssss), ssss)
+                        v = dc_lut[bits.peek16()]
+                        if v == 0:
+                            raise ValueError("JPEG: invalid Huffman code in scan")
+                        bits.skip(v & 31)
+                        ssss = v >> 5
+                        diff = _extend(bits.receive(ssss), ssss)
                         preds[ci] += diff
                         coeffs[0] = preds[ci] * qt[0]
                         k = 1
                         while k < 64:
-                            rs = reader.decode_huffman(ac_tbl)
+                            v = ac_lut[bits.peek16()]
+                            if v == 0:
+                                raise ValueError(
+                                    "JPEG: invalid Huffman code in scan"
+                                )
+                            bits.skip(v & 31)
+                            rs = v >> 5
                             r, size = rs >> 4, rs & 0xF
                             if size == 0:
                                 if r == 15:  # ZRL
@@ -544,22 +724,32 @@ def decode_jpeg(data: bytes) -> dict:
                             k += r
                             if k > 63:
                                 raise ValueError("JPEG: AC index overrun")
-                            nat = ZIGZAG[k]
+                            nat = zz[k]
                             coeffs[nat] = (
-                                _extend(reader.receive(size), size) * qt[nat]
+                                _extend(bits.receive(size), size) * qt[nat]
                             )
                             k += 1
-                        block = _idct_block(coeffs)
-                        plane = planes[ci]
-                        bw_px = mcux * c["h"] * 8
-                        x0 = (mx * c["h"] + hblk) * 8
-                        y0 = (my * c["v"] + vblk) * 8
-                        for yy in range(8):
-                            row0 = (y0 + yy) * bw_px + x0
-                            plane[row0 : row0 + 8] = bytes(
-                                block[yy * 8 : yy * 8 + 8]
+                        # defer the IDCT: entropy decode is sequential,
+                        # but the transforms are independent — batch
+                        # them in one vectorized pass after the loop
+                        pending_coeffs.append(coeffs)
+                        pending_dst.append(
+                            (
+                                ci,
+                                (mx * c["h"] + hblk) * 8,
+                                (my * c["v"] + vblk) * 8,
                             )
+                        )
             mcu_i += 1
+    for blk, (ci, x0, y0) in zip(
+        _idct_blocks_batch(pending_coeffs), pending_dst
+    ):
+        c = order[ci][0]
+        plane = planes[ci]
+        bw_px = mcux * c["h"] * 8
+        for yy in range(8):
+            row0 = (y0 + yy) * bw_px + x0
+            plane[row0 : row0 + 8] = blk[yy * 8 : yy * 8 + 8]
 
     out = _assemble_planes(planes, [c for c, _ in order], w, h, mcux, hmax, vmax)
     return {
@@ -921,6 +1111,24 @@ def _dht_segment(tc: int, th: int, counts: list[int], symbols: list[int]) -> byt
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
+def _fdct_blocks_batch(samples: "object") -> "object":
+    """Batched :func:`_fdct_block` over an ``(n, 64)`` float array —
+    same pinned ascending accumulation order as the scalar loops (see
+    :func:`_idct_blocks_batch` for why that keeps results
+    bit-identical)."""
+    import numpy as np
+
+    B = np.asarray(_B)
+    S = (samples - 128.0).reshape(-1, 8, 8)
+    tmp = np.zeros_like(S)
+    for y in range(8):  # tmp[x][v] = Σ_y B[v][y]·f[x][y], y ascending
+        tmp += B[None, None, :, y] * S[:, :, y, None]
+    out = np.zeros_like(S)
+    for x in range(8):  # F[u][v] = Σ_x B[u][x]·tmp[x][v], x ascending
+        out += B[None, :, x, None] * tmp[:, x, None, :]
+    return out.reshape(-1, 64)
+
+
 def _quantize_blocks(
     width: int, height: int, pixels: bytes, channels: int, qtbl: list[int]
 ) -> list[list[list[int]]]:
@@ -928,31 +1136,44 @@ def _quantize_blocks(
     in ZIGZAG order — the shared front half of both encoders. Partial
     edge blocks are padded by edge replication; flat blocks skip the
     fDCT (DC-only spectrum — the exactness guarantee the oracle queries
-    rely on)."""
+    rely on). Vectorized: the pixel gather, flat detection, fDCT and
+    quantization all run as batch numpy ops (the per-sample Python loop
+    was the encoder's hottest path at small image sizes), with the fDCT
+    accumulation order pinned to the scalar reference so outputs stay
+    bit-identical."""
+    import numpy as np
+
     bx_n = (width + 7) // 8
     by_n = (height + 7) // 8
-    out: list[list[list[int]]] = [[] for _ in range(channels)]
-    for by in range(by_n):
-        for bx in range(bx_n):
-            for c in range(channels):
-                samples = [0] * 64
-                for yy in range(8):
-                    sy = min(by * 8 + yy, height - 1)
-                    for xx in range(8):
-                        sx = min(bx * 8 + xx, width - 1)
-                        samples[yy * 8 + xx] = pixels[
-                            (sy * width + sx) * channels + c
-                        ]
-                if samples.count(samples[0]) == 64:
-                    quantized = [0] * 64
-                    quantized[0] = int(round(8.0 * (samples[0] - 128) / qtbl[0]))
-                else:
-                    coeffs = _fdct_block(samples)
-                    quantized = [
-                        int(round(coeffs[ZIGZAG[z]] / qtbl[z])) for z in range(64)
-                    ]
-                out[c].append(quantized)
-    return out
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    ys = np.minimum(np.arange(by_n * 8), height - 1)
+    xs = np.minimum(np.arange(bx_n * 8), width - 1)
+    padded = img[ys[:, None], xs[None, :], :]  # edge replication
+    # (by, 8, bx, 8, c) -> (c, by, bx, 64) -> (c*nblk, 64) in the same
+    # (by, bx) raster order per channel as the scalar loops emitted
+    blocks = (
+        padded.reshape(by_n, 8, bx_n, 8, channels)
+        .transpose(4, 0, 2, 1, 3)
+        .reshape(channels, by_n * bx_n, 64)
+        .astype(np.float64)
+    )
+    flat_mask = np.all(blocks == blocks[:, :, :1], axis=2)
+    nblk = by_n * bx_n
+    quant = np.zeros((channels, nblk, 64), dtype=np.int64)
+    if flat_mask.any():
+        dc = np.round(
+            8.0 * (blocks[:, :, 0] - 128.0) / qtbl[0]
+        ).astype(np.int64)
+        quant[:, :, 0] = np.where(flat_mask, dc, 0)
+    full = ~flat_mask
+    if full.any():
+        coeffs = _fdct_blocks_batch(blocks[full])
+        zz = np.asarray(ZIGZAG)
+        q = np.round(coeffs[:, zz] / np.asarray(qtbl, dtype=np.float64)).astype(
+            np.int64
+        )
+        quant[full] = q
+    return [quant[c].tolist() for c in range(channels)]
 
 
 def encode_jpeg(

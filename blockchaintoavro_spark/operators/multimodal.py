@@ -398,18 +398,25 @@ def jpeg_roundtrip_features(
                 "doc_id": [], "format": [], "width": [],
                 "height": [], "channels": [], "checksum": [],
             }
+            import numpy as np
+
             for raw_id in pdf[id_col]:
                 doc_id = int(raw_id)
                 wb = 1 + doc_id % 3
                 hb = 1 + doc_id % 2
                 w, h = 8 * wb, 8 * hb
                 ch = 1 if doc_id % 2 == 0 else 3
-                px = bytes(
-                    (doc_id * 17 + (x // 8) * 29 + (y // 8) * 41 + c * 53) % 256
-                    for y in range(h)
-                    for x in range(w)
-                    for c in range(ch)
-                )
+                # (doc_id·17 + bx·29 + by·41 + c·53) mod 256 per sample,
+                # broadcast instead of a per-byte genexpr (same bytes)
+                px = (
+                    (
+                        doc_id * 17
+                        + (np.arange(h)[:, None, None] // 8) * 41
+                        + (np.arange(w)[None, :, None] // 8) * 29
+                        + np.arange(ch)[None, None, :] * 53
+                    )
+                    % 256
+                ).astype(np.uint8).tobytes()
                 payload = encoder(w, h, px, ch, quant=1)
                 if progressive and b"\xff\xc2" not in payload:
                     raise ValueError("progressive encoder produced no SOF2")

@@ -1177,3 +1177,32 @@ def test_jpeg_fill_bytes_before_markers_decode():
         ref = decode_jpeg(data)
         dec = decode_jpeg(padded)
         assert dec == ref
+
+
+def test_idct_batch_bit_identical_to_scalar():
+    """The vectorized batch IDCT must be BIT-identical to the scalar
+    reference on arbitrary sparse/dense/DC-only/zero blocks — the
+    accumulation order is pinned to the scalar loop's (r6 VERDICT #7:
+    decode outputs stay byte-equal)."""
+    import random
+
+    from blockchaintoavro_spark.functions.jpeg import (
+        _idct_block,
+        _idct_blocks_batch,
+    )
+
+    rng = random.Random(42)
+    blocks = []
+    for _ in range(300):
+        c = [0.0] * 64
+        for _ in range(rng.randrange(0, 40)):
+            c[rng.randrange(64)] = float(rng.randrange(-2048, 2048))
+        blocks.append(c)
+    blocks.append([0.0] * 64)
+    blocks.append([808.0] + [0.0] * 63)  # DC-only shortcut path
+    blocks.append([-3000.0] + [0.0] * 63)  # clamped DC
+    batch = _idct_blocks_batch(blocks)
+    assert len(batch) == len(blocks)
+    for b, bb in zip(blocks, batch):
+        assert bytes(_idct_block(b)) == bb
+    assert _idct_blocks_batch([]) == []
