@@ -19,6 +19,7 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def tfidf_topk(
@@ -338,32 +339,99 @@ def budget_mixture(
 
     Selection order within a source is md5(key) — a deterministic shuffle,
     so re-runs and different cluster sizes pick the identical subset, and
-    the pick is unbiased w.r.t. ingestion order. One hash-partitioned
-    window per source (cumsum over the md5 order); no global sort — cost
-    scales with the largest source, and the budget predicate prunes
-    everything past the cut downstream. At 100 TB, sources are the
-    partition key, so each executor streams one source's window.
+    the pick is unbiased w.r.t. ingestion order.
+
+    Scale shape (r7, the same prefix-bucket construction as
+    :func:`temperature_mixture`): a 4096-cell md5-prefix histogram of
+    per-(source, bucket) token sums (one aggregate pass, driver-side
+    model) locates each source's boundary bucket — the first whose
+    cumulative token sum reaches the budget. Buckets past the boundary
+    are dropped by a pure filter BEFORE the window, and the cumsum
+    window partitions by (source, bucket), so the largest window task
+    holds ~1/4096 of a source instead of all of it. Each row's exact
+    global ``cum_before`` is the driver-known sum of its source's lower
+    buckets plus the within-bucket running sum — identical values to a
+    whole-source window, without its single-task ceiling.
     """
     from pyspark.sql import Window
 
+    n_buckets = 4096
     h = F.md5(F.col(key).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    tok = token_count.cast("long")
+    cells = (
+        df.groupBy(F.col(source).alias("_s"), bucket.alias("_b"))
+        .agg(F.sum(tok).alias("t"))
+        .collect()
+    )
+    per_bucket: dict = {}
+    sources: set = set()
+    for r in cells:
+        per_bucket[(r["_s"], r["_b"])] = r["t"] or 0
+        sources.add(r["_s"])
+
+    def budget_of(s) -> int:
+        # a source missing from ``budgets`` (including NULL, which the
+        # legacy when-chain also defaulted) gets ``default_budget``
+        return budgets.get(s, default_budget)
+
+    # driver walk: per source, one lookup row per kept bucket carrying
+    # the source's token sum BELOW that bucket (the exact global
+    # cum_before offset); the walk stops at the boundary bucket where
+    # the budget fills, so buckets past it simply have no lookup row
+    # and the broadcast join doubles as the bulk filter
+    lookup_rows: list = []
+    for s in sources:
+        b_lim = budget_of(s)
+        cum = 0
+        for bkt in range(n_buckets):
+            t = per_bucket.get((s, bkt), 0)
+            lookup_rows.append((s, bkt, cum))
+            if cum + t >= b_lim:
+                break
+            cum += t
+    spark = df.sparkSession
+    src_field = df.schema[source]
+    lookup_schema = T.StructType(
+        [
+            T.StructField(source, src_field.dataType, True),
+            T.StructField("_b", T.IntegerType(), False),
+            T.StructField("_below", T.LongType(), False),
+        ]
+    )
+    lookup = F.broadcast(spark.createDataFrame(lookup_rows, lookup_schema))
+    budget_col = F.lit(default_budget)
+    for s, tokens in sorted(budgets.items()):
+        budget_col = F.when(F.col(source) == s, F.lit(tokens)).otherwise(
+            budget_col
+        )
     w = (
-        Window.partitionBy(source)
-        .orderBy(h, key)
+        Window.partitionBy(source, "_b")
+        .orderBy("_h", key)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum(token_count).over(w), F.lit(0))
-    b = F.lit(default_budget)
-    for s, tokens in sorted(budgets.items()):
-        b = F.when(F.col(source) == s, F.lit(tokens)).otherwise(b)
+    tagged = df.select(
+        F.col(source),
+        F.col(key),
+        tok.alias("n_tok"),
+        bucket.alias("_b"),
+        h.alias("_h"),
+    )
+    joined = tagged.join(
+        lookup,
+        tagged[source].eqNullSafe(lookup[source]) & (tagged["_b"] == lookup["_b"]),
+    ).select(
+        tagged[source], tagged[key], "n_tok", tagged["_b"], "_h", "_below"
+    )
+    cum_before = F.col("_below") + F.coalesce(F.sum("n_tok").over(w), F.lit(0))
     return (
-        df.select(
+        joined.select(
             source,
             key,
-            token_count.cast("long").alias("n_tok"),
+            "n_tok",
             cum_before.cast("long").alias("cum_before"),
         )
-        .where(F.col("cum_before") < b)
+        .where(F.col("cum_before") < budget_col)
     )
 
 

@@ -2214,7 +2214,9 @@ def x_mixture(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget data mixing (operators/quality.py:budget_mixture):
     deterministically fill per-source token budgets (800/400/150 tiers) in
     md5 order — the "N tokens of domain D" recipe step of a pretraining
-    data pipeline. One window shuffle keyed on source; md5 ordering makes
+    data pipeline. One window shuffle keyed on (source, md5-prefix
+    bucket) with broadcast below-bucket offsets (r7: the largest window
+    task holds ~1/4096 of a source, not all of it); md5 ordering makes
     the pick reproducible on any cluster size and oracle-replayable."""
     from ..operators.quality import budget_mixture
 

@@ -1791,3 +1791,59 @@ def test_temperature_mixture_exact_plan_has_no_full_rank(spark):
     # second child is Filter/Project over the scan
     bulk_branch = plan.split("Union")[1].split("Window")[0]
     assert "Filter" in bulk_branch and "Sort" not in bulk_branch, plan
+
+
+def test_budget_mixture_matches_full_window_selection(spark):
+    """r7 regression: the prefix-bucket budget selection (broadcast
+    below-bucket offsets + per-(source, bucket) cumsum) must reproduce
+    the legacy whole-source window EXACTLY — same kept rows AND same
+    cum_before values — including the straddling document and sources
+    missing from the budget map (default budget)."""
+    from pyspark.sql import Window
+
+    from blockchaintoavro_spark.operators.quality import budget_mixture
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 11 == 0, "code")
+        .when(F.col("id") % 2 == 0, "web")
+        .otherwise("books")
+        .alias("source"),
+        (F.col("id") % 37 + 1).alias("n_tok"),
+    )
+    budgets = {"web": 4000, "code": 800}
+    got = sorted(
+        map(
+            tuple,
+            budget_mixture(
+                df, F.col("n_tok"), budgets, default_budget=500
+            ).collect(),
+        )
+    )
+    # legacy reference: one whole-source window
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = F.lit(500)
+    for s, tk in sorted(budgets.items()):
+        b = F.when(F.col("source") == s, F.lit(tk)).otherwise(b)
+    ref = sorted(
+        map(
+            tuple,
+            df.select(
+                "source",
+                "doc_id",
+                F.col("n_tok").cast("long").alias("n_tok"),
+                F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+                .cast("long")
+                .alias("cum_before"),
+            )
+            .where(F.col("cum_before") < b)
+            .select("source", "doc_id", "n_tok", "cum_before")
+            .collect(),
+        )
+    )
+    assert got == ref and len(got) > 0

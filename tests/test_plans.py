@@ -306,11 +306,15 @@ def test_sequence_pack_single_shard_shuffle(spark, registry, sf_dir):
 
 
 def test_budget_mixture_single_source_shuffle(spark, registry, sf_dir):
-    """Mixture sampling shuffles once on the source key (window cumsum);
-    the only other Exchange is the presentation sort."""
+    """Mixture sampling shuffles once, on (source, md5-prefix bucket) —
+    the r7 shape whose largest window task holds ~1/4096 of a source
+    instead of all of it; the below-bucket offsets ride a BROADCAST
+    lookup (no extra shuffle) and the only other Exchange is the
+    presentation sort."""
     s = plan_of(spark, registry, "x_budget_mixture", sf_dir, mode="simple")
     assert s.count("hashpartitioning") == 1, s
-    assert s.count("Exchange") <= 2
+    assert s.count("Exchange hashpartitioning") <= 1, s
+    assert "BroadcastHashJoin" in s, s
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
 
 
