@@ -833,6 +833,7 @@ def substring_dup_counts(
     text_col: str = "text",
     target_rows_per_partition: int | None = None,
     n_partitions: int | None = None,
+    plan: str = "catalyst",
 ) -> DataFrame:
     """Per-document count of window positions whose ``k``-char content
     is duplicated cross-doc — the per-doc severity score used to decide
@@ -841,7 +842,26 @@ def substring_dup_counts(
     The duplicated-gram set joins back against ALL positions (not the
     per-doc-distinct ones): a doc repeating a shared span 50 times
     scores 50, which is the memorization-risk signal wanted here.
+
+    ``plan="sorted_gram"``: 64-bit-fingerprint detection through the
+    packed-run Exchange, broadcast dictionary, and each doc counts its
+    own hits doc-locally — zero shuffles after detection (the default
+    Catalyst plan moves the gram volume through a second Exchange for
+    the join-back). Counts are identical up to 64-bit collisions
+    (~positions²/2⁶⁴); keep the verbatim default when that bound
+    matters.
     """
+    if plan == "sorted_gram":
+        from blockchaintoavro_spark.operators.substr_sorted import (
+            substring_dup_counts_sorted,
+        )
+
+        return substring_dup_counts_sorted(
+            df, k, min_docs, id_col, text_col,
+            target_rows_per_partition, n_partitions,
+        )
+    if plan != "catalyst":
+        raise ValueError(f"unknown dup-count plan {plan!r}")
     pos = substring_positions(df, k, id_col, text_col)
     dups = duplicated_substrings(
         df, k, min_docs, id_col, text_col,

@@ -250,6 +250,91 @@ def _strip_against_array(dup_sorted: np.ndarray, k: int, id_col: str, text_col: 
     return run
 
 
+def _count_against_array(dup_sorted: np.ndarray, k: int, id_col: str, text_col: str):
+    """mapInPandas fn: per-doc count of window positions whose
+    fingerprint is in the broadcast dictionary (ALL positions —
+    within-doc repeats count every occurrence, the memorization-risk
+    convention). Docs with no hits emit no row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h, d, _ = _batch_window_hashes(list(pdf[text_col]), k)
+            if h.size == 0 or dup_sorted.size == 0:
+                continue
+            idx = np.searchsorted(dup_sorted, h)
+            idx[idx == dup_sorted.size] = 0
+            hit = dup_sorted[idx] == h
+            counts = np.bincount(d[hit], minlength=len(pdf))
+            nz = np.flatnonzero(counts)
+            if nz.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values[nz],
+                    "n_dup_spans": counts[nz].astype(np.int64),
+                }
+            )
+
+    return run
+
+
+def substring_dup_counts_sorted(
+    df: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_rows_per_partition: int | None = None,
+    n_partitions: int | None = None,
+    broadcast_max_hashes: int = 8_000_000,
+) -> DataFrame:
+    """Sorted-gram per-doc duplicated-span severity: detection through
+    the packed-run Exchange, then the dictionary broadcasts and each
+    doc counts its own hits in one map pass — ZERO shuffles after
+    detection (each doc lives in one row, so no groupBy is needed,
+    where the Catalyst plan rides a second gram Exchange for the
+    join-back plus the per-doc aggregation). Over-gate dictionaries
+    fall back to the Catalyst join-back."""
+    from blockchaintoavro_spark.operators.dedup import substring_positions
+    from blockchaintoavro_spark.session import release_local_checkpoint
+
+    packed = duplicated_substrings_sorted(
+        df, k, min_docs, id_col, text_col,
+        target_rows_per_partition, n_partitions, _packed=True,
+    ).localCheckpoint()
+    n_hashes = (
+        packed.agg((F.sum(F.octet_length("h")) / 8).cast("long").alias("n"))
+        .first()["n"]
+        or 0
+    )
+    if n_hashes > broadcast_max_hashes:
+        def explode(batches):
+            for pdf in batches:
+                for blob in pdf["h"]:
+                    yield pd.DataFrame(
+                        {"sub": np.frombuffer(blob, dtype="<u8").view(np.int64)}
+                    )
+
+        dups = packed.mapInPandas(explode, schema="sub long")
+        pos = substring_positions(df, k, id_col, text_col, hash_only=True)
+        return (
+            pos.join(dups, "sub")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_dup_spans"))
+        )
+    blobs = [r["h"] for r in packed.select("h").collect()]
+    release_local_checkpoint(packed)
+    dup_sorted = np.sort(np.frombuffer(b"".join(blobs), dtype="<u8"))
+    bc = df.sparkSession.sparkContext.broadcast(dup_sorted)
+
+    def run_with_bc(batches):
+        yield from _count_against_array(bc.value, k, id_col, text_col)(batches)
+
+    return df.mapInPandas(
+        run_with_bc, schema=f"{id_col} long, n_dup_spans long"
+    )
+
+
 def strip_duplicated_spans_sorted(
     df: DataFrame,
     k: int = 20,

@@ -704,6 +704,32 @@ def x_dup_span_counts(spark: SparkSession, sf: str) -> DataFrame:
     return substring_dup_counts(d, k=20).orderBy("doc_id")
 
 
+@declare(
+    "x_dup_span_counts_sorted",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 20) AS sub
+      FROM documents,
+           UNNEST(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS t(i)
+      WHERE doc_id < 100
+    ), d AS (SELECT DISTINCT doc_id, sub FROM pos),
+    dups AS (SELECT sub FROM d GROUP BY sub HAVING COUNT(*) >= 2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+    FROM pos JOIN dups USING (sub)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x_dup_span_counts_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc duplicated-span severity via the sorted-gram plan
+    (operators/substr_sorted.py): broadcast fingerprint dictionary +
+    doc-local hit counting — zero shuffles after detection, same
+    full-fidelity counts the verbatim DuckDB rebuild produces."""
+    from ..operators.dedup import substring_dup_counts
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return substring_dup_counts(d, k=20, plan="sorted_gram").orderBy("doc_id")
+
+
 @declare("x_minhash_neardup", oracle=None, bench=True)  # r3 VERDICT #2
 def x_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (doc_id < 100) — engine-defined

@@ -1847,3 +1847,31 @@ def test_budget_mixture_matches_full_window_selection(spark):
         )
     )
     assert got == ref and len(got) > 0
+
+
+def test_sorted_gram_dup_counts_twin_matches_catalyst(spark, sf_dir):
+    """substring_dup_counts(plan='sorted_gram') — broadcast dictionary,
+    doc-local hit counting — matches the Catalyst join-back exactly on
+    fixture text (no 64-bit collisions at this size), on BOTH the
+    broadcast path and the big-dictionary fallback."""
+    from blockchaintoavro_spark.operators.dedup import substring_dup_counts
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        substring_dup_counts_sorted,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 60")
+    ref = sorted(map(tuple, substring_dup_counts(d, k=15).collect()))
+    got = sorted(
+        map(
+            tuple,
+            substring_dup_counts(d, k=15, plan="sorted_gram").collect(),
+        )
+    )
+    assert got == ref and len(ref) > 0
+    fb = sorted(
+        map(
+            tuple,
+            substring_dup_counts_sorted(d, k=15, broadcast_max_hashes=1).collect(),
+        )
+    )
+    assert fb == ref
