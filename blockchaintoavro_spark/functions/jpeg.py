@@ -169,7 +169,13 @@ def _build_fast_lut_cached(counts: tuple, symbols: tuple) -> list:
             entry = (symbols[k] << 5) | length
             lo = code << (16 - length)
             hi = (code + 1) << (16 - length)
-            lut[lo:hi] = [entry] * (hi - lo)
+            # CORRUPT counts can overflow the code space; clamping keeps
+            # the lut exactly 2^16 entries (an out-of-range list slice
+            # assignment would silently EXTEND it) and the overflow
+            # codes simply stay invalid (entry 0 → decode error)
+            if lo < (1 << 16):
+                hi = min(hi, 1 << 16)
+                lut[lo:hi] = [entry] * (hi - lo)
             code += 1
             k += 1
         code <<= 1
@@ -448,15 +454,32 @@ class _BitReader:
             self.nbits += 8
 
     def read_bit(self) -> int:
+        # the trailing mask keeps ``bits`` a bounded small int: without
+        # it consumed high bits accumulate forever and every shift of
+        # the growing Python int slows down over the scan
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.bits >> self.nbits) & 1
+        bit = (self.bits >> self.nbits) & 1
+        self.bits &= (1 << self.nbits) - 1
+        return bit
 
     def receive(self, n: int) -> int:
+        # chunked: ``_fill`` only buffers ~32 bits, and CORRUPT Huffman
+        # tables can declare magnitude symbols up to 255 — a single
+        # bulk read of n > buffered capacity would spin in the fill
+        # loop forever (fuzz-found); ≤16-bit chunks always fit
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        while n > 16:
+            v = (v << 16) | self.receive(16)
+            n -= 16
+        if n == 0:
+            return v
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (v << n) | ((self.bits >> self.nbits) & ((1 << n) - 1))
+        self.bits &= (1 << self.nbits) - 1
         return v
 
     def sync_restart(self, n: int) -> None:
@@ -472,13 +495,27 @@ class _BitReader:
         raise ValueError("JPEG: expected restart marker not found")
 
     def decode_huffman(self, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("JPEG: invalid Huffman code in scan")
+        # one flat-LUT index on a 16-bit peek (same fast path as the
+        # baseline reader; ``_fill`` pads 1-bits at markers/EOF, so
+        # peeking past the last real code is harmless) instead of the
+        # bit-at-a-time canonical walk
+        lut = getattr(table, "fast_lut", None)
+        if lut is None:  # plain-dict table (not built by _parse_dht)
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | self.read_bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("JPEG: invalid Huffman code in scan")
+        while self.nbits < 16:
+            self._fill()
+        v = lut[(self.bits >> (self.nbits - 16)) & 0xFFFF]
+        if v == 0:
+            raise ValueError("JPEG: invalid Huffman code in scan")
+        self.nbits -= v & 31
+        self.bits &= (1 << self.nbits) - 1
+        return v >> 5
 
 
 def _parse_dqt(seg: bytes, qtables: dict) -> None:

@@ -1206,3 +1206,17 @@ def test_idct_batch_bit_identical_to_scalar():
     for b, bb in zip(blocks, batch):
         assert bytes(_idct_block(b)) == bb
     assert _idct_blocks_batch([]) == []
+
+
+def test_bitreader_wide_receive_terminates():
+    """Fuzz-found regression: corrupt Huffman tables can declare
+    magnitude symbols up to 255, and receive() must terminate (chunked
+    reads) for ANY width — the bulk fast path once spun forever when
+    the request exceeded the fill buffer's ~32-bit capacity."""
+    from blockchaintoavro_spark.functions.jpeg import _BitReader
+
+    r = _BitReader(b"\x12\x34", 0)
+    v = r.receive(255)  # pads 1-bits past the end per T.81
+    assert v == (0x1234 << 239) | ((1 << 239) - 1)
+    # and the reader stays usable
+    assert r.receive(8) == 0xFF
