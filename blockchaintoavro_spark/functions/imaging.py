@@ -83,12 +83,25 @@ def _png_unfilter(raw: bytes, p: int, h: int, stride: int, bpp: int) -> tuple[by
         if len(cur) != stride:
             raise ValueError("PNG pixel data size mismatch")
         p += stride
-        if f == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                cur[i] = (cur[i] + prev[i]) & 0xFF
+        if f == 1:  # Sub — per-lane mod-256 prefix sum (vectorized;
+            # addition is associative mod 256, so cumsum & 0xFF equals
+            # the sequential left-neighbor recurrence byte-for-byte)
+            import numpy as np
+
+            arr = np.frombuffer(bytes(cur), dtype=np.uint8).copy()
+            for lane in range(bpp):
+                seg = arr[lane::bpp]
+                arr[lane::bpp] = (
+                    np.cumsum(seg, dtype=np.int64) & 0xFF
+                ).astype(np.uint8)
+            cur = bytearray(arr.tobytes())
+        elif f == 2:  # Up — elementwise wrap-add against the prior row
+            import numpy as np
+
+            arr = np.frombuffer(bytes(cur), dtype=np.uint8) + np.frombuffer(
+                bytes(prev), dtype=np.uint8
+            )  # uint8 addition wraps mod 256
+            cur = bytearray(arr.tobytes())
         elif f == 3:  # Average
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0
