@@ -2876,3 +2876,210 @@ def x_c4(spark: SparkSession, sf: str) -> DataFrame:
         m["n_kept"].alias("n_kept"),
         m["cleaned"].alias("cleaned"),
     ).orderBy("doc_id")
+
+
+@declare(
+    "x_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(ROUND(SUM(volume), 2) AS DECIMAL(38,2)) AS DOUBLE)
+             AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                           AND TIMESTAMP '1998-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def x_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping: revenue flowing between a PAIR
+    of nations in either direction, per year. The classic double-dip
+    into the same dimension (nation joined twice under different
+    roles): both nation sides broadcast, the disjunctive pair predicate
+    applies across them after the fact joins, and l_shipdate's range
+    pushes to the lineitem scan. Exact-decimal volume sums, year from
+    the shipdate — one fact pipeline plus two map-side probes at
+    100 TB."""
+    from ._util import dec2, money
+
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") <= "1998-12-31")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(t(spark, sf, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t(spark, sf, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(t(spark, sf, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            money(
+                F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@declare(
+    "x_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           CAST(ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,2)) END)
+                           AS DOUBLE)
+                      / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE)
+             AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'MEDIUM'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def x_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: within one region's
+    customers and one product type, the fraction of yearly revenue
+    supplied by one nation — an 8-relation join feeding a CONDITIONAL
+    aggregation ratio. part filters to its type BEFORE broadcasting
+    (semi-reduction of the fact scan), region→nation collapses onto the
+    customer side, and the share divides two exact-decimal sums as
+    doubles at the output boundary. Everything dimensional broadcasts;
+    the fact pipeline shuffles only on its join keys."""
+    from ._util import dec2
+
+    p = t(spark, sf, "part").filter(F.col("p_type") == "MEDIUM")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = (
+        t(spark, sf, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    vol = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    joined = (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t(spark, sf, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@declare(
+    "x_tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    ),
+    lapsed AS (
+      SELECT n_name AS cntry, c_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey, avg_bal
+      WHERE c_acctbal > ab
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+    )
+    SELECT cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
+    FROM lapsed GROUP BY cntry ORDER BY cntry
+    """,
+)
+def x_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22-shaped global sales opportunity: above-average-balance
+    customers with NO recent orders, grouped by country — the scalar
+    aggregate subquery + NOT EXISTS anti-join double. Spark-first: the
+    average is a one-row aggregate CROSS-BROADCAST into the filter (an
+    in-plan scalar, no driver round-trip), the recency anti-join is a
+    LeftAnti against the date-pruned orders scan, and nation broadcasts
+    for the country name. At 100 TB: one customer scan, one pruned
+    orders scan, zero per-row subqueries."""
+    from ._util import dec2, money
+
+    c = t(spark, sf, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    recent = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    ).select("o_custkey")
+    n = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("cntry")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("nk"))
+        .groupBy("cntry")
+        .agg(
+            F.count("*").alias("numcust"),
+            money(F.sum(dec2("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

@@ -849,3 +849,34 @@ def test_catalyst_strip_broadcast_dups_skips_gram_exchange(spark):
     assert bcast.count("Exchange hashpartitioning") < plain.count(
         "Exchange hashpartitioning"
     ), (bcast, plain)
+
+
+def test_tpch_q7_double_nation_broadcast(spark, registry, sf_dir):
+    """Q7 shape: the nation dimension joins twice under different roles
+    (supplier side + customer side) and BOTH broadcast along with
+    supplier — the only shuffles are the lineitem⋈orders⋈customer fact
+    joins; the shipdate range reaches the lineitem scan."""
+    p = plan_of(spark, registry, "x_tpch_q7", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 3, p  # supplier + nation x2
+    assert "l_shipdate" in p and "PushedFilters" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+
+
+def test_tpch_q8_all_dims_broadcast_and_type_pushdown(spark, registry, sf_dir):
+    """Q8 shape: part (pre-filtered to its type), supplier, both nation
+    roles and region all broadcast; the p_type equality is pushed to
+    the part scan so the broadcast build is already semi-reduced."""
+    p = plan_of(spark, registry, "x_tpch_q8", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "EqualTo(p_type,MEDIUM)" in p, p
+
+
+def test_tpch_q22_anti_join_and_inplan_scalar(spark, registry, sf_dir):
+    """Q22 shape: the NOT EXISTS decorrelates to a LeftAnti against the
+    date-pruned orders scan, and the above-average-balance scalar rides
+    the plan as a broadcast one-row aggregate — no per-row subquery, no
+    driver round-trip, no cartesian."""
+    p = plan_of(spark, registry, "x_tpch_q22", sf_dir)
+    assert "LeftAnti" in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+    assert "CartesianProduct" not in p
