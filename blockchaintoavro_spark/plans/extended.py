@@ -3083,3 +3083,106 @@ def x_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+@declare(
+    "x_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                       AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def x_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: a LEFT OUTER
+    join whose extra predicate lives in the JOIN CONDITION (so
+    non-matching customers still survive with count 0 — pushing it to a
+    WHERE would silently drop them), then TWO aggregation levels:
+    per-customer counts, then the histogram of counts. The second agg's
+    key space is tiny (distinct order counts), so its shuffle is
+    bounded regardless of corpus size; the first agg rides the join's
+    customer-key partitioning."""
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@declare(
+    "x_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                  AS DECIMAL(38,2)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def x_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: an aggregated revenue view
+    consumed TWICE — once for its global max (a one-row broadcast
+    aggregate in-plan, the scalar-subquery pattern) and once joined
+    back against the equality — with exact-decimal revenue so the
+    max-equality cannot drift between engines. The view is computed
+    once per branch on a date-pruned lineitem scan; supplier
+    broadcasts."""
+    from ._util import dec2
+
+    rev = (
+        t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount"))), 2
+            )
+            .cast("decimal(38,2)")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

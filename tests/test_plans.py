@@ -880,3 +880,24 @@ def test_tpch_q22_anti_join_and_inplan_scalar(spark, registry, sf_dir):
     assert "LeftAnti" in p, p
     assert "GreaterThanOrEqual(o_orderdate" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q13_join_condition_preserves_outer_rows(spark, registry, sf_dir):
+    """Q13 shape: the priority predicate must ride the LEFT join's
+    CONDITION (outer rows with zero matches survive), and the histogram
+    agg's key space is bounded — no cartesian, no inner-degraded join."""
+    p = plan_of(spark, registry, "x_tpch_q13", sf_dir)
+    assert "LeftOuter" in p, p
+    # the filter must NOT have been pushed below the join's outer side
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q15_scalar_max_is_broadcast(spark, registry, sf_dir):
+    """Q15 shape: the global max over the revenue view rides the plan
+    as a broadcast one-row aggregate (scalar-subquery pattern) — no
+    driver round-trip, no cartesian blow-up; the date range reaches the
+    lineitem scan."""
+    p = plan_of(spark, registry, "x_tpch_q15", sf_dir)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "CartesianProduct" not in p
