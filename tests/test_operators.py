@@ -1875,3 +1875,36 @@ def test_sorted_gram_dup_counts_twin_matches_catalyst(spark, sf_dir):
         )
     )
     assert fb == ref
+
+
+def test_window_hashes_match_spark_substring_xxhash(spark):
+    """window_hashes_concat must equal F.xxhash64(F.substring(...)) for
+    every sliding k-char window — CHAR positions, not bytes — on text
+    mixing 1-, 2-, 3- and 4-byte UTF-8 characters (the variable-width
+    grouping path)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.functions.xxh import (
+        char_starts_of,
+        window_hashes_concat,
+    )
+
+    text = "añ日🚀 the quick bröwn fox 跳过 lazy dög 0123456789 añ日🚀 end"
+    k = 6
+    df = spark.createDataFrame([(text,)], "t string").select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - k + 1),
+                lambda i: F.xxhash64(F.substring(F.col("t"), i, k)),
+            )
+        ).alias("p", "h")
+    )
+    expected = [r["h"] for r in df.orderBy("p").collect()]
+    b = text.encode("utf-8")
+    got = (
+        window_hashes_concat(b, char_starts_of(b, len(text)), k)
+        .view(np.int64)
+        .tolist()
+    )
+    assert got == expected and len(got) == len(text) - k + 1
