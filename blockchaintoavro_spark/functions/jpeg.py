@@ -722,6 +722,25 @@ def decode_jpeg(data: bytes) -> dict:
     zz = ZIGZAG
     pending_coeffs: list = []
     pending_dst: list = []
+
+    def _flush_pending() -> None:
+        # r7 ADVICE: flush the deferred-IDCT batch periodically instead
+        # of once at end-of-scan — the pending lists are ~2 KB/block, a
+        # multi-hundred-MB transient on large images if held whole.
+        # Blocks are independent, so batching granularity cannot change
+        # the output bytes.
+        for blk, (fci, fx0, fy0) in zip(
+            _idct_blocks_batch(pending_coeffs), pending_dst
+        ):
+            fc = order[fci][0]
+            fplane = planes[fci]
+            fbw_px = mcux * fc["h"] * 8
+            for yy in range(8):
+                row0 = (fy0 + yy) * fbw_px + fx0
+                fplane[row0 : row0 + 8] = blk[yy * 8 : yy * 8 + 8]
+        pending_coeffs.clear()
+        pending_dst.clear()
+
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
@@ -778,15 +797,9 @@ def decode_jpeg(data: bytes) -> dict:
                             )
                         )
             mcu_i += 1
-    for blk, (ci, x0, y0) in zip(
-        _idct_blocks_batch(pending_coeffs), pending_dst
-    ):
-        c = order[ci][0]
-        plane = planes[ci]
-        bw_px = mcux * c["h"] * 8
-        for yy in range(8):
-            row0 = (y0 + yy) * bw_px + x0
-            plane[row0 : row0 + 8] = blk[yy * 8 : yy * 8 + 8]
+            if len(pending_coeffs) >= 4096:  # ≈ 8 MB of pending lists
+                _flush_pending()
+    _flush_pending()
 
     out = _assemble_planes(planes, [c for c, _ in order], w, h, mcux, hmax, vmax)
     return {

@@ -357,7 +357,14 @@ def budget_mixture(
 
     n_buckets = 4096
     h = F.md5(F.col(key).cast("string"))
-    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    # a NULL key has a NULL md5 — pin it to bucket 0 so it stays
+    # selectable and sorts exactly where the legacy whole-source window
+    # put it (orderBy(_h) ascending is NULLS FIRST, i.e. before every
+    # bucket-0 string) instead of silently vanishing through the lookup
+    # join (r7 ADVICE)
+    bucket = F.coalesce(
+        F.conv(F.substring(h, 1, 3), 16, 10).cast("int"), F.lit(0)
+    )
     tok = token_count.cast("long")
     cells = (
         df.groupBy(F.col(source).alias("_s"), bucket.alias("_b"))
@@ -484,7 +491,13 @@ def temperature_mixture(
     df = df.filter(F.col(source).isNotNull())
     n_buckets = 4096
     h = F.md5(F.col(key).cast("string"))
-    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    # NULL key → bucket 0 (NULL md5 sorts first, so bucket 0 is where
+    # the legacy whole-source ranking placed it) — otherwise a NULL
+    # ``_b`` fails both the bulk and edge filters and exact targets
+    # silently under-fill (r7 ADVICE)
+    bucket = F.coalesce(
+        F.conv(F.substring(h, 1, 3), 16, 10).cast("int"), F.lit(0)
+    )
     cells = (
         df.groupBy(F.col(source).alias("_s"), bucket.alias("_b"))
         .agg(F.count("*").alias("n"))

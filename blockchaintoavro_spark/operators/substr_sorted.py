@@ -278,6 +278,63 @@ def _count_against_array(dup_sorted: np.ndarray, k: int, id_col: str, text_col: 
     return run
 
 
+def _dup_dictionary(
+    df: DataFrame,
+    k: int,
+    min_docs: int,
+    id_col: str,
+    text_col: str,
+    target_rows_per_partition: int | None,
+    n_partitions: int | None,
+    broadcast_max_hashes: int,
+):
+    """Run sorted-gram detection and choose the strip/count physical
+    strategy by observed dictionary size (AQE's materialize-observe-
+    replan pattern applied where Catalyst cannot see it).
+
+    Returns ``(dup_sorted, dups_df)`` — exactly one is non-None:
+
+    - ``dup_sorted`` (np.uint64, ascending): the dictionary fits the
+      broadcast gate; it was collected from a localCheckpoint that is
+      RELEASED before returning, so nothing stays pinned.
+    - ``dups_df`` (``sub long``): over-gate. The checkpoint is released
+      too (r7 ADVICE — the fallback previously pinned it for the
+      session lifetime) and the returned frame is a FRESH,
+      non-checkpointed detection whose one small packed Exchange
+      recomputes when the caller's join-back plan runs: one extra
+      detection pass on the rare over-gate path buys zero retained
+      executor storage."""
+    from blockchaintoavro_spark.session import release_local_checkpoint
+
+    packed = duplicated_substrings_sorted(
+        df, k, min_docs, id_col, text_col,
+        target_rows_per_partition, n_partitions, _packed=True,
+    ).localCheckpoint()
+    n_hashes = (
+        packed.agg((F.sum(F.octet_length("h")) / 8).cast("long").alias("n"))
+        .first()["n"]
+        or 0
+    )
+    if n_hashes > broadcast_max_hashes:
+        release_local_checkpoint(packed)
+
+        def explode(batches):
+            for pdf in batches:
+                for blob in pdf["h"]:
+                    yield pd.DataFrame(
+                        {"sub": np.frombuffer(blob, dtype="<u8").view(np.int64)}
+                    )
+
+        fresh = duplicated_substrings_sorted(
+            df, k, min_docs, id_col, text_col,
+            target_rows_per_partition, n_partitions, _packed=True,
+        )
+        return None, fresh.mapInPandas(explode, schema="sub long")
+    blobs = [r["h"] for r in packed.select("h").collect()]
+    release_local_checkpoint(packed)
+    return np.sort(np.frombuffer(b"".join(blobs), dtype="<u8")), None
+
+
 def substring_dup_counts_sorted(
     df: DataFrame,
     k: int = 20,
@@ -296,42 +353,29 @@ def substring_dup_counts_sorted(
     join-back plus the per-doc aggregation). Over-gate dictionaries
     fall back to the Catalyst join-back."""
     from blockchaintoavro_spark.operators.dedup import substring_positions
-    from blockchaintoavro_spark.session import release_local_checkpoint
 
-    packed = duplicated_substrings_sorted(
+    dup_sorted, dups = _dup_dictionary(
         df, k, min_docs, id_col, text_col,
-        target_rows_per_partition, n_partitions, _packed=True,
-    ).localCheckpoint()
-    n_hashes = (
-        packed.agg((F.sum(F.octet_length("h")) / 8).cast("long").alias("n"))
-        .first()["n"]
-        or 0
+        target_rows_per_partition, n_partitions, broadcast_max_hashes,
     )
-    if n_hashes > broadcast_max_hashes:
-        def explode(batches):
-            for pdf in batches:
-                for blob in pdf["h"]:
-                    yield pd.DataFrame(
-                        {"sub": np.frombuffer(blob, dtype="<u8").view(np.int64)}
-                    )
-
-        dups = packed.mapInPandas(explode, schema="sub long")
+    if dup_sorted is None:
         pos = substring_positions(df, k, id_col, text_col, hash_only=True)
         return (
             pos.join(dups, "sub")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_dup_spans"))
         )
-    blobs = [r["h"] for r in packed.select("h").collect()]
-    release_local_checkpoint(packed)
-    dup_sorted = np.sort(np.frombuffer(b"".join(blobs), dtype="<u8"))
     bc = df.sparkSession.sparkContext.broadcast(dup_sorted)
 
     def run_with_bc(batches):
         yield from _count_against_array(bc.value, k, id_col, text_col)(batches)
 
+    # derive the id field's type instead of hardcoding long, so
+    # string/int doc ids survive the Arrow conversion (r7 ADVICE —
+    # plan='auto' routes generic-id callers here now)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
-        run_with_bc, schema=f"{id_col} long, n_dup_spans long"
+        run_with_bc, schema=f"{id_col} {id_type}, n_dup_spans long"
     )
 
 
@@ -364,39 +408,22 @@ def strip_duplicated_spans_sorted(
     known. This is AQE's materialize-observe-replan pattern applied
     where Catalyst cannot see it."""
     from blockchaintoavro_spark.operators.dedup import strip_spans_against
-    from blockchaintoavro_spark.session import release_local_checkpoint
 
-    packed = duplicated_substrings_sorted(
+    dup_sorted, dups = _dup_dictionary(
         df, k, min_docs, id_col, text_col,
-        target_rows_per_partition, n_partitions, _packed=True,
-    ).localCheckpoint()
-    n_hashes = (
-        packed.agg((F.sum(F.octet_length("h")) / 8).cast("long").alias("n"))
-        .first()["n"]
-        or 0
+        target_rows_per_partition, n_partitions, broadcast_max_hashes,
     )
-    if n_hashes > broadcast_max_hashes:
-        # dictionary too big to ship to every executor: explode the
-        # blobs into (sub) rows and ride the Catalyst join-back
-        def explode(batches):
-            for pdf in batches:
-                for blob in pdf["h"]:
-                    yield pd.DataFrame(
-                        {"sub": np.frombuffer(blob, dtype="<u8").view(np.int64)}
-                    )
-
-        dups = packed.mapInPandas(explode, schema="sub long")
+    if dup_sorted is None:
+        # dictionary too big to ship to every executor: ride the
+        # Catalyst join-back, which co-partitions at any size
         return strip_spans_against(df, dups, k, id_col, text_col, hash_only=True)
-    blobs = [r["h"] for r in packed.select("h").collect()]
-    release_local_checkpoint(packed)
-    dup_sorted = np.sort(np.frombuffer(b"".join(blobs), dtype="<u8"))
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(dup_sorted)
+    bc = df.sparkSession.sparkContext.broadcast(dup_sorted)
 
     def run_with_bc(batches):
         yield from _strip_against_array(bc.value, k, id_col, text_col)(batches)
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
         run_with_bc,
-        schema=f"{id_col} long, clean_text string, n_stripped long",
+        schema=f"{id_col} {id_type}, clean_text string, n_stripped long",
     )
