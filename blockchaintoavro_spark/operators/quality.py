@@ -341,6 +341,12 @@ def budget_mixture(
     so re-runs and different cluster sizes pick the identical subset, and
     the pick is unbiased w.r.t. ingestion order.
 
+    Determinism caveat (r8 ADVICE): the identical-subset guarantee needs
+    UNIQUE, NON-NULL keys. Rows sharing a key (including several NULL-key
+    rows, which all pin to bucket 0) tie completely in the ordering, so
+    which of them straddles a budget boundary is nondeterministic across
+    runs — everything strictly below the boundary is still stable.
+
     Scale shape (r7, the same prefix-bucket construction as
     :func:`temperature_mixture`): a 4096-cell md5-prefix histogram of
     per-(source, bucket) token sums (one aggregate pass, driver-side

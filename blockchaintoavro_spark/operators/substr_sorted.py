@@ -55,6 +55,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _batch_window_hashes(texts: list, k: int):
@@ -297,13 +298,16 @@ def _dup_dictionary(
     - ``dup_sorted`` (np.uint64, ascending): the dictionary fits the
       broadcast gate; it was collected from a localCheckpoint that is
       RELEASED before returning, so nothing stays pinned.
-    - ``dups_df`` (``sub long``): over-gate. The checkpoint is released
-      too (r7 ADVICE — the fallback previously pinned it for the
-      session lifetime) and the returned frame is a FRESH,
-      non-checkpointed detection whose one small packed Exchange
-      recomputes when the caller's join-back plan runs: one extra
-      detection pass on the rare over-gate path buys zero retained
-      executor storage."""
+    - ``dups_df`` (``sub long``): over-gate. The sizing checkpoint is
+      released (r7 ADVICE — the fallback previously pinned it for the
+      session lifetime) and the returned frame is a fresh detection
+      persisted at MEMORY_AND_DISK (r8 ADVICE): detection re-runs ONCE
+      when the caller's plan first executes — not on every subsequent
+      action, and the dictionary the strip joins against cannot diverge
+      across actions for nondeterministic inputs. Unlike the
+      localCheckpoint pin, a MEMORY_AND_DISK persist is evictable under
+      executor memory pressure (recompute-on-miss) and droppable via
+      ``dups_df.unpersist()`` once the caller is done."""
     from blockchaintoavro_spark.session import release_local_checkpoint
 
     packed = duplicated_substrings_sorted(
@@ -325,11 +329,15 @@ def _dup_dictionary(
                         {"sub": np.frombuffer(blob, dtype="<u8").view(np.int64)}
                     )
 
+        from pyspark import StorageLevel
+
         fresh = duplicated_substrings_sorted(
             df, k, min_docs, id_col, text_col,
             target_rows_per_partition, n_partitions, _packed=True,
         )
-        return None, fresh.mapInPandas(explode, schema="sub long")
+        return None, fresh.mapInPandas(explode, schema="sub long").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     blobs = [r["h"] for r in packed.select("h").collect()]
     release_local_checkpoint(packed)
     return np.sort(np.frombuffer(b"".join(blobs), dtype="<u8")), None
@@ -370,12 +378,13 @@ def substring_dup_counts_sorted(
     def run_with_bc(batches):
         yield from _count_against_array(bc.value, k, id_col, text_col)(batches)
 
-    # derive the id field's type instead of hardcoding long, so
-    # string/int doc ids survive the Arrow conversion (r7 ADVICE —
-    # plan='auto' routes generic-id callers here now)
-    id_type = df.schema[id_col].dataType.simpleString()
+    # carry the id field through structurally (r8 ADVICE: a DDL f-string
+    # breaks on column names needing backquotes — spaces, dots)
     return df.mapInPandas(
-        run_with_bc, schema=f"{id_col} {id_type}, n_dup_spans long"
+        run_with_bc,
+        schema=T.StructType(
+            [df.schema[id_col], T.StructField("n_dup_spans", T.LongType())]
+        ),
     )
 
 
@@ -422,8 +431,13 @@ def strip_duplicated_spans_sorted(
     def run_with_bc(batches):
         yield from _strip_against_array(bc.value, k, id_col, text_col)(batches)
 
-    id_type = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
         run_with_bc,
-        schema=f"{id_col} {id_type}, clean_text string, n_stripped long",
+        schema=T.StructType(
+            [
+                df.schema[id_col],
+                T.StructField("clean_text", T.StringType()),
+                T.StructField("n_stripped", T.LongType()),
+            ]
+        ),
     )

@@ -310,6 +310,21 @@ def test_jpeg_quant1_error2_regression():
     assert max(abs(a - b) for a, b in zip(px, dec["pixels"])) == 2
 
 
+def test_jpeg_large_image_mid_scan_flush_exact():
+    """≥4096-block decode (the r8 deferred-IDCT flush branch,
+    jpeg.py:800-802): every other test decodes ≤625 blocks, so the
+    mid-scan flush never fired in the suite. 560×560 gray = 4,900 flat
+    blocks at quant=1 must round-trip EXACTLY — the flush happens at an
+    arbitrary point inside the block stream and must not disturb plane
+    placement or the DC predictor chain."""
+    from blockchaintoavro_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    w, h, px = _flat_block_image(5, 70, 70, 1)  # 70×70 blocks = 4,900
+    dec = decode_jpeg(encode_jpeg(w, h, px, 1, quant=1))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 1)
+    assert dec["pixels"] == px
+
+
 def test_jpeg_coarse_quant_still_decodes():
     """A coarser quant table (real-world-shaped lossy setting) must keep
     dims/channels exact and smooth content close (bounded quant error)."""

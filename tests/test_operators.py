@@ -1908,3 +1908,96 @@ def test_window_hashes_match_spark_substring_xxhash(spark):
         .tolist()
     )
     assert got == expected and len(got) == len(text) - k + 1
+
+
+# ---------------------------------------------------------------------------
+# round 9: regression tests pinning the round-8 behavior fixes
+
+
+def test_mixtures_keep_null_key_rows(spark):
+    """NULL-key rows must survive both mixtures (r8 fix,
+    quality.py: NULL md5 pinned to bucket 0) instead of silently
+    vanishing through the bucket lookup join — a silent budget
+    under-fill at scale. Every mixture test before this one used
+    all-non-null keys, so the fix was invisible to the suite."""
+    from blockchaintoavro_spark.operators.quality import (
+        budget_mixture,
+        temperature_mixture,
+    )
+
+    rows = [("a", None, 7), ("a", "d1", 3), ("a", "d2", 4), ("b", None, 5), ("b", "d3", 2)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n long")
+
+    # budgets large enough to keep every row → the NULL-key rows MUST
+    # be in the output
+    out = budget_mixture(df, F.col("n"), {"a": 100, "b": 100}).collect()
+    assert len(out) == 5
+    nulls = [r for r in out if r["doc_id"] is None]
+    assert sorted(r["source"] for r in nulls) == ["a", "b"]
+    # NULL md5 sorts first (bucket 0, NULLS FIRST): within its source
+    # the NULL-key row is picked BEFORE any non-null key
+    for r in nulls:
+        assert r["cum_before"] == 0, r
+
+    # temperature: take the whole corpus → NULL keys selectable
+    sel = temperature_mixture(df, target_total=5, tau=1.0, key="doc_id")
+    got = sel.collect()
+    assert len(got) == 5
+    assert sum(1 for r in got if r["doc_id"] is None) == 2
+
+    # tight budget: the NULL-key row (cum_before=0) is the FIRST pick
+    tight = budget_mixture(df, F.col("n"), {"a": 1, "b": 1}).collect()
+    assert sorted((r["source"], r["doc_id"]) for r in tight) == [
+        ("a", None),
+        ("b", None),
+    ]
+
+
+def test_sorted_gram_ops_accept_string_doc_ids(spark):
+    """String doc-ids through the sorted-gram count/strip operators
+    (r8 fix, substr_sorted.py: output id type derived from the input
+    schema instead of hardcoded long) — on BOTH the broadcast-dictionary
+    path and the broadcast_max_hashes=1 over-gate fallback. Pre-fix this
+    crashed at Arrow conversion; no test constructed a string-id corpus
+    for these two functions."""
+    from blockchaintoavro_spark.operators.dedup import (
+        strip_duplicated_spans,
+        substring_dup_counts,
+    )
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        strip_duplicated_spans_sorted,
+        substring_dup_counts_sorted,
+    )
+
+    rows = [(f"doc-{i}", t) for i, (_, t) in enumerate(_SORTED_GRAM_CORPUS)]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    k = 12
+
+    ref_counts = sorted(
+        map(tuple, substring_dup_counts(d, k=k).collect())
+    )
+    got = sorted(map(tuple, substring_dup_counts_sorted(d, k=k).collect()))
+    fb = sorted(
+        map(
+            tuple,
+            substring_dup_counts_sorted(d, k=k, broadcast_max_hashes=1).collect(),
+        )
+    )
+    assert got == ref_counts and fb == ref_counts and len(ref_counts) > 0
+    assert all(isinstance(r[0], str) for r in got)
+
+    ref_strip = sorted(
+        map(
+            tuple,
+            strip_duplicated_spans(d, k=k, hash_only=True, plan="catalyst").collect(),
+        )
+    )
+    got_s = sorted(map(tuple, strip_duplicated_spans_sorted(d, k=k).collect()))
+    fb_s = sorted(
+        map(
+            tuple,
+            strip_duplicated_spans_sorted(d, k=k, broadcast_max_hashes=1).collect(),
+        )
+    )
+    assert got_s == ref_strip and fb_s == ref_strip
+    assert all(isinstance(r[0], str) for r in got_s)
