@@ -3186,3 +3186,84 @@ def x_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image near-dup (r8 VERDICT #1 — pHash + Hamming-banded join)
+
+_PHASH_CODES_SQL = """
+    WITH px AS (
+      SELECT doc_id, list_transform(range(1024), i ->
+        CAST(((doc_id // 5)*31 + 17*i + (i*i)%251 +
+              CASE WHEN i = doc_id % 5 THEN doc_id % 5 ELSE 0 END)
+             % 256 AS DOUBLE)) AS p
+      FROM documents
+    ),
+    coef AS (
+      SELECT doc_id, list_transform(range(64), c ->
+        CASE WHEN abs(list_aggregate(list_transform(range(1024), i ->
+          p[i+1] * cos(pi()*(2*(i%32)+1)*(c%8)/64.0)
+                 * cos(pi()*(2*(i//32)+1)*(c//8)/64.0)), 'sum')) < 1e-6
+             THEN 0.0
+             ELSE list_aggregate(list_transform(range(1024), i ->
+          p[i+1] * cos(pi()*(2*(i%32)+1)*(c%8)/64.0)
+                 * cos(pi()*(2*(i//32)+1)*(c//8)/64.0)), 'sum') END) AS f
+      FROM px
+    ),
+    med AS (SELECT doc_id, f, list_aggregate(f[2:], 'median') AS m FROM coef),
+    codes AS (
+      SELECT doc_id, CAST(list_aggregate(list_transform(range(1,64), j ->
+          CASE WHEN f[j+1] > m THEN (CAST(1 AS BIGINT) << (j-1)) ELSE 0 END),
+          'sum') AS BIGINT) AS phash
+      FROM med
+    )
+"""
+
+
+@declare(
+    "x_phash_codes",
+    oracle=_PHASH_CODES_SQL + "SELECT doc_id, phash FROM codes ORDER BY doc_id",
+)
+def x_phash_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual 63-bit pHash per synthesized image, END-TO-END through
+    the real pipeline (operators/phash.py): id-arithmetic 64×64 gray
+    image → real PNG encode → magic-dispatch decode → luma → box-resize
+    to 32×32 → 2-D DCT-II → median threshold → packed code. The 2×2
+    superpixel construction makes the box-resize exact, so DuckDB
+    recomputes the identical code from pure cos/median/bit arithmetic —
+    any mangled byte anywhere in codec, resize, DCT or packing diverges
+    the hash. Embarrassingly parallel Arrow-batched map; zero shuffle."""
+    from ..operators.phash import phash_fixture_codes
+
+    d = t(spark, sf, "documents")
+    return phash_fixture_codes(d).orderBy("doc_id")
+
+
+@declare(
+    "x_phash_neardup",
+    oracle=_PHASH_CODES_SQL + """
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ORDER BY d1, d2
+    """,
+)
+def x_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup pairs at Hamming radius 3 over the pHash codes —
+    EXACT results from a banded plan (operators/phash.py): each 63-bit
+    code splits into four disjoint 16-bit bands; within radius 3 the
+    pigeonhole guarantees a shared band, so the banded equi-join's
+    candidate set has recall 1.0 and the bit_count(xor) verify makes
+    precision 1.0. The oracle cross-joins codes (fine at sf0.01); the
+    Spark plan never does — it is an equi-join on (band_id, band_val),
+    linear in bucket collisions, the same shape that holds MinHash at
+    100 TB."""
+    from ..operators.phash import phash_fixture_codes, phash_neardup_pairs
+
+    d = t(spark, sf, "documents")
+    codes = phash_fixture_codes(d)
+    pairs = phash_neardup_pairs(codes, max_hamming=3)
+    return pairs.select(
+        "d1", "d2", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("d1", "d2")

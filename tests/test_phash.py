@@ -1,0 +1,137 @@
+"""Perceptual image near-dup (operators/phash.py) — unit vectors for the
+63-bit pHash, exactness of the Hamming-banded retrieval, and the
+banded-join plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blockchaintoavro_spark.operators.phash import (
+    luma_plane,
+    phash63,
+    phash_codes,
+    phash_neardup_pairs,
+)
+
+
+def test_phash_flat_image_is_zero():
+    """A constant image has an all-zero AC spectrum: every coefficient
+    equals the median (0), no bit exceeds it → code 0, at any size."""
+    for w, h, v in [(32, 32, 0), (32, 32, 200), (64, 48, 77)]:
+        assert phash63(bytes([v] * (w * h)), w, h, 1) == 0
+
+
+def test_phash_is_63_bit_and_deterministic():
+    rnd = np.random.RandomState(7)
+    px = rnd.randint(0, 256, 32 * 32, dtype=np.uint8).tobytes()
+    c1 = phash63(px, 32, 32, 1)
+    c2 = phash63(px, 32, 32, 1)
+    assert c1 == c2
+    assert 0 <= c1 < (1 << 63)
+    # a non-degenerate image thresholds ~half its 63 AC coeffs above
+    # the median: exactly 31 bits set (median of 63 = 32nd order stat)
+    assert bin(c1).count("1") == 31
+
+
+def test_phash_robust_to_small_noise_distinct_for_different_images():
+    """The perceptual property: ±2 pixel noise moves the code a few
+    bits; an unrelated image is ~32 bits away."""
+    rnd = np.random.RandomState(11)
+    base = rnd.randint(10, 246, 32 * 32).astype(np.uint8)
+    noisy = (base + rnd.randint(-2, 3, base.size)).clip(0, 255).astype(np.uint8)
+    other = rnd.randint(0, 256, 32 * 32).astype(np.uint8)
+    c0 = phash63(base.tobytes(), 32, 32, 1)
+    cn = phash63(noisy.tobytes(), 32, 32, 1)
+    co = phash63(other.tobytes(), 32, 32, 1)
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(c0, cn) <= 6
+    assert ham(c0, co) >= 16
+
+
+def test_phash_resize_invariance_on_2x_upscale():
+    """A 64×64 image of 2×2-constant superpixels box-resizes exactly to
+    its 32×32 source — the fixture-oracle contract."""
+    rnd = np.random.RandomState(3)
+    block = rnd.randint(0, 256, (32, 32)).astype(np.uint8)
+    big = np.repeat(np.repeat(block, 2, axis=0), 2, axis=1)
+    assert phash63(big.tobytes(), 64, 64, 1) == phash63(
+        block.tobytes(), 32, 32, 1
+    )
+
+
+def test_luma_plane_bt601_integer():
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    y = luma_plane(px, 2, 2, 3)
+    assert list(y) == [
+        299 * 255 // 1000,
+        587 * 255 // 1000,
+        114 * 255 // 1000,
+        (299 * 10 + 587 * 20 + 114 * 30) // 1000,
+    ]
+    assert luma_plane(px[:4], 2, 2, 1) == px[:4]
+
+
+def test_banded_retrieval_exact_vs_brute_force(spark):
+    """Pigeonhole exactness: banded pairs == brute-force Hamming ≤ 3 on
+    a code set seeded with true near-dups at distances 0..5."""
+    rnd = np.random.RandomState(42)
+    codes = list(rnd.randint(0, 1 << 62, 40, dtype=np.int64))
+    # seed near-dups: flip 0..5 bits of code[i] for i in 0..5
+    for d in range(6):
+        c = int(codes[d])
+        for b in rnd.choice(63, size=d, replace=False):
+            c ^= 1 << int(b)
+        codes.append(c)
+    df = spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(codes)], "doc_id long, phash long"
+    )
+    got = sorted(
+        map(tuple, phash_neardup_pairs(df, max_hamming=3).collect())
+    )
+    brute = sorted(
+        (i, j, bin(int(codes[i]) ^ int(codes[j])).count("1"))
+        for i in range(len(codes))
+        for j in range(i + 1, len(codes))
+        if bin(int(codes[i]) ^ int(codes[j])).count("1") <= 3
+    )
+    assert got == brute and len(brute) >= 4  # distances 0,1,2,3 seeded
+
+
+def test_phash_neardup_rejects_unpigeonholeable_radius(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, phash long")
+    with pytest.raises(ValueError, match="max_hamming < n_bands"):
+        phash_neardup_pairs(df, max_hamming=4, n_bands=4)
+
+
+def test_phash_codes_skips_null_and_undecodable(spark):
+    from blockchaintoavro_spark.functions.imaging import encode_png
+
+    rnd = np.random.RandomState(5)
+    px = rnd.randint(0, 256, 32 * 32, dtype=np.uint8).tobytes()
+    rows = [
+        (1, bytearray(encode_png(32, 32, px, 1))),
+        (2, None),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = phash_codes(df).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["phash"] == phash63(px, 32, 32, 1)
+
+
+def test_phash_neardup_plan_is_banded_equi_join(spark):
+    """The candidate join must be a shuffled equi-join on (band_id,
+    band_val) — no cartesian product, no nested loop (the property that
+    holds at 100 TB)."""
+    df = spark.createDataFrame(
+        [(i, i * 977) for i in range(50)], "doc_id long, phash long"
+    )
+    pairs = phash_neardup_pairs(df, max_hamming=3)
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
