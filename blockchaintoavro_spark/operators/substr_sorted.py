@@ -441,3 +441,132 @@ def strip_duplicated_spans_sorted(
             ]
         ),
     )
+
+
+def _spans_against_array(dup_sorted: np.ndarray, k: int, id_col: str, text_col: str):
+    """mapInPandas fn: emit every MAXIMAL duplicated span per document
+    (Lee et al.'s suffix-array output shape) — the same island merge as
+    :func:`_strip_against_array` (adjacent or overlapping windows
+    coalesce; a ≥1-char gap separates islands), but reporting
+    ``(id, span_start, span_len)`` instead of cutting the text.
+    ``span_start`` is 1-based (the SQL ``substring`` convention the
+    oracles use). Docs without duplicated spans emit no row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h, d, p = _batch_window_hashes(list(pdf[text_col]), k)
+            if h.size == 0 or dup_sorted.size == 0:
+                continue
+            idx = np.searchsorted(dup_sorted, h)
+            idx[idx == dup_sorted.size] = 0
+            hit = dup_sorted[idx] == h
+            dh, ph = d[hit], p[hit]
+            if dh.size == 0:
+                continue
+            out_ids, out_s, out_l = [], [], []
+            docs, first = np.unique(dh, return_index=True)
+            bounds = np.append(first, dh.size)
+            ids = pdf[id_col].values
+            for j, doc in enumerate(docs):
+                pos = ph[bounds[j] : bounds[j + 1]]  # ascending, 0-based
+                span_s = int(pos[0])
+                span_e = span_s + k  # exclusive
+                for q in pos[1:]:
+                    q = int(q)
+                    if q > span_e:  # gap ≥ 1 char: close the island
+                        out_ids.append(ids[doc])
+                        out_s.append(span_s + 1)
+                        out_l.append(span_e - span_s)
+                        span_s = q
+                    span_e = max(span_e, q + k)
+                out_ids.append(ids[doc])
+                out_s.append(span_s + 1)
+                out_l.append(span_e - span_s)
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "span_start": pd.array(out_s, dtype="int64"),
+                    "span_len": pd.array(out_l, dtype="int64"),
+                }
+            )
+
+    return run
+
+
+def duplicated_spans_sorted(
+    df: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_rows_per_partition: int | None = None,
+    n_partitions: int | None = None,
+    broadcast_max_hashes: int = 8_000_000,
+) -> DataFrame:
+    """MAXIMAL duplicated spans per document (r8 VERDICT "What's
+    missing" #2): where :func:`duplicated_substrings_sorted` reports
+    per-k-gram fingerprint counts, this reports the merged
+    human-auditable artifact — ``(id, span_start, span_len)`` for every
+    maximal run of windows duplicated in ≥ ``min_docs`` docs, exactly
+    the intervals :func:`strip_duplicated_spans_sorted` would cut
+    (``span_start`` 1-based).
+
+    Physical shape: detection through the packed-run Exchange, then the
+    dictionary broadcasts and each doc merges its own islands in one
+    doc-local map pass — zero shuffles after detection. Over-gate
+    dictionaries ride the Catalyst join-back + the gaps-and-islands
+    window (one gram Exchange + one doc-keyed Sort, any size)."""
+    from pyspark.sql import Window
+
+    from blockchaintoavro_spark.operators.dedup import substring_positions
+
+    dup_sorted, dups = _dup_dictionary(
+        df, k, min_docs, id_col, text_col,
+        target_rows_per_partition, n_partitions, broadcast_max_hashes,
+    )
+    if dup_sorted is None:
+        pos = substring_positions(
+            df, k, id_col, text_col, hash_only=True, with_pos=True
+        )
+        spans = pos.join(dups, "sub").select(
+            id_col,
+            F.col("pos").alias("s"),
+            (F.col("pos") + k - 1).alias("e"),
+        )
+        w = Window.partitionBy(id_col).orderBy("s")
+        prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        marked = spans.withColumn(
+            "ni",
+            (prev_max.isNull() | (F.col("s") > prev_max + 1)).cast("int"),
+        ).withColumn(
+            "island",
+            F.sum("ni").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return (
+            marked.groupBy(id_col, "island")
+            .agg(F.min("s").alias("span_start"), F.max("e").alias("_e"))
+            .select(
+                id_col,
+                F.col("span_start").cast("long"),
+                (F.col("_e") - F.col("span_start") + 1)
+                .cast("long")
+                .alias("span_len"),
+            )
+        )
+    bc = df.sparkSession.sparkContext.broadcast(dup_sorted)
+
+    def run_with_bc(batches):
+        yield from _spans_against_array(bc.value, k, id_col, text_col)(batches)
+
+    return df.mapInPandas(
+        run_with_bc,
+        schema=T.StructType(
+            [
+                df.schema[id_col],
+                T.StructField("span_start", T.LongType()),
+                T.StructField("span_len", T.LongType()),
+            ]
+        ),
+    )

@@ -3267,3 +3267,53 @@ def x_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select(
         "d1", "d2", F.col("hamming").cast("long").alias("hamming")
     ).orderBy("d1", "d2")
+
+
+@declare(
+    "x_dup_spans_maximal",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+    pos AS (
+      SELECT doc_id, CAST(i AS INT) AS p,
+             substring(text, CAST(i AS INT), 20) AS sub
+      FROM docs,
+           UNNEST(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS t(i)
+    ),
+    dd AS (SELECT DISTINCT doc_id, sub FROM pos),
+    dup AS (SELECT sub FROM dd GROUP BY sub HAVING COUNT(*) >= 2),
+    spans AS (SELECT doc_id, p AS s, p + 19 AS e FROM pos JOIN dup USING (sub)),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM spans
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def x_dup_spans_maximal(spark: SparkSession, sf: str) -> DataFrame:
+    """MAXIMAL duplicated spans (r8 VERDICT #2 — Lee et al.'s
+    suffix-array output shape, operators/substr_sorted.py): per doc,
+    every merged island of ≥2-doc-duplicated 20-char windows as
+    ``(doc_id, span_start, span_len)`` — the human-auditable artifact
+    (span merging previously happened only inside the strip). Sorted-
+    gram detection through the packed Exchange, broadcast dictionary,
+    doc-local island merge — zero shuffles after detection. The DuckDB
+    twin rebuilds the identical intervals from verbatim substrings via
+    gaps-and-islands windows."""
+    from ..operators.substr_sorted import duplicated_spans_sorted
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 80)
+    return duplicated_spans_sorted(d, k=20).orderBy("doc_id", "span_start")

@@ -2001,3 +2001,67 @@ def test_sorted_gram_ops_accept_string_doc_ids(spark):
     )
     assert got_s == ref_strip and fb_s == ref_strip
     assert all(isinstance(r[0], str) for r in got_s)
+
+
+def test_duplicated_spans_maximal_paths_agree_and_match_strip(spark, sf_dir):
+    """Maximal-span detection (substr_sorted.py:duplicated_spans_sorted):
+    broadcast path == over-gate Catalyst gaps-and-islands path, spans
+    are disjoint with ≥1-char gaps (maximality), and per doc the summed
+    span lengths equal exactly what the strip removes."""
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        duplicated_spans_sorted,
+        strip_duplicated_spans_sorted,
+    )
+
+    fixture = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 60"
+    )
+    uni = spark.createDataFrame(_SORTED_GRAM_CORPUS, "doc_id long, text string")
+    for d, k in [(fixture, 15), (uni, 12)]:
+        got = sorted(map(tuple, duplicated_spans_sorted(d, k=k).collect()))
+        fb = sorted(
+            map(
+                tuple,
+                duplicated_spans_sorted(d, k=k, broadcast_max_hashes=1).collect(),
+            )
+        )
+        assert got == fb and len(got) > 0
+        # maximality: spans within a doc are sorted, disjoint, and
+        # separated by at least one kept char
+        per: dict = {}
+        for doc, s, ln in got:
+            assert ln >= k and s >= 1
+            per.setdefault(doc, []).append((s, ln))
+        for doc, spans in per.items():
+            for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+                assert s2 > s1 + l1, (doc, spans)
+        # strip agreement: summed span lengths == n_stripped
+        stripped = {
+            r["doc_id"]: r["n_stripped"]
+            for r in strip_duplicated_spans_sorted(d, k=k).collect()
+            if r["n_stripped"]
+        }
+        summed: dict = {}
+        for doc, s, ln in got:
+            summed[doc] = summed.get(doc, 0) + ln
+        assert summed == stripped
+
+
+def test_duplicated_spans_maximal_string_ids(spark):
+    """String doc-ids flow through the span output schema (StructType-
+    derived id field), on both physical paths."""
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        duplicated_spans_sorted,
+    )
+
+    rows = [(f"d{i}", t) for i, (_, t) in enumerate(_SORTED_GRAM_CORPUS)]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    got = sorted(map(tuple, duplicated_spans_sorted(d, k=12).collect()))
+    fb = sorted(
+        map(
+            tuple,
+            duplicated_spans_sorted(d, k=12, broadcast_max_hashes=1).collect(),
+        )
+    )
+    assert got == fb and len(got) > 0
+    assert all(isinstance(r[0], str) for r in got)
