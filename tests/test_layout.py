@@ -191,3 +191,67 @@ def test_equidepth_bucket_nulls_and_model(spark):
     got = {r["id"]: r["k"] for r in df.select("id", key.alias("k")).collect()}
     assert got[0] == 0  # NULL clusters with the minimum
     assert got[1] < got[4]  # monotone codes
+
+
+def test_zorder_quantile_string_keys_balanced(spark):
+    """r8 VERDICT #3: a STRING clustering key (the canonical skewed
+    user-id column) through quantile mode — previously crashed at
+    approxQuantile. Sample-sort boundaries must produce near-balanced
+    buckets even under heavy skew, codes must be monotone in string
+    order, and mixed string+numeric column sets must work."""
+    from blockchaintoavro_spark.operators.layout import (
+        equidepth_bucket,
+        equidepth_splits_sampled,
+        zorder_key,
+    )
+
+    # skewed ids: one hot user owns 30% of rows, rest long-tail
+    rows = []
+    for i in range(3000):
+        uid = "user-hot" if i % 10 < 3 else f"user-{i:06d}"
+        rows.append((i, uid, float(i % 97)))
+    df = spark.createDataFrame(rows, "id long, uid string, v double")
+
+    splits = equidepth_splits_sampled(df, ["uid"], bits=3, max_sample=10_000)
+    assert len(splits["uid"]) == 7 and all(
+        isinstance(s, str) for s in splits["uid"]
+    )
+
+    code = equidepth_bucket(F.col("uid"), splits["uid"])
+    counts = (
+        df.select(code.alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    by = {r["c"]: r["count"] for r in counts}
+    # the hot key's bucket legitimately carries its 30% mass; every
+    # OTHER bucket must stay near the ideal 1/8 share
+    ideal = 3000 / 8
+    heavy = max(by.values())
+    assert heavy <= 3000 * 0.45, by
+    for c, n in by.items():
+        if n != heavy:
+            assert n <= ideal * 2, by
+    # monotone: order by code must respect string order at boundaries
+    sample = df.select("uid", code.alias("c")).distinct().collect()
+    pairs = sorted((r["uid"], r["c"]) for r in sample)
+    for (u1, c1), (u2, c2) in zip(pairs, pairs[1:]):
+        assert c1 <= c2, (u1, c1, u2, c2)
+
+    # mixed string + numeric quantile z-order end-to-end
+    key, model = zorder_key(df, ["uid", "v"], bits=3, buckets="quantile")
+    assert set(model) == {"uid", "v"}
+    ks = df.select(key.alias("k")).collect()
+    assert all(r["k"] is not None and r["k"] >= 0 for r in ks)
+
+
+def test_equidepth_bucket_string_nulls(spark):
+    from blockchaintoavro_spark.operators.layout import equidepth_bucket
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "a"), (2, "m"), (3, "z")], "id long, s string"
+    )
+    code = equidepth_bucket(F.col("s"), ["b", "n"])
+    got = {r["id"]: r["c"] for r in df.select("id", code.alias("c")).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2}
