@@ -2065,3 +2065,49 @@ def test_duplicated_spans_maximal_string_ids(spark):
     )
     assert got == fb and len(got) > 0
     assert all(isinstance(r[0], str) for r in got)
+
+
+def test_ivf_persisted_index_matches_per_call_and_skips_lloyd(spark, sf_dir, tmp_path):
+    """r8 VERDICT #4: build_ivf_index persists centroids + cid-
+    partitioned assignments; query_ivf must return EXACTLY what the
+    train-per-call path returns (same deterministic centroids ⇒ same
+    candidate sets ⇒ same rerank), and its plan must contain no Lloyd
+    machinery — just the assignments scan and the probe join."""
+    from blockchaintoavro_spark.operators.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+        query_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, idx, n_centroids=16, n_iters=3)
+
+    ref = sorted(
+        (r.q_id, r.neighbor_id)
+        for r in ann_topk_ivf(emb, q, k=3, n_centroids=16, nprobe=6).collect()
+    )
+    got_df = query_ivf(spark, idx, q, k=3, nprobe=6)
+    got = sorted((r.q_id, r.neighbor_id) for r in got_df.collect())
+    assert got == ref and len(got) > 0
+
+    # the query plan reads the persisted assignments (partitioned by
+    # cid) and never re-aggregates the corpus into centroids: no
+    # posexplode/avg stage, and the only scans are parquet
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    assert "ivf_index/assignments" in p
+    assert "posexplode" not in p and "avg(" not in p
+
+    # index is reusable across sessions-of-truth: a second query with
+    # different probes still needs zero training jobs and stays a
+    # subset/superset-consistent rerank
+    got2 = query_ivf(spark, idx, q, k=3, nprobe=16)
+    exact = sorted(
+        (r.q_id, r.neighbor_id) for r in topk_per_query(emb, q, k=3).collect()
+    )
+    # nprobe == n_centroids probes every posting list -> exact results
+    assert sorted((r.q_id, r.neighbor_id) for r in got2.collect()) == exact
