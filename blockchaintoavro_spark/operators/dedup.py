@@ -918,8 +918,11 @@ def strip_duplicated_spans(
 
     - ``"auto"`` (default): ``sorted_gram`` when ``hash_only=True`` on
       a batch input (measured 1.5× faster end-to-end at the 500 k-doc
-      scale point and the shape that survives 100 TB); ``catalyst``
-      otherwise (verbatim grams, streaming).
+      scale point and the shape that survives 100 TB);
+      ``sorted_confirm`` for verbatim batch input (r8 VERDICT #4 —
+      sorted-detect on fingerprints + verbatim confirm of the
+      candidate sliver, byte-identical output to ``catalyst`` with the
+      per-position gram Exchange gone); ``catalyst`` for streaming.
     - ``"sorted_gram"`` (requires ``hash_only=True``): the
       suffix-array-flavored pipeline (operators/substr_sorted.py):
       packed sorted fingerprint runs through one small Exchange, then
@@ -933,10 +936,23 @@ def strip_duplicated_spans(
       standing dictionary known to be small.
     """
     if plan == "auto":
-        plan = (
-            "sorted_gram"
-            if hash_only and not df.isStreaming
-            else "catalyst"
+        if df.isStreaming:
+            plan = "catalyst"
+        else:
+            plan = "sorted_gram" if hash_only else "sorted_confirm"
+    if plan == "sorted_confirm":
+        if hash_only:
+            raise ValueError(
+                "plan='sorted_confirm' exists to keep VERBATIM semantics "
+                "cheap; with hash_only=True use plan='sorted_gram'"
+            )
+        from blockchaintoavro_spark.operators.substr_sorted import (
+            strip_duplicated_spans_verbatim_sorted,
+        )
+
+        return strip_duplicated_spans_verbatim_sorted(
+            df, k, min_docs, id_col, text_col,
+            target_rows_per_partition, n_partitions,
         )
     if plan == "sorted_gram":
         if not hash_only:

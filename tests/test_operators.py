@@ -1700,8 +1700,9 @@ def test_sorted_gram_requires_hash_only(spark):
 
 def test_strip_auto_plan_dispatch(spark):
     """plan='auto' routes hash_only batch inputs to sorted_gram and
-    verbatim ones to catalyst — observable via the physical plan
-    (mapInPandas markers vs Window)."""
+    (since r9) verbatim batch inputs to sorted_confirm — neither rides
+    the Catalyst gaps-and-islands Window, which only plan='catalyst'
+    keeps — observable via the physical plan."""
     d = spark.createDataFrame(
         [(1, "abcdefghij klmno"), (2, "abcdefghij pqrst")],
         "doc_id long, text string",
@@ -1710,10 +1711,14 @@ def test_strip_auto_plan_dispatch(spark):
 
     hashed = strip_duplicated_spans(d, k=10, hash_only=True)
     verb = strip_duplicated_spans(d, k=10)
+    cat = strip_duplicated_spans(d, k=10, plan="catalyst")
     hp = hashed._jdf.queryExecution().executedPlan().toString()
     vp = verb._jdf.queryExecution().executedPlan().toString()
+    cp = cat._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in hp  # doc-local map pass, no interval-merge window
-    assert "Window" in vp  # catalyst gaps-and-islands
+    assert "Window" not in vp  # sorted_confirm: island merge in the map pass
+    assert "MapInPandas" in vp  # candidate scan + rebuild ride Arrow
+    assert "Window" in cp  # catalyst gaps-and-islands preserved
 
 
 def test_temperature_mixture_exact_matches_full_rank_selection(spark):
@@ -2111,3 +2116,83 @@ def test_ivf_persisted_index_matches_per_call_and_skips_lloyd(spark, sf_dir, tmp
     )
     # nprobe == n_centroids probes every posting list -> exact results
     assert sorted((r.q_id, r.neighbor_id) for r in got2.collect()) == exact
+
+
+def test_verbatim_sorted_confirm_matches_catalyst(spark, sf_dir):
+    """plan='sorted_confirm' (sorted-detect + verbatim confirm,
+    substr_sorted.py) must be BYTE-IDENTICAL to the Catalyst verbatim
+    plan — including NULL-text passthrough and within-doc repeats —
+    and plan='auto' must now route verbatim batch input to it."""
+    from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
+
+    fixture = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 60"
+    )
+    uni = spark.createDataFrame(_SORTED_GRAM_CORPUS, "doc_id long, text string")
+    for d, k in [(fixture, 15), (uni, 12)]:
+        ref = sorted(
+            map(
+                tuple,
+                strip_duplicated_spans(d, k=k, plan="catalyst").collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                strip_duplicated_spans(d, k=k, plan="sorted_confirm").collect(),
+            )
+        )
+        auto = sorted(
+            map(tuple, strip_duplicated_spans(d, k=k).collect())
+        )
+        assert got == ref and auto == ref and len(ref) > 0
+
+
+def test_verbatim_sorted_confirm_kills_fingerprint_collisions(spark, monkeypatch):
+    """The confirm stage's whole purpose: a fingerprint collision
+    between a duplicated and a unique gram must NOT strip the unique
+    gram. Simulated by collapsing the dictionary fingerprints to one
+    bucket value (every gram 'collides'); the verbatim confirm must
+    still strip only the truly duplicated spans."""
+    import blockchaintoavro_spark.operators.substr_sorted as ss
+    from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
+
+    real = ss._dup_dictionary
+
+    def collide(df, k, min_docs, id_col, text_col, trp, np_, gate):
+        import numpy as _np
+
+        dup_sorted, dups = real(
+            df, k, min_docs, id_col, text_col, trp, np_, gate
+        )
+        assert dups is None
+        # every fingerprint in the corpus becomes a 'candidate'
+        from blockchaintoavro_spark.functions.xxh import (
+            char_starts_of,
+            window_hashes_concat,
+        )
+
+        texts = [r[text_col] or "" for r in df.select(text_col).collect()]
+        joined = "".join(texts).encode("utf-8")
+        allh = window_hashes_concat(
+            joined, char_starts_of(joined, sum(len(t) for t in texts)), k
+        )
+        return _np.sort(_np.unique(allh)), None
+
+    monkeypatch.setattr(ss, "_dup_dictionary", collide)
+    rows = [
+        (1, "AAAA shared span here AAAA"),
+        (2, "BBBB shared span here BBBB"),
+        (3, "totally unique content xyz"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_stripped"])
+        for r in strip_duplicated_spans(d, k=12, plan="sorted_confirm").collect()
+    }
+    ref = {
+        r["doc_id"]: (r["clean_text"], r["n_stripped"])
+        for r in strip_duplicated_spans(d, k=12, plan="catalyst").collect()
+    }
+    assert got == ref
+    assert got[3][1] == 0  # the unique doc survives the forced collisions

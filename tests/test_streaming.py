@@ -481,3 +481,80 @@ def test_strip_spans_stream_equals_batch(spark, tmpdir):
     }
     assert got == want
     assert any(v[1] > 0 for v in want.values())  # non-degenerate
+
+
+def test_sorted_strip_stream_equals_batch_and_refreshes(spark, tmpdir):
+    """ST-leg of the sorted strip (substr_sorted.py): a standing
+    fingerprint dictionary store scrubs a document stream via
+    foreachBatch with a broadcast that refreshes ONLY when the store's
+    file set changes. Phase 1: stream out == batch strip against the
+    same store, with exactly ONE dictionary load across all
+    micro-batches. Phase 2: overwrite the store from a wider snapshot,
+    stream new files — the applier must detect the new file set,
+    reload once more, and phase-2 output must match a batch strip
+    against the NEW store."""
+    from blockchaintoavro_spark.operators.dedup import strip_spans_against
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        strip_duplicated_spans_stream,
+        write_dup_dictionary,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    snap1 = docs.filter(F.col("doc_id") < 100)
+    dict_path = f"{tmpdir}/dict_store"
+    src = f"{tmpdir}/src"
+    out = f"{tmpdir}/out"
+    ckpt = f"{tmpdir}/ckpt"
+    write_dup_dictionary(snap1, dict_path, k=20)
+
+    snap1.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    writer = strip_duplicated_spans_stream(stream, dict_path, out, ckpt, k=20)
+    applier = writer._spark_graft_applier
+    writer.trigger(availableNow=True).start().awaitTermination(120)
+
+    store1 = spark.read.parquet(dict_path)
+    want1 = {
+        r["doc_id"]: (r["clean_text"], r["n_stripped"])
+        for r in strip_spans_against(snap1, store1, k=20, hash_only=True).collect()
+    }
+    got1 = {
+        r["doc_id"]: (r["clean_text"], r["n_stripped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == want1
+    assert any(v[1] > 0 for v in want1.values())
+    assert applier.refreshes == 1  # >1 trigger, ONE dictionary load
+
+    # phase 2: wider snapshot -> new dictionary; new docs arrive
+    snap2 = docs.filter(F.col("doc_id") < 200)
+    write_dup_dictionary(snap2, dict_path, k=20)
+    extra = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    extra.repartition(2).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    (
+        stream2.writeStream.foreachBatch(applier)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert applier.refreshes == 2  # exactly one reload for the new set
+    store2 = spark.read.parquet(dict_path)
+    want2 = {
+        r["doc_id"]: (r["clean_text"], r["n_stripped"])
+        for r in strip_spans_against(extra, store2, k=20, hash_only=True).collect()
+    }
+    got_all = {}
+    for r in spark.read.parquet(out).collect():
+        got_all.setdefault(r["doc_id"], (r["clean_text"], r["n_stripped"]))
+    got2 = {k: v for k, v in got_all.items() if k >= 100}
+    assert got2 == want2

@@ -300,6 +300,46 @@ def bench_round7_operators(spark) -> dict:
     return results
 
 
+def bench_round9_operators(spark) -> dict:
+    """Round-9 addition (r8 VERDICT #4): VERBATIM span stripping through
+    sorted-detect + verbatim-confirm (plan='sorted_confirm', the new
+    plan='auto' route for non-hash batch input) vs the legacy Catalyst
+    verbatim plan, at the same scales. The Catalyst verbatim plan
+    shuffles one k-char string per corpus position (~70 s at 500 k
+    docs); sorted_confirm materializes gram TEXT only for the
+    duplicated-span sliver, so it should track the hash-sorted curve
+    with a small confirm surcharge while staying byte-identical in
+    output (twin-tested in tests/test_operators.py)."""
+    from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
+
+    results: dict[str, dict] = {
+        "strip_dup_spans_verbatim_confirm": {},
+        "strip_dup_spans_verbatim_catalyst": {},
+    }
+    for mult in SCALES:
+        docs = scaled_documents(spark, mult)
+        n_docs = docs.count()
+        key = str(n_docs)
+        n, sec = timed(
+            lambda: strip_duplicated_spans(docs, k=20, plan="sorted_confirm")
+            .filter("n_stripped > 0").count()
+        )
+        results["strip_dup_spans_verbatim_confirm"][key] = {
+            "rows_in": n_docs, "stripped_docs": n, "sec": sec,
+        }
+        print(f"strip_dup_spans[verbatim,confirm] {n_docs} -> {n} in {sec}s", flush=True)
+
+        n, sec = timed(
+            lambda: strip_duplicated_spans(docs, k=20, plan="catalyst")
+            .filter("n_stripped > 0").count()
+        )
+        results["strip_dup_spans_verbatim_catalyst"][key] = {
+            "rows_in": n_docs, "stripped_docs": n, "sec": sec,
+        }
+        print(f"strip_dup_spans[verbatim,catalyst] {n_docs} -> {n} in {sec}s", flush=True)
+    return results
+
+
 def bench_ocf_split(spark) -> dict:
     """One large multi-block OCF file: whole-file single InputPartition vs
     sync-marker-aligned byte-range splits (sources/avro_datasource.py)."""
