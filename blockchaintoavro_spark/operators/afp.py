@@ -1,0 +1,224 @@
+"""Perceptual AUDIO near-duplicate detection — a Haitsma-Kalker-style
+band-energy-difference fingerprint over decoded PCM plus the same
+Hamming-banded candidate join the image pHash uses (completes the
+multimodal dedup family: text MinHash → image pHash → audio AFP).
+
+Reference scope: the reference pipeline (cobookman/blockchainToAvro)
+has no audio handling at all — this operator family belongs to the
+LLM-training-data mandate (BASELINE.json), built on the repo's own WAV
+codec (functions/audio.py).
+
+Algorithm (public construction, after Haitsma & Kalker 2002 "A Highly
+Robust Audio Fingerprinting System": fingerprint bits are the signs of
+TIME-DELTA of BAND-ENERGY-DELTAS, which is what makes the code robust
+to level changes — any monotone per-clip gain shift preserves every
+sign):
+
+1. decode the payload (magic dispatch — WAV PCM/G.711) to interleaved
+   int16 samples; multi-channel mixes to mono by per-frame SUM
+   (integer, sign-preserving — no division, so there is no floor-vs-
+   trunc ambiguity between engines);
+2. split the clip into **9 equal time blocks** (floor boundaries);
+   within each block, SUM-pool the samples into **64 cells** (again no
+   division: pooling is linear, and the fingerprint only compares
+   energy differences, so a uniform scale cannot flip a bit);
+3. per block, a 64-point **Walsh-Hadamard transform** in natural
+   (Hadamard) order — ``W[c] = Σ_j cell[j]·(−1)^popcount(c AND j)`` —
+   the classic integer-exact spectral substitute (sequency domain);
+   coefficient 0 is DC and is skipped;
+4. **9 band energies** per block: band ``b`` = coefficients
+   ``1+7b .. 7+7b``, ``E[t][b] = Σ W²`` (exact Python ints — no
+   overflow at any clip length);
+5. the **63-bit code**: for ``t = 1..8`` and ``b = 0..7``, bit
+   ``(t−1)·8 + b`` is set iff
+   ``(E[t][b]−E[t][b+1]) − (E[t−1][b]−E[t−1][b+1]) > 0``;
+   bit 63 of the 8×8 grid is dropped so the code stays non-negative in
+   an int64 (the pHash convention, operators/phash.py).
+
+Everything is integer end-to-end, so a SQL oracle replicates the whole
+decode→pool→WHT→energy→threshold pipeline with plain arithmetic — the
+x_afp_codes declared query hash-checks it against DuckDB.
+
+Near-dup retrieval REUSES :func:`operators.phash.phash_neardup_pairs`
+verbatim (the code is just an int64 column): 4×16-bit disjoint bands,
+pigeonhole-exact for Hamming ≤ 3, banded equi-join + bit_count(xor)
+verify — never all-pairs.
+
+Scale: code extraction is an embarrassingly parallel Arrow-batched map
+(one int64 per clip); dedup state is 8 bytes × n_clips — the same
+posture as MinHash and pHash at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+#: 64×64 Walsh-Hadamard matrix in natural (Hadamard) order:
+#: H[c, j] = (−1)^popcount(c AND j). Built once per process; 32 KB.
+_WHT64: np.ndarray | None = None
+
+N_BLOCKS = 9
+N_CELLS = 64
+
+
+def _wht_matrix() -> np.ndarray:
+    global _WHT64
+    if _WHT64 is None:
+        idx = np.arange(64, dtype=np.uint32)
+        pop = np.array(
+            [bin(c & j).count("1") for c in idx for j in idx], dtype=np.int64
+        ).reshape(64, 64)
+        _WHT64 = 1 - 2 * (pop % 2)
+    return _WHT64
+
+
+def afp63(samples: list[int] | np.ndarray, channels: int = 1) -> int:
+    """63-bit perceptual audio fingerprint of one decoded clip (see
+    module docstring). Deterministic and integer-exact: sum pooling,
+    integer WHT, exact big-int energies, strict ``> 0`` thresholds.
+    A silent (all-equal) clip has all-zero energy deltas → code 0; an
+    empty clip → 0."""
+    x = np.asarray(samples, dtype=np.int64)
+    if channels > 1:
+        n_frames = x.size // channels
+        x = x[: n_frames * channels].reshape(n_frames, channels).sum(axis=1)
+    n = x.size
+    if n == 0:
+        return 0
+    H = _wht_matrix()
+    E = []  # E[t][b], exact Python ints
+    for t in range(N_BLOCKS):
+        lo, hi = t * n // N_BLOCKS, (t + 1) * n // N_BLOCKS
+        block = x[lo:hi]
+        m = block.size
+        cells = np.zeros(N_CELLS, dtype=np.int64)
+        if m:
+            # sum-pool into 64 cells with floor boundaries j*m//64
+            bounds = (np.arange(N_CELLS + 1) * m) // N_CELLS
+            csum = np.concatenate(([0], np.cumsum(block)))
+            cells = csum[bounds[1:]] - csum[bounds[:-1]]
+        W = H @ cells  # |W| ≤ 64·|cell| — int64-safe for any real clip
+        Wp = [int(w) for w in W]
+        E.append(
+            [
+                sum(Wp[1 + 7 * b + k] ** 2 for k in range(7))
+                for b in range(9)
+            ]
+        )
+    code = 0
+    for t in range(1, 9):
+        for b in range(8):
+            bit = (t - 1) * 8 + b
+            if bit > 62:
+                continue
+            q = (E[t][b] - E[t][b + 1]) - (E[t - 1][b] - E[t - 1][b + 1])
+            if q > 0:
+                code |= 1 << bit
+    return code
+
+
+def afp_codes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio fingerprint per clip payload: ``(id, afp long)`` via one
+    Arrow-batched map over the binary column (magic-dispatch WAV decode
+    → mono sum-mix → block/band energies → sign code). Undecodable or
+    NULL payloads are dropped (dedup wants codes, not errors — route
+    decode QA through operators/multimodal.py)."""
+    from blockchaintoavro_spark.functions.audio import try_decode_audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, codes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                d = try_decode_audio(bytes(payload))
+                if d is None:
+                    continue
+                codes.append(afp63(d["samples"], d["channels"]))
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "afp": pd.array(codes, dtype="int64")})
+
+    out_schema = df.select(id_col).schema.add("afp", "long")
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def afp_neardup_pairs(
+    codes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    code_col: str = "afp",
+    n_bands: int = 4,
+) -> DataFrame:
+    """All clip pairs within Hamming radius ``max_hamming`` — EXACT for
+    ``max_hamming < n_bands`` by the pigeonhole banding argument. The
+    plan IS :func:`operators.phash.phash_neardup_pairs` (a 64-bit code
+    is a 64-bit code): banded equi-join + bit_count(xor) verify, never
+    a cartesian product."""
+    from blockchaintoavro_spark.operators.phash import phash_neardup_pairs
+
+    return phash_neardup_pairs(
+        codes, max_hamming, id_col=id_col, code_col=code_col, n_bands=n_bands
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture: synthesized WAV corpus whose fingerprint a SQL
+# oracle can recompute (the x_afp_codes / x_afp_neardup declared queries)
+
+FIXTURE_SAMPLES = 1152  # 9 blocks × 64 cells × 2 samples — sum-pool of
+#                         exactly two samples per cell, SQL-replicable
+
+
+def afp_fixture_codes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Run the REAL audio-fingerprint pipeline end-to-end on a
+    synthesized corpus: per id, a deterministic 1152-sample mono PCM
+    clip — with ``g = id//5``, ``r = id%5``:
+
+    ``s[i] = (g·131 + 17·i + (i·i) % (101 + (g·53) % 151)) % 32768 −
+    16384``, plus ``r·64`` at position ``r·7+1``.
+
+    The GROUP-dependent quadratic modulus changes the spectral
+    character per base clip (measured: across-group Hamming ≥ 18), so
+    only the five perturbed variants of a base are near-dups (within-
+    group Hamming 0–5, some beyond radius 3 — the verify filter does
+    real work) and the pair output stays LINEAR in corpus size instead
+    of the fixture accidentally making everything a candidate. Every
+    operand is non-negative before the final subtraction, so Python
+    and SQL ``%``/``//`` agree. The clip is encoded to real RIFF/WAVE
+    bytes and decoded back through magic dispatch before
+    fingerprinting — every decoded sample is id arithmetic, so DuckDB
+    verifies the entire encode→decode→pool→WHT→energy→threshold
+    pipeline with no audio code."""
+    from blockchaintoavro_spark.functions.audio import (
+        encode_wav,
+        try_decode_audio,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i_arr = np.arange(FIXTURE_SAMPLES, dtype=np.int64)
+        for pdf in batches:
+            ids, codes = [], []
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                g, r = doc_id // 5, doc_id % 5
+                m = 101 + (g * 53) % 151
+                s = (g * 131 + 17 * i_arr + (i_arr * i_arr) % m) % 32768 - 16384
+                s[r * 7 + 1] += r * 64
+                payload = encode_wav(8000, 1, [int(v) for v in s], 16)
+                d = try_decode_audio(payload)
+                codes.append(afp63(d["samples"], d["channels"]))
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {id_col: ids, "afp": pd.array(codes, dtype="int64")}
+            )
+
+    out_schema = df.select(id_col).schema.add("afp", "long")
+    return df.select(id_col).mapInPandas(run, schema=out_schema)

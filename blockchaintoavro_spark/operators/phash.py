@@ -232,3 +232,197 @@ def phash_fixture_codes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     out_schema = df.select(id_col).schema.add("phash", "long")
     return df.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# video: per-frame pHash + any-frame-match near-dup (completes the
+# perceptual family — text MinHash, image pHash, audio AFP, video below)
+
+
+def video_phash_codes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 1,
+) -> DataFrame:
+    """Per-frame perceptual hash of video payloads: ``(id, frame_no,
+    phash long)`` — one Arrow-batched map. AVI magic dispatch, keep
+    every ``every_n``-th frame payload (sample FIRST, decode ONLY kept
+    frames — the scale-order contract of operators/multimodal.py), then
+    decode raw ``DIB `` frames via functions/video.py:dib_to_pixels and
+    compressed (MJPG) frames via the image magic dispatch, and hash
+    each through the same luma→32×32→DCT→median pipeline as stills.
+    Undecodable payloads/frames are dropped. Zero shuffle."""
+    from blockchaintoavro_spark.functions.imaging import try_decode_image
+    from blockchaintoavro_spark.functions.video import (
+        dib_to_pixels,
+        try_decode_video,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, codes = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                v = try_decode_video(bytes(payload))
+                if v is None:
+                    continue
+                for k in range(0, v["n_frames"], every_n):
+                    fr = v["frames"][k]
+                    if v["compression"] == "raw":
+                        try:
+                            d = dib_to_pixels(fr, v["width"], v["height"])
+                        except ValueError:
+                            continue
+                    else:
+                        d = try_decode_image(fr)
+                        if d is None:
+                            continue
+                    codes.append(
+                        phash63(
+                            d["pixels"], d["width"], d["height"], d["channels"]
+                        )
+                    )
+                    ids.append(i)
+                    frame_nos.append(k)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": pd.array(frame_nos, dtype="int64"),
+                    "phash": pd.array(codes, dtype="int64"),
+                }
+            )
+
+    out_schema = (
+        df.select(id_col).schema.add("frame_no", "long").add("phash", "long")
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def video_neardup_pairs(
+    frame_codes: DataFrame,
+    max_hamming: int = 3,
+    min_matched_frames: int = 2,
+    id_col: str = "doc_id",
+    code_col: str = "phash",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Video pairs sharing perceptual content: ``(d1, d2,
+    n_matched_frames)`` with ``d1 < d2``, where ``n_matched_frames``
+    counts the DISTINCT frames of ``d1`` that have ≥1 frame of ``d2``
+    within Hamming ``max_hamming``; pairs below ``min_matched_frames``
+    are dropped. Frame matching is EXACT for ``max_hamming < n_bands``
+    (the pigeonhole banding argument of :func:`phash_neardup_pairs`,
+    applied per frame): band each frame code, equi-join on
+    ``(band_id, band_val)`` across videos, ``bit_count(xor)`` verify,
+    dedup matched frame pairs, then one count-distinct per video pair.
+    Nothing is all-pairs — candidate volume is linear in band-bucket
+    collisions, and per-video state is 8 bytes × n_sampled_frames."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"exactness needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    band_bits = (64 + n_bands - 1) // n_bands
+    mask = F.lit((1 << band_bits) - 1)
+    code = F.col(code_col)
+    bands = frame_codes.select(
+        F.col(id_col),
+        F.col("frame_no"),
+        code,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(code, b * band_bits).bitwiseAND(mask)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("d1"), F.col("frame_no").alias("f1"),
+        F.col(code_col).alias("_c1"), "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("d2"), F.col("frame_no").alias("f2"),
+        F.col(code_col).alias("_c2"), "band_id", "band_val",
+    )
+    matched = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(
+            F.bit_count(F.col("_c1").bitwiseXOR(F.col("_c2"))) <= max_hamming
+        )
+        .select("d1", "d2", "f1")
+        .distinct()
+    )
+    return (
+        matched.groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_matched_frames"))
+        .filter(F.col("n_matched_frames") >= min_matched_frames)
+    )
+
+
+def video_phash_fixture_codes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Run the REAL video pipeline end-to-end on a synthesized corpus:
+    per id (``g = id//5``, ``r = id%5``), a 3-frame 64×64 raw ``DIB ``
+    AVI of 2×2-constant gray superpixels — superpixel ``i`` of frame
+    ``k`` = ``(g·31 + 17·i + (i·i) % 251 + 37·k) % 256``, plus ``r``
+    at superpixel ``r`` of frame ``r % 3`` for the perturbed variants.
+    Same-group videos therefore share two frames VERBATIM and perturb
+    one, so near-dup groups exist with ≥2 matched frames; different
+    groups are spectrally far. Gray means B=G=R in the DIB rows, so
+    integer luma is the value itself and the 2×2 superpixels make the
+    box-resize exact — DuckDB recomputes every frame code from pure id
+    arithmetic through the same encode→container-decode→DIB→DCT path
+    the executors run."""
+    from blockchaintoavro_spark.functions.video import (
+        dib_to_pixels,
+        encode_avi,
+        try_decode_video,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i32 = np.arange(1024, dtype=np.int64)
+        for pdf in batches:
+            ids, frame_nos, codes = [], [], []
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                g, r = doc_id // 5, doc_id % 5
+                frames = []
+                for k in range(3):
+                    v = (g * 31 + 17 * i32 + (i32 * i32) % 251 + 37 * k) % 256
+                    if k == r % 3:
+                        v[r] = (v[r] + r) % 256
+                    block = v.reshape(32, 32).astype(np.uint8)
+                    img = np.repeat(np.repeat(block, 2, axis=0), 2, axis=1)
+                    # DIB wire layout: bottom-up rows, B=G=R (gray);
+                    # 64·3 = 192 bytes/row — already 4-byte aligned
+                    dib = np.repeat(img[::-1], 3, axis=1).tobytes()
+                    frames.append(dib)
+                payload = encode_avi(64, 64, frames, fourcc=b"DIB ")
+                vid = try_decode_video(payload)
+                for k in range(vid["n_frames"]):
+                    d = dib_to_pixels(
+                        vid["frames"][k], vid["width"], vid["height"]
+                    )
+                    codes.append(
+                        phash63(
+                            d["pixels"], d["width"], d["height"], d["channels"]
+                        )
+                    )
+                    ids.append(doc_id)
+                    frame_nos.append(k)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": pd.array(frame_nos, dtype="int64"),
+                    "phash": pd.array(codes, dtype="int64"),
+                }
+            )
+
+    out_schema = (
+        df.select(id_col).schema.add("frame_no", "long").add("phash", "long")
+    )
+    return df.select(id_col).mapInPandas(run, schema=out_schema)

@@ -3269,6 +3269,201 @@ def x_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
+# ---------------------------------------------------------------------------
+# perceptual video near-dup (per-frame pHash + any-frame-match pairs;
+# operators/phash.py video leg)
+
+_VIDEO_PHASH_SQL = """
+    WITH fr AS (
+      SELECT doc_id, unnest(range(3)) AS k
+      FROM documents WHERE doc_id < 120
+    ),
+    px AS (
+      SELECT doc_id, k, list_transform(range(1024), i ->
+        CAST(((doc_id//5)*31 + 17*i + (i*i)%251 + 37*k +
+              CASE WHEN k = (doc_id%5)%3 AND i = doc_id%5
+                   THEN doc_id%5 ELSE 0 END)
+             % 256 AS DOUBLE)) AS p
+      FROM fr
+    ),
+    coef AS (
+      SELECT doc_id, k, list_transform(range(64), c ->
+        CASE WHEN abs(list_aggregate(list_transform(range(1024), i ->
+          p[i+1] * cos(pi()*(2*(i%32)+1)*(c%8)/64.0)
+                 * cos(pi()*(2*(i//32)+1)*(c//8)/64.0)), 'sum')) < 1e-6
+             THEN 0.0
+             ELSE list_aggregate(list_transform(range(1024), i ->
+          p[i+1] * cos(pi()*(2*(i%32)+1)*(c%8)/64.0)
+                 * cos(pi()*(2*(i//32)+1)*(c//8)/64.0)), 'sum') END) AS f
+      FROM px
+    ),
+    med AS (SELECT doc_id, k, f, list_aggregate(f[2:], 'median') AS m FROM coef),
+    codes AS (
+      SELECT doc_id, k AS frame_no,
+             CAST(list_aggregate(list_transform(range(1,64), j ->
+               CASE WHEN f[j+1] > m THEN (CAST(1 AS BIGINT) << (j-1))
+                    ELSE 0 END), 'sum') AS BIGINT) AS phash
+      FROM med
+    )
+"""
+
+
+@declare(
+    "x_video_phash",
+    oracle=_VIDEO_PHASH_SQL
+    + "SELECT doc_id, frame_no, phash FROM codes ORDER BY doc_id, frame_no",
+)
+def x_video_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-frame perceptual hash of synthesized videos, END-TO-END
+    through the real pipeline (operators/phash.py video leg): 3-frame
+    64×64 gray raw ``DIB `` AVI from id arithmetic → real container
+    encode → AVI chunk-walk decode → DIB bottom-up/BGR unpack → luma →
+    box-resize → DCT → median threshold, one code per frame. Gray
+    frames (B=G=R) make integer luma the pixel value and 2×2
+    superpixels make the resize exact, so DuckDB recomputes every
+    frame code with no video code — container framing, DIB row order
+    and the whole still-image hash path all sit under the hash.
+    Embarrassingly parallel Arrow map; zero shuffle."""
+    from ..operators.phash import video_phash_fixture_codes
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    return video_phash_fixture_codes(d).orderBy("doc_id", "frame_no")
+
+
+@declare(
+    "x_video_neardup",
+    oracle=_VIDEO_PHASH_SQL + """
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(COUNT(DISTINCT a.frame_no) AS BIGINT) AS n_matched_frames
+    FROM codes a JOIN codes b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.phash, b.phash)) <= 3
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(DISTINCT a.frame_no) >= 2
+    ORDER BY d1, d2
+    """,
+)
+def x_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-dup pairs: videos sharing ≥2 frames within Hamming 3
+    of each other's per-frame pHash codes (operators/phash.py:
+    video_neardup_pairs). The Spark plan bands each frame code into
+    four disjoint 16-bit bands — pigeonhole-exact frame matching via a
+    banded equi-join + bit_count(xor) verify, then one count-distinct
+    per video pair; never all-pairs. The fixture's group-dependent
+    frames give same-group videos 3 matched frames and cross-group
+    videos 0, so the output is linear in corpus size. The oracle
+    cross-joins the (gated) code set — fine at sf0.01; the Spark plan
+    never does."""
+    from ..operators.phash import (
+        video_neardup_pairs,
+        video_phash_fixture_codes,
+    )
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    codes = video_phash_fixture_codes(d)
+    pairs = video_neardup_pairs(codes, max_hamming=3, min_matched_frames=2)
+    return pairs.select(
+        "d1", "d2", F.col("n_matched_frames").cast("long").alias("n_matched_frames")
+    ).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
+# perceptual audio near-dup (completes the multimodal dedup family:
+# text MinHash → image pHash → audio AFP; operators/afp.py)
+
+_AFP_CODES_SQL = """
+    WITH s AS (
+      SELECT doc_id, list_transform(range(1152), i ->
+        CAST(((doc_id//5)*131 + 17*i
+              + (i*i) % (101 + ((doc_id//5)*53) % 151)) % 32768 - 16384
+             + CASE WHEN i = (doc_id%5)*7+1 THEN (doc_id%5)*64 ELSE 0 END
+             AS BIGINT)) AS pcm
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, list_transform(range(576), m ->
+        pcm[2*m+1] + pcm[2*m+2]) AS cell
+      FROM s
+    ),
+    wht AS (
+      SELECT doc_id, list_transform(range(576), tc ->
+        list_aggregate(list_transform(range(64), j ->
+          cell[(tc//64)*64 + j + 1]
+          * (1 - 2*(bit_count(CAST((tc%64) AS BIGINT) & j) % 2))),
+          'sum')) AS w
+      FROM cells
+    ),
+    en AS (
+      SELECT doc_id, list_transform(range(81), tb ->
+        list_aggregate(list_transform(range(7), k ->
+          w[(tb//9)*64 + 1 + 7*(tb%9) + k + 1]
+          * w[(tb//9)*64 + 1 + 7*(tb%9) + k + 1]), 'sum')) AS e
+      FROM wht
+    ),
+    codes AS (
+      SELECT doc_id, CAST(list_aggregate(list_transform(range(63), bit ->
+        CASE WHEN (e[(bit//8+1)*9 + (bit%8) + 1]
+                   - e[(bit//8+1)*9 + (bit%8) + 2])
+                - (e[(bit//8)*9 + (bit%8) + 1]
+                   - e[(bit//8)*9 + (bit%8) + 2]) > 0
+             THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END),
+        'sum') AS BIGINT) AS afp
+      FROM en
+    )
+"""
+
+
+@declare(
+    "x_afp_codes",
+    oracle=_AFP_CODES_SQL + "SELECT doc_id, afp FROM codes ORDER BY doc_id",
+)
+def x_afp_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual 63-bit AUDIO fingerprint per synthesized clip,
+    END-TO-END through the real pipeline (operators/afp.py, after
+    Haitsma & Kalker 2002): id-arithmetic 1152-sample PCM → real
+    RIFF/WAVE encode → magic-dispatch decode → sum-pool into a 9×64
+    time/cell grid → 64-point Walsh-Hadamard per block → 9 band
+    energies → sign of time-delta of band-energy-deltas → packed code.
+    Integer end-to-end (sum pooling, integer WHT, exact energies), so
+    DuckDB recomputes the identical code from plain arithmetic — one
+    mangled byte anywhere in codec, pooling, transform or packing
+    diverges the hash. Embarrassingly parallel Arrow-batched map; zero
+    shuffle."""
+    from ..operators.afp import afp_fixture_codes
+
+    d = t(spark, sf, "documents")
+    return afp_fixture_codes(d).orderBy("doc_id")
+
+
+@declare(
+    "x_afp_neardup",
+    oracle=_AFP_CODES_SQL + """
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+    FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    ORDER BY d1, d2
+    """,
+)
+def x_afp_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup pairs at Hamming radius 3 over the fingerprints —
+    EXACT results from the same banded plan as the image pHash
+    (operators/phash.py:phash_neardup_pairs, reused verbatim on the
+    ``afp`` column): four disjoint 16-bit bands pigeonhole radius ≤ 3
+    into a shared-band equi-join, bit_count(xor) verifies. The fixture's
+    group-dependent spectral modulus keeps across-group Hamming ≥ 18,
+    so the pair output is LINEAR in corpus size — the oracle
+    cross-joins (fine at sf0.01); the Spark plan never does."""
+    from ..operators.afp import afp_fixture_codes, afp_neardup_pairs
+
+    d = t(spark, sf, "documents")
+    codes = afp_fixture_codes(d)
+    pairs = afp_neardup_pairs(codes, max_hamming=3)
+    return pairs.select(
+        "d1", "d2", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("d1", "d2")
+
+
 @declare(
     "x_dup_spans_maximal",
     oracle="""

@@ -1,0 +1,133 @@
+"""Perceptual audio near-dup (operators/afp.py) — unit vectors for the
+63-bit band-energy fingerprint, robustness/separation properties, and
+the reused Hamming-banded retrieval."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from blockchaintoavro_spark.operators.afp import (
+    FIXTURE_SAMPLES,
+    afp63,
+    afp_codes,
+    afp_neardup_pairs,
+)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_afp_silence_and_empty_are_zero():
+    """Constant (or empty) audio: every cell sums to the same value per
+    block position, all band energies repeat across time, every
+    time-delta is 0 → not > 0 → code 0."""
+    assert afp63([], 1) == 0
+    assert afp63([0] * 1152, 1) == 0
+    assert afp63([1234] * 1152, 1) == 0
+
+
+def test_afp_is_63_bit_deterministic_integer():
+    rnd = np.random.RandomState(7)
+    s = rnd.randint(-32768, 32768, 2048)
+    c1 = afp63(s, 1)
+    c2 = afp63(list(int(v) for v in s), 1)
+    assert c1 == c2  # ndarray vs list input
+    assert 0 <= c1 < (1 << 63)
+    assert c1 != 0
+
+
+def test_afp_gain_shift_invariance():
+    """The Haitsma-Kalker property the construction exists for: a
+    uniform gain change scales every energy by the same factor, so no
+    sign of an energy-delta-delta can flip."""
+    rnd = np.random.RandomState(3)
+    s = rnd.randint(-8000, 8000, 1152)
+    assert afp63(s, 1) == afp63(s * 2, 1) == afp63(s * 4, 1)
+
+
+def test_afp_robust_to_small_perturbation_distinct_for_different_audio():
+    """±small noise on a few samples moves the code a few bits; a
+    spectrally different clip is far away."""
+    i = np.arange(FIXTURE_SAMPLES, dtype=np.int64)
+    base = (131 + 17 * i + (i * i) % 101) % 32768 - 16384
+    noisy = base.copy()
+    noisy[8] += 64
+    other = (262 + 17 * i + (i * i) % 149) % 32768 - 16384
+    c0, cn, co = afp63(base, 1), afp63(noisy, 1), afp63(other, 1)
+    assert _ham(c0, cn) <= 6
+    assert _ham(c0, co) >= 12
+
+
+def test_afp_stereo_sum_mix():
+    """2-channel input mixes by per-frame SUM: duplicating a mono clip
+    into identical L/R doubles every cell — a uniform gain, so the code
+    equals the mono code."""
+    rnd = np.random.RandomState(11)
+    mono = rnd.randint(-8000, 8000, 1152)
+    stereo = np.repeat(mono, 2)  # interleave L=R
+    assert afp63(stereo, 2) == afp63(mono, 1)
+
+
+def test_afp_codes_skips_null_and_undecodable(spark):
+    from blockchaintoavro_spark.functions.audio import encode_wav
+
+    rnd = np.random.RandomState(5)
+    s = [int(v) for v in rnd.randint(-32768, 32768, 600)]
+    rows = [
+        (1, bytearray(encode_wav(8000, 1, s, 16))),
+        (2, None),
+        (3, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = afp_codes(df).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["afp"] == afp63(s, 1)
+
+
+def test_afp_banded_retrieval_exact_vs_brute_force(spark):
+    """The reused banded join is exact on afp codes: banded pairs ==
+    brute-force Hamming ≤ 3 over codes seeded at distances 0..5."""
+    rnd = np.random.RandomState(42)
+    codes = list(rnd.randint(0, 1 << 62, 30, dtype=np.int64))
+    for d in range(6):
+        c = int(codes[d])
+        for b in rnd.choice(63, size=d, replace=False):
+            c ^= 1 << int(b)
+        codes.append(c)
+    df = spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(codes)], "doc_id long, afp long"
+    )
+    got = sorted(map(tuple, afp_neardup_pairs(df, max_hamming=3).collect()))
+    brute = sorted(
+        (i, j, _ham(int(codes[i]), int(codes[j])))
+        for i in range(len(codes))
+        for j in range(i + 1, len(codes))
+        if _ham(int(codes[i]), int(codes[j])) <= 3
+    )
+    assert got == brute and len(brute) >= 4
+
+
+def test_afp_neardup_rejects_unpigeonholeable_radius(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, afp long")
+    with pytest.raises(ValueError, match="max_hamming < n_bands"):
+        afp_neardup_pairs(df, max_hamming=4, n_bands=4)
+
+
+def test_afp_fixture_groups_are_neardups_and_groups_separate(spark):
+    """The declared-query fixture's structural contract: the five
+    perturbed variants of a base clip sit within a few bits; different
+    base clips (group-dependent spectral modulus) are far apart, so the
+    pair output is linear in corpus size."""
+    from blockchaintoavro_spark.operators.afp import afp_fixture_codes
+
+    df = spark.range(30).withColumnRenamed("id", "doc_id")
+    codes = {r["doc_id"]: r["afp"] for r in afp_fixture_codes(df).collect()}
+    for g in range(6):
+        base = codes[g * 5]
+        for r in range(1, 5):
+            assert _ham(base, codes[g * 5 + r]) <= 6
+    for g1 in range(6):
+        for g2 in range(g1 + 1, 6):
+            assert _ham(codes[g1 * 5], codes[g2 * 5]) >= 10

@@ -135,3 +135,127 @@ def test_phash_neardup_plan_is_banded_equi_join(spark):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# video leg
+
+
+def _make_dib_avi(frame_blocks):
+    """32×32 gray blocks → 3-frame-capable raw DIB AVI (64×64, B=G=R)."""
+    from blockchaintoavro_spark.functions.video import encode_avi
+
+    frames = []
+    for block in frame_blocks:
+        img = np.repeat(np.repeat(block, 2, axis=0), 2, axis=1)
+        frames.append(np.repeat(img[::-1], 3, axis=1).tobytes())
+    return encode_avi(64, 64, frames, fourcc=b"DIB ")
+
+
+def test_video_phash_codes_match_still_phash(spark):
+    """Per-frame codes through the AVI container must equal phash63 of
+    the same blocks hashed as stills (the DIB unpack + luma path is
+    lossless for gray)."""
+    from blockchaintoavro_spark.operators.phash import video_phash_codes
+
+    rnd = np.random.RandomState(21)
+    blocks = [rnd.randint(0, 256, (32, 32)).astype(np.uint8) for _ in range(3)]
+    rows = [(7, bytearray(_make_dib_avi(blocks))), (8, None),
+            (9, bytearray(b"not a video"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r["doc_id"], r["frame_no"]): r["phash"]
+        for r in video_phash_codes(df).collect()
+    }
+    assert set(got) == {(7, 0), (7, 1), (7, 2)}
+    for k, block in enumerate(blocks):
+        assert got[(7, k)] == phash63(block.tobytes(), 32, 32, 1)
+
+
+def test_video_phash_codes_samples_every_n(spark):
+    from blockchaintoavro_spark.operators.phash import video_phash_codes
+
+    rnd = np.random.RandomState(23)
+    blocks = [rnd.randint(0, 256, (32, 32)).astype(np.uint8) for _ in range(5)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_dib_avi(blocks)))], "doc_id long, payload binary"
+    )
+    got = sorted(r["frame_no"] for r in video_phash_codes(df, every_n=2).collect())
+    assert got == [0, 2, 4]
+
+
+def test_video_neardup_pairs_exact_vs_brute_force(spark):
+    """Any-frame matching with the distinct-f1 count must equal a
+    brute-force recompute over seeded frame-code sets."""
+    from blockchaintoavro_spark.operators.phash import video_neardup_pairs
+
+    rnd = np.random.RandomState(31)
+    vids = {}
+    base = [int(c) for c in rnd.randint(0, 1 << 62, 3, dtype=np.int64)]
+    vids[0] = list(base)
+    v1 = list(base)  # near-dup of 0: flip 2 bits in one frame
+    c = v1[1]
+    for b in (3, 40):
+        c ^= 1 << b
+    v1[1] = c
+    vids[1] = v1
+    vids[2] = [int(c) for c in rnd.randint(0, 1 << 62, 3, dtype=np.int64)]
+    vids[3] = [base[0], vids[2][1], int(rnd.randint(0, 1 << 62))]  # 1 shared
+    rows = [
+        (v, k, int(code))
+        for v, codes in vids.items()
+        for k, code in enumerate(codes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, frame_no long, phash long")
+    got = sorted(
+        map(tuple, video_neardup_pairs(df, max_hamming=3, min_matched_frames=2).collect())
+    )
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    brute = []
+    for a in vids:
+        for b in vids:
+            if a >= b:
+                continue
+            m = sum(
+                1 for ca in vids[a] if any(ham(ca, cb) <= 3 for cb in vids[b])
+            )
+            if m >= 2:
+                brute.append((a, b, m))
+    assert got == sorted(brute)
+    assert (0, 1, 3) in got  # the seeded near-dup pair
+    assert all(p[0:2] != (0, 3) for p in got)  # 1 shared frame < 2
+
+
+def test_video_fixture_groups_match_and_groups_separate(spark):
+    from blockchaintoavro_spark.operators.phash import (
+        video_neardup_pairs,
+        video_phash_fixture_codes,
+    )
+
+    df = spark.range(20).withColumnRenamed("id", "doc_id")
+    codes = video_phash_fixture_codes(df)
+    pairs = sorted(
+        map(tuple, video_neardup_pairs(codes, 3, 2).collect())
+    )
+    want = sorted(
+        (a, b, 3)
+        for g in range(4)
+        for a in range(g * 5, g * 5 + 5)
+        for b in range(a + 1, g * 5 + 5)
+    )
+    assert pairs == want
+
+
+def test_video_neardup_plan_is_banded_equi_join(spark):
+    from blockchaintoavro_spark.operators.phash import video_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, k, i * 977 + k) for i in range(20) for k in range(3)],
+        "doc_id long, frame_no long, phash long",
+    )
+    pairs = video_neardup_pairs(df, max_hamming=3)
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(pairs._jdf.queryExecution(), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -413,6 +413,7 @@ def main() -> None:
         "operators": bench_operators(spark),
         "round5_operators": bench_round5_operators(spark),
         "round7_operators": bench_round7_operators(spark),
+        "round9_operators": bench_round9_operators(spark),
         "ocf_split": bench_ocf_split(spark),
     }
     dest = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_BENCH.json")
