@@ -51,6 +51,7 @@ posture as MinHash and pHash at 100 TB.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -128,9 +129,13 @@ def afp_codes(
 ) -> DataFrame:
     """Audio fingerprint per clip payload: ``(id, afp long)`` via one
     Arrow-batched map over the binary column (magic-dispatch WAV decode
-    → mono sum-mix → block/band energies → sign code). Undecodable or
-    NULL payloads are dropped (dedup wants codes, not errors — route
-    decode QA through operators/multimodal.py)."""
+    → mono sum-mix → block/band energies → sign code). Undecodable,
+    CORRUPT and NULL payloads are all dropped — ``try_decode_audio``
+    raises loudly on WAV-magic-but-corrupt bytes (the QA contract of
+    operators/multimodal.py), but a dedup stage over 100 TB must not
+    die on one mangled clip, so the corrupt-data error set is caught
+    here (the imaging totality convention,
+    functions/imaging.py:try_decode_image)."""
     from blockchaintoavro_spark.functions.audio import try_decode_audio
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,7 +144,10 @@ def afp_codes(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                d = try_decode_audio(bytes(payload))
+                try:
+                    d = try_decode_audio(bytes(payload))
+                except (ValueError, IndexError, struct.error):
+                    continue  # corrupt magic-matched payload
                 if d is None:
                     continue
                 codes.append(afp63(d["samples"], d["channels"]))

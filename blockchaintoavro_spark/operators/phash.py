@@ -39,6 +39,7 @@ map (one int64 per image); the candidate join shuffles 4 rows of
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -265,7 +266,10 @@ def video_phash_codes(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                v = try_decode_video(bytes(payload))
+                try:
+                    v = try_decode_video(bytes(payload))
+                except (ValueError, IndexError, struct.error):
+                    continue  # corrupt magic-matched container
                 if v is None:
                     continue
                 for k in range(0, v["n_frames"], every_n):

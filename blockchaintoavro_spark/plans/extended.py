@@ -3188,6 +3188,141 @@ def x_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@declare(
+    "x_tpch_q17",
+    oracle="""
+    WITH pstats AS (
+      SELECT l_partkey, COUNT(*) AS cnt, SUM(l_quantity) AS sq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                     AS DECIMAL(38,2)) AS DOUBLE) AS small_qty_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pstats ON pstats.l_partkey = lineitem.l_partkey
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND 5 * l_quantity * cnt < sq
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def x_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: a CORRELATED
+    scalar AVG subquery per part (``l_quantity < 0.2·avg(l_quantity)
+    over the same part``) decorrelated into one partial aggregate over
+    the probe side joined back on the part key — the
+    aggregate-then-rejoin decorrelation Catalyst cannot do for us when
+    the query arrives as DataFrame ops. The threshold compares
+    ``5·qty·cnt < sum`` in exact integral-double arithmetic (every
+    l_quantity is integral), so no float boundary can flip a row
+    between engines. The brand dimension broadcasts; the per-part
+    stats aggregate shrinks lineitem to its key set BEFORE the join,
+    which is what survives a 100 TB fact table."""
+    from ._util import dec2, money
+
+    li = t(spark, sf, "lineitem")
+    pstats = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count("*").alias("cnt"), F.sum("l_quantity").alias("sq")
+    )
+    p = t(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pstats, F.col("_pk") == F.col("l_partkey"))
+        .filter(5 * F.col("l_quantity") * F.col("cnt") < F.col("sq"))
+        .groupBy("p_brand")
+        .agg(
+            money(F.sum(dec2("l_extendedprice"))).alias("small_qty_revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@declare(
+    "x_tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def x_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21-shaped waiting-supplier query (late = shipped >90 days
+    after the order date, the schema's proxy for receipt>commit): for
+    finalized multi-supplier orders, count per supplier the late lines
+    where NO OTHER supplier in the order was late — a correlated
+    EXISTS + NOT EXISTS pair over the SAME fact table, decorrelated to
+    one LeftSemi and one LeftAnti self-join on the order key with a
+    non-equi supplier-inequality condition. Both probe sides are the
+    order-keyed lineitem projection, so all three legs co-partition on
+    l_orderkey at scale; nation+supplier broadcast. The NOT EXISTS leg
+    needs o_orderdate (correlate through the order), carried on the
+    probe row — the same double-role decorrelation evidence as
+    x_tpch_q7/q22, extended to self-join EXISTS pairs."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    late1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"),
+        F.col("l_shipdate").alias("_sd"),
+    )
+    waiting = (
+        late1.join(
+            others,
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_suppkey") != F.col("_sk")),
+            "left_semi",
+        )
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("_ok"))
+            & (F.col("l_suppkey") != F.col("_sk"))
+            & (F.col("_sd") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # perceptual image near-dup (r8 VERDICT #1 — pHash + Hamming-banded join)
 

@@ -75,10 +75,14 @@ def test_afp_codes_skips_null_and_undecodable(spark):
 
     rnd = np.random.RandomState(5)
     s = [int(v) for v in rnd.randint(-32768, 32768, 600)]
+    good = encode_wav(8000, 1, s, 16)
     rows = [
-        (1, bytearray(encode_wav(8000, 1, s, 16))),
+        (1, bytearray(good)),
         (2, None),
         (3, bytearray(b"not audio at all")),
+        # WAV magic but corrupt body: try_decode_audio raises loudly;
+        # the dedup map must SKIP, not fail the stage
+        (4, bytearray(good[:30])),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = afp_codes(df).collect()

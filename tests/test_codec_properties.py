@@ -65,3 +65,69 @@ def test_segment_word_last_merge_is_exhausted(word, merges):
     once = segment_word(marked, merges)
     a, b = merges[-1]
     assert not any(x == a and y == b for x, y in zip(once, once[1:])), once
+
+
+# ---------------------------------------------------------------------------
+# perceptual fingerprints (operators/afp.py, operators/phash.py)
+
+_pcm = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=2500
+)
+
+
+@given(_pcm)
+@settings(max_examples=60, deadline=None)
+def test_afp63_total_deterministic_and_63_bit(samples):
+    """afp63 never raises on any int16 stream (incl. empty/short), is
+    deterministic, and stays in [0, 2^63)."""
+    from blockchaintoavro_spark.operators.afp import afp63
+
+    c = afp63(samples, 1)
+    assert c == afp63(list(samples), 1)
+    assert 0 <= c < (1 << 63)
+
+
+@given(_pcm, st.integers(min_value=2, max_value=8))
+@settings(max_examples=40, deadline=None)
+def test_afp63_gain_invariance_property(samples, gain):
+    """Uniform gain cannot flip any energy-delta-delta sign (every
+    energy scales by gain², all strict inequalities preserved)."""
+    from blockchaintoavro_spark.operators.afp import afp63
+
+    assert afp63(samples, 1) == afp63([s * gain for s in samples], 1)
+
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=60, deadline=None)
+def test_afp63_on_wav_roundtrip_bytes(payload):
+    """try_decode_audio on arbitrary bytes either returns None or a
+    decodable clip afp63 accepts — the codes map never raises on a
+    corrupt payload column."""
+    from blockchaintoavro_spark.functions.audio import try_decode_audio
+    from blockchaintoavro_spark.operators.afp import afp63
+
+    try:
+        d = try_decode_audio(payload)
+    except ValueError:
+        return  # loud decode error on WAV-magic-but-corrupt bytes —
+        # afp_codes catches this set and skips the row (tested in
+        # tests/test_afp.py)
+    if d is not None:
+        assert 0 <= afp63(d["samples"], d["channels"]) < (1 << 63)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=255), min_size=1024, max_size=1024
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_phash63_total_on_any_32x32_gray(pix):
+    """phash63 is total and 63-bit on any 32×32 gray plane, and
+    deterministic across calls."""
+    from blockchaintoavro_spark.operators.phash import phash63
+
+    b = bytes(pix)
+    c = phash63(b, 32, 32, 1)
+    assert c == phash63(b, 32, 32, 1)
+    assert 0 <= c < (1 << 63)

@@ -160,8 +160,12 @@ def test_video_phash_codes_match_still_phash(spark):
 
     rnd = np.random.RandomState(21)
     blocks = [rnd.randint(0, 256, (32, 32)).astype(np.uint8) for _ in range(3)]
-    rows = [(7, bytearray(_make_dib_avi(blocks))), (8, None),
-            (9, bytearray(b"not a video"))]
+    good = _make_dib_avi(blocks)
+    rows = [(7, bytearray(good)), (8, None),
+            (9, bytearray(b"not a video")),
+            # AVI magic but truncated body: decode raises loudly; the
+            # dedup map must SKIP, not fail the stage
+            (10, bytearray(good[: len(good) // 2]))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {
         (r["doc_id"], r["frame_no"]): r["phash"]

@@ -901,3 +901,30 @@ def test_tpch_q15_scalar_max_is_broadcast(spark, registry, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q17_decorrelated_avg_and_brand_broadcast(spark, registry, sf_dir):
+    """Q17 shape: the correlated per-part scalar AVG decorrelates into
+    ONE partial aggregate over lineitem joined back on the part key;
+    the brand-filtered part dimension broadcasts and its IN-set reaches
+    the part scan. No per-row subquery, no cartesian."""
+    p = plan_of(spark, registry, "x_tpch_q17", sf_dir)
+    assert "BroadcastHashJoin" in p, p
+    assert "In(p_brand" in p, p
+    assert "CartesianProduct" not in p
+    # the stats aggregate exists exactly once (partial+final pair over
+    # one Exchange), not once per probe row
+    assert "partial_count" in p or "count(1)" in p, p
+
+
+def test_tpch_q21_exists_pair_decorrelates_to_semi_plus_anti(spark, registry, sf_dir):
+    """Q21 shape: the EXISTS/NOT EXISTS self-join pair decorrelates to
+    one LeftSemi and one LeftAnti on the order key (supplier inequality
+    riding the join condition), supplier⋈nation broadcasts, and the
+    finalized-status filter reaches the orders scan."""
+    p = plan_of(spark, registry, "x_tpch_q21", sf_dir)
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "EqualTo(o_orderstatus,F)" in p, p
+    assert "CartesianProduct" not in p

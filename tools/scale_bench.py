@@ -173,8 +173,17 @@ def bench_round5_operators(spark) -> dict:
         }
         print(f"dup_substrings[two_shuffle] {n_docs} -> {n2} in {sec2}s", flush=True)
 
-        # r6: span stripping (detection + interval merge + HOF rebuild —
-        # the heaviest composite over the same gram machinery)
+        # r6: span stripping. KEY-NAME NOTE (r8 ADVICE "misleading
+        # legacy keys"): both keys below run plan='auto', so what they
+        # record has changed as the default improved —
+        # `strip_dup_spans` measured the Catalyst VERBATIM plan through
+        # r8 and records the sorted_confirm plan since r9 (the
+        # unchanged Catalyst verbatim shape lives in
+        # round9_operators.strip_dup_spans_verbatim_catalyst);
+        # `strip_dup_spans_hash` has recorded the sorted_gram plan
+        # since r7 (the Catalyst hash shape lives in
+        # round7_operators.strip_dup_spans_catalyst_hash). Keys are
+        # kept for round-over-round continuity of the DEFAULT path.
         from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
 
         n, sec = timed(
@@ -337,6 +346,34 @@ def bench_round9_operators(spark) -> dict:
             "rows_in": n_docs, "stripped_docs": n, "sec": sec,
         }
         print(f"strip_dup_spans[verbatim,catalyst] {n_docs} -> {n} in {sec}s", flush=True)
+
+    # perceptual near-dup retrieval (r9 family): the Hamming-banded
+    # equi-join + bit_count verify over SYNTHETIC 63-bit codes — five
+    # per-group variants whose codes differ in 0-2 low bits, groups far
+    # apart — so the measurement is the banded-join PLAN (the part that
+    # must hold at 100 TB), not Python decode throughput (decode is an
+    # embarrassingly parallel map measured by the x_*_decode bench keys).
+    from blockchaintoavro_spark.operators.phash import phash_neardup_pairs
+
+    results["phash_banded_join"] = {}
+    for mult in SCALES:
+        n_codes = 5000 * mult
+        codes = (
+            spark.range(n_codes)
+            .select(
+                F.col("id").alias("doc_id"),
+                (
+                    F.xxhash64((F.col("id") / 5).cast("long"))
+                    .bitwiseAND(F.lit((1 << 63) - 1))
+                    .bitwiseXOR(F.col("id") % 5)
+                ).alias("phash"),
+            )
+        )
+        n, sec = timed(phash_neardup_pairs(codes, max_hamming=3).count)
+        results["phash_banded_join"][str(n_codes)] = {
+            "codes": n_codes, "pairs": n, "sec": sec,
+        }
+        print(f"phash_banded_join {n_codes} -> {n} pairs in {sec}s", flush=True)
     return results
 
 
