@@ -190,6 +190,16 @@ def _hash_bucket(key: Column) -> Column:
     return F.substring(F.md5(key.cast("string").cast("binary")), 1, 2)
 
 
+def _md5_bucket(key: Column, n_buckets: int) -> Column:
+    """32-bit md5-prefix hash of ``key`` mod ``n_buckets`` — the
+    engine-portable feature hash the model-based operators share
+    (hashed_linear_score, DSIR). DuckDB reproduces it with
+    ``('0x' || substr(md5(k), 1, 8))::UBIGINT % n``."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+
+
 def hash_split(
     key: Column,
     boundaries: Sequence[tuple[str, str]] = (("train", "cd"), ("val", "e6")),
@@ -846,3 +856,163 @@ def c4_line_filter(
         "n_kept": F.size(keep).cast("long"),
         "cleaned": F.array_join(keep, "\n"),
     }
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights_milli: list[int] | None = None,
+    n_buckets: int = 4096,
+    threshold_milli: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style hashed linear quality-classifier INFERENCE — the
+    model-based document filter of the DCLM / FineWeb-Edu recipe family
+    (a linear model over hashed bag-of-words features), as a pure
+    zero-shuffle Catalyst projection.
+
+    Per doc: ``tokens = split(lower(text), ' ')``; each token hashes to
+    a bucket ``conv(substr(md5(token), 1, 8), 16, 10) % n_buckets`` (an
+    engine-portable 32-bit hash — DuckDB reproduces it with
+    ``('0x' || substr(md5(tk),1,8))::UBIGINT``); the doc's score is the
+    SUM of per-bucket INTEGER milli-weights, and
+    ``keep = score_milli > threshold_milli · n_tokens`` (the mean-score
+    threshold cross-multiplied into exact integer space — no float
+    anywhere, so engine compares can never disagree at a boundary).
+
+    ``weights_milli`` is the trained parameter vector (length
+    ``n_buckets``, thousandths) — the bounded model-parameter pattern:
+    it rides the plan as one array literal on a broadcast one-row
+    frame, never a per-token join. ``None`` selects the deterministic
+    pseudo-model ``((b·2654435761 + 12345) % 2001) − 1000`` computed
+    inline (what the declared-query oracle replicates).
+
+    Output: ``(id, n_tokens, score_milli, keep)`` with ``keep`` as
+    BIGINT 0/1 (the engine's boolean-rendering convention).
+
+    Scale: one narrow map over the corpus — the md5/bucket/weight work
+    is per-token JVM-side inside whole-stage codegen; nothing shuffles,
+    nothing is collected. Exactly the posture a 100 TB model-filter
+    sweep needs (the model is KBs; the corpus never moves)."""
+    tokens = F.split(F.lower(F.col(text_col)), " ")
+    n_tok = F.size(tokens).cast("long")
+
+    def bucket(tk):
+        return _md5_bucket(tk, n_buckets)
+
+    if weights_milli is None:
+        def w(tk):
+            return (bucket(tk) * F.lit(2654435761) + 12345) % 2001 - 1000
+
+        scored = df.select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            F.aggregate(
+                tokens, F.lit(0).cast("long"), lambda acc, tk: acc + w(tk)
+            ).alias("score_milli"),
+        )
+    else:
+        if len(weights_milli) != n_buckets:
+            raise ValueError(
+                f"weights_milli length {len(weights_milli)} != n_buckets "
+                f"{n_buckets}"
+            )
+        warr = F.array(*[F.lit(int(v)).cast("long") for v in weights_milli])
+        model = df.sparkSession.range(1).select(warr.alias("_w"))
+        scored = (
+            df.join(F.broadcast(model))
+            .select(
+                F.col(id_col),
+                n_tok.alias("n_tokens"),
+                F.aggregate(
+                    tokens,
+                    F.lit(0).cast("long"),
+                    lambda acc, tk: acc
+                    + F.element_at(F.col("_w"), (bucket(tk) + 1).cast("int")),
+                ).alias("score_milli"),
+            )
+        )
+    return scored.withColumn(
+        "keep",
+        (
+            F.col("score_milli") > F.lit(threshold_milli) * F.col("n_tokens")
+        ).cast("long"),
+    )
+
+
+def train_hashed_linear(
+    labeled: DataFrame,
+    n_buckets: int = 4096,
+    n_iters: int = 25,
+    learning_rate: float = 2.0,
+    label_col: str = "label",
+    text_col: str = "text",
+) -> list[int]:
+    """Train the milli-weight vector :func:`hashed_linear_score`
+    consumes — batch-gradient-descent logistic regression over the SAME
+    hashed bag-of-words features inference uses (md5-prefix bucket %
+    ``n_buckets``), expressed entirely in DataFrame ops (no MLlib
+    vector UDTs, no Python UDFs): the train/serve feature map cannot
+    diverge because it is literally the same expression.
+
+    Per iteration (the train_bpe pattern — iterate on a BOUNDED model,
+    never collect the corpus):
+
+    1. margins: one shuffle-free projection scores every doc with the
+       current weights (aggregate HOF + array-literal model, exactly
+       the inference plan), mean-of-bucket-indicator features;
+    2. residuals: ``sigmoid(margin) − label``, still row-local;
+    3. gradient: explode bucket occurrences → ONE bounded-key shuffle
+       (``n_buckets`` distinct keys, map-side partial agg) →
+       ``n_buckets`` scalars collected to the driver;
+    4. driver updates the weight vector (KBs) and rebuilds the literal.
+
+    The featurized frame is computed once and persisted; the collect is
+    O(n_buckets) per iteration regardless of corpus size. Returns
+    integer milli-weights (coefficients × 1000, rounded).
+
+    ``labeled`` needs a 0/1 ``label`` column (quality annotations, or a
+    seed heuristic à la DCLM's fastText stage)."""
+    from pyspark import StorageLevel
+
+    tokens = F.split(F.lower(F.col(text_col)), " ")
+    feats = labeled.select(
+        F.col(label_col).cast("double").alias("_y"),
+        F.transform(
+            tokens, lambda tk: _md5_bucket(tk, n_buckets).cast("int")
+        ).alias("_b"),
+    ).filter(F.size("_b") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_docs = feats.count()  # also materializes the persist
+        if n_docs == 0:
+            return [0] * n_buckets
+        w = [0.0] * n_buckets
+        for _ in range(n_iters):
+            warr = F.array(*[F.lit(v) for v in w])
+            margin = F.aggregate(
+                F.col("_b"),
+                F.lit(0.0),
+                lambda acc, b: acc + F.element_at(warr, b + 1),
+            ) / F.size("_b")
+            resid = (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col("_y")
+            ).alias("_r")
+            grad_rows = (
+                feats.select(resid, "_b")
+                .select(
+                    "_r",
+                    F.size("_b").alias("_n"),
+                    F.explode("_b").alias("bucket"),
+                )
+                .groupBy("bucket")
+                .agg(F.sum(F.col("_r") / F.col("_n")).alias("g"))
+                .collect()
+            )
+            # mean gradient over the corpus: the agg produced per-bucket
+            # SUMS of (sigmoid(m)-y)/n_tokens
+            step = learning_rate / n_docs
+            for row in grad_rows:
+                w[row["bucket"]] -= step * row["g"]
+        return [int(round(v * 1000)) for v in w]
+    finally:
+        feats.unpersist()

@@ -3404,6 +3404,49 @@ def x_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
+@declare(
+    "x_quality_classifier",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tk), 1, 8))::UBIGINT % 4096
+                  AS BIGINT) AS bucket
+      FROM tok
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM((bucket * 2654435761 + 12345) % 2001 - 1000)
+                  AS BIGINT) AS score_milli,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM b GROUP BY doc_id
+    )
+    SELECT d.doc_id, s.n_tokens, s.score_milli,
+           CAST(CASE WHEN s.score_milli > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM documents d JOIN s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def x_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based document filtering (operators/quality.py:
+    hashed_linear_score) — fastText-style hashed bag-of-words linear
+    classifier inference, the DCLM/FineWeb-Edu pipeline step: per
+    token, an engine-portable md5-prefix bucket hash indexes an integer
+    milli-weight vector; the doc keeps iff its summed score beats the
+    threshold, all in exact integer space so no float boundary can
+    flip a row. One zero-shuffle whole-stage-codegen projection over
+    the corpus (the model is KBs; the corpus never moves) — DuckDB
+    recomputes hash, weights and verdict from plain arithmetic."""
+    from ..operators.quality import hashed_linear_score
+
+    d = t(spark, sf, "documents")
+    return hashed_linear_score(d).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # perceptual video near-dup (per-frame pHash + any-frame-match pairs;
 # operators/phash.py video leg)

@@ -2196,3 +2196,100 @@ def test_verbatim_sorted_confirm_kills_fingerprint_collisions(spark, monkeypatch
     }
     assert got == ref
     assert got[3][1] == 0  # the unique doc survives the forced collisions
+
+
+def test_hashed_linear_score_trained_weights_and_threshold(spark):
+    """The trained-weights path (array-literal model + element_at) must
+    agree with a hand-computed score, and the keep verdict must apply
+    the cross-multiplied integer threshold exactly."""
+    import hashlib
+
+    from blockchaintoavro_spark.operators.quality import hashed_linear_score
+
+    n_buckets = 64
+    weights = [((b * 37) % 201) - 100 for b in range(n_buckets)]
+
+    def bucket(tk):
+        return int(hashlib.md5(tk.encode()).hexdigest()[:8], 16) % n_buckets
+
+    rows = [(1, "alpha beta gamma"), (2, "delta delta"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_milli"], r["keep"])
+        for r in hashed_linear_score(
+            df, weights_milli=weights, n_buckets=n_buckets, threshold_milli=10
+        ).collect()
+    }
+    for doc_id, text in rows:
+        toks = text.lower().split(" ")
+        want = sum(weights[bucket(t)] for t in toks)
+        assert got[doc_id] == (
+            len(toks), want, 1 if want > 10 * len(toks) else 0
+        )
+
+
+def test_hashed_linear_score_default_model_plan_is_shuffle_free(spark):
+    """The pseudo-model path is ONE whole-stage projection: no
+    Exchange, no Python, no join — the 100 TB model-sweep shape."""
+    from blockchaintoavro_spark.operators.quality import hashed_linear_score
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = hashed_linear_score(df)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_hashed_linear_score_rejects_wrong_weight_length(spark):
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.operators.quality import hashed_linear_score
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="weights_milli length"):
+        hashed_linear_score(df, weights_milli=[1, 2, 3], n_buckets=64)
+
+
+def test_train_hashed_linear_learns_separable_corpus(spark):
+    """Train-then-serve loop: GD logistic regression over the hashed
+    features must separate a marker-token corpus (docs containing
+    'goodtok' are label 1, 'badtok' docs label 0), and the trained
+    milli-weights pushed through hashed_linear_score must classify a
+    held-out set correctly. Also pins the train/serve feature-map
+    agreement (same md5 bucketing expression on both sides)."""
+    from blockchaintoavro_spark.operators.quality import (
+        hashed_linear_score,
+        train_hashed_linear,
+    )
+
+    fillers = ["lorem", "ipsum", "dolor", "sit", "amet", "quo", "vadis"]
+    rows = []
+    for i in range(120):
+        f1, f2 = fillers[i % 7], fillers[(i * 3 + 1) % 7]
+        if i % 2 == 0:
+            rows.append((i, f"{f1} goodtok {f2} goodtok", 1))
+        else:
+            rows.append((i, f"{f2} badtok {f1} badtok", 0))
+    train = spark.createDataFrame(
+        [(t, y) for _, t, y in rows[:100]], "text string, label long"
+    )
+    weights = train_hashed_linear(train, n_buckets=256, n_iters=40)
+    assert len(weights) == 256 and any(weights)
+    held = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows[100:]], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in hashed_linear_score(
+            held, weights_milli=weights, n_buckets=256
+        ).collect()
+    }
+    for i, _, y in rows[100:]:
+        assert got[i] == y, (i, got[i], y)
+
+
+def test_train_hashed_linear_empty_input(spark):
+    from blockchaintoavro_spark.operators.quality import train_hashed_linear
+
+    empty = spark.createDataFrame([], "text string, label long")
+    assert train_hashed_linear(empty, n_buckets=16, n_iters=2) == [0] * 16
