@@ -2293,3 +2293,118 @@ def test_train_hashed_linear_empty_input(spark):
 
     empty = spark.createDataFrame([], "text string, label long")
     assert train_hashed_linear(empty, n_buckets=16, n_iters=2) == [0] * 16
+
+
+def test_dsir_logweights_hand_computed_and_bigram_edges(spark):
+    """Pseudo-model weights must equal a hand-computed md5 bucket sum
+    over unigrams + space-joined bigrams; 1-token and empty docs carry
+    no bigrams (the sequence(1,0)-counts-down Spark trap)."""
+    import hashlib
+
+    from blockchaintoavro_spark.operators.dsir import dsir_logweights
+
+    def lw(g):
+        b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 4096
+        return (b * 2654435761 + 999331) % 2001 - 1000
+
+    rows = [(1, "alpha beta gamma"), (2, "solo"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logw_milli"])
+        for r in dsir_logweights(df).collect()
+    }
+    for doc_id, text in rows:
+        toks = text.lower().split(" ")
+        grams = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        assert got[doc_id] == (len(grams), sum(lw(g) for g in grams)), doc_id
+    assert got[2][0] == 1 and got[3][0] == 1  # no bigrams, '' is a token
+
+
+def test_dsir_logweights_plan_is_shuffle_free(spark):
+    """The sweep leg is ONE whole-stage projection: no Exchange, no
+    Python — the corpus never moves at 100 TB."""
+    from blockchaintoavro_spark.operators.dsir import dsir_logweights
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    p = (
+        dsir_logweights(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_dsir_sample_plan_is_partial_topk(spark):
+    """Gumbel top-k must plan as TakeOrderedAndProject (per-partition
+    partial top-k + driver merge), never a global sort or a
+    single-partition window."""
+    from blockchaintoavro_spark.operators.dsir import dsir_sample
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} filler") for i in range(50)],
+        "doc_id long, text string",
+    )
+    p = dsir_sample(df, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
+
+
+def test_dsir_fit_then_sample_prefers_target_like_docs(spark):
+    """End-to-end DSIR: fit log-ratios on marker-token target/source
+    corpora, then Gumbel top-k over a mixed pool must select almost
+    exclusively the target-like documents (importance weights dominate
+    the bounded Gumbel noise)."""
+    from blockchaintoavro_spark.operators.dsir import (
+        dsir_logweights,
+        dsir_sample,
+        fit_dsir_logratios,
+    )
+
+    fillers = ["lorem", "ipsum", "dolor", "sit", "amet", "quo", "vadis"]
+
+    def doc(i, marker):
+        f1, f2 = fillers[i % 7], fillers[(i * 3 + 1) % 7]
+        return f"{f1} {marker} {f2} {marker} {f1} {marker}"
+
+    target = spark.createDataFrame(
+        [(doc(i, "goodtok"),) for i in range(60)], "text string"
+    )
+    source = spark.createDataFrame(
+        [(doc(i, "badtok"),) for i in range(60)], "text string"
+    )
+    lr = fit_dsir_logratios(target, source, n_buckets=512)
+    assert len(lr) == 512 and any(lr)
+
+    pool = spark.createDataFrame(
+        [(i, doc(i, "goodtok" if i % 2 == 0 else "badtok")) for i in range(100)],
+        "doc_id long, text string",
+    )
+    # weights first: every target-like doc must outscore every source-like
+    w = {
+        r["doc_id"]: r["logw_milli"]
+        for r in dsir_logweights(pool, lr_milli=lr, n_buckets=512).collect()
+    }
+    assert min(w[i] for i in range(0, 100, 2)) > max(
+        w[i] for i in range(1, 100, 2)
+    )
+    picked = [
+        r["doc_id"]
+        for r in dsir_sample(pool, 30, lr_milli=lr, n_buckets=512).collect()
+    ]
+    assert len(picked) == 30
+    good = sum(1 for i in picked if i % 2 == 0)
+    assert good >= 28, (good, sorted(picked))
+
+
+def test_dsir_rejects_wrong_lr_length(spark):
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.operators.dsir import dsir_logweights
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="lr_milli length"):
+        dsir_logweights(df, lr_milli=[1, 2], n_buckets=64)
