@@ -3323,6 +3323,237 @@ def x_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@declare(
+    "x_tpch_q2",
+    oracle="""
+    WITH eligible AS (
+      SELECT s_suppkey, s_name FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    offer AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      FROM lineitem JOIN eligible ON s_suppkey = l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT p_partkey, s_name,
+           CAST(CAST(ROUND(cost, 2) AS DECIMAL(38,2)) AS DOUBLE) AS cost
+    FROM offer
+    JOIN part ON p_partkey = l_partkey
+    JOIN eligible ON s_suppkey = l_suppkey
+    WHERE p_size < 10
+      AND cost = (SELECT MIN(o2.cost) FROM offer o2
+                  WHERE o2.l_partkey = offer.l_partkey)
+    ORDER BY p_partkey, s_name
+    """,
+)
+def x_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier (partsupp reshaped onto
+    lineitem: a (part, supplier) pair's offer cost is its cheapest
+    shipped line): for small parts, the EUROPE suppliers achieving the
+    per-part minimum — a correlated scalar MIN subquery in WHERE,
+    decorrelated into a per-part min aggregate joined back on the part
+    key (the oracle keeps the subquery correlated to prove the
+    semantics). Exact DECIMAL min/compare so a tie at the minimum can't
+    split across engines. The region→nation→supplier chain collapses to
+    one broadcast BEFORE the fact aggregate, and the per-part best
+    table is the ALREADY-AGGREGATED offer re-aggregated — both joins
+    downstream of the only fact-sized shuffle. Q2's classic plan trap
+    (re-scanning the fact for the subquery) never appears."""
+    from ._util import dec2, money
+
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    offer = (
+        li.join(F.broadcast(eligible), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec2("l_extendedprice")).alias("cost"))
+    )
+    best = offer.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("cost").alias("mincost")
+    )
+    p = t(spark, sf, "part").filter(F.col("p_size") < 10)
+    return (
+        offer.join(best, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("cost") == F.col("mincost"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(eligible), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("p_partkey", "s_name", money(F.col("cost")).alias("cost"))
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@declare(
+    "x_tpch_q11",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2')
+      GROUP BY 1
+    )
+    SELECT l_partkey,
+           CAST(CAST(ROUND(value, 2) AS DECIMAL(38,2)) AS DOUBLE)
+             AS part_value
+    FROM val
+    WHERE value * 650 > (SELECT SUM(value) FROM val)
+    ORDER BY l_partkey
+    """,
+)
+def x_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock query: per-part value held by
+    two nations' suppliers, keeping parts worth more than a fixed
+    FRACTION of the total — an uncorrelated scalar aggregate subquery
+    in WHERE, attached as a broadcast ONE-ROW cross join (never a
+    per-row subquery or driver round-trip). The scalar branch re-plans
+    the same column-pruned three-column scan (Spark's exchange reuse
+    skips it here because the dimension chain nests a broadcast inside
+    the broadcast build — with a single-table dim it fires; a 100 TB
+    run persists the per-part frame or accepts one extra pruned scan,
+    exactly Q15's documented trade). The fraction compare is
+    cross-multiplied into exact decimal space (``value·650 > total``
+    for 1/650), never a float division at the boundary."""
+    from ._util import dec2, money
+
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    val = (
+        li.join(
+            F.broadcast(
+                s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(dec2("l_extendedprice")).alias("value"))
+    )
+    total = val.agg(F.sum("value").alias("_total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value") * 650 > F.col("_total"))
+        .select("l_partkey", money(F.col("value")).alias("part_value"))
+        .orderBy("l_partkey")
+    )
+
+
+@declare(
+    "x_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'ECONOMY'
+      AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def x_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity count: distinct suppliers
+    per (brand, type, size) for small non-ECONOMY parts, EXCLUDING a
+    complained-about supplier list — NOT IN over a non-null key,
+    planned as a broadcast LeftAnti (null-safe NOT IN would need the
+    null-aware variant; s_suppkey is the PK, so anti-join semantics are
+    exactly equal and the oracle keeps the NOT IN spelling to prove
+    it). The distinct-count shuffles the slim (attrs, suppkey)
+    projection once; both dimension filters broadcast and prune the
+    fact rows BEFORE that Exchange."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(
+        (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(list(range(1, 9)))
+    )
+    bad = t(spark, sf, "supplier").filter(F.col("s_name").like("%7"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@declare(
+    "x_tpch_q20",
+    oracle="""
+    SELECT s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem l1
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      GROUP BY l_suppkey, l_partkey
+      HAVING 8 * SUM(l_quantity) > (
+        SELECT SUM(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey
+      )
+    )
+    ORDER BY s_name
+    """,
+)
+def x_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20-shaped dominant-supplier query (partsupp availqty
+    reshaped to shipped quantity): suppliers who shipped more than an
+    eighth of some 'small%' part's total volume — a DOUBLY nested
+    subquery (IN over a grouped HAVING whose threshold is a correlated
+    scalar SUM), the deepest decorrelation shape in the TPC-H suite.
+    The Spark plan restricts the fact to the LIKE-matched parts ONCE
+    (broadcast), derives both the per-(part,supplier) and per-part
+    totals from that SAME filtered frame (partial aggregate reuse — the
+    correlated subquery never re-scans lineitem), and reaches supplier
+    as a final LeftSemi. Quantities are integral doubles, so ``8·sq >
+    total`` is exact in both engines."""
+    li = t(spark, sf, "lineitem")
+    plike = t(spark, sf, "part").filter(F.col("p_name").like("small%"))
+    filtered = li.join(
+        F.broadcast(plike), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    sp = filtered.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    pt = filtered.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("l_quantity").alias("tq")
+    )
+    qualified = (
+        sp.join(pt, F.col("l_partkey") == F.col("_pk"))
+        .filter(8 * F.col("sq") > F.col("tq"))
+        .select("l_suppkey")
+    )
+    return (
+        t(spark, sf, "supplier")
+        .join(
+            qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # perceptual image near-dup (r8 VERDICT #1 — pHash + Hamming-banded join)
 
@@ -3445,6 +3676,92 @@ def x_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return hashed_linear_score(d).orderBy("doc_id")
+
+
+_DSIR_WEIGHTS_CTE = """
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(t) AS g FROM tok
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS g
+      FROM tok
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096
+                  AS BIGINT) AS bucket
+      FROM grams
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM((bucket * 2654435761 + 999331) % 2001 - 1000)
+                  AS BIGINT) AS logw_milli
+      FROM b GROUP BY doc_id
+    )
+"""
+
+
+@declare(
+    "x_dsir_weights",
+    oracle=_DSIR_WEIGHTS_CTE
+    + """
+    SELECT doc_id, n_grams, logw_milli FROM w ORDER BY doc_id
+    """,
+)
+def x_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance log-weights (operators/dsir.py:dsir_logweights) —
+    per-document ``log p_target/p_source`` over hashed unigram+bigram
+    buckets (Xie et al. 2023), integer milli-nats end to end. One
+    zero-shuffle whole-stage projection: the grams array is scored in
+    place by an aggregate HOF against the (here pseudo-) log-ratio
+    model; DuckDB recomputes hash, model and sum from plain
+    arithmetic."""
+    from ..operators.dsir import dsir_logweights
+
+    d = t(spark, sf, "documents")
+    return dsir_logweights(d).orderBy("doc_id")
+
+
+@declare(
+    "x_dsir_sample",
+    oracle=_DSIR_WEIGHTS_CTE
+    + """
+    , keyed AS (
+      SELECT doc_id, n_grams, logw_milli,
+             CAST(CAST(ROUND(
+               logw_milli / 1000.0
+               - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8))::UBIGINT + 0.5)
+                        / 4294967296.0)), 4)
+             AS DECIMAL(38,4)) AS DOUBLE) AS gkey
+      FROM w
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, n_grams, logw_milli, gkey
+    FROM r WHERE rn <= 100 ORDER BY doc_id
+    """,
+)
+def x_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR Gumbel top-k resampling (operators/dsir.py:dsir_sample) —
+    k=100 documents drawn without replacement with probability ∝
+    exp(importance weight), via key = logweight + deterministic
+    per-document Gumbel noise (md5-derived uniform, so both engines
+    compute identical draws). Spark plans TakeOrderedAndProject
+    (per-partition partial top-k, no global sort Exchange); the rounded
+    key is the ordering in BOTH engines so the boundary row can't flip
+    on a last-ulp ln() difference."""
+    from ..operators.dsir import dsir_sample
+
+    d = t(spark, sf, "documents")
+    return dsir_sample(d, k=100).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

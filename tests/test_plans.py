@@ -928,3 +928,56 @@ def test_tpch_q21_exists_pair_decorrelates_to_semi_plus_anti(spark, registry, sf
     assert "BroadcastHashJoin" in p, p
     assert "EqualTo(o_orderstatus,F)" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q2_min_join_decorrelation_and_pushdown(spark, registry, sf_dir):
+    """Q2 shape: the correlated per-part MIN decorrelates into a
+    re-aggregate of the already-aggregated offer table (never a second
+    fact scan); region→nation→supplier and part broadcast; the p_size
+    range reaches the part scan."""
+    p = plan_of(spark, registry, "x_tpch_q2", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 3, p  # eligible x2 + part
+    assert "LessThan(p_size,10)" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q11_global_scalar_is_broadcast_one_row(spark, registry, sf_dir):
+    """Q11 shape: the total-value scalar attaches as a broadcast
+    one-row nested-loop join — no cartesian blow-up, no driver
+    round-trip — and BOTH branches scan only the three needed lineitem
+    columns (the scalar branch re-plans the pruned scan; nested
+    broadcast defeats exchange reuse here, documented in the query)."""
+    p = plan_of(spark, registry, "x_tpch_q11", sf_dir, mode="simple")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p
+    pf = plan_of(spark, registry, "x_tpch_q11", sf_dir)
+    assert (
+        pf.count(
+            "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint,"
+            "l_extendedprice:double>"
+        )
+        == pf.count("lineitem.parquet")
+    ), pf
+
+
+def test_tpch_q16_not_in_plans_as_broadcast_anti(spark, registry, sf_dir):
+    """Q16 shape: the NOT IN over the non-null supplier PK plans as a
+    broadcast LeftAnti; both dimension filters prune before the
+    distinct-count Exchange."""
+    p = plan_of(spark, registry, "x_tpch_q16", sf_dir)
+    assert "LeftAnti" in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q20_nested_decorrelation_single_fact_restrict(
+    spark, registry, sf_dir
+):
+    """Q20 shape: the doubly nested subquery resolves to ONE broadcast
+    part restriction feeding BOTH aggregates (partial reuse — the
+    correlated scalar never re-scans lineitem unrestricted) and a final
+    LeftSemi into supplier; the LIKE prefix reaches the part scan."""
+    p = plan_of(spark, registry, "x_tpch_q20", sf_dir)
+    assert "LeftSemi" in p, p
+    assert "StringStartsWith(p_name,small)" in p, p
+    assert "CartesianProduct" not in p
