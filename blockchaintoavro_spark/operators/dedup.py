@@ -1059,3 +1059,80 @@ def strip_spans_against(
         clean.alias("clean_text"),
         (F.length(text) - F.length(clean)).cast("long").alias("n_stripped"),
     )
+
+
+def corpus_dedup_lines(
+    docs: DataFrame,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LEVEL exact line deduplication — the RefinedWeb / Dolma
+    pipeline stage between document-level exact dedup and substring
+    dedup: every line (``delimiter``-separated segment) is kept only at
+    its FIRST occurrence in the corpus (ordered by ``(doc_id, pos)``);
+    later occurrences — boilerplate headers, navigation chrome, license
+    blocks — are cut and the surviving lines are rejoined in order.
+
+    Returns ``(id, n_lines, n_kept, cleaned)`` for EVERY input document
+    (a doc whose lines are all duplicates survives with ``cleaned =
+    ''``), so the output is a drop-in replacement corpus.
+
+    Plan: lines are ``posexplode``d once; the first-occurrence winner
+    per distinct line is ONE ``min(struct(doc_id, pos))`` aggregate
+    keyed on the line's md5 (map-side partials collapse each task's
+    occurrences of a line to a single candidate, so the Exchange
+    carries ~one 16-byte-hash row per distinct-line-per-task — the
+    super-common boilerplate line every document carries becomes ONE
+    row per task, not one per occurrence). Occurrences then join back
+    on the hash to learn whether they ARE the winner; a hot line's
+    probe partition is bounded by AQE skew-split since the build side
+    is one row per hash. The rebuild is a doc-keyed aggregate of only
+    the KEPT lines. ``delimiter`` is treated literally in the split
+    (regex-escaped) to match the SQL ``string_split`` semantics.
+    """
+    import re as _re
+
+    text = F.col(text_col)
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(text, _re.escape(delimiter))).alias(
+            "_pos", "_line"
+        ),
+    ).select(
+        id_col, "_pos", "_line", F.md5(F.col("_line")).alias("_h")
+    )
+    winners = lines.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("_wid"), F.col("_pos").alias("_wpos"))).alias("_w")
+    )
+    kept = (
+        lines.join(winners, "_h")
+        .filter(
+            (F.col(id_col) == F.col("_w._wid"))
+            & (F.col("_pos") == F.col("_w._wpos"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                delimiter,
+            ).alias("cleaned"),
+        )
+    )
+    n_lines = F.size(F.split(text, _re.escape(delimiter))).cast("long")
+    return (
+        docs.select(F.col(id_col), n_lines.alias("n_lines"))
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
+                "n_kept"
+            ),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )

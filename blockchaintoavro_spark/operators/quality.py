@@ -1016,3 +1016,94 @@ def train_hashed_linear(
         return [int(round(v * 1000)) for v in w]
     finally:
         feats.unpersist()
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document BIGRAM language-model cross-entropy in bits/token
+    under Stupid Backoff (Brants et al. 2007 — the web-scale scoring
+    rule: no discounting to tune, counts only):
+    ``S(w|prev) = c(prev,w)/c(prev)`` when the bigram was seen, else
+    ``backoff · c(w)/N``; a document's first token scores its unigram
+    probability. Sharper fluency signal than :func:`unigram_logprob`
+    (word ORDER now matters), same output shape
+    ``(id, n_tokens, bits_per_token)``.
+
+    The LM is fit on ``docs`` itself (corpus self-scoring, the CCNet
+    bucket regime). Scale: both count tables collapse to one row per
+    DISTINCT unigram/bigram before anything joins (bounded by
+    vocabulary², in practice Heaps-law sublinear); the probes are
+    token-keyed postings joins, broadcast when they fit
+    (``broadcast_vocab``), and the per-doc average partial-aggregates
+    map-side so the doc-keyed Exchange carries ~one row per doc. No
+    driver collect anywhere — unlike the hashed classifiers, the model
+    here STAYS distributed because the vocabulary is corpus-sized, not
+    bucket-bounded.
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    pairs = docs.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("_pos", "_w"),
+        F.size(toks).alias("_n"),
+        toks.alias("_toks"),
+    ).select(
+        id_col,
+        "_pos",
+        "_w",
+        # prev token (null for the document's first token)
+        F.when(
+            F.col("_pos") > 0, F.element_at(F.col("_toks"), F.col("_pos"))
+        ).alias("_prev"),
+    )
+    uni = pairs.groupBy(F.col("_w").alias("_uw")).agg(
+        F.count("*").alias("_cu")
+    )
+    n_total = uni.agg(F.sum("_cu").alias("_nt"))
+    bi = (
+        pairs.filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("_bp"), F.col("_w").alias("_bw"))
+        .agg(F.count("*").alias("_cb"))
+    )
+    ctx = bi.groupBy(F.col("_bp").alias("_cp")).agg(
+        F.sum("_cb").alias("_cc")
+    )
+    maybe_b = F.broadcast if broadcast_vocab else (lambda d: d)
+    scored = (
+        pairs.join(maybe_b(uni), pairs["_w"] == uni["_uw"], "left")
+        .join(
+            maybe_b(bi),
+            (pairs["_prev"] == bi["_bp"]) & (pairs["_w"] == bi["_bw"]),
+            "left",
+        )
+        .join(maybe_b(ctx), pairs["_prev"] == ctx["_cp"], "left")
+        .crossJoin(F.broadcast(n_total))
+    )
+    # context count c(prev) from the bigram table equals c(prev)-as-
+    # non-final-token; fit-on-self guarantees _cu/_cc present wherever
+    # the CASE reaches them
+    p = (
+        F.when(
+            F.col("_prev").isNull(),
+            F.col("_cu").cast("double") / F.col("_nt").cast("double"),
+        )
+        .when(
+            F.col("_cb").isNotNull(),
+            F.col("_cb").cast("double") / F.col("_cc").cast("double"),
+        )
+        .otherwise(
+            F.lit(backoff)
+            * F.col("_cu").cast("double")
+            / F.col("_nt").cast("double")
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.avg(-F.log2(p)).alias("bits_per_token"),
+    )

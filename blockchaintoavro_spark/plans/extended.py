@@ -3554,6 +3554,109 @@ def x_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@declare(
+    "x_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(range(len(string_split(lower(text), ' ')))) AS pos,
+             UNNEST(string_split(lower(text), ' ')) AS w,
+             string_split(lower(text), ' ') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN pos > 0 THEN t[pos] ELSE NULL END AS prev
+      FROM tok
+    ),
+    uni AS (SELECT w AS uw, COUNT(*) AS cu FROM pairs GROUP BY 1),
+    nt AS (SELECT SUM(cu) AS n FROM uni),
+    bi AS (
+      SELECT prev AS bp, w AS bw, COUNT(*) AS cb
+      FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    ctx AS (SELECT bp AS cp, SUM(cb) AS cc FROM bi GROUP BY 1),
+    scored AS (
+      SELECT p.doc_id,
+             CASE
+               WHEN p.prev IS NULL THEN CAST(u.cu AS DOUBLE) / n
+               WHEN b.cb IS NOT NULL THEN CAST(b.cb AS DOUBLE) / cc
+               ELSE 0.4 * CAST(u.cu AS DOUBLE) / n
+             END AS prob
+      FROM pairs p
+      LEFT JOIN uni u ON u.uw = p.w
+      LEFT JOIN bi b ON b.bp = p.prev AND b.bw = p.w
+      LEFT JOIN ctx c ON c.cp = p.prev
+      CROSS JOIN nt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(ROUND(AVG(-log2(prob)), 4) AS DECIMAL(38,4))
+                AS DOUBLE) AS bits_per_token
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Stupid-Backoff bigram LM self-scoring (operators/quality.py:
+    bigram_logprob, Brants et al. 2007) — the word-ORDER-sensitive
+    fluency signal the unigram CCNet scorer can't see: seen bigrams
+    score their in-context MLE, unseen ones back off to 0.4·unigram.
+    Count tables collapse to distinct grams before the postings-shaped
+    probes; the per-doc average partial-aggregates map-side. DuckDB
+    rebuilds the identical model from plain counts."""
+    from ..operators.quality import bigram_logprob
+
+    d = t(spark, sf, "documents")
+    return bigram_logprob(d).select(
+        "doc_id", "n_tokens", dbl(F.col("bits_per_token")).alias("bits_per_token")
+    ).orderBy("doc_id")
+
+
+@declare(
+    "x_line_dedup",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id,
+             UNNEST(range(len(string_split(text, ' a ')))) AS pos,
+             UNNEST(string_split(text, ' a ')) AS line
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn
+      FROM lines
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(line, ' a ' ORDER BY pos) AS cleaned
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' a ')) AS BIGINT) AS n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.cleaned, '') AS cleaned
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def x_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level exact line dedup (operators/dedup.py:
+    corpus_dedup_lines) — the RefinedWeb/Dolma stage: every segment is
+    kept only at its first corpus occurrence (by doc_id, pos), later
+    occurrences cut, survivors rejoined in order; all-duplicate docs
+    survive empty. The fixture carries no newlines, so the query
+    delimits on the frequent ``' a '`` token to exercise real
+    multi-segment cross-doc duplication. The winner per distinct line
+    is a map-side-combined min(struct) aggregate on the line's md5 —
+    the hot-boilerplate key collapses per task — and only KEPT lines
+    reach the rebuild shuffle."""
+    from ..operators.dedup import corpus_dedup_lines
+
+    d = t(spark, sf, "documents")
+    return corpus_dedup_lines(d, delimiter=" a ").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # perceptual image near-dup (r8 VERDICT #1 — pHash + Hamming-banded join)
 

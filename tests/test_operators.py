@@ -2408,3 +2408,118 @@ def test_dsir_rejects_wrong_lr_length(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="lr_milli length"):
         dsir_logweights(df, lr_milli=[1, 2], n_buckets=64)
+
+
+def test_corpus_dedup_lines_keeps_first_occurrence_only(spark):
+    """RefinedWeb-style corpus-level line dedup: a line survives only
+    at its first (doc_id, pos) occurrence; later docs lose it; a doc
+    made entirely of seen lines survives with empty cleaned text;
+    within-doc repeats also collapse to the first position."""
+    from blockchaintoavro_spark.operators.dedup import corpus_dedup_lines
+
+    rows = [
+        (1, "intro\nshared header\nbody one"),
+        (2, "shared header\nbody two\nbody two"),
+        (3, "shared header\nbody one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["cleaned"])
+        for r in corpus_dedup_lines(df).collect()
+    }
+    assert got[1] == (3, 3, "intro\nshared header\nbody one")
+    assert got[2] == (3, 1, "body two")
+    assert got[3] == (2, 0, "")
+
+
+def test_corpus_dedup_lines_plan_has_mapside_combine(spark):
+    """The winner aggregate must partial-combine map-side (the hot
+    boilerplate line collapses to one row per task before the
+    Exchange) and the plan must stay cartesian-free."""
+    from blockchaintoavro_spark.operators.dedup import corpus_dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
+    )
+    p = (
+        corpus_dedup_lines(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_model_feature_hash_is_bag_of_words_order_invariant(spark):
+    """Both hashed-feature operators are bag-of-(n)gram models: the
+    classifier score must be invariant to token order; the DSIR weight
+    must be invariant to BIGRAM multiset order (tokens reversed keeps
+    unigrams, changes bigram composition — so assert on a rotation that
+    preserves the bigram multiset instead: identical text)."""
+    from blockchaintoavro_spark.operators.dsir import dsir_logweights
+    from blockchaintoavro_spark.operators.quality import hashed_linear_score
+
+    a = "alpha beta gamma delta"
+    b = "delta gamma beta alpha"  # same tokens, different order
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    s = {
+        r["doc_id"]: r["score_milli"]
+        for r in hashed_linear_score(df).collect()
+    }
+    assert s[1] == s[2]
+    # unigram-only DSIR weights share the invariance; with bigrams the
+    # order MUST matter (it's the model's point) — pin both facts
+    w_uni = {
+        r["doc_id"]: r["logw_milli"]
+        for r in dsir_logweights(df, include_bigrams=False).collect()
+    }
+    assert w_uni[1] == w_uni[2]
+    w_bi = {
+        r["doc_id"]: r["logw_milli"]
+        for r in dsir_logweights(df).collect()
+    }
+    assert w_bi[1] != w_bi[2]
+
+
+def test_bigram_logprob_hand_computed_stupid_backoff(spark):
+    """Stupid Backoff exactly: seen bigram = c(prev,w)/c(prev as
+    context); unseen = 0.4·c(w)/N; first token = c(w)/N. Verified
+    against a by-hand model on a 2-doc corpus."""
+    import math
+
+    from blockchaintoavro_spark.operators.quality import bigram_logprob
+
+    rows = [(1, "a b a b"), (2, "b a c")]
+    # counts: N=7, c(a)=3 c(b)=3 c(c)=1
+    # bigrams: (a,b):2 (b,a):2 (a,c):1 → ctx c(a)=3, c(b)=2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in bigram_logprob(df).collect()
+    }
+    p1 = [3 / 7, 2 / 3, 2 / 2, 2 / 3]          # a | a→b | b→a | a→b
+    p2 = [3 / 7, 2 / 2, 1 / 3]                  # b | b→a | a→c
+    for doc, probs in ((1, p1), (2, p2)):
+        want = sum(-math.log2(p) for p in probs) / len(probs)
+        n, bits = got[doc]
+        assert n == len(probs)
+        assert abs(bits - want) < 1e-12, (doc, bits, want)
+
+
+def test_bigram_logprob_is_word_order_sensitive(spark):
+    """The whole point over the unigram scorer: a doc with the corpus'
+    common bigrams scores fewer bits than the same unigrams scrambled
+    into unseen transitions."""
+    from blockchaintoavro_spark.operators.quality import bigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(1, 4)]
+    rows.append((4, "mat the on sat cat the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in bigram_logprob(df).collect()
+    }
+    assert b[4] > b[1] + 0.5, b

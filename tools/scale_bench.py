@@ -377,6 +377,65 @@ def bench_round9_operators(spark) -> dict:
     return results
 
 
+def bench_model_ops(spark) -> dict:
+    """Round-9 model-based selection ops. The sweep legs (classifier
+    inference, DSIR weights+sample) must scale LINEARLY in corpus size
+    — they are zero-shuffle projections (plus a TakeOrdered merge for
+    the sample) — while the training legs iterate on a BOUNDED model
+    (one n_buckets-key shuffle per iteration), so their cost is
+    per-iteration flat in corpus size at these scales."""
+    from blockchaintoavro_spark.operators.dsir import (
+        dsir_sample,
+        fit_dsir_logratios,
+    )
+    from blockchaintoavro_spark.operators.quality import (
+        hashed_linear_score,
+        train_hashed_linear,
+    )
+
+    results: dict[str, dict] = {
+        "classifier_inference": {},
+        "dsir_sample": {},
+    }
+    for mult in SCALES:
+        docs = scaled_documents(spark, mult)
+        n_docs = docs.count()
+        key = str(n_docs)
+        kept, sec = timed(
+            lambda: hashed_linear_score(docs)
+            .agg(F.sum("keep")).collect()[0][0]
+        )
+        results["classifier_inference"][key] = {
+            "rows_in": n_docs, "kept": int(kept), "sec": sec,
+        }
+        print(f"classifier_inference {n_docs} -> {kept} kept in {sec}s", flush=True)
+
+        n, sec = timed(lambda: dsir_sample(docs, k=1000).count())
+        results["dsir_sample"][key] = {
+            "rows_in": n_docs, "sampled": n, "sec": sec,
+        }
+        print(f"dsir_sample {n_docs} -> {n} in {sec}s", flush=True)
+
+    # training legs: fixed 5k-doc corpora (the paper regime — train on a
+    # sample, sweep the pool); measures the bounded per-iteration cost
+    docs1 = scaled_documents(spark, 1)
+    labeled = docs1.select("text", (F.col("doc_id") % 2).alias("label"))
+    _, sec = timed(
+        lambda: train_hashed_linear(labeled, n_buckets=4096, n_iters=10)
+    )
+    results["classifier_train_10it_5k"] = {"sec": sec}
+    print(f"classifier_train 10 iters / 5k docs in {sec}s", flush=True)
+
+    target = docs1.filter(F.col("doc_id") % 2 == 0)
+    source = docs1.filter(F.col("doc_id") % 2 == 1)
+    _, sec = timed(
+        lambda: fit_dsir_logratios(target, source, n_buckets=4096)
+    )
+    results["dsir_fit_5k"] = {"sec": sec}
+    print(f"dsir_fit 5k docs in {sec}s", flush=True)
+    return results
+
+
 def bench_ocf_split(spark) -> dict:
     """One large multi-block OCF file: whole-file single InputPartition vs
     sync-marker-aligned byte-range splits (sources/avro_datasource.py)."""
@@ -451,6 +510,7 @@ def main() -> None:
         "round5_operators": bench_round5_operators(spark),
         "round7_operators": bench_round7_operators(spark),
         "round9_operators": bench_round9_operators(spark),
+        "model_ops": bench_model_ops(spark),
         "ocf_split": bench_ocf_split(spark),
     }
     dest = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_BENCH.json")
