@@ -1,0 +1,557 @@
+"""Product quantization (PQ) for the embedding store — Jégou et al.
+2011, the standard memory-bounded ANN representation: each vector is
+split into ``m`` subvectors, each subvector is replaced by the id of its
+nearest per-subspace centroid, and search scores COMPRESSED codes via
+per-query lookup tables (asymmetric distance computation, ADC) without
+ever touching the original floats.
+
+Why it matters at 100 TB: a 64-dim float32 embedding is 256 bytes; its
+``m=8`` one-byte codes are 8 bytes — a 32× smaller scan surface for the
+brute-force leg, and the codebooks (``m × n_codes × d/m`` floats, KBs)
+are model parameters, not data. The operators follow the engine's
+bounded-model idiom: training iterates Lloyd per subspace with ALL
+subspaces batched into one job per iteration (one bounded-key shuffle of
+``m · n_codes · d/m`` cells), encoding is a narrow codegen'd map against
+codebook literals, and ADC search is a broadcast of the (tiny) query
+side over the code table with a per-query partial top-k.
+
+Like the LSH/IVF family, the trained codebooks are engine-defined
+(iterative float means), so the declared query is rows-only and quality
+is pinned by recall tests against the exact oracle instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "train_ivfpq",
+    "ivfpq_encode",
+    "ivfpq_topk",
+]
+
+
+def _subspace_slices(vec: Column, m: int, dsub: int) -> Column:
+    """array<array<double>> of the vector's m contiguous subvectors."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(vec, s * dsub + 1, dsub),
+    )
+
+
+def _nearest_code(sub: Column, codebook: list[list[float]]) -> Column:
+    """Index of the L2-nearest centroid in one subspace's codebook —
+    pure higher-order functions, ties to the lowest code id."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in codebook]
+    )
+    scored = F.transform(
+        cents,
+        lambda cv, i: F.struct(
+            F.aggregate(
+                F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d"),
+            i.cast("int").alias("code"),
+        ),
+    )
+    return F.array_min(scored)["code"]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the ``m`` per-subspace codebooks (``n_codes`` centroids of
+    dim ``d/m`` each) by Lloyd iterations over ALL subspaces at once:
+    one exploded ``(sub_id, subvec)`` frame, assignment via codebook
+    literals, update via one ``groupBy(sub_id, code, pos)`` mean whose
+    output is ``m·n_codes·d/m`` cells — the only thing the driver ever
+    holds. Deterministic: init from the first rows by id, ties to the
+    lowest code, empty cells keep their previous centroid.
+
+    Returns ``codebooks[sub_id][code] -> list[float]``.
+    """
+    dim = len(
+        corpus.select(F.col(vec_col).alias("e")).first()["e"]
+    )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+
+    seed_rows = (
+        corpus.select(v.alias("e")).orderBy(id_col).limit(n_codes).collect()
+    )
+    if not seed_rows:
+        raise ValueError("empty corpus")
+    codebooks = [
+        [
+            [float(x) for x in r["e"][s * dsub : (s + 1) * dsub]]
+            for r in seed_rows
+        ]
+        for s in range(m)
+    ]
+    # fewer seed rows than codes: pad by repeating (harmless — dead codes)
+    while len(codebooks[0]) < n_codes:
+        for s in range(m):
+            codebooks[s].append(list(codebooks[s][-1]))
+
+    subs = corpus.select(
+        F.posexplode(_subspace_slices(v, m, dsub)).alias("sub_id", "sub")
+    )
+    for _ in range(n_iters):
+        books = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in c])
+                        for c in codebooks[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        assigned = subs.select(
+            "sub_id",
+            "sub",
+            F.array_min(
+                F.transform(
+                    F.element_at(books, F.col("sub_id") + 1),
+                    lambda cv, i: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("sub"), cv, lambda a, b: (a - b) * (a - b)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, d: acc + d,
+                        ).alias("d"),
+                        i.cast("int").alias("code"),
+                    ),
+                )
+            )["code"].alias("code"),
+        )
+        means = (
+            assigned.select(
+                "sub_id", "code", F.posexplode("sub").alias("pos", "x")
+            )
+            .groupBy("sub_id", "code", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .collect()
+        )
+        new = [[list(c) for c in book] for book in codebooks]
+        for r in means:
+            new[r["sub_id"]][r["code"]][r["pos"]] = r["mval"]
+        codebooks = new
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Replace each vector by its ``m`` nearest-centroid codes:
+    ``(id, codes array<int>, norm double)`` — the 32×-smaller scan
+    surface ADC search reads. ``norm`` is the RECONSTRUCTED vector's
+    L2 norm (computable from the codes alone; carried as one double so
+    cosine scoring needs no lookup at query time). Zero-shuffle narrow
+    map against codebook literals."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    subs = _subspace_slices(v, m, dsub)
+    codes = F.transform(
+        subs,
+        lambda sub, s: F.array_min(
+            F.transform(
+                F.element_at(_books_lit(codebooks), s + 1),
+                lambda cv, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("d"),
+                    i.cast("int").alias("code"),
+                ),
+            )
+        )["code"],
+    )
+    sqnorms = [
+        [sum(x * x for x in c) for c in book] for book in codebooks
+    ]
+    sq_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in sqnorms]
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                sq_lit,
+                lambda code, row: F.element_at(row, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return corpus.select(
+        F.col(id_col), codes.alias("codes")
+    ).withColumn("norm", norm)
+
+
+def _books_lit(codebooks: list[list[list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+            )
+            for book in codebooks
+        ]
+    )
+
+
+def _adc_lut(qv: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup table: ``lut[s][j] = dot(q_s, book_s[j])``
+    as one row-local array expression over the codebook literals."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.element_at(_books_lit(codebooks), s + 1),
+            lambda cv: F.aggregate(
+                F.zip_with(
+                    F.slice(qv, s * dsub + 1, dsub), cv, lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+
+
+def _adc_dot(codes: Column, lut: Column) -> Column:
+    """``Σ_s lut[s][codes[s]]`` — the compressed-domain dot product."""
+    return F.aggregate(
+        F.zip_with(
+            codes, lut, lambda code, row: F.element_at(row, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    shortlist: int = 32,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via ADC: each query
+    precomputes its ``m × n_codes`` dot-product lookup table ONCE (a
+    row-local array expression over the codebook literals), then every
+    code row scores as ``Σ_s lut[s][code_s] / (|q|·|x̂|)`` — never
+    touching a corpus float. The query side (with its tables) is
+    broadcast; scoring is a narrow map over the code table; per-query
+    partial top-k finishes it. Returns ``(q_id, neighbor_id, sim)``.
+
+    ADC score error scrambles rankings inside tight clusters (the
+    quantization cells are coarser than the true neighbor gaps), so
+    pass ``rerank_with=corpus`` for the paper's ADC+R variant: the per-
+    query ADC SHORTLIST (``shortlist`` ≥ k candidates — the cheap
+    compressed-scan leg) joins back to the full vectors for an EXACT
+    cosine top-k over ``shortlist × n_queries`` rows only. ``sim`` is
+    then the exact cosine.
+
+    At 100 TB the scan reads ``m`` bytes + one double per corpus row —
+    the point of PQ — the rerank touches a shortlist-sized sliver, and
+    recall is tuned by ``m``/``n_codes``/``shortlist`` (pinned by the
+    recall tests, as for LSH/IVF)."""
+    qv = F.col(vec_col).cast("array<double>")
+    qnorm = F.sqrt(
+        F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _adc_lut(qv, codebooks).alias("_lut"),
+        qnorm.alias("_qn"),
+    )
+    dot = _adc_dot(F.col("codes"), F.col("_lut"))
+    cand = (
+        encoded.join(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                dot
+                / F.when(
+                    F.col("_qn") * F.col("norm") > 0,
+                    F.col("_qn") * F.col("norm"),
+                ).otherwise(F.lit(1.0))
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    if rerank_with is None:
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} < k {k}")
+    short = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("q_id", "neighbor_id")
+    )
+    from ..functions.vectors import cosine_similarity
+
+    cv = F.col(vec_col).cast("array<double>")
+    full = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), cv.alias("_cv")
+    )
+    qfull = queries.select(F.col(id_col).alias("q_id"), cv.alias("_qv"))
+    exact = (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(qfull), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("sim"),
+        )
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _cent_lit(centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVFADC pair (Jégou et al. 2011 §V): coarse IVF
+    centroids first, then PQ codebooks on the RESIDUALS ``x − c(x)``
+    (one shared residual codebook set across lists, the paper's
+    memory-practical variant). Residual energy is much smaller than
+    vector energy, so the same code budget quantizes far finer than
+    global PQ. Both trainers are the existing bounded-model loops; the
+    residual frame is a narrow projection between them."""
+    from .similarity import _centroid_scores, train_ivf_centroids
+
+    centroids = train_ivf_centroids(
+        corpus, n_centroids, n_iters, id_col, vec_col
+    )
+    v = F.col(vec_col).cast("array<double>")
+    cid = F.array_min(_centroid_scores(v, centroids))["cid"]
+    resid = corpus.select(
+        F.col(id_col),
+        F.zip_with(
+            v,
+            F.element_at(_cent_lit(centroids), cid + 1),
+            lambda a, b: a - b,
+        ).alias("_resid"),
+    )
+    books = pq_train(
+        resid, m=m, n_codes=n_codes, n_iters=n_iters,
+        id_col=id_col, vec_col="_resid",
+    )
+    return centroids, books
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC storage row per vector: ``(id, cid, codes, norm)`` where
+    ``codes`` quantize the residual ``x − c_cid`` and ``norm`` is the
+    RECONSTRUCTION's L2 norm ``|c_cid + r̂|`` (exact from model
+    parameters — needed for cosine ADC, and not decomposable into
+    per-subspace tables because of the ``c·r̂`` cross term, so it is
+    computed once here). Zero-shuffle narrow map."""
+    from .similarity import _centroid_scores
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col("_v")
+    cent = F.element_at(_cent_lit(centroids), F.col("cid") + 1)
+    resid = F.zip_with(v, cent, lambda a, b: a - b)
+    codes = F.transform(
+        _subspace_slices(resid, m, dsub),
+        lambda sub, s: F.array_min(
+            F.transform(
+                F.element_at(_books_lit(codebooks), s + 1),
+                lambda cv, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("d"),
+                    i.cast("int").alias("code"),
+                ),
+            )
+        )["code"],
+    )
+    rhat = F.flatten(
+        F.zip_with(
+            F.col("codes"),
+            _books_lit(codebooks),
+            lambda code, book: F.element_at(book, code + 1),
+        )
+    )
+    recon_norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(rhat, cent, lambda r, c: (r + c) * (r + c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .withColumn(
+            "cid", F.array_min(_centroid_scores(v, centroids))["cid"]
+        )
+        .withColumn("codes", codes)
+        .withColumn("norm", recon_norm)
+        .select(id_col, "cid", "codes", "norm")
+    )
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    shortlist: int = 32,
+) -> DataFrame:
+    """IVFADC search: each query explodes to its ``nprobe`` nearest
+    lists (carrying ONE shared residual lookup table — residual
+    codebooks are cid-independent, so the lut is built once per query,
+    not per probe) and scores only those lists' code rows as
+    ``(dot(q, c_cid) + Σ_s lut[s][code_s]) / (|q|·|x̂|)``. The probe
+    side broadcasts; the equi-join on ``cid`` prunes the corpus to
+    ~``nprobe/n_centroids`` of its rows — at cluster scale persist
+    ``encoded`` partitioned by ``cid`` so probes prune whole files.
+    ``rerank_with`` adds the ADC+R exact re-rank leg exactly as
+    :func:`pq_topk`."""
+    from .similarity import _centroid_scores
+    from ..functions.vectors import cosine_similarity
+
+    qv = F.col(vec_col).cast("array<double>")
+    qnorm = F.sqrt(F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        qv.alias("_qv"),
+        _adc_lut(qv, codebooks).alias("_lut"),
+        qnorm.alias("_qn"),
+    ).withColumn(
+        "cid",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_centroid_scores(F.col("_qv"), centroids)),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
+            )
+        ),
+    )
+    dot_qc = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            F.element_at(_cent_lit(centroids), F.col("cid") + 1),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        encoded.join(F.broadcast(q), "cid")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                (dot_qc + _adc_dot(F.col("codes"), F.col("_lut")))
+                / F.when(
+                    F.col("_qn") * F.col("norm") > 0,
+                    F.col("_qn") * F.col("norm"),
+                ).otherwise(F.lit(1.0))
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    ranked = cand.withColumn("rn", F.row_number().over(w))
+    if rerank_with is None:
+        return ranked.filter(F.col("rn") <= k).drop("rn")
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} < k {k}")
+    short = ranked.filter(F.col("rn") <= shortlist).select(
+        "q_id", "neighbor_id"
+    )
+    cv = F.col(vec_col).cast("array<double>")
+    full = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), cv.alias("_cv")
+    )
+    qfull = queries.select(F.col(id_col).alias("q_id"), cv.alias("_qv2"))
+    exact = (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(qfull), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv2"), F.col("_cv")).alias("sim"),
+        )
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -85,6 +85,59 @@ def x_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("q_id", "neighbor_id")
 
 
+@declare("x_pq_topk", oracle=None)
+def x_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-3 over PRODUCT-QUANTIZED codes (operators/pq.py,
+    Jégou et al. 2011): per-subspace Lloyd codebooks, 8-byte codes per
+    64-dim vector (32× scan compression), per-query ADC lookup tables,
+    shortlist + exact re-rank (ADC+R). Recall vs the exact path is
+    test-checked; no SQL oracle — engine-defined iterative codebooks."""
+    from ..operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = t(spark, sf, "embeddings")
+    books = pq_train(emb, m=8, n_codes=16, n_iters=3)
+    enc = pq_encode(emb, books)
+    res = pq_topk(
+        enc,
+        emb.filter(F.col("vec_id") < 5),
+        books,
+        k=3,
+        rerank_with=emb,
+        shortlist=64,
+    )
+    return res.select(
+        "q_id", "neighbor_id", dbl(F.col("sim")).alias("sim")
+    ).orderBy("q_id", "neighbor_id")
+
+
+@declare("x_ivfpq_topk", oracle=None)
+def x_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC top-3 (operators/pq.py: IVF coarse lists + RESIDUAL-PQ
+    codes + per-query ADC tables + shortlist/exact-rerank) — the
+    production FAISS-style layout: the probe equi-join prunes to
+    nprobe/n_centroids of the corpus and the scan reads 8-byte codes.
+    Recall vs exact is test-checked (residual ADC beats global-PQ ADC
+    at the same budget); no SQL oracle — iterative codebooks."""
+    from ..operators.pq import ivfpq_encode, ivfpq_topk, train_ivfpq
+
+    emb = t(spark, sf, "embeddings")
+    cents, books = train_ivfpq(emb, n_centroids=16, m=8, n_codes=16)
+    enc = ivfpq_encode(emb, cents, books)
+    res = ivfpq_topk(
+        enc,
+        emb.filter(F.col("vec_id") < 5),
+        cents,
+        books,
+        k=3,
+        nprobe=6,
+        rerank_with=emb,
+        shortlist=48,
+    )
+    return res.select(
+        "q_id", "neighbor_id", dbl(F.col("sim")).alias("sim")
+    ).orderBy("q_id", "neighbor_id")
+
+
 @declare(
     "x_embedding_neardup",
     oracle="""

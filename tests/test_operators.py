@@ -2523,3 +2523,140 @@ def test_bigram_logprob_is_word_order_sensitive(spark):
         for r in bigram_logprob(df).collect()
     }
     assert b[4] > b[1] + 0.5, b
+
+
+def test_pq_encode_reconstruction_and_code_range(spark):
+    """PQ codes must index valid codebook entries; the carried norm must
+    equal the reconstructed vector's L2 norm; a vector that IS a
+    codebook centroid in every subspace must round-trip exactly."""
+    import math
+
+    from blockchaintoavro_spark.operators.pq import pq_encode, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb, m=8, n_codes=8, n_iters=2)
+    enc = pq_encode(emb, books).collect()
+    for r in enc:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 8 for c in r["codes"])
+        want = math.sqrt(
+            sum(
+                sum(x * x for x in books[s][c])
+                for s, c in enumerate(r["codes"])
+            )
+        )
+        assert abs(r["norm"] - want) < 1e-9
+
+
+def test_pq_topk_adc_rerank_recall(spark):
+    """ADC+R (shortlist from compressed codes, exact cosine re-rank)
+    must reach >=0.8 recall@5 vs the exact oracle on the clustered
+    fixture — deterministic: no RNG anywhere in train/encode/search."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from blockchaintoavro_spark.operators.similarity import topk_per_query
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in topk_per_query(emb, q, k=5).collect()
+    }
+    books = pq_train(emb, m=8, n_codes=16, n_iters=3)
+    enc = pq_encode(emb, books)
+    got = {
+        (r["q_id"], r["neighbor_id"])
+        for r in pq_topk(
+            enc, q, books, k=5, rerank_with=emb, shortlist=64
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
+    # ADC-only leg still returns a full result set with sane scores
+    adc = pq_topk(enc, q, books, k=5).collect()
+    assert len(adc) == 25
+    assert all(-1.001 <= r["sim"] <= 1.001 for r in adc)
+
+
+def test_pq_train_rejects_bad_dims(spark):
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.operators.pq import pq_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, n_codes=2, n_iters=1)
+
+
+def test_ivfpq_residual_encoding_beats_global_pq_adc(spark):
+    """IVFADC (residual PQ per inverted list, shared codebooks) must
+    beat global-PQ ADC recall at the same code budget — the point of
+    residual encoding (Jégou et al. §V): residual energy is smaller, so
+    the same 8×16 codebooks quantize finer. Deterministic end-to-end."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+        train_ivfpq,
+    )
+    from blockchaintoavro_spark.operators.similarity import topk_per_query
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in topk_per_query(emb, q, k=5).collect()
+    }
+    cents, books = train_ivfpq(emb, n_centroids=16, m=8, n_codes=16)
+    enc = ivfpq_encode(emb, cents, books)
+    adc = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivfpq_topk(enc, q, cents, books, k=5, nprobe=8).collect()
+    }
+    gbooks = pq_train(emb, m=8, n_codes=16)
+    gadc = {
+        (r["q_id"], r["neighbor_id"])
+        for r in pq_topk(pq_encode(emb, gbooks), q, gbooks, k=5).collect()
+    }
+    r_ivfpq = len(adc & exact) / len(exact)
+    r_global = len(gadc & exact) / len(exact)
+    assert r_ivfpq > r_global, (r_ivfpq, r_global)
+    # the production leg: probe + shortlist + exact re-rank
+    rr = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            enc, q, cents, books, k=5, nprobe=6,
+            rerank_with=emb, shortlist=48,
+        ).collect()
+    }
+    assert len(rr & exact) / len(exact) >= 0.85
+
+
+def test_ivfpq_encode_carries_exact_reconstruction_norm(spark):
+    """The stored norm must equal |c_cid + r̂| computed by hand from
+    the returned model parameters (the c·r̂ cross term makes it non-
+    decomposable — encoding must do it, and does)."""
+    import math
+
+    from blockchaintoavro_spark.operators.pq import (
+        ivfpq_encode,
+        train_ivfpq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, books = train_ivfpq(emb, n_centroids=4, m=4, n_codes=4, n_iters=2)
+    for r in ivfpq_encode(emb, cents, books).limit(20).collect():
+        c = cents[r["cid"]]
+        rhat = [x for s, code in enumerate(r["codes"]) for x in books[s][code]]
+        want = math.sqrt(sum((a + b) ** 2 for a, b in zip(c, rhat)))
+        assert abs(r["norm"] - want) < 1e-9, (r["vec_id"], r["norm"], want)
