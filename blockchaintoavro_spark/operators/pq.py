@@ -43,26 +43,6 @@ def _subspace_slices(vec: Column, m: int, dsub: int) -> Column:
     )
 
 
-def _nearest_code(sub: Column, codebook: list[list[float]]) -> Column:
-    """Index of the L2-nearest centroid in one subspace's codebook —
-    pure higher-order functions, ties to the lowest code id."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in codebook]
-    )
-    scored = F.transform(
-        cents,
-        lambda cv, i: F.struct(
-            F.aggregate(
-                F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ).alias("d"),
-            i.cast("int").alias("code"),
-        ),
-    )
-    return F.array_min(scored)["code"]
-
-
 def pq_train(
     corpus: DataFrame,
     m: int = 8,

@@ -640,12 +640,14 @@ def test_substring_dedup_plans_agree(spark):
 
 
 def test_strip_dup_spans_single_doc_exchange(spark, sf_dir):
-    """strip_duplicated_spans's docstring claims, proven: the interval
+    """The CATALYST interval-merge plan's docstring claims, proven: the
     merge runs on ONE doc-keyed Exchange (island cumsum, island agg and
     per-doc span collection all reuse the window's partitioning by the
     subset rule), one Sort (the window's), the duplicated-gram set
     broadcasts into the positions join, and nothing degenerates to a
-    cartesian product."""
+    cartesian product. Pinned to plan='catalyst' since r9 — verbatim
+    batch input now DEFAULTS to sorted_confirm (its plan shape is
+    covered by test_strip_auto_plan_dispatch + the twin tests)."""
     from pyspark.sql import functions as F
 
     from blockchaintoavro_spark.operators.dedup import strip_duplicated_spans
@@ -654,7 +656,12 @@ def test_strip_dup_spans_single_doc_exchange(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") < 80)
     )
-    p = strip_duplicated_spans(d, k=20)._jdf.queryExecution().executedPlan().toString()
+    p = (
+        strip_duplicated_spans(d, k=20, plan="catalyst")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert p.count("Exchange hashpartitioning(doc_id") == 1, p
     assert p.count("Sort ") == 1, p
     assert "CartesianProduct" not in p
