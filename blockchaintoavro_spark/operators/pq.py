@@ -32,6 +32,8 @@ __all__ = [
     "train_ivfpq",
     "ivfpq_encode",
     "ivfpq_topk",
+    "build_ivfpq_index",
+    "query_ivfpq",
 ]
 
 
@@ -534,4 +536,83 @@ def ivfpq_topk(
         exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train and persist the IVFADC index ONCE (the :func:`query_ivf`
+    amortization argument, applied to the compressed layout):
+    ``{path}/centroids`` and ``{path}/codebooks`` hold the KB-sized
+    models; ``{path}/codes`` holds the corpus as ``(id, codes, norm)``
+    PARTITIONED BY ``cid`` — at 100 TB this is the ~32×-smaller
+    artifact the whole design exists for, and a probe's equi-join
+    prunes to the probed list directories. The full vectors are
+    deliberately NOT in the index (re-rank against the source table
+    when ADC+R is wanted)."""
+    centroids, books = train_ivfpq(
+        corpus, n_centroids, m, n_codes, n_iters, id_col, vec_col
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, j, c)
+            for s, book in enumerate(books)
+            for j, c in enumerate(book)
+        ],
+        "sub_id int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    ivfpq_encode(corpus, centroids, books, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{index_path}/codes")
+
+
+def query_ivfpq(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    shortlist: int = 32,
+) -> DataFrame:
+    """Top-k against a persisted IVFADC index with ZERO training jobs:
+    two bounded model collects (centroids + codebooks, KBs), one
+    cid-partitioned scan of the 8-byte-code table, the same broadcast
+    ADC probe as :func:`ivfpq_topk` — identical results to the
+    train-per-call path by construction."""
+    cents = (
+        spark.read.parquet(f"{index_path}/centroids").orderBy("cid").collect()
+    )
+    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    book_rows = (
+        spark.read.parquet(f"{index_path}/codebooks")
+        .orderBy("sub_id", "code")
+        .collect()
+    )
+    m = max(r["sub_id"] for r in book_rows) + 1
+    n_codes = max(r["code"] for r in book_rows) + 1
+    books: list[list[list[float]]] = [
+        [None] * n_codes for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in book_rows:
+        books[r["sub_id"]][r["code"]] = [float(x) for x in r["centroid"]]
+    encoded = spark.read.parquet(f"{index_path}/codes")
+    return ivfpq_topk(
+        encoded, queries, centroids, books, k, nprobe,
+        id_col, vec_col, rerank_with, shortlist,
     )

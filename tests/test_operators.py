@@ -2660,3 +2660,42 @@ def test_ivfpq_encode_carries_exact_reconstruction_norm(spark):
         rhat = [x for s, code in enumerate(r["codes"]) for x in books[s][code]]
         want = math.sqrt(sum((a + b) ** 2 for a, b in zip(c, rhat)))
         assert abs(r["norm"] - want) < 1e-9, (r["vec_id"], r["norm"], want)
+
+
+def test_ivfpq_persisted_index_matches_train_per_call(spark, tmp_path):
+    """build_ivfpq_index / query_ivfpq: the persisted index (KB models
+    + cid-partitioned 8-byte codes, NO full vectors) must return the
+    exact result of the train-per-call path — same deterministic
+    training, same probe — with zero Lloyd jobs at query time."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_topk,
+        query_ivfpq,
+        train_ivfpq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_centroids=8, m=4, n_codes=8, n_iters=2)
+    got = {
+        (r["q_id"], r["neighbor_id"])
+        for r in query_ivfpq(
+            spark, path, q, k=3, nprobe=3, rerank_with=emb, shortlist=8
+        ).collect()
+    }
+    cents, books = train_ivfpq(emb, n_centroids=8, m=4, n_codes=8, n_iters=2)
+    want = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            ivfpq_encode(emb, cents, books), q, cents, books,
+            k=3, nprobe=3, rerank_with=emb, shortlist=8,
+        ).collect()
+    }
+    assert got == want and len(got) == 9
+    # the index stores codes, not vectors: schema check
+    stored = spark.read.parquet(f"{path}/codes")
+    assert set(stored.columns) == {"vec_id", "cid", "codes", "norm"}
