@@ -43,7 +43,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .quality import _md5_bucket
+from .quality import _feature_bucket
 
 __all__ = [
     "fit_dsir_logratios",
@@ -88,6 +88,7 @@ def fit_dsir_logratios(
     alpha: float = 1.0,
     include_bigrams: bool = True,
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> list[int]:
     """Fit the per-bucket importance log-ratio vector
     ``log p_target(b) - log p_source(b)`` over hashed n-gram buckets,
@@ -107,7 +108,9 @@ def fit_dsir_logratios(
             df.select(
                 F.explode(_grams(F.col(text_col), include_bigrams)).alias("g")
             )
-            .select(_md5_bucket(F.col("g"), n_buckets).alias("b"))
+            .select(
+                _feature_bucket(F.col("g"), n_buckets, hash_fn).alias("b")
+            )
             .groupBy("b")
             .agg(F.count("*").alias("c"))
             .collect()
@@ -129,14 +132,18 @@ def fit_dsir_logratios(
 
 
 def _logweight_expr(
-    grams: Column, lr_milli: list[int] | None, n_buckets: int
+    grams: Column,
+    lr_milli: list[int] | None,
+    n_buckets: int,
+    hash_fn: str = "md5",
 ) -> tuple[Column, Column | None]:
     """(score expression over a grams array, optional model literal to
     attach via a broadcast one-row frame)."""
     if lr_milli is None:
         def lr(g):
             return (
-                _md5_bucket(g, n_buckets) * F.lit(_PSEUDO_MULT) + _PSEUDO_ADD
+                _feature_bucket(g, n_buckets, hash_fn) * F.lit(_PSEUDO_MULT)
+                + _PSEUDO_ADD
             ) % 2001 - 1000
 
         expr = F.aggregate(
@@ -153,7 +160,8 @@ def _logweight_expr(
         F.lit(0).cast("long"),
         lambda acc, g: acc
         + F.element_at(
-            F.col("_lr"), (_md5_bucket(g, n_buckets) + 1).cast("int")
+            F.col("_lr"),
+            (_feature_bucket(g, n_buckets, hash_fn) + 1).cast("int"),
         ),
     )
     return expr, warr
@@ -166,6 +174,7 @@ def dsir_logweights(
     include_bigrams: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document DSIR importance log-weight — the sum of its hashed
     n-gram buckets' log probability ratios — as one zero-shuffle
@@ -180,7 +189,7 @@ def dsir_logweights(
     libm divergence can flip a value between engines.
     """
     grams = _grams(F.col(text_col), include_bigrams)
-    expr, warr = _logweight_expr(grams, lr_milli, n_buckets)
+    expr, warr = _logweight_expr(grams, lr_milli, n_buckets, hash_fn)
     base = df
     if warr is not None:
         model = df.sparkSession.range(1).select(warr.alias("_lr"))
@@ -200,6 +209,7 @@ def dsir_sample(
     include_bigrams: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Gumbel top-k resampling: select ``k`` documents without
     replacement with probability proportional to ``exp(logweight)`` —
@@ -223,9 +233,9 @@ def dsir_sample(
     ulp.
     """
     w = dsir_logweights(
-        df, lr_milli, n_buckets, include_bigrams, id_col, text_col
+        df, lr_milli, n_buckets, include_bigrams, id_col, text_col, hash_fn
     )
-    h = _md5_bucket(F.col(id_col).cast("string"), 1 << 32)
+    h = _feature_bucket(F.col(id_col).cast("string"), 1 << 32, "md5")
     u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
     gumbel = -F.log(-F.log(u))
     gkey = (

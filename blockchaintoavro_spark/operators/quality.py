@@ -200,6 +200,21 @@ def _md5_bucket(key: Column, n_buckets: int) -> Column:
     )
 
 
+def _feature_bucket(key: Column, n_buckets: int, hash_fn: str) -> Column:
+    """Shared feature hash with two implementations: ``"md5"`` (default
+    — engine-portable, what every oracle recomputes) and ``"xxhash64"``
+    (production — one native JVM hash returning a long, no hex-string
+    materialization; ~an order of magnitude cheaper per feature, the
+    right choice for a 100 TB sweep where no cross-engine replay is
+    needed). Models are hash-specific: train and serve with the SAME
+    ``hash_fn``."""
+    if hash_fn == "md5":
+        return _md5_bucket(key, n_buckets)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
+
+
 def hash_split(
     key: Column,
     boundaries: Sequence[tuple[str, str]] = (("train", "cd"), ("val", "e6")),
@@ -865,6 +880,7 @@ def hashed_linear_score(
     threshold_milli: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """fastText-style hashed linear quality-classifier INFERENCE — the
     model-based document filter of the DCLM / FineWeb-Edu recipe family
@@ -898,7 +914,7 @@ def hashed_linear_score(
     n_tok = F.size(tokens).cast("long")
 
     def bucket(tk):
-        return _md5_bucket(tk, n_buckets)
+        return _feature_bucket(tk, n_buckets, hash_fn)
 
     if weights_milli is None:
         def w(tk):
@@ -947,6 +963,7 @@ def train_hashed_linear(
     learning_rate: float = 2.0,
     label_col: str = "label",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> list[int]:
     """Train the milli-weight vector :func:`hashed_linear_score`
     consumes — batch-gradient-descent logistic regression over the SAME
@@ -979,7 +996,8 @@ def train_hashed_linear(
     feats = labeled.select(
         F.col(label_col).cast("double").alias("_y"),
         F.transform(
-            tokens, lambda tk: _md5_bucket(tk, n_buckets).cast("int")
+            tokens,
+            lambda tk: _feature_bucket(tk, n_buckets, hash_fn).cast("int"),
         ).alias("_b"),
     ).filter(F.size("_b") > 0).persist(StorageLevel.MEMORY_AND_DISK)
     try:
