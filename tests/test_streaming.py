@@ -558,3 +558,35 @@ def test_sorted_strip_stream_equals_batch_and_refreshes(spark, tmpdir):
         got_all.setdefault(r["doc_id"], (r["clean_text"], r["n_stripped"]))
     got2 = {k: v for k, v in got_all.items() if k >= 100}
     assert got2 == want2
+
+
+def test_classifier_stream_equals_batch(spark, tmpdir):
+    """The model-based quality filter is a stateless projection, so it
+    runs UNCHANGED on a document stream (the ingest-time filtering
+    shape: score-and-keep as data lands, no state store) — streamed
+    verdicts must equal the batch run row-for-row."""
+    from blockchaintoavro_spark.operators.quality import hashed_linear_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = f"{tmpdir}/docs"
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        hashed_linear_score(stream)
+        .writeStream.format("memory")
+        .queryName("clf_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        tuple(r) for r in spark.table("clf_stream_out").collect()
+    }
+    want = {tuple(r) for r in hashed_linear_score(docs).collect()}
+    assert got == want and len(got) == 500
