@@ -277,20 +277,32 @@ def dedup_clusters(
     step every MinHash/Jaccard dedup pipeline needs after pair generation
     (keep = rows where id == cluster_id).
 
-    Algorithm: min-label propagation (the DataFrame form of Pregel CC).
-    Each round is one equi-join of the symmetrized edge list with the
-    current labels plus a min-aggregation — shuffle volume O(edges) per
-    round, never all-pairs — and converges in O(graph diameter) rounds.
-    Near-dup graphs are unions of small dense cliques/chains, so the
-    diameter (and round count) stays tiny even at 100 TB; the edge list is
-    ``localCheckpoint``-ed once and labels are re-checkpointed per round to
-    truncate lineage, keeping every round's plan constant-size.
+    Algorithm: min-label propagation (the DataFrame form of Pregel CC)
+    PLUS a pointer-jumping shortcut from the third round on (r9): after
+    the neighbor-min step, every node also adopts ``label(label(node))``
+    — the path-doubling trick of the large-star/small-star CC family
+    (Kiveris et al. 2014), so the minimum label travels exponentially
+    many hops per round instead of one. A 40-hop near-dup CHAIN
+    (drifting boilerplate A~B~C~…, a real shape in web corpora)
+    previously blew the 25-round budget and raised; it now converges in
+    ~2+log₂(L) rounds (regression-tested on a 200-node path). The jump
+    is skipped for the first two rounds so clique-shaped graphs — the
+    common near-dup case, converged by round 2 — never pay its extra
+    join. Each round is at most two equi-joins + a min-aggregation —
+    shuffle volume O(edges + nodes), never all-pairs. The edge list is
+    ``localCheckpoint``-ed once and labels are re-checkpointed per
+    round to truncate lineage, keeping every round's plan
+    constant-size.
 
     Convergence detection without a join: labels only ever decrease
     (``least``), so the label sum is strictly monotone — equal consecutive
-    sums ⇔ a fixed point. One scalar action per round; nothing row-sized
-    ever reaches the driver. Raises after ``max_iterations`` (a
-    pathological 2^25-node path graph) rather than returning wrong labels.
+    sums ⇔ a fixed point. (Correctness of the fixed point: both steps
+    only replace a label by a smaller REACHABLE one, and at a fixed
+    point every node's label is ≤ all its neighbors' labels, which on a
+    connected component forces the global minimum.) One scalar action
+    per round; nothing row-sized ever reaches the driver. Raises after
+    ``max_iterations`` (now a genuinely pathological 2^25-hop chain)
+    rather than returning wrong labels.
     """
     edges = pairs.select(
         F.col(src_col).cast("long").alias("src"),
@@ -313,7 +325,7 @@ def dedup_clusters(
         F.sum(F.col("label").cast("decimal(38,0)"))
     ).collect()[0][0]
     prev = checksum(labels)
-    for _ in range(max_iterations):
+    for round_idx in range(max_iterations):
         nbr_min = (
             sym.join(
                 labels.select(F.col("node").alias("dst"), "label"), "dst"
@@ -322,20 +334,36 @@ def dedup_clusters(
             .agg(F.min("label").alias("_nl"))
         )
         superseded = labels
-        labels = (
-            labels.join(
-                nbr_min.select(F.col("src").alias("node"), "_nl"),
-                "node",
+        stepped = labels.join(
+            nbr_min.select(F.col("src").alias("node"), "_nl"),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: adopt label(label(node)) — doubles the hop
+        # distance covered per round (O(log diameter) total on chains).
+        # Skipped for the first two rounds: clique-shaped near-dup
+        # graphs converge there already, and for them the extra join
+        # would be pure overhead — only graphs still moving at round 3
+        # (i.e. actual chains) pay for, and benefit from, the doubling.
+        if round_idx >= 2:
+            stepped = stepped.join(
+                stepped.select(
+                    F.col("node").alias("_ln"), F.col("label").alias("_ll")
+                ),
+                stepped["label"] == F.col("_ln"),
                 "left",
-            )
-            .select(
+            ).select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
-        )
+        labels = stepped.localCheckpoint()
         # the new checkpoint is eager + lineage-truncated, so the prior
         # round's blocks are dead weight from here — free them now
         # instead of leaking one node-set per round into storage memory

@@ -2743,3 +2743,26 @@ def test_model_ops_xxhash64_production_hash_path(spark):
     assert r1 == r2 and isinstance(r1[0]["logw_milli"], int)
     with _pytest.raises(ValueError, match="unknown hash_fn"):
         hashed_linear_score(d, hash_fn="fnv").collect()
+
+
+def test_dedup_clusters_converges_on_long_chains(spark):
+    """r9 pointer-jumping regression: a 200-hop near-dup CHAIN (the
+    drifting-boilerplate shape) must converge well inside the 25-round
+    budget — plain one-hop min-propagation needed 200 rounds and
+    raised. Multi-component labeling stays exact."""
+    from blockchaintoavro_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "d1 long, d2 long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert len(got) == 201 and set(got.values()) == {0}
+    multi = spark.createDataFrame(
+        [(5, 6), (6, 7), (30, 31)], "d1 long, d2 long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(multi).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5, 30: 30, 31: 30}
