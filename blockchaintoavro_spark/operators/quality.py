@@ -1125,3 +1125,35 @@ def bigram_logprob(
         F.count("*").cast("long").alias("n_tokens"),
         F.avg(-F.log2(p)).alias("bits_per_token"),
     )
+
+
+def collapse_repeats(
+    df: DataFrame,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document consecutive-repeat collapse — the self-repetition
+    cleanup between C4's line rules and the corpus-level dedups: runs of
+    identical ``delimiter``-separated segments (a generation-loop
+    artifact and a scraper artifact both) collapse to their first
+    occurrence, non-adjacent repeats are left alone (they may be
+    legitimate structure). Returns ``(id, n_segments, n_collapsed,
+    cleaned)``.
+
+    Pure row-local array work — ``filter(t, (x, i) -> i = 0 OR x !=
+    t[i])`` — zero shuffle, zero Python: pipelines inside the scan
+    stage at any scale (plan-asserted)."""
+    import re as _re
+
+    segs = F.split(F.col(text_col), _re.escape(delimiter))
+    kept = F.filter(
+        segs,
+        lambda x, i: (i == 0) | (x != F.element_at(segs, i)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(segs).cast("long").alias("n_segments"),
+        (F.size(segs) - F.size(kept)).cast("long").alias("n_collapsed"),
+        F.array_join(kept, delimiter).alias("cleaned"),
+    )

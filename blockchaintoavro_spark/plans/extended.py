@@ -3608,6 +3608,36 @@ def x_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_collapse_repeats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_segments,
+           CAST(len(t) - len([t[i] FOR i IN range(1, len(t)+1)
+                              IF i = 1 OR t[i] != t[i-1]])
+                AS BIGINT) AS n_collapsed,
+           array_to_string([t[i] FOR i IN range(1, len(t)+1)
+                            IF i = 1 OR t[i] != t[i-1]], ' ') AS cleaned
+    FROM t ORDER BY doc_id
+    """,
+)
+def x_collapse_repeats(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document consecutive-repeat collapse (operators/quality.py
+    :collapse_repeats) — the self-repetition cleanup (generation-loop
+    stutter, scraper echoes): runs of identical segments collapse to
+    their first occurrence, non-adjacent repeats untouched. Word-level
+    here ('the the' artifacts); pure row-local array filter — zero
+    shuffle, pipelines in the scan stage (plan-asserted). DuckDB twin
+    is the identical index-aware list comprehension."""
+    from ..operators.quality import collapse_repeats
+
+    d = t(spark, sf, "documents")
+    return collapse_repeats(d, delimiter=" ").orderBy("doc_id")
+
+
+@declare(
     "x_bigram_logprob",
     oracle="""
     WITH tok AS (

@@ -2766,3 +2766,22 @@ def test_dedup_clusters_converges_on_long_chains(spark):
         r["doc_id"]: r["cluster_id"] for r in dedup_clusters(multi).collect()
     }
     assert got == {5: 5, 6: 5, 7: 5, 30: 30, 31: 30}
+
+
+def test_collapse_repeats_runs_only_and_shuffle_free(spark):
+    """Consecutive-repeat collapse: runs shrink to their first element,
+    NON-adjacent repeats survive (legitimate structure), empty text is
+    total; and the plan is a zero-Exchange scan-stage projection."""
+    from blockchaintoavro_spark.operators.quality import collapse_repeats
+
+    rows = [(1, "a\na\na\nb\na"), (2, "x\ny\nx"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_collapsed"], r["cleaned"])
+        for r in collapse_repeats(df).collect()
+    }
+    assert got[1] == (5, 2, "a\nb\na")
+    assert got[2] == (3, 0, "x\ny\nx")
+    assert got[3] == (1, 0, "")
+    p = collapse_repeats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "BatchEvalPython" not in p, p
