@@ -175,6 +175,7 @@ def dsir_logweights(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document DSIR importance log-weight — the sum of its hashed
     n-gram buckets' log probability ratios — as one zero-shuffle
@@ -198,6 +199,7 @@ def dsir_logweights(
         F.col(id_col),
         F.size(grams).cast("long").alias("n_grams"),
         expr.alias("logw_milli"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -881,6 +881,7 @@ def hashed_linear_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """fastText-style hashed linear quality-classifier INFERENCE — the
     model-based document filter of the DCLM / FineWeb-Edu recipe family
@@ -926,6 +927,7 @@ def hashed_linear_score(
             F.aggregate(
                 tokens, F.lit(0).cast("long"), lambda acc, tk: acc + w(tk)
             ).alias("score_milli"),
+            *[F.col(c) for c in keep_cols],
         )
     else:
         if len(weights_milli) != n_buckets:
@@ -946,6 +948,7 @@ def hashed_linear_score(
                     lambda acc, tk: acc
                     + F.element_at(F.col("_w"), (bucket(tk) + 1).cast("int")),
                 ).alias("score_milli"),
+                *[F.col(c) for c in keep_cols],
             )
         )
     return scored.withColumn(

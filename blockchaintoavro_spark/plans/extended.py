@@ -3638,6 +3638,81 @@ def x_collapse_repeats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_curation_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             [t[i] FOR i IN range(1, len(t)+1)
+              IF i = 1 OR t[i] != t[i-1]] AS toks
+      FROM t
+    ),
+    lt AS (
+      SELECT doc_id, list_transform(toks, x -> lower(x)) AS lt FROM c
+    ),
+    cls AS (
+      SELECT doc_id, CAST(len(lt) AS BIGINT) AS n_tokens,
+             CAST(list_aggregate(list_transform(lt, tk ->
+               (CAST(('0x' || substr(md5(tk), 1, 8))::UBIGINT % 4096
+                     AS BIGINT) * 2654435761 + 12345) % 2001 - 1000),
+               'sum') AS BIGINT) AS score_milli,
+             lt
+      FROM lt
+    ),
+    kept AS (SELECT * FROM cls WHERE score_milli > 0),
+    grams AS (
+      SELECT doc_id, n_tokens, score_milli,
+             list_concat(lt, [lt[i] || ' ' || lt[i+1]
+                              FOR i IN range(1, len(lt))]) AS g
+      FROM kept
+    ),
+    w AS (
+      SELECT doc_id, n_tokens, score_milli,
+             CAST(list_aggregate(list_transform(g, x ->
+               (CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 4096
+                     AS BIGINT) * 2654435761 + 999331) % 2001 - 1000),
+               'sum') AS BIGINT) AS logw_milli
+      FROM grams
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY logw_milli DESC, doc_id) AS rn
+      FROM w
+    )
+    SELECT doc_id, n_tokens, score_milli, logw_milli
+    FROM r WHERE rn <= 100 ORDER BY doc_id
+    """,
+)
+def x_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The r9 curation ops COMPOSED as one pipeline — repeat collapse →
+    model-based quality filter → DSIR importance ranking → top-100 —
+    the per-document leg of a training-data curation run. Because every
+    stage is a row-local projection (keep_cols threads columns through
+    the scorers, no joins), the whole chain is ONE zero-shuffle
+    whole-stage-codegen pass over the corpus feeding a
+    TakeOrderedAndProject (plan-asserted) — the 100 TB shape: score
+    everything in the scan stage, ship only the winners. Integer
+    arithmetic end to end; DuckDB rebuilds the identical chain."""
+    from ..operators.dsir import dsir_logweights
+    from ..operators.quality import collapse_repeats, hashed_linear_score
+
+    d = t(spark, sf, "documents")
+    c = collapse_repeats(d, delimiter=" ")
+    s = hashed_linear_score(c, text_col="cleaned", keep_cols=("cleaned",))
+    kept = s.filter(F.col("keep") == 1)
+    w = dsir_logweights(
+        kept, text_col="cleaned", keep_cols=("n_tokens", "score_milli")
+    )
+    return (
+        w.select("doc_id", "n_tokens", "score_milli", "logw_milli")
+        .orderBy(F.desc("logw_milli"), "doc_id")
+        .limit(100)
+        .orderBy("doc_id")
+    )
+
+
+@declare(
     "x_bigram_logprob",
     oracle="""
     WITH tok AS (

@@ -988,3 +988,14 @@ def test_tpch_q20_nested_decorrelation_single_fact_restrict(
     assert "LeftSemi" in p, p
     assert "StringStartsWith(p_name,small)" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_curation_pipeline_is_single_pass(spark, registry, sf_dir):
+    """The composed collapse→classify→DSIR-rank chain must stay ONE
+    zero-shuffle whole-stage pass feeding a TakeOrderedAndProject —
+    keep_cols threading means no join, no hash Exchange anywhere; the
+    only post-limit work is sorting the 100 winners."""
+    p = plan_of(spark, registry, "x_curation_pipeline", sf_dir)
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p

@@ -416,6 +416,25 @@ def bench_model_ops(spark) -> dict:
         }
         print(f"dsir_sample {n_docs} -> {n} in {sec}s", flush=True)
 
+    # connected components on PATH graphs — the pointer-jumping claim
+    # (r9): rounds grow ~log(L), so wall-clock grows far slower than the
+    # chain; one-hop propagation would need L rounds and raise at 25
+    from blockchaintoavro_spark.operators.dedup import dedup_clusters
+
+    results["cc_chain"] = {}
+    for length in (100, 1000, 10000):
+        chain = spark.range(length).select(
+            F.col("id").alias("d1"), (F.col("id") + 1).alias("d2")
+        )
+        n, sec = timed(
+            lambda: dedup_clusters(chain, max_iterations=40)
+            .filter("cluster_id = 0").count()
+        )
+        results["cc_chain"][str(length)] = {
+            "chain_hops": length, "nodes_labeled_0": n, "sec": sec,
+        }
+        print(f"cc_chain {length} hops -> {n} nodes in {sec}s", flush=True)
+
     # training legs: fixed 5k-doc corpora (the paper regime — train on a
     # sample, sweep the pool); measures the bounded per-iteration cost
     docs1 = scaled_documents(spark, 1)
