@@ -2785,3 +2785,45 @@ def test_collapse_repeats_runs_only_and_shuffle_free(spark):
     assert got[3] == (1, 0, "")
     p = collapse_repeats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "BatchEvalPython" not in p, p
+
+
+def test_collapse_repeats_is_idempotent_and_line_dedup_conserves(spark):
+    """Property pins on the r9 text ops over a seeded random corpus:
+    (a) collapse_repeats is idempotent — collapsing cleaned text again
+    changes nothing; (b) corpus_dedup_lines keeps each DISTINCT line
+    exactly once corpus-wide (sum of n_kept == distinct-line count) and
+    the union of kept lines IS the distinct-line set."""
+    import random
+
+    from blockchaintoavro_spark.operators.dedup import corpus_dedup_lines
+    from blockchaintoavro_spark.operators.quality import collapse_repeats
+
+    rng = random.Random(42)
+    vocab = [f"l{j}" for j in range(12)]
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    once = collapse_repeats(df).select(
+        F.col("doc_id"), F.col("cleaned").alias("text")
+    )
+    twice = collapse_repeats(once)
+    assert twice.filter(F.col("n_collapsed") != 0).count() == 0
+    got_once = {r["doc_id"]: r["cleaned"] for r in collapse_repeats(df).collect()}
+    got_twice = {r["doc_id"]: r["cleaned"] for r in twice.collect()}
+    assert got_once == got_twice
+
+    dd = corpus_dedup_lines(df)
+    distinct_lines = {
+        ln for _, text in rows for ln in text.split("\n")
+    }
+    total_kept = dd.agg(F.sum("n_kept")).collect()[0][0]
+    assert total_kept == len(distinct_lines)
+    kept_lines = {
+        ln
+        for r in dd.filter(F.col("n_kept") > 0).collect()
+        for ln in r["cleaned"].split("\n")
+    }
+    assert kept_lines == distinct_lines
