@@ -187,7 +187,8 @@ def dsir_logweights(
     deterministic pseudo-model the declared-query oracle replicates.
 
     Integer milli-nat scoring end to end — no float summation-order or
-    libm divergence can flip a value between engines.
+    libm divergence can flip a value between engines. ``keep_cols``
+    appends pass-through input columns for join-free composition.
     """
     grams = _grams(F.col(text_col), include_bigrams)
     expr, warr = _logweight_expr(grams, lr_milli, n_buckets, hash_fn)

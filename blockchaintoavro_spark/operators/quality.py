@@ -905,7 +905,9 @@ def hashed_linear_score(
     inline (what the declared-query oracle replicates).
 
     Output: ``(id, n_tokens, score_milli, keep)`` with ``keep`` as
-    BIGINT 0/1 (the engine's boolean-rendering convention).
+    BIGINT 0/1 (the engine's boolean-rendering convention);
+    ``keep_cols`` appends pass-through input columns so scorers compose
+    into one projection without a join (x_curation_pipeline).
 
     Scale: one narrow map over the corpus — the md5/bucket/weight work
     is per-token JVM-side inside whole-stage codegen; nothing shuffles,
