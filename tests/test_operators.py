@@ -2827,3 +2827,28 @@ def test_collapse_repeats_is_idempotent_and_line_dedup_conserves(spark):
         for ln in r["cleaned"].split("\n")
     }
     assert kept_lines == distinct_lines
+
+
+def test_segment_ops_treat_delimiter_literally(spark):
+    """collapse_repeats / corpus_dedup_lines regex-escape the delimiter:
+    a metachar-laden '||' must split literally (Java split would
+    otherwise read it as an empty-alternation regex and explode every
+    character). Verified against plain-Python str.split semantics."""
+    from blockchaintoavro_spark.operators.dedup import corpus_dedup_lines
+    from blockchaintoavro_spark.operators.quality import collapse_repeats
+
+    rows = [(1, "a||a||b"), (2, "b||c||c||a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segments"], r["cleaned"])
+        for r in collapse_repeats(df, delimiter="||").collect()
+    }
+    assert got[1] == (3, "a||b")
+    assert got[2] == (4, "b||c||a")
+    dd = {
+        r["doc_id"]: (r["n_kept"], r["cleaned"])
+        for r in corpus_dedup_lines(df, delimiter="||").collect()
+    }
+    # doc 1 keeps a,b (first occurrences); doc 2 keeps c only (b,a seen)
+    assert dd[1] == (2, "a||b")
+    assert dd[2] == (1, "c")
