@@ -999,3 +999,36 @@ def test_curation_pipeline_is_single_pass(spark, registry, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange hashpartitioning" not in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_bigram_logprob_probes_broadcast(spark, registry, sf_dir):
+    """Stupid-Backoff scoring: all three count-table probes (unigram,
+    bigram, context) broadcast; the only nested-loop is the deliberate
+    one-row corpus-total attach; the per-doc average partial-aggregates
+    map-side."""
+    p = plan_of(spark, registry, "x_bigram_logprob", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_avg" in p, p
+
+
+def test_ivfpq_probe_is_equi_join_on_cid(spark, sf_dir):
+    """IVFADC search must probe the code table with a broadcast HASH
+    join on cid (posting-list pruning) — never a nested loop over all
+    codes (that's plain PQ's deliberate brute-force shape, not IVF's)."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, books = train_ivfpq(emb, n_centroids=4, m=4, n_codes=4, n_iters=1)
+    enc = ivfpq_encode(emb, cents, books)
+    out = ivfpq_topk(enc, emb.filter(F.col("vec_id") < 2), cents, books, k=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "cid" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p
