@@ -1041,12 +1041,42 @@ def train_hashed_linear(
         feats.unpersist()
 
 
+def fit_bigram_lm(corpus: DataFrame, text_col: str = "text"):
+    """Fit the Stupid-Backoff model :func:`bigram_logprob` consumes on
+    a (clean reference) corpus: returns ``(uni, bi)`` count frames —
+    ``uni(_uw, _cu)`` and ``bi(_bp, _bw, _cb)``. Persist them between
+    runs and pass as ``lm=`` to score any number of corpora against the
+    same reference (the CCNet production shape). Both collapse to one
+    row per distinct gram before anything is stored."""
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    pairs = corpus.select(
+        F.posexplode(toks).alias("_pos", "_w"), toks.alias("_toks")
+    ).select(
+        "_w",
+        F.when(
+            F.col("_pos") > 0, F.element_at(F.col("_toks"), F.col("_pos"))
+        ).alias("_prev"),
+    )
+    uni = pairs.groupBy(F.col("_w").alias("_uw")).agg(
+        F.count("*").alias("_cu")
+    )
+    bi = (
+        pairs.filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("_bp"), F.col("_w").alias("_bw"))
+        .agg(F.count("*").alias("_cb"))
+    )
+    return uni, bi
+
+
 def bigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     backoff: float = 0.4,
     broadcast_vocab: bool = True,
+    lm: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document BIGRAM language-model cross-entropy in bits/token
     under Stupid Backoff (Brants et al. 2007 — the web-scale scoring
@@ -1057,8 +1087,12 @@ def bigram_logprob(
     (word ORDER now matters), same output shape
     ``(id, n_tokens, bits_per_token)``.
 
-    The LM is fit on ``docs`` itself (corpus self-scoring, the CCNet
-    bucket regime). Scale: both count tables collapse to one row per
+    The LM is fit on ``docs`` itself by default (corpus self-scoring,
+    the CCNet bucket regime); pass ``lm=fit_bigram_lm(clean_corpus)``
+    to score against a REFERENCE model instead — out-of-vocabulary
+    tokens then take the unigram floor ``1/(N+1)`` (the
+    :func:`unigram_logprob` OOV rule: an all-unseen gibberish document
+    must rank at the top, not vanish). Scale: both count tables collapse to one row per
     DISTINCT unigram/bigram before anything joins (bounded by
     vocabulary², in practice Heaps-law sublinear); the probes are
     token-keyed postings joins, broadcast when they fit
@@ -1085,15 +1119,18 @@ def bigram_logprob(
             F.col("_pos") > 0, F.element_at(F.col("_toks"), F.col("_pos"))
         ).alias("_prev"),
     )
-    uni = pairs.groupBy(F.col("_w").alias("_uw")).agg(
-        F.count("*").alias("_cu")
-    )
+    if lm is None:
+        uni = pairs.groupBy(F.col("_w").alias("_uw")).agg(
+            F.count("*").alias("_cu")
+        )
+        bi = (
+            pairs.filter(F.col("_prev").isNotNull())
+            .groupBy(F.col("_prev").alias("_bp"), F.col("_w").alias("_bw"))
+            .agg(F.count("*").alias("_cb"))
+        )
+    else:
+        uni, bi = lm
     n_total = uni.agg(F.sum("_cu").alias("_nt"))
-    bi = (
-        pairs.filter(F.col("_prev").isNotNull())
-        .groupBy(F.col("_prev").alias("_bp"), F.col("_w").alias("_bw"))
-        .agg(F.count("*").alias("_cb"))
-    )
     ctx = bi.groupBy(F.col("_bp").alias("_cp")).agg(
         F.sum("_cb").alias("_cc")
     )
@@ -1110,21 +1147,20 @@ def bigram_logprob(
     )
     # context count c(prev) from the bigram table equals c(prev)-as-
     # non-final-token; fit-on-self guarantees _cu/_cc present wherever
-    # the CASE reaches them
+    # the CASE reaches them. With an external lm, OOV tokens (null _cu)
+    # take the unigram floor 1/(N+1) — never dropped, never div-by-null
+    floor = F.lit(1.0) / (F.col("_nt").cast("double") + 1.0)
+    uni_p = F.when(
+        F.col("_cu").isNotNull(),
+        F.col("_cu").cast("double") / F.col("_nt").cast("double"),
+    ).otherwise(floor)
     p = (
-        F.when(
-            F.col("_prev").isNull(),
-            F.col("_cu").cast("double") / F.col("_nt").cast("double"),
-        )
+        F.when(F.col("_prev").isNull(), uni_p)
         .when(
             F.col("_cb").isNotNull(),
             F.col("_cb").cast("double") / F.col("_cc").cast("double"),
         )
-        .otherwise(
-            F.lit(backoff)
-            * F.col("_cu").cast("double")
-            / F.col("_nt").cast("double")
-        )
+        .otherwise(F.lit(backoff) * uni_p)
     )
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),

@@ -2852,3 +2852,39 @@ def test_segment_ops_treat_delimiter_literally(spark):
     # doc 1 keeps a,b (first occurrences); doc 2 keeps c only (b,a seen)
     assert dd[1] == (2, "a||b")
     assert dd[2] == (1, "c")
+
+
+def test_bigram_logprob_external_reference_lm(spark):
+    """Scoring against a REFERENCE LM (fit_bigram_lm on a clean corpus,
+    the CCNet production shape): reference-fluent docs score fewer
+    bits than scrambled ones, and an all-OOV doc takes the unigram
+    floor -log2(1/(N+1)) exactly — surfaced at the top, never dropped."""
+    import math
+
+    from blockchaintoavro_spark.operators.quality import (
+        bigram_logprob,
+        fit_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(f"the cat sat on the mat",) for _ in range(5)], "text string"
+    )
+    lm = fit_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),          # reference-fluent
+            (2, "sat the on cat"),       # same vocab, broken order
+            (3, "zz yy xx"),             # all OOV
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in bigram_logprob(docs, lm=lm).collect()
+    }
+    assert got[1] < got[2] < got[3]
+    n_ref = 5 * 6  # reference token count
+    floor = 1.0 / (n_ref + 1)
+    # first token: pure floor; the rest: Stupid-Backoff 0.4 x floor
+    want = (-math.log2(floor) + 2 * -math.log2(0.4 * floor)) / 3
+    assert abs(got[3] - want) < 1e-12
