@@ -145,7 +145,7 @@ def minhash_signature(
     )
 
 
-def minhash_candidate_pairs(
+def minhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -153,17 +153,16 @@ def minhash_candidate_pairs(
     n_bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature are candidates.
-
-    bands of r = n_hashes/n_bands rows; candidate iff some band identical.
-    Default 16 bands × 2 rows: P(candidate | jaccard s) = 1-(1-s^2)^16,
-    ≈0.94 at s=0.4 — 8×4 banding tested out at ~0.82 recall, too low.
-    Returns distinct (d1 < d2) candidate pairs. Scale: equi-join on
-    (band_id, band_hash) buckets — linear in collisions, never O(n²).
-    """
+    """The LSH band table ``(id, band_id int, band_hash long)`` —
+    ``n_bands`` rows per document, each hashing an ``r = n_hashes /
+    n_bands``-element slice of the MinHash signature. This is BOTH the
+    join key of :func:`minhash_candidate_pairs` and the standing state
+    an incremental index persists between ingests
+    (operators/neardup_index.py): band rows are the entire dedup state,
+    ~``n_bands × 8`` bytes per document."""
     r = n_hashes // n_bands
     sig = minhash_signature(df, id_col, text_col, n_hashes, seed)
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -181,6 +180,25 @@ def minhash_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature are candidates.
+
+    bands of r = n_hashes/n_bands rows; candidate iff some band identical.
+    Default 16 bands × 2 rows: P(candidate | jaccard s) = 1-(1-s^2)^16,
+    ≈0.94 at s=0.4 — 8×4 banding tested out at ~0.82 recall, too low.
+    Returns distinct (d1 < d2) candidate pairs. Scale: equi-join on
+    (band_id, band_hash) buckets — linear in collisions, never O(n²).
+    """
+    bands = minhash_bands(df, id_col, text_col, n_hashes, n_bands, seed)
     a = bands.select(F.col(id_col).alias("d1"), "band_id", "band_hash")
     b = bands.select(F.col(id_col).alias("d2"), "band_id", "band_hash")
     return (

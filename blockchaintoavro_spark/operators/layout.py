@@ -166,19 +166,27 @@ def equidepth_splits_sampled(
     every 4096-way boundary within ~0.4 % of true mass — file-level
     balance, which is all a layout job needs. One count pass + one
     sample pass per call; both prune to the sampled columns."""
+    import random
+
     total = df.count()
     out: dict[str, list] = {}
     n = 1 << bits
     for c in cols:
         vals_df = df.select(c).where(F.col(c).isNotNull())
         if total > max_sample:
-            # oversample 1.5x, cap at max_sample after collect — the
-            # Bernoulli draw is per-row independent, so the cap only
-            # biases if the sample overshoots, which the sort makes
-            # order-preserving anyway
             frac = min(1.0, 1.5 * max_sample / total)
             vals_df = vals_df.sample(fraction=frac, seed=seed)
-        vals = sorted(r[0] for r in vals_df.limit(max_sample).collect())
+        # collect the FULL Bernoulli sample (bounded: E[rows] ≤
+        # 1.5·max_sample) and subsample driver-side if it overshoots —
+        # a .limit() cap here would keep the FIRST rows in partition
+        # order, and when the column correlates with physical order
+        # (re-clustering already-sorted data, the common case) the
+        # boundaries would then cover only the leading value range and
+        # the top bucket would absorb the whole tail (r9 ADVICE)
+        vals = [r[0] for r in vals_df.collect()]
+        if len(vals) > max_sample:
+            vals = random.Random(seed).sample(vals, max_sample)
+        vals.sort()
         if not vals:
             raise ValueError(
                 f"cannot z-order on column {c!r}: no non-NULL values"
@@ -195,6 +203,27 @@ def equidepth_splits_sampled(
     return out
 
 
+def _numeric_view(col: Column, dtype) -> Column | None:
+    """Order-preserving NUMERIC expression for orderable non-numeric
+    key types — date → days since epoch, timestamp → epoch micros,
+    boolean → 0/1 — so they ride the numeric quantile/min-max paths
+    instead of crashing in ``np.asarray(..., float64)`` after paying
+    the sampling passes (r9 ADVICE). ``None`` when the type is already
+    numeric or has no order-preserving numeric view (strings route to
+    sample-sort boundaries; everything else is rejected up front)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.DateType):
+        return F.unix_date(col)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ → timestamp is a session-tz shift: a constant offset,
+        # order-preserving, which is all bucketing needs
+        return F.unix_micros(col.cast("timestamp"))
+    if isinstance(dtype, T.BooleanType):
+        return col.cast("int")
+    return None
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = 16, buckets: str = "width"
 ) -> tuple[Column, dict]:
@@ -203,35 +232,69 @@ def zorder_key(
     one aggregate pass) or per-column quantile boundaries
     (``buckets="quantile"``, one ``approxQuantile`` pass — use for
     skewed columns; see the module docstring). Both models are bounded
-    driver-side scalars."""
-    if buckets == "quantile":
-        from pyspark.sql import types as T
+    driver-side scalars. Date/timestamp/boolean keys bucket through an
+    order-preserving numeric view; string keys need
+    ``buckets="quantile"`` (sample-sort boundaries); unsupported key
+    types raise BEFORE any pass runs."""
+    from pyspark.sql import types as T
 
-        numeric = [
-            c
-            for c in cols
-            if isinstance(df.schema[c].dataType, T.NumericType)
-        ]
-        other = [c for c in cols if c not in numeric]
+    views: dict[str, Column] = {}
+    string_cols: list[str] = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.NumericType):
+            views[c] = F.col(c)
+            continue
+        nv = _numeric_view(F.col(c), dt)
+        if nv is not None:
+            views[c] = nv
+        elif isinstance(dt, T.StringType) and buckets == "quantile":
+            string_cols.append(c)
+        else:
+            hint = (
+                "use buckets='quantile' for string keys"
+                if isinstance(dt, T.StringType)
+                else "no order-preserving numeric view"
+            )
+            raise ValueError(
+                f"cannot z-order on column {c!r} of type "
+                f"{dt.simpleString()}: {hint}"
+            )
+    if buckets == "quantile":
         splits: dict = {}
-        if numeric:
-            splits.update(equidepth_splits(df, numeric, bits))
-        if other:
-            # non-numeric (string) keys: rank-based sample-sort
-            # boundaries (r8 VERDICT #3) — approxQuantile can't see them
-            splits.update(equidepth_splits_sampled(df, other, bits))
+        if views:
+            # quantile the numeric VIEWS under shadow names (the view
+            # of a date/timestamp col is an expression, not a column
+            # approxQuantile could name)
+            shadow = {c: f"_zq_{i}" for i, c in enumerate(cols) if c in views}
+            shadow_df = df.select(
+                *[views[c].alias(n) for c, n in shadow.items()]
+            )
+            num_splits = equidepth_splits(
+                shadow_df, list(shadow.values()), bits
+            )
+            splits.update({c: num_splits[n] for c, n in shadow.items()})
+        if string_cols:
+            # string keys: rank-based sample-sort boundaries (r8
+            # VERDICT #3) — approxQuantile can't see them
+            splits.update(equidepth_splits_sampled(df, string_cols, bits))
         for c, s in splits.items():
             if not s:
                 raise ValueError(
                     f"cannot z-order on column {c!r}: no non-NULL values"
                 )
-        codes = [equidepth_bucket(F.col(c), splits[c]) for c in cols]
+        codes = [
+            equidepth_bucket(views.get(c, F.col(c)), splits[c]) for c in cols
+        ]
         return morton_interleave(codes, bits), splits
     if buckets != "width":
         raise ValueError(f"unknown zorder bucket mode {buckets!r}")
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        aggs += [
+            F.min(views[c]).alias(f"_lo_{c}"),
+            F.max(views[c]).alias(f"_hi_{c}"),
+        ]
     row = df.agg(*aggs).first()
     domains = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
     for c, (lo, hi) in domains.items():
@@ -243,7 +306,7 @@ def zorder_key(
     # co-cluster with the column's minimum — documented behavior; filter
     # or impute first if NULLs should live elsewhere
     buckets_ = [
-        equiwidth_bucket(F.col(c), float(lo), float(hi), bits)
+        equiwidth_bucket(views[c], float(lo), float(hi), bits)
         for c, (lo, hi) in domains.items()
     ]
     return morton_interleave(buckets_, bits), domains

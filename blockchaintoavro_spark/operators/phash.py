@@ -137,6 +137,35 @@ def phash_codes(
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def hamming_bands(
+    codes: DataFrame,
+    id_col: str = "doc_id",
+    code_col: str = "phash",
+    n_bands: int = 4,
+) -> DataFrame:
+    """The Hamming band table ``(id, <code_col>, band_id int, band_val
+    long)``: the 64-bit code split into ``n_bands`` disjoint bit slices.
+    Shared by :func:`phash_neardup_pairs` (and the AFP/video joins that
+    reuse it) AND persisted as the standing state of an incremental
+    perceptual index (operators/neardup_index.py) — the code rides along
+    so the probe's verify stage needs no lookup."""
+    band_bits = (64 + n_bands - 1) // n_bands
+    mask = F.lit((1 << band_bits) - 1)
+    code = F.col(code_col)
+    return codes.select(
+        F.col(id_col),
+        code,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(code, b * band_bits).bitwiseAND(mask)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+
+
 def phash_neardup_pairs(
     codes: DataFrame,
     max_hamming: int = 3,
@@ -156,21 +185,7 @@ def phash_neardup_pairs(
             f"(got {max_hamming} >= {n_bands}): {n_bands} disjoint bands "
             f"only pigeonhole radii up to {n_bands - 1}"
         )
-    band_bits = (64 + n_bands - 1) // n_bands
-    mask = F.lit((1 << band_bits) - 1)
-    code = F.col(code_col)
-    bands = codes.select(
-        F.col(id_col),
-        code,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(code, b * band_bits).bitwiseAND(mask)
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_id", "band_val"),
-    )
+    bands = hamming_bands(codes, id_col, code_col, n_bands)
     a = bands.select(
         F.col(id_col).alias("d1"), F.col(code_col).alias("_c1"),
         "band_id", "band_val",

@@ -153,11 +153,17 @@ def pq_encode(
     dsub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
     subs = _subspace_slices(v, m, dsub)
+    # bind the m×n_codes×dsub codebook literal ONCE and reference the
+    # same Column everywhere — each _books_lit call is m·n_codes·dsub
+    # F.lit constructions, so re-inlining it per use site multiplies
+    # plan-construction cost and tree size as the model grows (r9
+    # ADVICE); one binding keeps the plan at one literal per call site
+    books = _books_lit(codebooks)
     codes = F.transform(
         subs,
         lambda sub, s: F.array_min(
             F.transform(
-                F.element_at(_books_lit(codebooks), s + 1),
+                F.element_at(books, s + 1),
                 lambda cv, i: F.struct(
                     F.aggregate(
                         F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
@@ -207,10 +213,11 @@ def _adc_lut(qv: Column, codebooks: list[list[list[float]]]) -> Column:
     as one row-local array expression over the codebook literals."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    books = _books_lit(codebooks)  # bound once, shared (r9 ADVICE)
     return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.transform(
-            F.element_at(_books_lit(codebooks), s + 1),
+            F.element_at(books, s + 1),
             lambda cv: F.aggregate(
                 F.zip_with(
                     F.slice(qv, s * dsub + 1, dsub), cv, lambda a, b: a * b
@@ -391,13 +398,17 @@ def ivfpq_encode(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = F.col("_v")
+    # literals bound ONCE (books was previously inlined at both the
+    # encode and reconstruction sites — 2× the m·n_codes·dsub F.lit
+    # construction cost; r9 ADVICE)
+    books = _books_lit(codebooks)
     cent = F.element_at(_cent_lit(centroids), F.col("cid") + 1)
     resid = F.zip_with(v, cent, lambda a, b: a - b)
     codes = F.transform(
         _subspace_slices(resid, m, dsub),
         lambda sub, s: F.array_min(
             F.transform(
-                F.element_at(_books_lit(codebooks), s + 1),
+                F.element_at(books, s + 1),
                 lambda cv, i: F.struct(
                     F.aggregate(
                         F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
@@ -412,7 +423,7 @@ def ivfpq_encode(
     rhat = F.flatten(
         F.zip_with(
             F.col("codes"),
-            _books_lit(codebooks),
+            books,
             lambda code, book: F.element_at(book, code + 1),
         )
     )

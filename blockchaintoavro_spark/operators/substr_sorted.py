@@ -368,11 +368,16 @@ def substring_dup_counts_sorted(
     )
     if dup_sorted is None:
         pos = substring_positions(df, k, id_col, text_col, hash_only=True)
-        return (
+        out = (
             pos.join(dups, "sub")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_dup_spans"))
         )
+        # the over-gate dictionary persist is consumed by this plan, so
+        # it cannot drop before the caller's action — expose the handle
+        # for ``out._spark_graft_persisted.unpersist()`` (r9 ADVICE)
+        out._spark_graft_persisted = dups
+        return out
     bc = df.sparkSession.sparkContext.broadcast(dup_sorted)
 
     def run_with_bc(batches):
@@ -424,8 +429,11 @@ def strip_duplicated_spans_sorted(
     )
     if dup_sorted is None:
         # dictionary too big to ship to every executor: ride the
-        # Catalyst join-back, which co-partitions at any size
-        return strip_spans_against(df, dups, k, id_col, text_col, hash_only=True)
+        # Catalyst join-back, which co-partitions at any size; the
+        # persisted dictionary handle rides the output (r9 ADVICE)
+        out = strip_spans_against(df, dups, k, id_col, text_col, hash_only=True)
+        out._spark_graft_persisted = dups
+        return out
     bc = df.sparkSession.sparkContext.broadcast(dup_sorted)
 
     def run_with_bc(batches):
@@ -544,7 +552,7 @@ def duplicated_spans_sorted(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
-        return (
+        out = (
             marked.groupBy(id_col, "island")
             .agg(F.min("s").alias("span_start"), F.max("e").alias("_e"))
             .select(
@@ -555,6 +563,8 @@ def duplicated_spans_sorted(
                 .alias("span_len"),
             )
         )
+        out._spark_graft_persisted = dups  # releasable by the caller
+        return out
     bc = df.sparkSession.sparkContext.broadcast(dup_sorted)
 
     def run_with_bc(batches):
@@ -740,11 +750,19 @@ def strip_duplicated_spans_verbatim_sorted(
         .filter(F.col("_nd") >= min_docs)
         .select("gram")
     )
+    # materialize the confirmed per-doc position arrays NOW (eager
+    # localCheckpoint — bounded by the duplicated-span mass, and WITHOUT
+    # the gram strings), then release the candidate sliver immediately:
+    # without this the cands persist pinned one cached frame per call
+    # for the session lifetime (r9 ADVICE). The checkpoint handle rides
+    # the returned frame as ``_spark_graft_checkpoint`` so a caller can
+    # release_local_checkpoint() it once the output is consumed.
     pos_arr = (
         cands.join(confirmed, "gram")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("_pos"))
-    )
+    ).localCheckpoint()
+    cands.unpersist()
     out_schema = T.StructType(
         [
             df.schema[id_col],
@@ -771,7 +789,9 @@ def strip_duplicated_spans_verbatim_sorted(
             .alias("n_stripped"),
         )
     )
-    return touched.unionByName(untouched)
+    out = touched.unionByName(untouched)
+    out._spark_graft_checkpoint = pos_arr  # releasable by the caller
+    return out
 
 
 def write_dup_dictionary(
@@ -876,10 +896,24 @@ class SortedDictStripper:
             self._bc = None
         self._over_gate = n > self.broadcast_max_hashes
         if not self._over_gate:
+            # pack executor-side into 8-byte blobs (one per Arrow batch)
+            # and frombuffer on the driver — the same packed format
+            # _dup_dictionary collects. A plain .collect() here would
+            # materialize up to broadcast_max_hashes Row objects
+            # (hundreds of MB of transients at the 8 M gate) before the
+            # ~64 MB array exists (r9 VERDICT finding #1).
+            def _pack(batches):
+                for pdf in batches:
+                    a = pdf["sub"].to_numpy(dtype=np.int64).astype("<i8")
+                    if a.size:
+                        yield pd.DataFrame({"h": [a.tobytes()]})
+
+            blobs = [
+                r["h"]
+                for r in dups.mapInPandas(_pack, schema="h binary").collect()
+            ]
             arr = np.sort(
-                np.array(
-                    [r["sub"] for r in dups.collect()], dtype=np.int64
-                ).view(np.uint64)
+                np.frombuffer(b"".join(blobs), dtype="<u8")
             )
             self._bc = spark.sparkContext.broadcast(arr)
         self._token = token

@@ -255,3 +255,82 @@ def test_equidepth_bucket_string_nulls(spark):
     code = equidepth_bucket(F.col("s"), ["b", "n"])
     got = {r["id"]: r["c"] for r in df.select("id", code.alias("c")).collect()}
     assert got == {0: 0, 1: 0, 2: 1, 3: 2}
+
+
+def test_equidepth_sampled_unbiased_on_physically_sorted_data(spark):
+    """r9 ADVICE (medium): when the sample overshoots max_sample, the
+    cap must be order-INDEPENDENT. A .limit() cap keeps the first
+    sampled rows in partition order, so on data physically sorted by
+    the key (the common re-clustering case) boundaries covered only the
+    leading value range and the top bucket absorbed the whole tail.
+    Boundaries must span the full range."""
+    from blockchaintoavro_spark.operators.layout import (
+        equidepth_splits_sampled,
+    )
+
+    n = 30_000
+    # physically ordered by the key: range() emits ids in order
+    df = spark.range(n).select(
+        F.format_string("%08d", F.col("id")).alias("s")
+    )
+    splits = equidepth_splits_sampled(df, ["s"], bits=3, max_sample=2_000)
+    bounds = [int(b) for b in splits["s"]]
+    assert len(bounds) == 7
+    # the TOP boundary must come from the tail of the value range
+    # (old .limit() behavior pinned it to the leading ~2/3)
+    assert bounds[-1] > 0.8 * n, bounds
+    # and the boundaries must be spread, not clustered at the front
+    assert bounds[0] < 0.25 * n, bounds
+    # near-equal-depth: each of the 8 buckets carries ~1/8 of the mass
+    assert max(bounds[i + 1] - bounds[i] for i in range(6)) < 0.30 * n
+
+
+def test_zorder_date_timestamp_bool_keys(spark):
+    """r9 ADVICE: date/timestamp/boolean clustering keys previously
+    crashed in np.asarray(float64) AFTER paying the sampling passes
+    (quantile mode) or at float(lo) (width mode). Both modes must now
+    bucket them through an order-preserving numeric view."""
+    import datetime
+
+    from blockchaintoavro_spark.operators.layout import zorder_key
+
+    rows = [
+        (
+            i,
+            datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+            datetime.datetime(2024, 1, 1, 0, 0, 0)
+            + datetime.timedelta(hours=i),
+            i % 2 == 0,
+            float(i),
+        )
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, d date, ts timestamp, b boolean, v double"
+    )
+    for mode in ("width", "quantile"):
+        key, model = zorder_key(df, ["d", "v"], bits=4, buckets=mode)
+        got = df.select("id", key.alias("k")).collect()
+        assert all(r["k"] is not None and r["k"] >= 0 for r in got), mode
+        # monotone in the date: the max-date row's date-code >= min's
+        codes = {r["id"]: r["k"] for r in got}
+        assert codes[63] != codes[0], mode
+    key, _ = zorder_key(df, ["ts", "b"], bits=4, buckets="quantile")
+    assert df.select(key.alias("k")).filter("k is null").count() == 0
+    key, _ = zorder_key(df, ["b", "v"], bits=4, buckets="width")
+    assert df.select(key.alias("k")).filter("k is null").count() == 0
+
+
+def test_zorder_unsupported_key_types_raise_before_any_pass(spark):
+    """Unsupported key types (arrays; strings under width mode) must
+    raise a descriptive ValueError up front instead of an opaque crash
+    after the count/sample jobs (r9 ADVICE)."""
+    from blockchaintoavro_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0])], "id long, s string, arr array<double>"
+    )
+    with pytest.raises(ValueError, match="quantile"):
+        zorder_key(df, ["s"], bits=4, buckets="width")
+    with pytest.raises(ValueError, match="arr"):
+        zorder_key(df, ["arr"], bits=4, buckets="quantile")

@@ -2888,3 +2888,52 @@ def test_bigram_logprob_external_reference_lm(spark):
     # first token: pure floor; the rest: Stupid-Backoff 0.4 x floor
     want = (-math.log2(floor) + 2 * -math.log2(0.4 * floor)) / 3
     assert abs(got[3] - want) < 1e-12
+
+def test_verbatim_sorted_releases_candidate_cache(spark):
+    """r9 ADVICE: the verbatim sorted strip persisted its candidate-gram
+    sliver and never released it — one pinned cache per call for the
+    session lifetime. Now the confirmed position arrays localCheckpoint
+    eagerly, the candidate persist drops at build time, and the
+    checkpoint handle rides the output for caller release."""
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        strip_duplicated_spans_verbatim_sorted,
+    )
+    from blockchaintoavro_spark.session import release_local_checkpoint
+
+    sc = spark.sparkContext
+    d = spark.createDataFrame(_SORTED_GRAM_CORPUS, "doc_id long, text string")
+    base = sc._jsc.getPersistentRDDs().size()
+    out = strip_duplicated_spans_verbatim_sorted(d, k=12)
+    out.collect()
+    # the candidate sliver must NOT remain cached; only the bounded
+    # position-array checkpoint may (exposed on the returned frame)
+    assert hasattr(out, "_spark_graft_checkpoint")
+    grown = sc._jsc.getPersistentRDDs().size() - base
+    assert grown <= 1, grown
+    release_local_checkpoint(out._spark_graft_checkpoint)
+    assert sc._jsc.getPersistentRDDs().size() <= base, (
+        sc._jsc.getPersistentRDDs().size(), base
+    )
+
+
+def test_sorted_over_gate_exposes_persist_handle(spark):
+    """Over-gate sorted plans join a PERSISTED dictionary the caller
+    previously could not drop; the handle now rides the returned frame
+    (r9 ADVICE)."""
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        duplicated_spans_sorted,
+        strip_duplicated_spans_sorted,
+        substring_dup_counts_sorted,
+    )
+
+    d = spark.createDataFrame(_SORTED_GRAM_CORPUS, "doc_id long, text string")
+    for fn in (
+        substring_dup_counts_sorted,
+        strip_duplicated_spans_sorted,
+        duplicated_spans_sorted,
+    ):
+        out = fn(d, k=12, broadcast_max_hashes=0)  # force over-gate
+        assert hasattr(out, "_spark_graft_persisted"), fn.__name__
+        n = out.count()
+        assert n >= 0
+        out._spark_graft_persisted.unpersist()
