@@ -1,0 +1,164 @@
+"""Raw-HTML → main-text extraction (r9 VERDICT "What's missing" #2):
+the FIRST stage of a web-corpus pipeline, before the clean-text ops
+(gopher/C4 quality, dedup, DSIR) this repo already provides.
+
+Public jusText/trafilatura-style heuristics, re-expressed as pure
+Catalyst column expressions so the stage is a zero-shuffle row-local
+projection that fuses into the curation pipeline's single pass
+(plan-asserted in tests/test_plans.py):
+
+1. drop non-content ELEMENTS whole (``<script>``, ``<style>``,
+   ``<noscript>``, comments);
+2. turn block-level tags into block separators (jusText's segmentation:
+   content decisions are made per block, not per page);
+3. strip every remaining tag, decode the common entities;
+4. keep a block iff it looks like prose — ≥ ``min_words`` words AND
+   (stopword density ≥ ``min_stop_pct``/100 OR the block is long):
+   jusText's core observation that boilerplate (nav, footer, cookie
+   banners) is short and nearly stopword-free while real sentences in
+   any stopword-covered language are not.
+
+Every pattern sticks to the regex subset Java (Spark) and RE2 (DuckDB)
+agree on — inline ``(?is)`` flags, non-greedy spans, NO backreferences
+or lookaround — so a DuckDB oracle replays the identical chain
+(x_html_extract); the pattern constants below are that oracle's single
+source of truth, like quality.py:PII_RULES. The stopword-density rule
+is integer cross-multiplied (``100·n_stop ≥ min_stop_pct·n_words``) per
+the engine's exact-oracle float discipline.
+
+Whitespace note: words are split on single spaces (the corpus
+normalization this repo's token ops already assume); real-world crawl
+HTML with tab/newline soup should be whitespace-normalized first —
+one extra ``regexp_replace(s, '\\s+', ' ')`` inside the block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import EN_STOPWORDS
+
+__all__ = ["html_strip_tags", "html_extract_text", "html_block_stats"]
+
+# elements whose CONTENT is dropped whole (no backreference closers —
+# RE2 has none, so each element gets its own literal pattern)
+STRIP_ELEMENT_RES = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?is)<noscript[^>]*>.*?</noscript>",
+    r"(?s)<!--.*?-->",
+)
+# block-LEVEL tags become newlines: the block segmentation jusText
+# scores on (inline tags like <b>/<a>/<span> vanish without a break)
+BLOCK_TAG_RE = (
+    r"(?is)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article"
+    r"|header|footer|nav|blockquote|pre|form|main|aside)\b[^>]*>"
+)
+ANY_TAG_RE = r"(?s)<[^>]*>"
+# decode order matters: &amp; LAST so '&amp;lt;' decodes to '&lt;' (the
+# author wrote a literal '<'), not '<'
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_strip_tags(col: Column | str) -> Column:
+    """Markup removed, block structure kept as newlines, entities
+    decoded — the raw material the per-block keep rule scores. Pure
+    chained ``regexp_replace``/``replace``: row-local, codegen-fused,
+    zero shuffle at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in STRIP_ELEMENT_RES:
+        c = F.regexp_replace(c, pat, "")
+    c = F.regexp_replace(c, BLOCK_TAG_RE, "\n")
+    c = F.regexp_replace(c, ANY_TAG_RE, "")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _block_words(b: Column) -> Column:
+    return F.filter(F.split(F.trim(b), " "), lambda w: w != F.lit(""))
+
+
+def _keep_block(
+    b: Column,
+    stop: Column,
+    min_words: int,
+    min_stop_pct: int,
+    long_block_words: int,
+) -> Column:
+    words = _block_words(b)
+    nw = F.size(words)
+    ns = F.size(
+        F.filter(words, lambda w: F.array_contains(stop, F.lower(w)))
+    )
+    return (nw >= F.lit(min_words)) & (
+        (ns * F.lit(100) >= nw * F.lit(min_stop_pct))
+        | (nw >= F.lit(long_block_words))
+    )
+
+
+def html_extract_text(
+    col: Column | str,
+    min_words: int = 3,
+    min_stop_pct: int = 5,
+    long_block_words: int = 30,
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+) -> Column:
+    """Main content of an HTML document: tag-strip + block segmentation
+    + the prose keep-rule, kept blocks trimmed and re-joined with
+    newlines. NULL html → NULL (the Catalyst convention). One row-local
+    expression — prepend it to any corpus pipeline without adding an
+    Exchange."""
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    blocks = F.split(html_strip_tags(col), "\n")
+    kept = F.filter(
+        blocks,
+        lambda b: _keep_block(
+            b, stop, min_words, min_stop_pct, long_block_words
+        ),
+    )
+    # explicit single-arg lambda: transform would otherwise bind its
+    # (element, index) pair onto trim's deprecated two-parameter
+    # signature and trim index DIGITS off block edges
+    return F.array_join(F.transform(kept, lambda b: F.trim(b)), "\n")
+
+
+def html_block_stats(
+    col: Column | str,
+    min_words: int = 3,
+    min_stop_pct: int = 5,
+    long_block_words: int = 30,
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+) -> Column:
+    """Per-document extraction diagnostics as a struct
+    ``(n_blocks, n_kept, n_chars_kept)`` — the QA signal a crawl
+    pipeline monitors (how much of each page survives) without
+    materializing the text twice."""
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    blocks = F.filter(
+        F.split(html_strip_tags(col), "\n"),
+        lambda b: F.size(_block_words(b)) > 0,
+    )
+    kept = F.filter(
+        blocks,
+        lambda b: _keep_block(
+            b, stop, min_words, min_stop_pct, long_block_words
+        ),
+    )
+    return F.struct(
+        F.size(blocks).cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.aggregate(
+            F.transform(kept, lambda b: F.length(F.trim(b)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars_kept"),
+    )

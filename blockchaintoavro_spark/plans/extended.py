@@ -793,6 +793,40 @@ def x_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@declare("x_incremental_neardup", oracle=None)
+def x_inc_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup index (operators/neardup_index.py — r9
+    VERDICT #1, the daily-ingest shape): even doc_ids < 200 are the
+    standing HISTORY, banded once and persisted; odd doc_ids are the
+    new batch, probed via a band-keyed equi-join that broadcasts the
+    batch and never shuffles history. Engine-defined hashing → rows-only
+    driver check; recall vs exact Jaccard and exact parity with the
+    batch LSH operator are test-asserted (tests/test_neardup_index.py),
+    as are append semantics and the stream-equals-batch leg."""
+    import shutil
+    import tempfile
+
+    from ..operators.neardup_index import (
+        build_neardup_index,
+        probe_neardup_index,
+    )
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    path = tempfile.mkdtemp(prefix="spark_graft_ndidx_")
+    try:
+        build_neardup_index(
+            d.filter(F.col("doc_id") % 2 == 0), path, kind="minhash"
+        )
+        out = probe_neardup_index(
+            d.filter(F.col("doc_id") % 2 == 1), path, append="none"
+        )
+        # the probe materializes eagerly (localCheckpoint), so the
+        # store can drop before the driver consumes the result
+        return out.orderBy("d_new", "d_old")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @declare("x_simhash", oracle=None)
 def x_sim(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash64 per document (doc_id < 100) — deterministic engine hash."""
@@ -2137,6 +2171,113 @@ def x_clean(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.array_join(kept, " ").alias("cleaned"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
+# Single source of truth for the HTML-extraction oracle: the SQL replays
+# the ENGINE's pattern chain (functions/html.py), so a heuristic change
+# can never drift from what the driver compares against — the same
+# discipline as the PII_RULES oracle below. Patterns stay in the
+# Java/RE2 shared regex subset (module docstring) so both engines agree.
+from ..functions.html import (
+    ANY_TAG_RE as _H_ANY,
+    BLOCK_TAG_RE as _H_BLOCK,
+    HTML_ENTITIES as _H_ENTS,
+    STRIP_ELEMENT_RES as _H_STRIPS,
+)
+
+_H_PRE = (
+    "<html><head><title>Doc ", "</title><style>p {color: red}</style>"
+    '<script type="text/javascript">var x = 1 < 2;</script></head><body>'
+    "<nav>Home About Contact Login</nav><h1>Doc ",
+    "</h1><p>",
+    '</p><div class="ad">Buy now limited offer</div><p>Footnote: the '
+    "&amp; and &lt;tags&gt; decode correctly in the extractor today.</p>"
+    "<footer>Copyright 2024 Example Corp All rights reserved</footer>"
+    "</body></html>",
+)
+
+
+def _h_fix_sql() -> str:
+    a, b, c, d = (s.replace("'", "''") for s in _H_PRE)
+    return (
+        f"'{a}' || CAST(doc_id AS VARCHAR) || '{b}' || "
+        f"CAST(doc_id AS VARCHAR) || '{c}' || text || '{d}'"
+    )
+
+
+def _h_chain_sql(x: str) -> str:
+    for pat in _H_STRIPS:
+        x = f"regexp_replace({x}, '{pat}', '', 'g')"
+    x = f"regexp_replace({x}, '{_H_BLOCK}', chr(10), 'g')"
+    x = f"regexp_replace({x}, '{_H_ANY}', '', 'g')"
+    for ent, ch in _H_ENTS:
+        ch_sql = "''''" if ch == "'" else f"'{ch}'"
+        x = f"replace({x}, '{ent}', {ch_sql})"
+    return x
+
+
+_H_WORDS = "list_filter(string_split(trim(b), ' '), w -> w <> '')"
+_H_KEEP = (
+    f"len({_H_WORDS}) >= 3 AND ("
+    f"100 * len(list_filter({_H_WORDS}, w -> list_contains({_STOP_SQL}, lower(w))))"
+    f" >= 5 * len({_H_WORDS})"
+    f" OR len({_H_WORDS}) >= 30)"
+)
+
+
+@declare(
+    "x_html_extract",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_h_fix_sql()} AS html
+      FROM documents WHERE doc_id < 150
+    ), s AS (
+      SELECT doc_id, string_split({_h_chain_sql("html")}, chr(10)) AS raw
+      FROM h
+    ), b AS (
+      SELECT doc_id,
+             list_filter(raw, b -> len({_H_WORDS}) > 0) AS blocks,
+             list_filter(raw, b -> {_H_KEEP}) AS kept
+      FROM s
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(kept, b -> trim(b)), chr(10)) AS content,
+           CAST(len(blocks) AS BIGINT) AS n_blocks,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(COALESCE(list_aggregate(
+                 list_transform(kept, b -> len(trim(b))), 'sum'), 0) AS BIGINT)
+             AS n_chars_kept
+    FROM b ORDER BY doc_id
+    """,
+)
+def x_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-HTML → main-text extraction (functions/html.py — r9 VERDICT
+    #4): each document is wrapped in a seeded page (head/style/script,
+    nav, headline, ad, entity-bearing footnote, footer), then the
+    jusText-style chain runs — element drop, block segmentation,
+    tag strip, entity decode, per-block stopword-density keep rule.
+    Boilerplate blocks (nav/ad/footer: short, stopword-free) must drop;
+    the document body and the entity footnote must survive with decoded
+    text. The WHOLE stage is row-local Catalyst regex/HOF expressions —
+    zero shuffle, fuses into the curation pipeline's single pass
+    (plan-asserted). DuckDB replays the identical pattern chain from
+    the shared constants."""
+    from ..functions.html import html_block_stats, html_extract_text
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(_H_PRE[0]), did, F.lit(_H_PRE[1]), did,
+        F.lit(_H_PRE[2]), F.col("text"), F.lit(_H_PRE[3]),
+    )
+    stats = html_block_stats(html)
+    return d.select(
+        "doc_id",
+        html_extract_text(html).alias("content"),
+        stats["n_blocks"].alias("n_blocks"),
+        stats["n_kept"].alias("n_kept"),
+        stats["n_chars_kept"].alias("n_chars_kept"),
     ).orderBy("doc_id")
 
 

@@ -1,0 +1,200 @@
+"""Incremental near-dup index (operators/neardup_index.py): two-batch
+recall vs exact Jaccard, Hamming exactness vs brute force, append-mode
+semantics, empty-index bootstrap, and the probe's physical plan (banded
+equi-join on a never-shuffled history — no nested loop)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchaintoavro_spark.operators.neardup_index import (
+    build_neardup_index,
+    probe_neardup_index,
+)
+
+
+def _docs(spark, sf_dir, n=200):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < n
+    )
+
+
+def test_incremental_minhash_two_batch_recall(spark, sf_dir, tmpdir):
+    """The daily-ingest shape: history indexed once, a new batch probed
+    against it. Cross-batch LSH matches must cover >= 90% of true
+    cross-batch Jaccard>=0.4 pairs — the same recall contract the batch
+    operator (minhash_candidate_pairs) is held to vs dq33."""
+    from blockchaintoavro_spark.operators.dedup import exact_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    history = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    idx = f"{tmpdir}/nd_minhash"
+    build_neardup_index(history, idx, kind="minhash")
+    got = {
+        (r["d_new"], r["d_old"])
+        for r in probe_neardup_index(batch, idx, append="none").collect()
+    }
+    truth = {
+        (r["d1"], r["d2"])
+        for r in exact_jaccard_pairs(d, threshold=0.4).collect()
+        if (r["d1"] % 2) != (r["d2"] % 2)
+    }
+    # orient truth as (new=odd, old=even)
+    truth = {(a, b) if a % 2 == 1 else (b, a) for a, b in truth}
+    assert truth, "fixture should contain cross-batch near-dup pairs"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"incremental recall {recall:.3f} < 0.9"
+    # and the probe agrees with the batch operator's candidate set,
+    # restricted to cross-batch pairs (same banding, same seed)
+    from blockchaintoavro_spark.operators.dedup import minhash_candidate_pairs
+
+    cand = {
+        (r["d1"], r["d2"])
+        for r in minhash_candidate_pairs(d).collect()
+        if (r["d1"] % 2) != (r["d2"] % 2)
+    }
+    cand = {(a, b) if a % 2 == 1 else (b, a) for a, b in cand}
+    assert got == cand
+
+
+def test_incremental_hamming_exact_vs_brute_force(spark, tmpdir):
+    """Hamming kind at radius < n_bands is EXACT by pigeonhole: probing
+    a batch of pHash codes against the indexed history must return
+    precisely the brute-force cross pairs with hamming <= 3, with the
+    verified distance."""
+    from blockchaintoavro_spark.operators.phash import phash_fixture_codes
+
+    base = spark.range(60).select(F.col("id").alias("doc_id"))
+    codes = phash_fixture_codes(base).collect()
+    by_id = {r["doc_id"]: r["phash"] for r in codes}
+    hist_ids = {i for i in by_id if i % 5 < 3}
+    batch_ids = set(by_id) - hist_ids
+    truth = {}
+    for b in batch_ids:
+        for h in hist_ids:
+            d = bin(by_id[b] ^ by_id[h]).count("1")
+            if d <= 3:
+                truth[(b, h)] = d
+    assert truth, "fixture should contain cross-batch perceptual dups"
+
+    codes_df = spark.createDataFrame(codes)
+    idx = f"{tmpdir}/nd_phash"
+    build_neardup_index(
+        codes_df.filter(F.col("doc_id") % 5 < 3), idx,
+        kind="hamming", code_col="phash", n_bands=4, max_hamming=3,
+    )
+    got = {
+        (r["d_new"], r["d_old"]): r["hamming"]
+        for r in probe_neardup_index(
+            codes_df.filter(F.col("doc_id") % 5 >= 3), idx, append="none"
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_incremental_append_modes(spark, tmpdir):
+    """append='survivors' must grow the index with unmatched docs ONLY
+    (dropped duplicates never pollute the index); 'none' leaves it
+    untouched; 'all' adds everything. Growth is observable both in the
+    band table's id set and in a later probe matching the newly indexed
+    content."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    c = "completely different content about spark shuffles and partitions"
+    base = mk([(1, a)])
+    idx = f"{tmpdir}/nd_inc"
+    build_neardup_index(base, idx, kind="minhash")
+
+    ids_in_index = lambda: {
+        r["_nd_id"]
+        for r in spark.read.parquet(f"{idx}/bands").select("_nd_id").distinct().collect()
+    }
+    assert ids_in_index() == {1}
+
+    # batch: doc 2 duplicates doc 1; doc 3 is new
+    batch = mk([(2, a), (3, c)])
+    m = probe_neardup_index(batch, idx, append="survivors")
+    assert {(r["d_new"], r["d_old"]) for r in m.collect()} == {(2, 1)}
+    assert ids_in_index() == {1, 3}  # the duplicate was NOT appended
+
+    # the survivor is now probe-able: a dup of doc 3 matches it
+    m2 = probe_neardup_index(mk([(4, c)]), idx, append="none")
+    assert {(r["d_new"], r["d_old"]) for r in m2.collect()} == {(4, 3)}
+    assert ids_in_index() == {1, 3}  # append='none' left it untouched
+
+    # append='all' indexes even matched docs
+    probe_neardup_index(mk([(5, a)]), idx, append="all").collect()
+    assert ids_in_index() == {1, 3, 5}
+
+    with pytest.raises(ValueError, match="append"):
+        probe_neardup_index(batch, idx, append="sometimes")
+
+
+def test_index_bootstrap_from_empty_and_param_validation(spark, tmpdir):
+    """An index built from a zero-row frame is a valid empty store a
+    first batch probes cleanly (no matches) and then populates; bad
+    banding parameters are rejected before anything is written."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = f"{tmpdir}/nd_empty"
+    build_neardup_index(mk([]).limit(0), idx, kind="minhash")
+    b1 = mk([(1, "alpha beta gamma delta epsilon zeta eta theta")])
+    assert probe_neardup_index(b1, idx).count() == 0
+    m = probe_neardup_index(
+        mk([(2, "alpha beta gamma delta epsilon zeta eta theta")]), idx
+    )
+    assert {(r["d_new"], r["d_old"]) for r in m.collect()} == {(2, 1)}
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        build_neardup_index(
+            mk([]), f"{tmpdir}/bad1", kind="hamming", n_bands=3, max_hamming=3
+        )
+    with pytest.raises(ValueError, match="divisible"):
+        build_neardup_index(
+            mk([]), f"{tmpdir}/bad2", kind="minhash", n_hashes=32, n_bands=5
+        )
+    with pytest.raises(ValueError, match="kind"):
+        build_neardup_index(mk([]), f"{tmpdir}/bad3", kind="semantic")
+
+
+def test_probe_plan_is_banded_equijoin_history_not_shuffled(spark, sf_dir):
+    """The probe's physical plan at 100 TB: the batch side broadcasts
+    (under the gate), so the standing band table is scanned ONCE and
+    never shuffled; no nested loop, no cartesian product. Over the
+    gate it must degrade to a shuffled band-keyed equi-join — still no
+    nested loop."""
+    import json
+
+    from blockchaintoavro_spark.operators.neardup_index import (
+        _bands_for,
+        _match_plan,
+    )
+
+    d = _docs(spark, sf_dir, 100)
+    p = {
+        "id_col": "doc_id", "text_col": "text",
+        "n_hashes": 32, "n_bands": 16, "seed": 42,
+    }
+    hist = _bands_for(d.filter(F.col("doc_id") % 2 == 0), "minhash", p)
+    bb = _bands_for(d.filter(F.col("doc_id") % 2 == 1), "minhash", p)
+    jvm = spark.sparkContext._jvm
+    plan = lambda df: jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    s = plan(_match_plan(hist, F.broadcast(bb), "minhash", p))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+    # history side carries no Exchange feeding the join build
+    s2 = plan(_match_plan(hist, bb, "minhash", p))
+    assert "CartesianProduct" not in s2 and "NestedLoop" not in s2
+
+    ph = {"id_col": "doc_id", "code_col": "phash", "n_bands": 4, "max_hamming": 3}
+    codes = spark.range(50).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7919).alias("phash")
+    )
+    hb = _bands_for(codes, "hamming", ph)
+    s3 = plan(_match_plan(hb, F.broadcast(hb), "hamming", ph))
+    assert "BroadcastHashJoin" in s3
+    assert "CartesianProduct" not in s3 and "NestedLoop" not in s3
+    assert json.dumps(ph)  # params stay JSON-serializable (meta contract)

@@ -590,3 +590,76 @@ def test_classifier_stream_equals_batch(spark, tmpdir):
     }
     want = {tuple(r) for r in hashed_linear_score(docs).collect()}
     assert got == want and len(got) == 500
+
+
+def test_neardup_scrub_stream_equals_batch(spark, tmpdir):
+    """Streaming leg of the incremental near-dup index
+    (operators/neardup_index.py): micro-batches probe the standing
+    index, keep only unseen docs, and grow the index with the
+    survivors. Two micro-batches through foreachBatch must equal the
+    same two batches scrubbed sequentially through the batch API —
+    including the cross-micro-batch dedup (a doc duplicating an
+    EARLIER micro-batch's survivor is dropped)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.neardup_index import (
+        NearDupScrubber,
+        build_neardup_index,
+        neardup_scrub_stream,
+    )
+
+    schema = "doc_id long, text string"
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again today",
+        2: "spark shuffles partition data across executors by key hash",
+        3: "the quick brown fox jumps over the lazy dog again today",  # dup of 1
+        4: "watermarks bound state for late arriving event time rows",
+        5: "spark shuffles partition data across executors by key hash",  # dup of 2
+        6: "broadcast joins ship the small side to every executor core",
+    }
+    b1 = [(i, texts[i]) for i in (1, 2, 3)]
+    b2 = [(i, texts[i]) for i in (4, 5, 6)]
+
+    # batch reference: sequential scrubs against a fresh empty index
+    ref_idx = f"{tmpdir}/ref_idx"
+    empty = spark.createDataFrame([], schema)
+    build_neardup_index(empty, ref_idx, kind="minhash")
+    ref = NearDupScrubber(ref_idx, f"{tmpdir}/ref_out")
+    kept = []
+    for rows in (b1, b2):
+        kept += [
+            r["doc_id"]
+            for r in ref.scrub(spark.createDataFrame(rows, schema)).collect()
+        ]
+    # within-b1: doc 3 duplicates doc 1 BUT within-batch pairs are the
+    # batch operator's job — the index dedups vs HISTORY, so 3 survives
+    # b1; doc 5 duplicates b1's survivor 2 → dropped in b2
+    assert sorted(kept) == [1, 2, 3, 4, 6]
+
+    # streaming leg: same two batches as two files → two micro-batches
+    src = f"{tmpdir}/nd_src"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    st_idx = f"{tmpdir}/st_idx"
+    build_neardup_index(empty, st_idx, kind="minhash")
+    out = f"{tmpdir}/st_out"
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    writer = neardup_scrub_stream(stream, st_idx, out, f"{tmpdir}/nd_ckpt")
+    writer.trigger(availableNow=True).start().awaitTermination(120)
+    assert writer._spark_graft_applier.batches == 2
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == sorted(kept)
+    # both index stores converge to the same surviving id set
+    ids = lambda p: {
+        r["_nd_id"]
+        for r in spark.read.parquet(f"{p}/bands").select("_nd_id").distinct().collect()
+    }
+    assert ids(st_idx) == ids(ref_idx) == {1, 2, 3, 4, 6}
