@@ -1,0 +1,99 @@
+"""HTML main-text extraction (functions/html.py): strip/segment/decode
+known answers, the jusText-style keep rule, NULL passthrough, and the
+zero-shuffle composition with the downstream curation ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blockchaintoavro_spark.functions.html import (
+    html_block_stats,
+    html_extract_text,
+    html_strip_tags,
+)
+
+
+def _one(spark, html, expr):
+    return (
+        spark.createDataFrame([(html,)], "h string")
+        .select(expr.alias("v"))
+        .first()["v"]
+    )
+
+
+def test_strip_tags_known_answers(spark):
+    e = lambda h: _one(spark, h, html_strip_tags("h"))
+    # script/style/noscript/comments drop WITH their content, even with
+    # '<' inside and mixed case; block tags become newlines; inline
+    # tags vanish without a break
+    assert e(
+        "<SCRIPT>if (1 < 2) { x(); }</script><p>a</p>"
+        "<style>p>b {}</style><!-- <p>no</p> -->"
+    ) == "\na\n"
+    assert e("x<b>y</b>z<span>w</span>") == "xyzw"
+    assert e("a<br/>b<DIV class='c'>d</div>e") == "a\nb\nd\ne"
+    # entity decode order: &amp;lt; is an AUTHORED '&lt;', not a tag
+    assert e("&amp;lt;kept&amp;gt; &lt;b&gt; &quot;q&quot; &#39;s&#39; &nbsp;!") == (
+        "&lt;kept&gt; <b> \"q\" 's'   !"
+        .replace("  !", " !")
+    )
+    assert e(None) is None
+
+
+def test_extract_keep_rule(spark):
+    prose = "this is the kind of sentence a real page contains for it"
+    longb = " ".join(f"w{i}" for i in range(30))  # 30 words, 0 stopwords
+    html = (
+        "<nav>Home About Contact Login</nav>"
+        f"<p>{prose}</p>"
+        "<div>Buy now limited offer</div>"
+        f"<p>{longb}</p>"
+        "<footer>Copyright 2024 Example Corp All rights reserved</footer>"
+    )
+    got = _one(spark, html, html_extract_text("h"))
+    # nav/ad/footer (short, stopword-free) drop; prose keeps via
+    # stopword density; the long block keeps via the length escape
+    assert got == f"{prose}\n{longb}"
+    s = _one(spark, html, html_block_stats("h"))
+    assert (s["n_blocks"], s["n_kept"]) == (5, 2)
+    assert s["n_chars_kept"] == len(prose) + len(longb)
+    assert _one(spark, None, html_extract_text("h")) is None
+    # empty page: no blocks survive → empty string, zero stats
+    s0 = _one(spark, "<p> </p>", html_block_stats("h"))
+    assert (s0["n_blocks"], s0["n_kept"], s0["n_chars_kept"]) == (0, 0, 0)
+    assert _one(spark, "<p> </p>", html_extract_text("h")) == ""
+
+
+def test_extract_composes_zero_shuffle_with_curation(spark):
+    """The whole point of a pure-Catalyst extractor: prepending it to
+    the collapse→classify curation chain must add NO Exchange and NO
+    Python evaluation — one whole-stage pass from raw HTML to scores."""
+    from blockchaintoavro_spark.operators.quality import (
+        collapse_repeats,
+        hashed_linear_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><nav>Home About</nav><p>"),
+            F.col("text"),
+            F.lit("</p><footer>Copyright 2024 Corp</footer></body></html>"),
+        ).alias("html"),
+    )
+    extracted = pages.select(
+        "doc_id", html_extract_text("html").alias("text")
+    )
+    scored = hashed_linear_score(
+        collapse_repeats(extracted, delimiter=" "), text_col="cleaned"
+    )
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        scored._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange hashpartitioning" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    # and it actually runs end to end
+    out = scored.limit(5).collect()
+    assert len(out) == 5
