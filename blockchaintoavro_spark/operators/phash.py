@@ -383,6 +383,110 @@ def video_neardup_pairs(
     )
 
 
+def video_clip_shingles(
+    frame_codes: DataFrame,
+    k: int = 5,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    code_col: str = "phash",
+    hashed: bool = True,
+) -> DataFrame:
+    """Temporal shingles over a video's frame-code sequence: one row per
+    start frame, keyed by the ``k`` CONSECUTIVE codes starting there —
+    ``(id, pos, shingle)``. The sorted-gram idea (substr_sorted.py)
+    applied to frame codes: a shared shingle pins not just shared
+    content but shared content IN THE SAME ORDER, which is what
+    clip-in-clip detection needs.
+
+    Built with one ``lead`` window per video (one Exchange keyed on the
+    video id — per-video state, never cross-video). A shingle is
+    emitted only when its last frame sits exactly ``(k-1)·stride``
+    after its first: for strictly increasing on-grid frame numbers that
+    span forces contiguity, so gaps from dropped (undecodable) frames
+    never produce shingles of non-adjacent codes. ``stride`` must match
+    the ``every_n`` the codes were sampled at.
+
+    ``hashed=True`` (the scale default) folds the ``k`` codes to one
+    ``xxhash64`` — an 8-byte join key regardless of ``k``;
+    ``hashed=False`` keys on the code struct itself (k×8 bytes), which
+    a SQL oracle can replicate — results are identical barring 64-bit
+    hash collisions (test-pinned)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_no")
+    leads = [F.col(code_col)] + [
+        F.lead(code_col, j).over(w) for j in range(1, k)
+    ]
+    last_no = F.lead("frame_no", k - 1).over(w)
+    key = (
+        F.xxhash64(*leads)
+        if hashed
+        else F.struct(*[c.alias(f"c{j}") for j, c in enumerate(leads)])
+    )
+    return (
+        frame_codes.select(
+            F.col(id_col),
+            F.col("frame_no").alias("pos"),
+            key.alias("shingle"),
+            last_no.alias("_last_no"),
+        )
+        .filter(F.col("_last_no") == F.col("pos") + (k - 1) * stride)
+        .drop("_last_no")
+    )
+
+
+def video_clip_matches(
+    clips: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    min_votes: int = 2,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    code_col: str = "phash",
+    hashed: bool = True,
+) -> DataFrame:
+    """Clip-in-clip detection with TEMPORAL ALIGNMENT (r9 VERDICT #3):
+    where does each clip occur inside which corpus video, at what frame
+    offset? ``video_neardup_pairs`` answers "do these share frames";
+    this answers "this 10 s excerpt starts at frame 20 of that video".
+
+    Both sides shingle (:func:`video_clip_shingles`), candidates come
+    from ONE equi-join on the shingle key, and each candidate VOTES for
+    the alignment ``offset = corpus_pos − clip_pos`` — the classic
+    offset-histogram voting of audio/video fingerprinting (Haitsma &
+    Kalker 2002 §III applied to frame codes): a true embedding puts all
+    its shingle hits on one diagonal, so its offset collects
+    ``n_clip_shingles − spurious`` votes while chance collisions
+    scatter. Returns ``(clip_id, video_id, offset, n_votes)`` for every
+    alignment with ``n_votes ≥ min_votes``.
+
+    Scale: shingle tables are one narrow row per (video, start); the
+    join is an 8-byte-key equi-join (never all-pairs), and the vote
+    aggregate is keyed on (pair, offset) — bounded by true overlaps
+    plus collision noise. Matching is EXACT on codes (same-source
+    excerpts, re-sampled streams); for re-encoded noisy clips, run the
+    per-frame banded ``video_neardup_pairs`` first and this on the
+    survivors."""
+    cs = video_clip_shingles(clips, k, stride, id_col, code_col, hashed)
+    vs = video_clip_shingles(corpus, k, stride, id_col, code_col, hashed)
+    cand = vs.select(
+        F.col(id_col).alias("video_id"), F.col("pos").alias("_vp"), "shingle"
+    ).join(
+        cs.select(
+            F.col(id_col).alias("clip_id"), F.col("pos").alias("_cp"), "shingle"
+        ),
+        "shingle",
+    )
+    return (
+        cand.groupBy(
+            "clip_id", "video_id",
+            (F.col("_vp") - F.col("_cp")).alias("offset"),
+        )
+        .agg(F.count("*").alias("n_votes"))
+        .filter(F.col("n_votes") >= min_votes)
+    )
+
+
 def video_phash_fixture_codes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Run the REAL video pipeline end-to-end on a synthesized corpus:
     per id (``g = id//5``, ``r = id%5``), a 3-frame 64×64 raw ``DIB ``

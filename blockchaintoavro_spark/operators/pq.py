@@ -34,6 +34,7 @@ __all__ = [
     "ivfpq_topk",
     "build_ivfpq_index",
     "query_ivfpq",
+    "append_to_ivfpq_index",
 ]
 
 
@@ -588,6 +589,93 @@ def build_ivfpq_index(
     ivfpq_encode(corpus, centroids, books, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cid").parquet(f"{index_path}/codes")
+    from .similarity import _assign_with_dist, _write_stats
+
+    row = (
+        _assign_with_dist(corpus, centroids, id_col, vec_col)
+        .agg(F.count("*").alias("n"), F.sum("_dist").alias("s"))
+        .first()
+    )
+    _write_stats(spark, index_path, int(row["n"]), float(row["s"] or 0.0))
+
+
+def append_to_ivfpq_index(
+    index_path: str,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Grow a persisted IVFADC index with ZERO training jobs (r9
+    VERDICT #5): encode the new vectors with the STANDING centroids and
+    residual codebooks (narrow map — no Lloyd), append the 8-byte code
+    rows to the cid-partitioned table, and report coarse-quantizer
+    drift exactly as :func:`similarity.append_to_ivf_index` does (mean
+    ``1 − cos(x, c(x))`` of the batch vs the index's running mean in
+    ``{index_path}/stats``). A drifting ratio means both the coarse
+    lists AND the residual codebooks (trained on old residual
+    geometry) are stale — retrain via :func:`build_ivfpq_index`.
+
+    Indexes persisted before stats existed have no baseline (the code
+    table stores no vectors to backfill from): the first append returns
+    ``drift_ratio=None`` and seeds the running stats going forward."""
+    from .similarity import _assign_with_dist, _write_stats
+
+    spark = new.sparkSession
+    centroids, books = _read_ivfpq_model(spark, index_path)
+    try:
+        srow = spark.read.parquet(f"{index_path}/stats").first()
+        base_n, base_s = int(srow["n"]), float(srow["dist_sum"])
+    except Exception:
+        base_n, base_s = 0, 0.0
+    enc = ivfpq_encode(new, centroids, books, id_col, vec_col)
+    enc.write.mode("append").partitionBy("cid").parquet(
+        f"{index_path}/codes"
+    )
+    row = (
+        _assign_with_dist(new, centroids, id_col, vec_col)
+        .agg(F.count("*").alias("n"), F.sum("_dist").alias("s"))
+        .first()
+    )
+    n_new, s_new = int(row["n"]), float(row["s"] or 0.0)
+    _write_stats(spark, index_path, base_n + n_new, base_s + s_new)
+    index_mean = base_s / base_n if base_n else None
+    batch_mean = s_new / n_new if n_new else None
+    return {
+        "n_indexed": base_n,
+        "index_mean_dist": index_mean,
+        "n_appended": n_new,
+        "batch_mean_dist": batch_mean,
+        "drift_ratio": (
+            batch_mean / index_mean
+            if index_mean and batch_mean is not None
+            else None
+        ),
+    }
+
+
+def _read_ivfpq_model(
+    spark, index_path: str
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """The two bounded model collects (KBs) a persisted IVFADC index
+    stores — shared by :func:`query_ivfpq` and
+    :func:`append_to_ivfpq_index`."""
+    cents = (
+        spark.read.parquet(f"{index_path}/centroids").orderBy("cid").collect()
+    )
+    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    book_rows = (
+        spark.read.parquet(f"{index_path}/codebooks")
+        .orderBy("sub_id", "code")
+        .collect()
+    )
+    m = max(r["sub_id"] for r in book_rows) + 1
+    n_codes = max(r["code"] for r in book_rows) + 1
+    books: list[list[list[float]]] = [
+        [None] * n_codes for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in book_rows:
+        books[r["sub_id"]][r["code"]] = [float(x) for x in r["centroid"]]
+    return centroids, books
 
 
 def query_ivfpq(
@@ -606,22 +694,7 @@ def query_ivfpq(
     cid-partitioned scan of the 8-byte-code table, the same broadcast
     ADC probe as :func:`ivfpq_topk` — identical results to the
     train-per-call path by construction."""
-    cents = (
-        spark.read.parquet(f"{index_path}/centroids").orderBy("cid").collect()
-    )
-    centroids = [[float(x) for x in r["centroid"]] for r in cents]
-    book_rows = (
-        spark.read.parquet(f"{index_path}/codebooks")
-        .orderBy("sub_id", "code")
-        .collect()
-    )
-    m = max(r["sub_id"] for r in book_rows) + 1
-    n_codes = max(r["code"] for r in book_rows) + 1
-    books: list[list[list[float]]] = [
-        [None] * n_codes for _ in range(m)  # type: ignore[list-item]
-    ]
-    for r in book_rows:
-        books[r["sub_id"]][r["code"]] = [float(x) for x in r["centroid"]]
+    centroids, books = _read_ivfpq_model(spark, index_path)
     encoded = spark.read.parquet(f"{index_path}/codes")
     return ivfpq_topk(
         encoded, queries, centroids, books, k, nprobe,

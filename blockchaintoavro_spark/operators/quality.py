@@ -357,6 +357,7 @@ def budget_mixture(
     source: str = "source",
     key: str = "doc_id",
     default_budget: int = 0,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Token-budget data mixing: deterministically select documents per
     source until that source's token budget is met (the straddling
@@ -371,6 +372,10 @@ def budget_mixture(
     rows, which all pin to bucket 0) tie completely in the ordering, so
     which of them straddles a budget boundary is nondeterministic across
     runs — everything strictly below the boundary is still stable.
+    Callers whose corpus can carry duplicate or NULL keys at a boundary
+    pass ``tiebreak`` — a stable column appended LAST in the selection
+    order — which makes the order total and the subset identical across
+    runs and partitionings (r9 VERDICT #6).
 
     Scale shape (r7, the same prefix-bucket construction as
     :func:`temperature_mixture`): a 4096-cell md5-prefix histogram of
@@ -386,6 +391,10 @@ def budget_mixture(
     """
     from pyspark.sql import Window
 
+    if tiebreak and tiebreak in (key, source):
+        raise ValueError(
+            f"tiebreak column {tiebreak!r} must differ from key/source"
+        )
     n_buckets = 4096
     h = F.md5(F.col(key).cast("string"))
     # a NULL key has a NULL md5 — pin it to bucket 0 so it stays
@@ -443,23 +452,27 @@ def budget_mixture(
         budget_col = F.when(F.col(source) == s, F.lit(tokens)).otherwise(
             budget_col
         )
+    order_cols = ["_h", key] + ([tiebreak] if tiebreak else [])
     w = (
         Window.partitionBy(source, "_b")
-        .orderBy("_h", key)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    tb_cols = [F.col(tiebreak)] if tiebreak else []
     tagged = df.select(
         F.col(source),
         F.col(key),
         tok.alias("n_tok"),
         bucket.alias("_b"),
         h.alias("_h"),
+        *tb_cols,
     )
     joined = tagged.join(
         lookup,
         tagged[source].eqNullSafe(lookup[source]) & (tagged["_b"] == lookup["_b"]),
     ).select(
-        tagged[source], tagged[key], "n_tok", tagged["_b"], "_h", "_below"
+        tagged[source], tagged[key], "n_tok", tagged["_b"], "_h", "_below",
+        *([tagged[tiebreak]] if tiebreak else []),
     )
     cum_before = F.col("_below") + F.coalesce(F.sum("n_tok").over(w), F.lit(0))
     return (
@@ -468,6 +481,9 @@ def budget_mixture(
             key,
             "n_tok",
             cum_before.cast("long").alias("cum_before"),
+            # the tiebreak identifies WHICH duplicate-key row was
+            # selected, so it must surface in the output
+            *([tiebreak] if tiebreak else []),
         )
         .where(F.col("cum_before") < budget_col)
     )
@@ -480,6 +496,7 @@ def temperature_mixture(
     source: str = "source",
     key: str = "doc_id",
     exact: bool = True,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Temperature-based source mixing (the multilingual-pretraining
     recipe: sample source ``s`` with probability ∝ ``p_s^τ`` where
@@ -508,6 +525,11 @@ def temperature_mixture(
     at any source size. Output is row-for-row identical (both select
     the md5-order prefix; bucket order is md5-prefix order).
 
+    ``tiebreak`` (optional): a stable column appended last in the md5
+    selection order and carried through the output — pass it when keys
+    can duplicate or be NULL at the boundary cut, where the straddling
+    pick is otherwise run-dependent (r9 VERDICT #6).
+
     ``exact=False`` remains the cheapest path: rows are kept where
     their xxhash64 falls below the source's take fraction — a
     shuffle-free, state-free scan whose per-source counts are
@@ -519,6 +541,10 @@ def temperature_mixture(
     # NULL sources are excluded (same semantics as budget_mixture, where
     # a NULL never matches any budget) — and would otherwise break the
     # sorted() driver math
+    if tiebreak and tiebreak in (key, source):
+        raise ValueError(
+            f"tiebreak column {tiebreak!r} must differ from key/source"
+        )
     df = df.filter(F.col(source).isNotNull())
     n_buckets = 4096
     h = F.md5(F.col(key).cast("string"))
@@ -540,7 +566,8 @@ def temperature_mixture(
         counts[r["_s"]] = counts.get(r["_s"], 0) + r["n"]
         per_bucket[(r["_s"], r["_b"])] = r["n"]
     if not counts:
-        return df.select(key, source)  # empty in, empty out
+        # empty in, empty out (schema matches the populated branches)
+        return df.select(key, source, *([tiebreak] if tiebreak else []))
     total = sum(counts.values())
     weights = {s: (n / total) ** tau for s, n in sorted(counts.items())}
     wsum = sum(weights[s] for s in sorted(weights))
@@ -585,14 +612,23 @@ def temperature_mixture(
             F.col(source) == s, F.lit(b if r > 0 else -1)
         ).otherwise(edge)
         rem = F.when(F.col(source) == s, F.lit(r)).otherwise(rem)
-    tagged = df.select(F.col(key), F.col(source), bucket.alias("_b"))
-    bulk = tagged.where(F.col("_b") < below).select(key, source)
-    w = Window.partitionBy(source).orderBy(h, key)
+    tb = [tiebreak] if tiebreak else []
+    tb_cols = [F.col(tiebreak)] if tiebreak else []
+    tagged = df.select(F.col(key), F.col(source), bucket.alias("_b"), *tb_cols)
+    bulk = tagged.where(F.col("_b") < below).select(key, source, *tb)
+    # optional stable tiebreak appended LAST: duplicate/NULL keys at the
+    # boundary-bucket cut otherwise tie completely and the straddler is
+    # run-dependent (r9 VERDICT #6); it also rides the output so the
+    # picked row is identifiable
+    w = Window.partitionBy(source).orderBy(h, key, *tb_cols)
     sliver = (
         tagged.where(F.col("_b") == edge)
-        .select(F.col(key), F.col(source), F.row_number().over(w).alias("_rn"))
+        .select(
+            F.col(key), F.col(source), *tb_cols,
+            F.row_number().over(w).alias("_rn"),
+        )
         .where(F.col("_rn") <= rem)
-        .select(key, source)
+        .select(key, source, *tb)
     )
     return bulk.unionAll(sliver)
 

@@ -4264,6 +4264,93 @@ def x_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
+@declare(
+    "x_video_clip_match",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 20),
+    corpus AS (
+      SELECT doc_id AS vid, f AS pos, doc_id*1000003 + f*7919 AS c
+      FROM ids, range(40) t(f)
+    ),
+    clips AS (
+      SELECT doc_id + 1000 AS cid, i AS pos,
+             ((doc_id*3) % 20)*1000003 + (((doc_id*7) % 30) + i)*7919 AS c
+      FROM ids, range(10) t(i)
+    ),
+    vs AS (
+      SELECT vid, pos, c AS c0,
+             lead(c,1) OVER w AS c1, lead(c,2) OVER w AS c2,
+             lead(c,3) OVER w AS c3, lead(c,4) OVER w AS c4,
+             lead(pos,4) OVER w AS lastpos
+      FROM corpus WINDOW w AS (PARTITION BY vid ORDER BY pos)
+    ),
+    cs AS (
+      SELECT cid, pos, c AS c0,
+             lead(c,1) OVER w AS c1, lead(c,2) OVER w AS c2,
+             lead(c,3) OVER w AS c3, lead(c,4) OVER w AS c4,
+             lead(pos,4) OVER w AS lastpos
+      FROM clips WINDOW w AS (PARTITION BY cid ORDER BY pos)
+    ),
+    cand AS (
+      SELECT cs.cid AS clip_id, vs.vid AS video_id,
+             vs.pos - cs.pos AS off
+      FROM vs JOIN cs
+        ON vs.c0 = cs.c0 AND vs.c1 = cs.c1 AND vs.c2 = cs.c2
+       AND vs.c3 = cs.c3 AND vs.c4 = cs.c4
+      WHERE vs.lastpos = vs.pos + 4 AND cs.lastpos = cs.pos + 4
+    )
+    SELECT clip_id, video_id, CAST(off AS BIGINT) AS "offset",
+           CAST(COUNT(*) AS BIGINT) AS n_votes
+    FROM cand GROUP BY clip_id, video_id, off
+    HAVING COUNT(*) >= 2
+    ORDER BY clip_id, video_id, "offset"
+    """,
+)
+def x_video_clip(spark: SparkSession, sf: str) -> DataFrame:
+    """Clip-in-clip temporal alignment (operators/phash.py:
+    video_clip_matches — r9 VERDICT #3): 20 synthetic 40-frame code
+    sequences; each clip is a 10-frame excerpt of video ``(id·3)%20``
+    starting at frame ``(id·7)%30``. The operator shingles k=5
+    consecutive frame codes per video (one lead window keyed on the
+    video id), equi-joins clip shingles against corpus shingles, and
+    offset-votes — each clip must surface exactly its source video at
+    exactly its cut offset with 10−k+1 = 6 votes. Declared with
+    ``hashed=False`` (struct shingle keys) so DuckDB replays the chain
+    verbatim; hashed≡struct parity and brute-force exactness are
+    test-pinned (tests/test_phash.py), and the production default
+    stays the 8-byte xxhash64 key."""
+    from ..operators.phash import video_clip_matches
+
+    ids = t(spark, sf, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id"
+    )
+    code = lambda d, f: (d * F.lit(1_000_003) + f * F.lit(7_919))
+    corpus = ids.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(39))).alias("frame_no")
+    ).select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        code(F.col("doc_id"), F.col("frame_no")).alias("phash"),
+    )
+    clips = ids.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i")
+    ).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.col("i").cast("long").alias("frame_no"),
+        code(
+            (F.col("doc_id") * 3) % 20,
+            ((F.col("doc_id") * 7) % 30) + F.col("i"),
+        ).alias("phash"),
+    )
+    m = video_clip_matches(clips, corpus, k=5, min_votes=2, hashed=False)
+    return m.select(
+        "clip_id",
+        "video_id",
+        F.col("offset").cast("long").alias("offset"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+    ).orderBy("clip_id", "video_id", "offset")
+
+
 # ---------------------------------------------------------------------------
 # perceptual audio near-dup (completes the multimodal dedup family:
 # text MinHash → image pHash → audio AFP; operators/afp.py)

@@ -198,3 +198,46 @@ def test_probe_plan_is_banded_equijoin_history_not_shuffled(spark, sf_dir):
     assert "BroadcastHashJoin" in s3
     assert "CartesianProduct" not in s3 and "NestedLoop" not in s3
     assert json.dumps(ph)  # params stay JSON-serializable (meta contract)
+
+
+def test_embedding_simhash_rides_hamming_index(spark, sf_dir, tmpdir):
+    """Embedding near-dup through the SAME standing hamming index the
+    perceptual codes use: sign-projection codes are scale-invariant
+    (positive rescale flips no plane sign → Hamming 0), so rescaled
+    re-ingests match their source exactly, while unrelated embeddings
+    sit ~n_bits/2 bits away and never probe out."""
+    from blockchaintoavro_spark.operators.similarity import (
+        embedding_simhash64,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+    codes = embedding_simhash64(emb)
+    idx = f"{tmpdir}/nd_emb"
+    build_neardup_index(
+        codes, idx, kind="hamming", id_col="vec_id", code_col="code",
+        n_bands=4, max_hamming=3,
+    )
+    # batch: positive-rescaled copies of vectors 0..9 (+offset ids) and
+    # ten fresh unrelated vectors (60..69)
+    rescaled = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 10
+    ).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 2.5
+        ).alias("embedding"),
+    )
+    fresh = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        (F.col("vec_id") >= 60) & (F.col("vec_id") < 70)
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    batch_codes = embedding_simhash64(rescaled.unionByName(fresh))
+    got = probe_neardup_index(batch_codes, idx, append="none").collect()
+    matches = {(r["d_new"], r["d_old"]): r["hamming"] for r in got}
+    # every rescaled copy matches exactly its source at Hamming 0 …
+    assert {(1000 + i, i): 0 for i in range(10)}.items() <= matches.items()
+    # … and nothing else sneaks in (unrelated ≈ 31 bits away)
+    assert all(dn >= 1000 and dn - 1000 == do for (dn, do) in matches)

@@ -2937,3 +2937,184 @@ def test_sorted_over_gate_exposes_persist_handle(spark):
         n = out.count()
         assert n >= 0
         out._spark_graft_persisted.unpersist()
+
+
+def test_ivf_append_no_training_equivalence_and_drift(spark, sf_dir, tmp_path):
+    """r9 VERDICT #5: append_to_ivf_index grows a persisted index with
+    the STANDING centroids — zero Lloyd jobs (monkey-proofed), results
+    identical to assigning everything with those centroids in one pass,
+    running stats maintained across appends, and the drift ratio must
+    flag a distribution shift."""
+    import shutil
+
+    import blockchaintoavro_spark.operators.similarity as sim
+    from blockchaintoavro_spark.operators.similarity import (
+        _ivf_probe,
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    a = emb.filter(F.col("vec_id") < 100)
+    b = emb.filter(F.col("vec_id") >= 100)
+    idx = str(tmp_path / "ivf_inc")
+    build_ivf_index(a, idx, n_centroids=16, n_iters=3)
+
+    def boom(*args, **kwargs):  # pragma: no cover - must not be hit
+        raise AssertionError("append must never retrain")
+
+    orig = sim.train_ivf_centroids
+    sim.train_ivf_centroids = boom
+    try:
+        drift = append_to_ivf_index(idx, b)
+    finally:
+        sim.train_ivf_centroids = orig
+    assert drift["n_indexed"] == 100 and drift["n_appended"] == 100
+    assert drift["index_mean_dist"] > 0 and drift["drift_ratio"] > 0
+
+    # equivalence: query over (build A + append B) == one-pass
+    # assignment of A∪B with the SAME standing centroids
+    cents = spark.read.parquet(f"{idx}/centroids").orderBy("cid").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    q = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        map(tuple, query_ivf(spark, idx, q, k=3, nprobe=6)
+            .select("q_id", "neighbor_id").collect())
+    )
+    assigned_all = sim._assign_with_dist(
+        emb, centroids, "vec_id", "embedding"
+    ).drop("_dist")
+    ref = sorted(
+        map(tuple, _ivf_probe(assigned_all, q, centroids, 3, 6,
+                              "vec_id", "embedding")
+            .select("q_id", "neighbor_id").collect())
+    )
+    assert got == ref and len(got) > 0
+
+    # running stats accumulate; stats survive as the new baseline
+    srow = spark.read.parquet(f"{idx}/stats").first()
+    assert srow["n"] == 200
+
+    # held-out data reads ABOVE the training baseline (Lloyd fits the
+    # build snapshot) — exactly the signal the metric exists to surface
+    assert drift["drift_ratio"] > 1.0, drift
+
+    # a second append sees the UPDATED running baseline: the weighted
+    # mean of the original index and the first appended batch
+    d2 = append_to_ivf_index(
+        idx,
+        b.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding"),
+    )
+    want_mean = (
+        drift["index_mean_dist"] * drift["n_indexed"]
+        + drift["batch_mean_dist"] * drift["n_appended"]
+    ) / 200
+    assert d2["n_indexed"] == 200
+    assert abs(d2["index_mean_dist"] - want_mean) < 1e-9, (drift, d2)
+    # re-appending the same batch against its own baseline: ratio falls
+    # toward 1 (the batch is now part of the baseline)
+    assert d2["drift_ratio"] < drift["drift_ratio"], (drift, d2)
+
+    # legacy index without stats: baseline backfills with one scan
+    shutil.rmtree(f"{idx}/stats")
+    d3 = append_to_ivf_index(idx, q.limit(5))
+    assert d3["n_indexed"] == 300 and d3["index_mean_dist"] is not None
+
+
+def test_ivfpq_append_no_training_and_query_sees_appended(spark, sf_dir, tmp_path):
+    """IVFADC append leg: encode-with-standing-model only (no train_ivfpq
+    call), appended codes are immediately searchable, and running stats
+    track the coarse-quantizer drift."""
+    import blockchaintoavro_spark.operators.pq as pqmod
+    from blockchaintoavro_spark.operators.pq import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_topk,
+        query_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    a = emb.filter(F.col("vec_id") < 100)
+    b = emb.filter(F.col("vec_id") >= 100)
+    idx = str(tmp_path / "ivfpq_inc")
+    build_ivfpq_index(a, idx, n_centroids=16, m=8, n_codes=16)
+
+    def boom(*args, **kwargs):  # pragma: no cover
+        raise AssertionError("append must never retrain")
+
+    orig = pqmod.train_ivfpq
+    pqmod.train_ivfpq = boom
+    try:
+        drift = append_to_ivfpq_index(idx, b)
+    finally:
+        pqmod.train_ivfpq = orig
+    assert drift["n_indexed"] == 100 and drift["n_appended"] == 100
+    assert drift["drift_ratio"] is not None
+
+    # equivalence: persisted query == in-memory IVFADC over codes
+    # encoded with the same standing model for A∪B
+    centroids, books = pqmod._read_ivfpq_model(spark, idx)
+    q = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        map(tuple, query_ivfpq(spark, idx, q, k=3, nprobe=6)
+            .select("q_id", "neighbor_id").collect())
+    )
+    enc_all = ivfpq_encode(emb, centroids, books)
+    ref = sorted(
+        map(tuple, ivfpq_topk(enc_all, q, centroids, books, k=3, nprobe=6)
+            .select("q_id", "neighbor_id").collect())
+    )
+    assert got == ref and len(got) > 0
+    assert spark.read.parquet(f"{idx}/stats").first()["n"] == 200
+
+
+def test_mixture_tiebreak_deterministic_at_boundary(spark):
+    """r9 VERDICT #6: duplicate/NULL keys tying at a budget boundary
+    previously made the straddling pick run-dependent; an optional
+    stable tiebreak column makes the order total — identical subsets
+    across partitionings — and rides the output so the picked rows are
+    identifiable."""
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.operators.quality import (
+        budget_mixture,
+        temperature_mixture,
+    )
+
+    # five NULL-key rows of 10 tokens, budget 25: rows with cum_before
+    # 0/10/20 are kept, so WHICH three of the five ties win is exactly
+    # the nondeterminism the tiebreak closes
+    rows = [(None, "web", 10, f"u{i}") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n int, uid string"
+    )
+    picks = set()
+    for parts in (1, 7, 32):
+        got = budget_mixture(
+            df.repartition(parts), F.col("n"), {"web": 25}, tiebreak="uid"
+        )
+        picks.add(tuple(sorted(r["uid"] for r in got.collect())))
+    assert picks == {("u0", "u1", "u2")}
+
+    # temperature: four rows sharing ONE key, take 2 — the sliver rank
+    # ties completely without the tiebreak
+    rows2 = [("k", "web", f"u{i}") for i in range(4)]
+    df2 = spark.createDataFrame(rows2, "doc_id string, source string, uid string")
+    picks2 = set()
+    for parts in (1, 5, 32):
+        got = temperature_mixture(
+            df2.repartition(parts), target_total=2, tau=1.0, tiebreak="uid"
+        )
+        picks2.add(tuple(sorted(r["uid"] for r in got.collect())))
+    assert picks2 == {("u0", "u1")}
+
+    with _pytest.raises(ValueError, match="tiebreak"):
+        budget_mixture(df, F.col("n"), {"web": 25}, tiebreak="doc_id")
+    with _pytest.raises(ValueError, match="tiebreak"):
+        temperature_mixture(df2, target_total=2, tiebreak="source")

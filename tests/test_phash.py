@@ -263,3 +263,109 @@ def test_video_neardup_plan_is_banded_equi_join(spark):
     p = jvm.PythonSQLUtils.explainString(pairs._jdf.queryExecution(), "simple")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def _seq_codes(spark, rows):
+    """(doc_id, frame_no, phash) frame-code table from python triples."""
+    return spark.createDataFrame(
+        rows, "doc_id long, frame_no long, phash long"
+    )
+
+
+def test_video_clip_match_finds_embedded_excerpt(spark):
+    """r9 VERDICT #3 done-criterion: a 10-frame excerpt embedded in a
+    100-frame video is found at the correct offset; a decoy video with
+    disjoint content never matches; a dropped (undecodable) corpus
+    frame only removes the shingles that cross the gap."""
+    from blockchaintoavro_spark.operators.phash import video_clip_matches
+
+    code = lambda d, f: (d * 1_000_003 + f * 7_919) % (1 << 62)
+    video = [(1, f, code(1, f)) for f in range(100)]
+    decoy = [(2, f, code(2, f)) for f in range(100)]
+    clip = [(1000, i, code(1, 20 + i)) for i in range(10)]  # frames 20..29
+    got = video_clip_matches(
+        _seq_codes(spark, clip), _seq_codes(spark, video + decoy), k=5
+    ).collect()
+    assert [(r["clip_id"], r["video_id"], r["offset"], r["n_votes"]) for r in got] == [
+        (1000, 1, 20, 6)  # 10 - k + 1 = 6 aligned shingles, one offset
+    ]
+
+    # corpus loses frame 24 (mid-excerpt): shingles crossing the gap
+    # must NOT form from non-adjacent codes — votes drop to the two
+    # surviving contiguous runs (20..23 → 0 shingles of len 5; 25..29 →
+    # one shingle at 25), below min_votes=2 → no match; with
+    # min_votes=1 the surviving alignment is still at offset 20
+    holed = [(1, f, code(1, f)) for f in range(100) if f != 24]
+    got2 = video_clip_matches(
+        _seq_codes(spark, clip), _seq_codes(spark, holed), k=5
+    ).collect()
+    assert got2 == []
+    got3 = video_clip_matches(
+        _seq_codes(spark, clip), _seq_codes(spark, holed), k=5, min_votes=1
+    ).collect()
+    assert [(r["video_id"], r["offset"], r["n_votes"]) for r in got3] == [(1, 20, 1)]
+
+
+def test_video_clip_match_exact_vs_brute_force_and_hash_parity(spark):
+    """Offset voting must equal the brute-force histogram over all
+    (clip shingle, video shingle) equal-code-window pairs, and the
+    8-byte hashed join key must give the same result as joining on the
+    raw k-code windows. Repeated content (a looped segment) is included
+    so multi-hit voting is exercised."""
+    from blockchaintoavro_spark.operators.phash import video_clip_matches
+
+    k, min_votes = 3, 1
+    # video 1: a 6-frame motif repeated at 0, 10 (loop), noise between;
+    # video 2: unrelated
+    motif = [((i * 37) % 11) for i in range(6)]
+    codes1 = {}
+    for f in range(30):
+        codes1[f] = 1_000 + ((f * 73) % 997)
+    for s in (0, 10):
+        for i, m in enumerate(motif):
+            codes1[s + i] = 2_000 + m
+    corpus_rows = [(1, f, c) for f, c in codes1.items()]
+    corpus_rows += [(2, f, 3_000 + f) for f in range(30)]
+    clip_rows = [(9, i, 2_000 + m) for i, m in enumerate(motif)]
+
+    def shingles(rows):
+        by = {}
+        for d, f, c in rows:
+            by.setdefault(d, {})[f] = c
+        out = []
+        for d, m in by.items():
+            for f in m:
+                win = [m.get(f + j) for j in range(k)]
+                if None not in win:
+                    out.append((d, f, tuple(win)))
+        return out
+
+    want = {}
+    for cd, cp, cw in shingles(clip_rows):
+        for vd, vp, vw in shingles(corpus_rows):
+            if cw == vw:
+                key = (cd, vd, vp - cp)
+                want[key] = want.get(key, 0) + 1
+    want = {key: n for key, n in want.items() if n >= min_votes}
+    assert len(want) >= 2  # both motif occurrences align
+
+    for hashed in (True, False):
+        got = {
+            (r["clip_id"], r["video_id"], r["offset"]): r["n_votes"]
+            for r in video_clip_matches(
+                _seq_codes(spark, clip_rows),
+                _seq_codes(spark, corpus_rows),
+                k=k, min_votes=min_votes, hashed=hashed,
+            ).collect()
+        }
+        assert got == want, (hashed, got, want)
+
+    # plan: one equi-join on the shingle key — no nested loop ever
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        video_clip_matches(
+            _seq_codes(spark, clip_rows), _seq_codes(spark, corpus_rows), k=k
+        )._jdf.queryExecution(),
+        "simple",
+    )
+    assert "CartesianProduct" not in p and "NestedLoop" not in p

@@ -377,6 +377,94 @@ def bench_round9_operators(spark) -> dict:
     return results
 
 
+def bench_round10_operators(spark) -> dict:
+    """Round-10 additions.
+
+    ``stripper_refresh_packed`` (r9 VERDICT finding #1 done-criterion):
+    the standing-dictionary broadcast rebuild now collects packed
+    8-byte blobs instead of millions of Row objects — recorded as the
+    DRIVER's peak-RSS delta across a refresh of a 4M-entry store. The
+    old Row path transiently held ~100 B/entry of Row objects (~400 MB
+    at 4M, GBs at the 8M gate); the packed path should stay within a
+    few copies of the 32 MB array.
+
+    ``neardup_index_probe``: the incremental near-dup index's
+    daily-ingest shape — a FIXED 500-doc batch probed against standing
+    band tables of growing size. Probe cost may grow with the index
+    scan (one pass over history's bands) but must never blow up
+    quadratically; the build is the amortized once-per-snapshot cost.
+    """
+    import resource
+    import shutil
+    import tempfile
+
+    results: dict[str, dict] = {}
+
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        SortedDictStripper,
+    )
+
+    n_hashes = 4_000_000
+    store = tempfile.mkdtemp(prefix="sg_dict_rss_")
+    (
+        spark.range(n_hashes)
+        .select(F.xxhash64("id").alias("sub"))
+        .write.mode("overwrite")
+        .parquet(store)
+    )
+    stripper = SortedDictStripper(store, store + "_out")
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    _, sec = timed(lambda: stripper._refresh(spark))
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    results["stripper_refresh_packed"] = {
+        "n_hashes": n_hashes,
+        "array_mb": round(n_hashes * 8 / 2**20, 1),
+        "driver_peak_rss_before_mb": rss_before,
+        "driver_peak_rss_after_mb": rss_after,
+        "peak_delta_mb": rss_after - rss_before,
+        "sec": sec,
+    }
+    print(
+        f"stripper_refresh_packed {n_hashes} hashes: peak RSS "
+        f"{rss_before} -> {rss_after} MB (+{rss_after - rss_before}) in {sec}s",
+        flush=True,
+    )
+    if stripper._bc is not None:
+        stripper._bc.destroy()
+    shutil.rmtree(store, ignore_errors=True)
+
+    from blockchaintoavro_spark.operators.neardup_index import (
+        build_neardup_index,
+        probe_neardup_index,
+    )
+
+    results["neardup_index_probe"] = {}
+    for mult in SCALES:
+        docs = scaled_documents(spark, mult)
+        idx = tempfile.mkdtemp(prefix="sg_ndidx_")
+        _, build_sec = timed(
+            lambda: build_neardup_index(docs, idx, kind="minhash")
+        )
+        batch = scaled_documents(spark, 1).filter("doc_id < 500")
+        n, probe_sec = timed(
+            lambda: probe_neardup_index(batch, idx, append="none").count()
+        )
+        results["neardup_index_probe"][str(5000 * mult)] = {
+            "index_docs": 5000 * mult,
+            "batch_docs": 500,
+            "matches": n,
+            "build_sec": build_sec,
+            "probe_sec": probe_sec,
+        }
+        print(
+            f"neardup_index_probe idx={5000 * mult}: build {build_sec}s, "
+            f"probe {probe_sec}s -> {n} matches",
+            flush=True,
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+    return results
+
+
 def bench_model_ops(spark) -> dict:
     """Round-9 model-based selection ops. The sweep legs (classifier
     inference, DSIR weights+sample) must scale LINEARLY in corpus size
@@ -529,6 +617,7 @@ def main() -> None:
         "round5_operators": bench_round5_operators(spark),
         "round7_operators": bench_round7_operators(spark),
         "round9_operators": bench_round9_operators(spark),
+        "round10_operators": bench_round10_operators(spark),
         "model_ops": bench_model_ops(spark),
         "ocf_split": bench_ocf_split(spark),
     }
