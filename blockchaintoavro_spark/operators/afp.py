@@ -177,6 +177,105 @@ def afp_neardup_pairs(
     )
 
 
+def afp_codes_windowed(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window_samples: int = 8192,
+    hop_samples: int = 4096,
+) -> DataFrame:
+    """Fingerprint STREAM per clip: one 63-bit AFP code per hop-aligned
+    window of the decoded mono samples — ``(id, frame_no, afp)`` with
+    ``frame_no`` the window index. This is the Shazam-shaped layout
+    (Haitsma & Kalker 2002 §III extract sub-fingerprints per frame, not
+    one per clip) that turns audio CLIP-IN-CLIP search into the
+    frame-code problem the video machinery already solves end to end:
+    feed the output to ``phash.video_clip_matches`` for shingled
+    offset-voting alignment ("this 10 s excerpt starts 80 s into that
+    recording"), or band the codes into the standing hamming near-dup
+    index for daily-ingest audio dedup.
+
+    Offsets come back in WINDOW units (× ``hop_samples`` = sample
+    offset). Exact matching needs the excerpt cut on the hop grid of
+    the source — shrink ``hop_samples`` to tighten the alignment
+    granularity (cost is linear in 1/hop). Same totality contract as
+    :func:`afp_codes`: undecodable/NULL payloads drop. One
+    embarrassingly parallel Arrow map; fingerprint state is 8 bytes per
+    window."""
+    from blockchaintoavro_spark.functions.audio import try_decode_audio
+
+    if hop_samples <= 0 or window_samples <= 0:
+        raise ValueError("window_samples and hop_samples must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, codes = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    d = try_decode_audio(bytes(payload))
+                except (ValueError, IndexError, struct.error):
+                    continue
+                if d is None:
+                    continue
+                x = np.asarray(d["samples"], dtype=np.int64)
+                ch = d["channels"]
+                if ch > 1:
+                    n_frames = x.size // ch
+                    x = x[: n_frames * ch].reshape(n_frames, ch).sum(axis=1)
+                w = 0
+                start = 0
+                while start + window_samples <= x.size:
+                    codes.append(afp63(x[start : start + window_samples]))
+                    ids.append(i)
+                    frame_nos.append(w)
+                    w += 1
+                    start += hop_samples
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": pd.array(frame_nos, dtype="int64"),
+                    "afp": pd.array(codes, dtype="int64"),
+                }
+            )
+
+    out_schema = (
+        df.select(id_col).schema.add("frame_no", "long").add("afp", "long")
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def audio_clip_matches(
+    clips: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    min_votes: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window_samples: int = 8192,
+    hop_samples: int = 4096,
+    hashed: bool = True,
+) -> DataFrame:
+    """Where does each audio clip occur inside which corpus recording?
+    ``(clip_id, video_id→recording id, offset, n_votes)`` with
+    ``offset`` in hop units. Pure composition: windowed AFP codes on
+    both sides (:func:`afp_codes_windowed`), then the video shingle +
+    offset-voting matcher verbatim — one equi-join, never all-pairs."""
+    from blockchaintoavro_spark.operators.phash import video_clip_matches
+
+    cw = afp_codes_windowed(
+        clips, payload_col, id_col, window_samples, hop_samples
+    )
+    vw = afp_codes_windowed(
+        corpus, payload_col, id_col, window_samples, hop_samples
+    )
+    return video_clip_matches(
+        cw, vw, k=k, min_votes=min_votes,
+        id_col=id_col, code_col="afp", hashed=hashed,
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic fixture: synthesized WAV corpus whose fingerprint a SQL
 # oracle can recompute (the x_afp_codes / x_afp_neardup declared queries)

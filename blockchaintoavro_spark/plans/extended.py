@@ -4448,6 +4448,72 @@ def x_afp_neardup(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
+@declare("x_audio_clip_match", oracle=None)
+def x_audio_clip(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio clip-in-clip search (operators/afp.py:audio_clip_matches):
+    eight synthesized 60-window recordings (id-dependent spectral
+    modulus, REAL RIFF/WAVE encode→decode), one hop-grid excerpt per
+    recording cut at window ``(id·5) % 40``; windowed AFP codes on both
+    sides feed the video shingle + offset-voting matcher verbatim, so
+    each clip must surface exactly its source recording at exactly its
+    cut offset with 12−k+1 = 8 votes. Engine-defined (xxhash64 shingle
+    keys + WHT fingerprints per window) → rows-only; exactness and the
+    off-grid contract are test-pinned (tests/test_afp.py)."""
+    import numpy as np
+
+    from ..functions.audio import encode_wav
+    from ..operators.afp import audio_clip_matches
+
+    win, hop = 512, 256
+    base = t(spark, sf, "documents").filter(F.col("doc_id") < 8).select(
+        "doc_id"
+    )
+
+    def sample(did: int, lo: int, n: int) -> "np.ndarray":
+        i = np.arange(lo, lo + n, dtype=np.int64)
+        m = 997 + (did * 53) % 151
+        return ((131 + did) * i + (i * i) % m) % 32768 - 16384
+
+    def gen_corpus(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = sample(did, 0, hop * 60 + win)
+                ids.append(did)
+                payloads.append(encode_wav(8000, 1, [int(v) for v in s], 16))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def gen_clips(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                start = (did * 5) % 40
+                s = sample(did, start * hop, hop * 11 + win)
+                ids.append(did + 500)
+                payloads.append(encode_wav(8000, 1, [int(v) for v in s], 16))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = "doc_id long, payload binary"
+    corpus = base.mapInPandas(gen_corpus, schema=schema)
+    clips = base.mapInPandas(gen_clips, schema=schema)
+    m = audio_clip_matches(
+        clips, corpus, k=5, min_votes=2,
+        window_samples=win, hop_samples=hop,
+    )
+    return m.select(
+        "clip_id",
+        "video_id",
+        F.col("offset").cast("long").alias("offset"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+    ).orderBy("clip_id", "video_id", "offset")
+
+
 @declare(
     "x_dup_spans_maximal",
     oracle="""

@@ -135,3 +135,57 @@ def test_afp_fixture_groups_are_neardups_and_groups_separate(spark):
     for g1 in range(6):
         for g2 in range(g1 + 1, 6):
             assert _ham(codes[g1 * 5], codes[g2 * 5]) >= 10
+
+
+def test_audio_clip_match_finds_embedded_excerpt(spark):
+    """Audio clip-in-clip search: an excerpt cut on the hop grid of a
+    long recording is found at the correct window offset via windowed
+    AFP codes + the video shingle/offset-voting matcher; a spectrally
+    different decoy never matches."""
+    import numpy as np
+
+    from blockchaintoavro_spark.functions.audio import encode_wav
+    from blockchaintoavro_spark.operators.afp import audio_clip_matches
+
+    win, hop = 512, 256
+
+    def pcm(n, a, b, m):
+        i = np.arange(n, dtype=np.int64)
+        return ((a * i + (i * i) % m) % 32768 - 16384).astype(np.int64)
+
+    src = pcm(hop * 60 + win, 131, 0, 1009)       # 60 windows
+    decoy = pcm(hop * 60 + win, 377, 0, 1511)
+    cut = 17  # excerpt starts at window 17 on the hop grid
+    excerpt = src[cut * hop : cut * hop + hop * 11 + win]  # 11 windows
+
+    wav = lambda s: encode_wav(8000, 1, [int(v) for v in s], 16)
+    corpus = spark.createDataFrame(
+        [(1, wav(src)), (2, wav(decoy))], "doc_id long, payload binary"
+    )
+    clips = spark.createDataFrame(
+        [(900, wav(excerpt))], "doc_id long, payload binary"
+    )
+    got = audio_clip_matches(
+        clips, corpus, k=5, min_votes=2,
+        window_samples=win, hop_samples=hop,
+    ).collect()
+    rows = [
+        (r["clip_id"], r["video_id"], r["offset"], r["n_votes"]) for r in got
+    ]
+    # 12 windows in the excerpt → 12 − k + 1 = 8 aligned shingles; the
+    # true alignment must be present with full votes and nothing may
+    # point at the decoy
+    assert (900, 1, cut, 8) in rows, rows
+    assert all(v == 1 for (_, v, _, _) in rows), rows
+
+    # off-grid cut: windows sample different byte ranges → codes differ
+    # → no alignment (the documented hop-grid contract)
+    off = spark.createDataFrame(
+        [(901, wav(src[cut * hop + 37 : cut * hop + 37 + hop * 11 + win]))],
+        "doc_id long, payload binary",
+    )
+    got2 = audio_clip_matches(
+        off, corpus, k=5, min_votes=2,
+        window_samples=win, hop_samples=hop,
+    ).collect()
+    assert got2 == [] or all(r["n_votes"] < 8 for r in got2)
