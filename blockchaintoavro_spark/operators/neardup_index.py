@@ -48,6 +48,7 @@ __all__ = [
     "probe_neardup_index",
     "NearDupScrubber",
     "neardup_scrub_stream",
+    "compact_neardup_index",
 ]
 
 _KINDS = ("minhash", "hamming")
@@ -254,6 +255,24 @@ def probe_neardup_index(
     return matches
 
 
+def _batch_pairs(df: DataFrame, kind: str, p: dict) -> DataFrame:
+    """WITHIN-batch candidate pairs under the index's own banding
+    parameters — the same construction the probe uses, applied
+    batch-vs-batch."""
+    if kind == "minhash":
+        from .dedup import minhash_candidate_pairs
+
+        return minhash_candidate_pairs(
+            df, p["id_col"], p["text_col"],
+            p["n_hashes"], p["n_bands"], p["seed"],
+        )
+    from .phash import phash_neardup_pairs
+
+    return phash_neardup_pairs(
+        df, p["max_hamming"], p["id_col"], p["code_col"], p["n_bands"]
+    ).select("d1", "d2")
+
+
 class NearDupScrubber:
     """``foreachBatch`` applier: probe each micro-batch against the
     standing index, append ONLY unseen documents (with their original
@@ -262,17 +281,27 @@ class NearDupScrubber:
     in an earlier micro-batch is dropped, and later batches dedup
     against everything kept so far. Micro-batches execute serially, so
     probe-then-append is well ordered and the stream equals the batch
-    sequence by construction (tests/test_streaming.py)."""
+    sequence by construction (tests/test_streaming.py).
+
+    ``dedup_within_batch=True`` additionally resolves near-dups INSIDE
+    each batch (banded pairs under the index's own parameters →
+    connected components → keep the min-id per cluster) before anything
+    is kept or indexed — the full production semantics when a single
+    day's crawl can contain its own duplicates. Default False: within-
+    batch duplicates both survive (the batch operators remain available
+    for callers who dedup upstream)."""
 
     def __init__(
         self,
         index_path: str,
         out_path: str,
         broadcast_max_bands: int = 4_000_000,
+        dedup_within_batch: bool = False,
     ) -> None:
         self.index_path = index_path
         self.out_path = out_path
         self.broadcast_max_bands = broadcast_max_bands
+        self.dedup_within_batch = dedup_within_batch
         self.batches = 0  # introspection for tests
 
     def scrub(self, batch: DataFrame) -> DataFrame:
@@ -281,16 +310,33 @@ class NearDupScrubber:
         from blockchaintoavro_spark.session import release_local_checkpoint
 
         kind, p = _read_meta(batch.sparkSession, self.index_path)
+        id_col = p["id_col"]
+        # probe read-only: the index must grow with the FINAL survivor
+        # set (after the optional within-batch resolution), not with
+        # every history-unmatched row
         matches = probe_neardup_index(
-            batch, self.index_path, "survivors", self.broadcast_max_bands
+            batch, self.index_path, "none", self.broadcast_max_bands
         )
         survivors = batch.join(
-            matches.select(F.col("d_new").alias(p["id_col"])).distinct(),
-            p["id_col"],
+            matches.select(F.col("d_new").alias(id_col)).distinct(),
+            id_col,
             "left_anti",
-        ).localCheckpoint()
-        # both consumers of the probe are materialized — release it
+        )
+        if self.dedup_within_batch:
+            from .dedup import dedup_clusters
+
+            labels = dedup_clusters(
+                _batch_pairs(survivors, kind, p), id_out="_ndc_id"
+            )
+            losers = labels.filter(
+                F.col("_ndc_id") != F.col("cluster_id")
+            ).select(F.col("_ndc_id").alias(id_col))
+            survivors = survivors.join(losers, id_col, "left_anti")
+        survivors = survivors.localCheckpoint()
         release_local_checkpoint(matches)
+        _bands_for(survivors, kind, p).write.mode("append").parquet(
+            f"{self.index_path}/bands"
+        )
         return survivors
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
@@ -308,16 +354,68 @@ def neardup_scrub_stream(
     out_path: str,
     checkpoint_dir: str,
     broadcast_max_bands: int = 4_000_000,
+    dedup_within_batch: bool = False,
 ):
     """Streaming leg: returns a ``DataStreamWriter`` (caller picks the
     trigger and starts it) whose ``foreachBatch`` near-dup-scrubs each
     micro-batch against the standing index at ``index_path`` via
     :class:`NearDupScrubber`, appending surviving documents to
     ``out_path`` and growing the index with their bands."""
-    applier = NearDupScrubber(index_path, out_path, broadcast_max_bands)
+    applier = NearDupScrubber(
+        index_path, out_path, broadcast_max_bands, dedup_within_batch
+    )
     writer = (
         stream.writeStream.foreachBatch(applier)
         .option("checkpointLocation", checkpoint_dir)
     )
     writer._spark_graft_applier = applier  # introspection for tests
     return writer
+
+
+def compact_neardup_index(
+    spark, index_path: str, n_files: int | None = None
+) -> dict:
+    """Rewrite the band store into ``n_files`` files clustered by
+    ``band_val`` — the maintenance step a daily-append index needs:
+    every probe lists and opens the store's whole file set, and one
+    small parquet file PER INGEST (append mode's natural output)
+    eventually makes file-system metadata, footer reads and task
+    scheduling the probe's real cost, exactly the small-files problem
+    lakehouse OPTIMIZE jobs exist for. Clustering on ``band_val`` also
+    tightens band min/max ranges per file.
+
+    Swap is write-to-side-directory + filesystem rename (works on any
+    Hadoop-supported store), so a crash mid-compact leaves the old
+    store intact. NOT safe concurrently with probes/appends — run it
+    where the micro-batches serialize (between foreachBatch calls) or
+    in a quiet window. Returns ``{files_before, files_after, rows}``."""
+    bands_path = f"{index_path}/bands"
+    tmp_path = f"{index_path}/bands_compacting"
+    jvm = spark._jvm
+    jbands = jvm.org.apache.hadoop.fs.Path(bands_path)
+    fs = jbands.getFileSystem(spark._jsc.hadoopConfiguration())
+    files_before = sum(
+        1
+        for s in fs.listStatus(jbands)
+        if not s.getPath().getName().startswith("_")
+    )
+    bands = spark.read.parquet(bands_path)
+    if n_files is None:
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+    rows = bands.count()
+    bands.repartition(n_files, "band_val").write.mode("overwrite").parquet(
+        tmp_path
+    )
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs.delete(jbands, True)
+    fs.rename(jtmp, jbands)
+    files_after = sum(
+        1
+        for s in fs.listStatus(jbands)
+        if not s.getPath().getName().startswith("_")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }

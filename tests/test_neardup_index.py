@@ -241,3 +241,49 @@ def test_embedding_simhash_rides_hamming_index(spark, sf_dir, tmpdir):
     assert {(1000 + i, i): 0 for i in range(10)}.items() <= matches.items()
     # … and nothing else sneaks in (unrelated ≈ 31 bits away)
     assert all(dn >= 1000 and dn - 1000 == do for (dn, do) in matches)
+
+
+def test_scrubber_dedup_within_batch_and_compaction(spark, tmpdir):
+    """dedup_within_batch=True resolves near-dups INSIDE a batch
+    (connected components, keep-min) before keeping or indexing
+    anything; compact_neardup_index rewrites the appended small files
+    into a few band-clustered ones with probe results unchanged."""
+    from blockchaintoavro_spark.operators.neardup_index import (
+        NearDupScrubber,
+        compact_neardup_index,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    c = "completely different content about spark shuffles and partitions"
+    idx = f"{tmpdir}/nd_wb"
+    build_neardup_index(mk([]).limit(0), idx, kind="minhash")
+    scrubber = NearDupScrubber(idx, f"{tmpdir}/nd_wb_out",
+                               dedup_within_batch=True)
+    # one batch with an internal duplicate pair (5, 9) and a unique doc
+    kept = sorted(
+        r["doc_id"] for r in scrubber.scrub(mk([(9, a), (5, a), (3, c)])).collect()
+    )
+    assert kept == [3, 5]  # min-id of the {5,9} cluster wins
+    ids = {
+        r["_nd_id"]
+        for r in spark.read.parquet(f"{idx}/bands").select("_nd_id").distinct().collect()
+    }
+    assert ids == {3, 5}  # the within-batch loser never entered the index
+    # and history still wins over later batches
+    kept2 = sorted(r["doc_id"] for r in scrubber.scrub(mk([(7, c)])).collect())
+    assert kept2 == []
+
+    # compaction: several appends have sprayed small files; rewrite to
+    # 2 and probe results stay identical
+    before_probe = sorted(
+        map(tuple, probe_neardup_index(mk([(100, a), (101, c)]), idx,
+                                       append="none").collect())
+    )
+    stats = compact_neardup_index(spark, idx, n_files=2)
+    assert stats["files_after"] <= 2 < stats["files_before"]
+    after_probe = sorted(
+        map(tuple, probe_neardup_index(mk([(100, a), (101, c)]), idx,
+                                       append="none").collect())
+    )
+    assert after_probe == before_probe and len(after_probe) == 2
