@@ -1032,3 +1032,23 @@ def test_ivfpq_probe_is_equi_join_on_cid(spark, sf_dir):
     assert "BroadcastHashJoin" in p and "cid" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p
+
+
+def test_html_extract_is_pure_projection(spark, registry, sf_dir):
+    """Raw-HTML extraction must be a zero-shuffle, zero-Python scan
+    projection (before the final presentation sort): the whole
+    element-drop → segment → strip → decode → keep-rule chain fuses
+    into whole-stage codegen."""
+    p = plan_of(spark, registry, "x_html_extract", sf_dir)
+    assert "Exchange hashpartitioning" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_video_clip_match_plan_no_nested_loop(spark, registry, sf_dir):
+    """Clip-in-clip alignment: per-asset lead windows + ONE equi-join
+    on the shingle key + a bounded vote aggregate — no cartesian
+    product, no nested loop, and the only window Exchanges are keyed on
+    the asset ids."""
+    p = plan_of(spark, registry, "x_video_clip_match", sf_dir, mode="simple")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
