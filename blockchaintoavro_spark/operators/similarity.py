@@ -621,6 +621,35 @@ def append_to_ivf_index(
     }
 
 
+def rebuild_ivf_index(
+    spark,
+    index_path: str,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+) -> None:
+    """Close the drift loop: when :func:`append_to_ivf_index` reports a
+    drift ratio past the operator's threshold, retrain the coarse
+    quantizer FROM THE INDEX'S OWN STORED VECTORS (the assignments
+    table carries ``_cv``) and rewrite centroids + re-clustered
+    assignments + stats in place — no access to the original corpus
+    table needed, so the index is self-maintaining. Costs one Lloyd run
+    over the indexed vectors (the same price as the original build at
+    the index's current size); queries before/after see the same vector
+    set under a better-fitting quantizer."""
+    assigned = spark.read.parquet(f"{index_path}/assignments").select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("_cv").alias("embedding"),
+    )
+    # localCheckpoint: the rebuild overwrites the path it reads from
+    assigned = assigned.localCheckpoint()
+    try:
+        build_ivf_index(assigned, index_path, n_centroids, n_iters)
+    finally:
+        from ..session import release_local_checkpoint
+
+        release_local_checkpoint(assigned)
+
+
 def query_ivf(
     spark,
     index_path: str,

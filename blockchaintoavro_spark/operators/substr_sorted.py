@@ -823,6 +823,124 @@ def write_dup_dictionary(
     )
 
 
+def append_gram_counts(
+    batch: DataFrame,
+    store_path: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_rows_per_partition: int | None = None,
+    n_partitions: int | None = None,
+) -> None:
+    """INCREMENTAL detection, write half: append the batch's per-gram
+    distinct-doc counts ``(sub, n_docs)`` to an LSM-shaped standing
+    count store — so the duplicated-span dictionary of a GROWING corpus
+    never re-detects history (``write_dup_dictionary`` re-runs the full
+    snapshot per refresh; this costs one detection of the INGEST).
+    Thresholding happens at :func:`refresh_dup_dictionary` time, so the
+    store keeps min_docs=1 counts and any threshold can be derived
+    later. ``{store_path}/meta`` pins ``k``/columns; appending with a
+    different ``k`` raises (mixed-width fingerprints would silently
+    corrupt counts).
+
+    Count semantics: per-batch DISTINCT-doc counts SUM to the corpus
+    distinct-doc count exactly when batches carry disjoint document
+    ids — the append-only corpus shape; re-ingests should be dropped
+    first by ``incremental_dedup`` (exact) or the near-dup index, which
+    is the pipeline order a production ingest runs anyway.
+
+    Physical shape: the batch detection is the packed sorted-gram
+    Exchange (one per ingest, sized to the ingest); the append is a
+    partition-local parquet write. Nothing reads history."""
+    import json as _json
+
+    spark = batch.sparkSession
+    meta_path = f"{store_path}/meta"
+    jvm = spark._jvm
+    jmeta = jvm.org.apache.hadoop.fs.Path(meta_path)
+    fs = jmeta.getFileSystem(spark._jsc.hadoopConfiguration())
+    params = {"k": k, "id_col": id_col, "text_col": text_col}
+    if fs.exists(jmeta):
+        stored = _json.loads(spark.read.parquet(meta_path).first()["params"])
+        if stored != params:
+            raise ValueError(
+                f"gram store {store_path} was built with {stored}, "
+                f"got {params}"
+            )
+    else:
+        spark.createDataFrame(
+            [(_json.dumps(params, sort_keys=True),)], "params string"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    (
+        duplicated_substrings_sorted(
+            batch, k, 1, id_col, text_col,
+            target_rows_per_partition, n_partitions,
+        )
+        .write.mode("append")
+        .parquet(f"{store_path}/counts")
+    )
+
+
+def compact_gram_counts(
+    spark, store_path: str, n_files: int | None = None
+) -> dict:
+    """Merge the count store's per-ingest delta files: one
+    ``groupBy(sub).sum`` rewrite behind a crash-safe rename — the LSM
+    compaction that keeps both the store's file count and its row count
+    (one row per distinct gram, not per gram per ingest) bounded. Not
+    concurrent-safe with appends; run between ingests. Returns
+    ``{rows_before, rows_after, files_after}``."""
+    counts_path = f"{store_path}/counts"
+    tmp_path = f"{store_path}/counts_compacting"
+    counts = spark.read.parquet(counts_path)
+    rows_before = counts.count()
+    if n_files is None:
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+    merged = counts.groupBy("sub").agg(F.sum("n_docs").alias("n_docs"))
+    merged.repartition(n_files, "sub").write.mode("overwrite").parquet(
+        tmp_path
+    )
+    jvm = spark._jvm
+    jc = jvm.org.apache.hadoop.fs.Path(counts_path)
+    jt = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs = jc.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jc, True)
+    fs.rename(jt, jc)
+    out = spark.read.parquet(counts_path)
+    return {
+        "rows_before": rows_before,
+        "rows_after": out.count(),
+        "files_after": sum(
+            1
+            for s in fs.listStatus(jc)
+            if not s.getPath().getName().startswith("_")
+        ),
+    }
+
+
+def refresh_dup_dictionary(
+    spark, store_path: str, dict_path: str, min_docs: int = 2
+) -> int:
+    """Derive the duplicated-fingerprint dictionary from the standing
+    count store — ``sum(n_docs) ≥ min_docs`` over the (possibly
+    un-compacted) deltas — and overwrite ``dict_path``, the store
+    :class:`SortedDictStripper` watches: its next micro-batch sees the
+    new file set and re-broadcasts once. With disjoint-id ingests the
+    result equals ``write_dup_dictionary`` on the full concatenated
+    corpus (test-pinned), at the cost of one scan of the count store
+    instead of re-detecting every document ever ingested. Returns the
+    dictionary size."""
+    dups = (
+        spark.read.parquet(f"{store_path}/counts")
+        .groupBy("sub")
+        .agg(F.sum("n_docs").alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select("sub")
+    )
+    dups.write.mode("overwrite").parquet(dict_path)
+    return spark.read.parquet(dict_path).count()
+
+
 def _store_token(spark, path: str):
     """Snapshot identity of a dictionary store: the sorted
     ``(name, length, mtime)`` of its files via the Hadoop FileSystem

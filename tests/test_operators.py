@@ -3118,3 +3118,110 @@ def test_mixture_tiebreak_deterministic_at_boundary(spark):
         budget_mixture(df, F.col("n"), {"web": 25}, tiebreak="doc_id")
     with _pytest.raises(ValueError, match="tiebreak"):
         temperature_mixture(df2, target_total=2, tiebreak="source")
+
+
+def test_incremental_gram_counts_equal_full_detection(spark, sf_dir, tmp_path):
+    """The LSM-shaped incremental detection store: appending per-ingest
+    gram counts and deriving the dictionary must equal full detection
+    over the concatenated corpus (disjoint-id ingests), compaction must
+    merge deltas without changing the derived dictionary, and a
+    mismatched k must be rejected."""
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        append_gram_counts,
+        compact_gram_counts,
+        duplicated_substrings_sorted,
+        refresh_dup_dictionary,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    b1 = docs.filter(F.col("doc_id") < 60)
+    b2 = docs.filter(F.col("doc_id") >= 60)
+    store = str(tmp_path / "gram_store")
+    dict_path = str(tmp_path / "dup_dict")
+    append_gram_counts(b1, store, k=15)
+    append_gram_counts(b2, store, k=15)
+    n = refresh_dup_dictionary(spark, store, dict_path, min_docs=2)
+    got = {r["sub"] for r in spark.read.parquet(dict_path).collect()}
+    want = {
+        r["sub"]
+        for r in duplicated_substrings_sorted(docs, k=15, min_docs=2)
+        .select("sub")
+        .collect()
+    }
+    assert got == want and n == len(want) > 0
+
+    # compaction merges deltas; the derived dictionary is unchanged
+    stats = compact_gram_counts(spark, store, n_files=2)
+    assert stats["rows_after"] < stats["rows_before"]
+    refresh_dup_dictionary(spark, store, dict_path, min_docs=2)
+    assert {r["sub"] for r in spark.read.parquet(dict_path).collect()} == want
+
+    # appending at a different k must refuse (silent count corruption)
+    with _pytest.raises(ValueError, match="was built with"):
+        append_gram_counts(b1, store, k=20)
+
+    # and the counts themselves stay exact across the merge: a spot
+    # check that total mass equals the full-corpus detection's counts
+    full = {
+        (r["sub"], r["n_docs"])
+        for r in duplicated_substrings_sorted(docs, k=15, min_docs=1).collect()
+    }
+    merged = {
+        (r["sub"], r["n_docs"])
+        for r in spark.read.parquet(f"{store}/counts").collect()
+    }
+    assert merged == full
+
+
+def test_ivf_rebuild_from_own_vectors_closes_drift_loop(spark, sf_dir, tmp_path):
+    """rebuild_ivf_index retrains the quantizer from the assignments
+    table itself (no corpus access): the vector set is preserved, the
+    rebuilt quantizer fits the grown index better (post-rebuild running
+    mean distance <= the drifted pre-rebuild mean), and full-probe
+    queries stay exact."""
+    from blockchaintoavro_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf,
+        rebuild_ivf_index,
+        topk_per_query,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    idx = str(tmp_path / "ivf_rebuild")
+    build_ivf_index(emb.filter(F.col("vec_id") < 100), idx, n_centroids=16)
+    append_to_ivf_index(idx, emb.filter(F.col("vec_id") >= 100))
+    drifted = spark.read.parquet(f"{idx}/stats").first()
+    ids_before = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .select("neighbor_id").collect()
+    }
+    rebuild_ivf_index(spark, idx, n_centroids=16)
+    ids_after = {
+        r["neighbor_id"]
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .select("neighbor_id").collect()
+    }
+    assert ids_after == ids_before and len(ids_after) == 200
+    rebuilt = spark.read.parquet(f"{idx}/stats").first()
+    assert rebuilt["n"] == 200
+    # quantizer trained on ALL 200 fits at least as well as the one
+    # trained on the first 100 measured over the same 200 vectors
+    assert rebuilt["dist_sum"] / 200 <= drifted["dist_sum"] / 200 + 1e-9
+    # probing every list stays exact after the rebuild
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        (r.q_id, r.neighbor_id)
+        for r in query_ivf(spark, idx, q, k=3, nprobe=16).collect()
+    )
+    exact = sorted(
+        (r.q_id, r.neighbor_id) for r in topk_per_query(emb, q, k=3).collect()
+    )
+    assert got == exact
