@@ -1380,6 +1380,108 @@ def x_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_tpch_q6",
+    oracle="""
+    SELECT CAST(CAST(ROUND(
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))), 4)
+             AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def x_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — the canonical pure
+    scan-side query: three conjunctive predicates that must ALL reach
+    the parquet scan (PushedFilters — plan-asserted: no join, no
+    residual filter stage doing the scan's work) feeding one partial
+    aggregate. The decimal products accumulate exactly; only the final
+    sum rounds. At 100 TB this query is a pruning benchmark: with the
+    z-order/date-partition layouts this repo provides, min/max stats
+    skip every non-1996 file before a byte is read."""
+    from ._util import dec2
+
+    li = t(spark, sf, "lineitem")
+    rev = dec2("l_extendedprice") * dec2("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & dec2("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev), 4)
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+@declare(
+    "x_tpch_q9_like",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(ROUND(
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4)
+             AS DECIMAL(38,4)) AS DOUBLE) AS profit_like
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def x_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit (adapted to the reduced
+    schema: no partsupp, so 'profit' is the revenue leg) — the classic
+    JOIN-ORDER test: the LIKE-filtered part list must semi-reduce the
+    fact FIRST (broadcast), supplier→nation is the dim chain, and the
+    orders join exists only to extract the year. Plan-asserted: three
+    broadcast joins, no cartesian; the grouped sums accumulate exact
+    decimals and round once."""
+    from ._util import dec2
+
+    li = t(spark, sf, "lineitem")
+    p = (
+        t(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(rev), 4)
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("profit_like")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@declare(
     "x_g711_decode",
     oracle="""
     WITH base AS (

@@ -1052,3 +1052,27 @@ def test_video_clip_match_plan_no_nested_loop(spark, registry, sf_dir):
     p = plan_of(spark, registry, "x_video_clip_match", sf_dir, mode="simple")
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
+
+
+def test_tpch_q6_pure_scan_with_pushed_filters(spark, registry, sf_dir):
+    """Q6 is a pruning benchmark: no join anywhere, and the date/
+    quantity predicates reach the parquet scan as PushedFilters (the
+    decimal-cast discount band stays a codegen'd residual — casts
+    don't push, which is expected and fine)."""
+    p = plan_of(spark, registry, "x_tpch_q6", sf_dir)
+    assert "Join" not in p, p
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+
+
+def test_tpch_q9_part_filter_broadcast_semireduces_fact(spark, registry, sf_dir):
+    """Q9 shape: the LIKE-restricted part list, supplier and nation all
+    broadcast (the fact is never shuffled for a dim), no cartesian
+    product, and the p_name LIKE filter is applied at/below the part
+    scan — join-order evidence for the classic profit query."""
+    s = plan_of(spark, registry, "x_tpch_q9_like", sf_dir, mode="simple")
+    assert s.count("BroadcastHashJoin") >= 3, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+    p = plan_of(spark, registry, "x_tpch_q9_like", sf_dir)
+    assert "StartsWith" in p or "Contains" in p or "LIKE" in p or "Like" in p, p
