@@ -657,6 +657,58 @@ def x_dup_substrings_sorted(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_incremental_gram_dict",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 20) AS sub
+      FROM documents,
+           UNNEST(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS t(i)
+      WHERE doc_id < 100
+    ), d AS (SELECT DISTINCT doc_id, sub FROM pos),
+    dups AS (
+      SELECT sub, COUNT(*) AS c FROM d GROUP BY sub HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(c AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM dups GROUP BY c ORDER BY n_docs
+    """,
+)
+def x_inc_gram(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL substring detection equals full detection, driver-
+    checked (operators/substr_sorted.py:append_gram_counts — r10): the
+    corpus arrives as TWO disjoint ingests (even/odd doc_ids < 100),
+    each appending only its own per-gram distinct-doc counts to an
+    LSM-shaped standing store; the duplicated-gram distribution derived
+    from the SUMMED deltas must hash-match the oracle's single-shot
+    verbatim detection over the whole corpus — the same distribution
+    check as x_dup_substrings_sorted, but reached through the
+    incremental path. Detection cost per ingest is the ingest, never
+    history."""
+    import shutil
+    import tempfile
+
+    from ..operators.substr_sorted import append_gram_counts
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    store = tempfile.mkdtemp(prefix="spark_graft_gramstore_")
+    try:
+        append_gram_counts(d.filter(F.col("doc_id") % 2 == 0), store, k=20)
+        append_gram_counts(d.filter(F.col("doc_id") % 2 == 1), store, k=20)
+        out = (
+            spark.read.parquet(f"{store}/counts")
+            .groupBy("sub")
+            .agg(F.sum("n_docs").alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .groupBy(F.col("_n").cast("long").alias("n_docs"))
+            .agg(F.count("*").cast("long").alias("n_grams"))
+            .orderBy("n_docs")
+        )
+        # eager: the tmp store drops before the driver consumes
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+@declare(
     "x_strip_dup_spans_sorted",
     oracle="""
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),

@@ -97,3 +97,41 @@ def test_extract_composes_zero_shuffle_with_curation(spark):
     # and it actually runs end to end
     out = scored.limit(5).collect()
     assert len(out) == 5
+
+
+def test_html_extract_builds_on_streaming_input(spark, tmpdir):
+    """Pure-projection extraction runs unchanged on a streaming frame
+    (no state, no watermark needed) — the web-pipeline stage-0 shape:
+    crawl drop-dir in, clean text out, batch-equals-stream."""
+    docs = spark.createDataFrame(
+        [
+            (1, "<nav>Home About Contact Login</nav><p>this is the kind "
+                "of page a crawl actually yields for it</p>"),
+            (2, "<style>p{}</style><p>and this one too because it is</p>"
+                "<footer>Copyright 2024 Corp</footer>"),
+        ],
+        "doc_id long, html string",
+    )
+    src = f"{tmpdir}/html_src"
+    docs.write.parquet(src)
+    want = {
+        (r["doc_id"], r["text"])
+        for r in docs.select(
+            "doc_id", html_extract_text("html").alias("text")
+        ).collect()
+    }
+    out = f"{tmpdir}/html_out"
+    (
+        spark.readStream.schema(docs.schema)
+        .parquet(src)
+        .select("doc_id", html_extract_text("html").alias("text"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{tmpdir}/html_ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert got == want and len(got) == 2
+    assert all("Copyright" not in t and "Home" not in t for _, t in got)
