@@ -27,9 +27,11 @@ is integer cross-multiplied (``100·n_stop ≥ min_stop_pct·n_words``) per
 the engine's exact-oracle float discipline.
 
 Whitespace note: words are split on single spaces (the corpus
-normalization this repo's token ops already assume); real-world crawl
-HTML with tab/newline soup should be whitespace-normalized first —
-one extra ``regexp_replace(s, '\\s+', ' ')`` inside the block.
+normalization this repo's token ops already assume). Real-world crawl
+HTML is pretty-printed — newlines and tab runs INSIDE paragraphs — so
+pass ``normalize_ws=True`` there: source whitespace collapses to
+single spaces before block segmentation, and only TAG-derived breaks
+separate blocks (see :func:`html_strip_tags`).
 """
 
 from __future__ import annotations
@@ -68,14 +70,24 @@ HTML_ENTITIES = (
 )
 
 
-def html_strip_tags(col: Column | str) -> Column:
+def html_strip_tags(col: Column | str, normalize_ws: bool = False) -> Column:
     """Markup removed, block structure kept as newlines, entities
     decoded — the raw material the per-block keep rule scores. Pure
     chained ``regexp_replace``/``replace``: row-local, codegen-fused,
-    zero shuffle at any scale."""
+    zero shuffle at any scale.
+
+    ``normalize_ws=True`` collapses SOURCE whitespace (``\\s+`` → one
+    space) after the element drop but BEFORE block segmentation, so
+    only TAG-derived newlines separate blocks — real crawl HTML is
+    pretty-printed with newlines inside every paragraph, and without
+    normalization those fragment one paragraph into many tiny blocks
+    the keep rule then starves. Default False preserves the
+    plain-text-ish contract (and the frozen x_html_extract oracle)."""
     c = F.col(col) if isinstance(col, str) else col
     for pat in STRIP_ELEMENT_RES:
         c = F.regexp_replace(c, pat, "")
+    if normalize_ws:
+        c = F.regexp_replace(c, r"\s+", " ")
     c = F.regexp_replace(c, BLOCK_TAG_RE, "\n")
     c = F.regexp_replace(c, ANY_TAG_RE, "")
     for ent, ch in HTML_ENTITIES:
@@ -111,6 +123,7 @@ def html_extract_text(
     min_stop_pct: int = 5,
     long_block_words: int = 30,
     stopwords: tuple[str, ...] = EN_STOPWORDS,
+    normalize_ws: bool = False,
 ) -> Column:
     """Main content of an HTML document: tag-strip + block segmentation
     + the prose keep-rule, kept blocks trimmed and re-joined with
@@ -118,7 +131,7 @@ def html_extract_text(
     expression — prepend it to any corpus pipeline without adding an
     Exchange."""
     stop = F.array(*[F.lit(s) for s in stopwords])
-    blocks = F.split(html_strip_tags(col), "\n")
+    blocks = F.split(html_strip_tags(col, normalize_ws), "\n")
     kept = F.filter(
         blocks,
         lambda b: _keep_block(
@@ -137,6 +150,7 @@ def html_block_stats(
     min_stop_pct: int = 5,
     long_block_words: int = 30,
     stopwords: tuple[str, ...] = EN_STOPWORDS,
+    normalize_ws: bool = False,
 ) -> Column:
     """Per-document extraction diagnostics as a struct
     ``(n_blocks, n_kept, n_chars_kept)`` — the QA signal a crawl
@@ -144,7 +158,7 @@ def html_block_stats(
     materializing the text twice."""
     stop = F.array(*[F.lit(s) for s in stopwords])
     blocks = F.filter(
-        F.split(html_strip_tags(col), "\n"),
+        F.split(html_strip_tags(col, normalize_ws), "\n"),
         lambda b: F.size(_block_words(b)) > 0,
     )
     kept = F.filter(

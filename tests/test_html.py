@@ -135,3 +135,24 @@ def test_html_extract_builds_on_streaming_input(spark, tmpdir):
     got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
     assert got == want and len(got) == 2
     assert all("Copyright" not in t and "Home" not in t for _, t in got)
+
+
+def test_normalize_ws_keeps_prettyprinted_paragraphs_whole(spark):
+    """Real crawl HTML is pretty-printed: newlines inside a paragraph.
+    Without normalization those raw newlines fragment the paragraph
+    into tiny blocks the keep rule starves; with normalize_ws=True only
+    TAG-derived breaks segment, the paragraph survives whole, and
+    tab/newline soup collapses to single spaces."""
+    html = (
+        "<nav>Home About</nav>\n"
+        "<p>\n  this is\n  the kind\tof sentence\n  a real page wraps\n"
+        "  across source lines for it\n</p>\n"
+        "<footer>Copyright 2024 Corp</footer>"
+    )
+    frag = _one(spark, html, html_extract_text("h"))
+    whole = _one(spark, html, html_extract_text("h", normalize_ws=True))
+    # fragmented: no 3-word stopword-bearing line survives intact
+    assert "this is the kind of sentence" not in frag
+    assert whole == "this is the kind of sentence a real page wraps across source lines for it"
+    s = _one(spark, html, html_block_stats("h", normalize_ws=True))
+    assert (s["n_blocks"], s["n_kept"]) == (3, 1)
