@@ -58,6 +58,10 @@ BLOCK_TAG_RE = (
     r"|header|footer|nav|blockquote|pre|form|main|aside)\b[^>]*>"
 )
 ANY_TAG_RE = r"(?s)<[^>]*>"
+# anchor CONTENT, for link-density scoring (capture group 1); anchors
+# are inline elements, so a block-tag inside one (malformed HTML)
+# severs it and its text simply counts as non-link — conservative
+LINK_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
 # decode order matters: &amp; LAST so '&amp;lt;' decodes to '&lt;' (the
 # author wrote a literal '<'), not '<'
 HTML_ENTITIES = (
@@ -117,6 +121,22 @@ def _keep_block(
     )
 
 
+def _clean_block(b: Column) -> Column:
+    """Per-block tag strip + entity decode (the tail of the default
+    chain, applied after segmentation so anchor structure is still
+    visible to the link-density rule)."""
+    t = F.regexp_replace(b, ANY_TAG_RE, "")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return t
+
+
+def _link_len(b: Column) -> Column:
+    """Characters of ANCHOR text in a still-tagged block."""
+    parts = F.regexp_extract_all(b, F.lit(LINK_RE), F.lit(1))
+    return F.length(F.regexp_replace(F.array_join(parts, ""), ANY_TAG_RE, ""))
+
+
 def html_extract_text(
     col: Column | str,
     min_words: int = 3,
@@ -124,24 +144,53 @@ def html_extract_text(
     long_block_words: int = 30,
     stopwords: tuple[str, ...] = EN_STOPWORDS,
     normalize_ws: bool = False,
+    max_link_pct: int | None = None,
 ) -> Column:
     """Main content of an HTML document: tag-strip + block segmentation
     + the prose keep-rule, kept blocks trimmed and re-joined with
     newlines. NULL html → NULL (the Catalyst convention). One row-local
     expression — prepend it to any corpus pipeline without adding an
-    Exchange."""
+    Exchange.
+
+    ``max_link_pct`` enables jusText's second signature heuristic, LINK
+    DENSITY: a block whose anchor text exceeds ``max_link_pct``% of its
+    text is navigation no matter how stopword-rich ("Home · About us ·
+    Contact the team" beats the density rule but is ~100% links). The
+    link-aware path segments BEFORE stripping so anchors are still
+    visible per block; with it off (default) the original single-chain
+    plan — and the frozen x_html_extract oracle — are untouched."""
     stop = F.array(*[F.lit(s) for s in stopwords])
-    blocks = F.split(html_strip_tags(col, normalize_ws), "\n")
+    if max_link_pct is None:
+        blocks = F.split(html_strip_tags(col, normalize_ws), "\n")
+        kept = F.filter(
+            blocks,
+            lambda b: _keep_block(
+                b, stop, min_words, min_stop_pct, long_block_words
+            ),
+        )
+        # explicit single-arg lambda: transform would otherwise bind its
+        # (element, index) pair onto trim's deprecated two-parameter
+        # signature and trim index DIGITS off block edges
+        return F.array_join(F.transform(kept, lambda b: F.trim(b)), "\n")
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in STRIP_ELEMENT_RES:
+        c = F.regexp_replace(c, pat, "")
+    if normalize_ws:
+        c = F.regexp_replace(c, r"\s+", " ")
+    raw_blocks = F.split(F.regexp_replace(c, BLOCK_TAG_RE, "\n"), "\n")
     kept = F.filter(
-        blocks,
+        raw_blocks,
         lambda b: _keep_block(
-            b, stop, min_words, min_stop_pct, long_block_words
+            _clean_block(b), stop, min_words, min_stop_pct, long_block_words
+        )
+        & (
+            _link_len(b) * F.lit(100)
+            <= F.length(F.trim(_clean_block(b))) * F.lit(max_link_pct)
         ),
     )
-    # explicit single-arg lambda: transform would otherwise bind its
-    # (element, index) pair onto trim's deprecated two-parameter
-    # signature and trim index DIGITS off block edges
-    return F.array_join(F.transform(kept, lambda b: F.trim(b)), "\n")
+    return F.array_join(
+        F.transform(kept, lambda b: F.trim(_clean_block(b))), "\n"
+    )
 
 
 def html_block_stats(

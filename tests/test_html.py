@@ -156,3 +156,33 @@ def test_normalize_ws_keeps_prettyprinted_paragraphs_whole(spark):
     assert whole == "this is the kind of sentence a real page wraps across source lines for it"
     s = _one(spark, html, html_block_stats("h", normalize_ws=True))
     assert (s["n_blocks"], s["n_kept"]) == (3, 1)
+
+
+def test_link_density_rule_drops_stopword_rich_nav(spark):
+    """jusText's second heuristic: a navigation block can be
+    stopword-rich ('About the team', 'Contact us for it') and still be
+    ~100% anchor text — max_link_pct drops it; prose with an inline
+    link survives; equivalence with the default chain holds when no
+    block is link-heavy."""
+    prose = (
+        'before the <a href="/x">linked words</a> and after them the '
+        "sentence keeps going for a while longer"
+    )
+    nav = (
+        '<a href="/">the home of it</a> <a href="/a">about the team</a> '
+        '<a href="/c">contact us for it</a>'
+    )
+    html = f"<div>{nav}</div><p>{prose}</p>"
+    # without the rule, the stopword-rich nav sneaks through
+    loose = _one(spark, html, html_extract_text("h"))
+    assert "about the team" in loose
+    strict = _one(spark, html, html_extract_text("h", max_link_pct=50))
+    assert "about the team" not in strict
+    assert "before the linked words and after them" in strict
+
+    # no-link documents: link-aware path == default chain exactly
+    plain = "<nav>Home About</nav><p>this is the kind of page it is</p>"
+    assert _one(spark, plain, html_extract_text("h", max_link_pct=50)) == _one(
+        spark, plain, html_extract_text("h")
+    )
+    assert _one(spark, None, html_extract_text("h", max_link_pct=50)) is None
