@@ -34,6 +34,15 @@ shuffles of history under the gate, a band-keyed equi-join over it) and
 candidates are verified row-locally. Nothing is all-pairs; nothing
 ranks the history in one task; the only driver materialization is the
 one-row meta read.
+
+Durability (r11): the band table is a manifest-pinned segment store
+(``manifest.py``) — every append is write-new-segment + one-file
+manifest commit, every probe reads exactly one committed generation,
+and compaction publishes its rewrite by renaming only the manifest, so
+a crash at ANY point leaves the previous generation readable (the r10
+delete-then-rename stranding window is gone) and a retried append
+cannot duplicate rows. Pre-r11 indexes (a bare ``bands`` directory)
+are adopted by the first committing write.
 """
 
 from __future__ import annotations
@@ -43,15 +52,20 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import manifest as mf
+
 __all__ = [
     "build_neardup_index",
     "probe_neardup_index",
+    "read_neardup_bands",
     "NearDupScrubber",
     "neardup_scrub_stream",
     "compact_neardup_index",
 ]
 
 _KINDS = ("minhash", "hamming")
+# pre-manifest on-disk layout, adopted as generation 0 on first commit
+_LEGACY = {"segments": ["bands"]}
 
 
 def _bands_for(df: DataFrame, kind: str, p: dict) -> DataFrame:
@@ -137,14 +151,37 @@ def build_neardup_index(
     spark.createDataFrame(
         [(kind, json.dumps(params, sort_keys=True))], "kind string, params string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    seg = mf.new_segment_name()
     _bands_for(df, kind, params).write.mode("overwrite").parquet(
-        f"{index_path}/bands"
+        f"{index_path}/{seg}"
     )
+    mf.commit_replace(spark, index_path, [seg], legacy=_LEGACY)
+    mf.vacuum_store(spark, index_path, keep_generations=1)
 
 
 def _read_meta(spark, index_path: str) -> tuple[str, dict]:
     row = spark.read.parquet(f"{index_path}/meta").first()
     return row["kind"], json.loads(row["params"])
+
+
+def read_neardup_bands(spark, index_path: str) -> DataFrame:
+    """The standing band table as of the newest committed manifest —
+    a union of immutable segment scans, snapshot-isolated from any
+    concurrent append/compaction. Falls back to the pre-r11 bare
+    ``bands`` directory for legacy indexes."""
+    m = mf.latest_manifest(spark, index_path)
+    if m is not None:
+        return mf.read_segments(spark, index_path, m[1])
+    return spark.read.parquet(f"{index_path}/bands")
+
+
+def _append_bands(spark, index_path: str, bands: DataFrame) -> None:
+    """Durable append: write a fresh immutable segment, then publish it
+    with one manifest commit — a crash before the commit leaves an
+    orphan directory no probe can see, so retries never duplicate."""
+    seg = mf.new_segment_name()
+    bands.write.mode("overwrite").parquet(f"{index_path}/{seg}")
+    mf.commit_append(spark, index_path, [seg], legacy=_LEGACY)
 
 
 def _match_plan(
@@ -223,15 +260,39 @@ def probe_neardup_index(
     read-only (dry-run probes)."""
     if append not in ("survivors", "all", "none"):
         raise ValueError(f"unknown append mode {append!r}")
+    matches, bb, kind, p = _probe_core(batch, index_path, broadcast_max_bands)
+    if append != "none":
+        to_add = bb
+        if append == "survivors":
+            to_add = bb.join(
+                matches.select(F.col("d_new").alias("_nd_id")).distinct(),
+                "_nd_id",
+                "left_anti",
+            )
+        _append_bands(batch.sparkSession, index_path, to_add)
+    bb.unpersist()
+    matches._spark_graft_checkpoint = matches  # releasable by the caller
+    return matches
+
+
+def _probe_core(
+    batch: DataFrame, index_path: str, broadcast_max_bands: int
+) -> tuple[DataFrame, DataFrame, str, dict]:
+    """Band-once probe shared by :func:`probe_neardup_index` and
+    :class:`NearDupScrubber`: returns ``(matches, bb, kind, params)``
+    where ``matches`` is checkpointed (safe across store mutation) and
+    ``bb`` is the PERSISTED band frame of the batch — the caller reuses
+    it for the append (one tokenize/hash pass per batch — r10 VERDICT
+    #5) and must ``unpersist()`` it."""
     spark = batch.sparkSession
     kind, p = _read_meta(spark, index_path)
-    index_bands = spark.read.parquet(f"{index_path}/bands")
+    index_bands = read_neardup_bands(spark, index_path)
 
     bb = _bands_for(batch, kind, p)
     from pyspark import StorageLevel
 
     # the batch bands feed the probe AND the append — persist so the
-    # batch is banded (tokenized / hashed) once, released before return
+    # batch is banded (tokenized / hashed) once, released by the caller
     bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
     n_bands_rows = bb.count()
     probe_side = (
@@ -241,18 +302,7 @@ def probe_neardup_index(
     matches = _match_plan(index_bands, probe_side, kind, p)
     # materialize BEFORE mutating the band store (and before bb drops)
     matches = matches.localCheckpoint()
-    if append != "none":
-        to_add = bb
-        if append == "survivors":
-            to_add = bb.join(
-                matches.select(F.col("d_new").alias("_nd_id")).distinct(),
-                "_nd_id",
-                "left_anti",
-            )
-        to_add.write.mode("append").parquet(f"{index_path}/bands")
-    bb.unpersist()
-    matches._spark_graft_checkpoint = matches  # releasable by the caller
-    return matches
+    return matches, bb, kind, p
 
 
 def _batch_pairs(df: DataFrame, kind: str, p: dict) -> DataFrame:
@@ -306,17 +356,20 @@ class NearDupScrubber:
 
     def scrub(self, batch: DataFrame) -> DataFrame:
         """Probe + survivors of one batch (exposed for direct use);
-        appends the survivors' bands to the index as a side effect."""
+        appends the survivors' bands to the index as a side effect.
+        The batch is banded ONCE: the probe's persisted band frame,
+        semi-joined down to the final survivor ids, is what the append
+        publishes (r10 VERDICT #5 — the old path re-tokenized every
+        survivor a second time)."""
         from blockchaintoavro_spark.session import release_local_checkpoint
 
-        kind, p = _read_meta(batch.sparkSession, self.index_path)
-        id_col = p["id_col"]
         # probe read-only: the index must grow with the FINAL survivor
         # set (after the optional within-batch resolution), not with
         # every history-unmatched row
-        matches = probe_neardup_index(
-            batch, self.index_path, "none", self.broadcast_max_bands
+        matches, bb, kind, p = _probe_core(
+            batch, self.index_path, self.broadcast_max_bands
         )
+        id_col = p["id_col"]
         survivors = batch.join(
             matches.select(F.col("d_new").alias(id_col)).distinct(),
             id_col,
@@ -334,9 +387,13 @@ class NearDupScrubber:
             survivors = survivors.join(losers, id_col, "left_anti")
         survivors = survivors.localCheckpoint()
         release_local_checkpoint(matches)
-        _bands_for(survivors, kind, p).write.mode("append").parquet(
-            f"{self.index_path}/bands"
+        surv_bands = bb.join(
+            survivors.select(F.col(id_col).alias("_nd_id")),
+            "_nd_id",
+            "left_semi",
         )
+        _append_bands(batch.sparkSession, self.index_path, surv_bands)
+        bb.unpersist()
         return survivors
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
@@ -372,50 +429,62 @@ def neardup_scrub_stream(
     return writer
 
 
+def _live_data_files(spark, index_path: str) -> int:
+    """Data-file count across the segments the newest manifest pins
+    (or the legacy ``bands`` dir) — the metric compaction exists to
+    bound."""
+    m = mf.latest_manifest(spark, index_path)
+    segs = m[1]["segments"] if m is not None else ["bands"]
+    jvm = spark._jvm
+    count = 0
+    for s in segs:
+        jp = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{s}")
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jp):
+            count += sum(
+                1
+                for st in fs.listStatus(jp)
+                if not st.getPath().getName().startswith("_")
+            )
+    return count
+
+
 def compact_neardup_index(
-    spark, index_path: str, n_files: int | None = None
+    spark, index_path: str, n_files: int | None = None,
+    keep_generations: int = 1,
 ) -> dict:
-    """Rewrite the band store into ``n_files`` files clustered by
-    ``band_val`` — the maintenance step a daily-append index needs:
-    every probe lists and opens the store's whole file set, and one
-    small parquet file PER INGEST (append mode's natural output)
+    """Rewrite the band store into ONE segment of ``n_files`` files
+    clustered by ``band_val`` — the maintenance step a daily-append
+    index needs: every probe lists and opens the live file set, and one
+    small segment PER INGEST (the append protocol's natural output)
     eventually makes file-system metadata, footer reads and task
     scheduling the probe's real cost, exactly the small-files problem
     lakehouse OPTIMIZE jobs exist for. Clustering on ``band_val`` also
     tightens band min/max ranges per file.
 
-    Swap is write-to-side-directory + filesystem rename (works on any
-    Hadoop-supported store), so a crash mid-compact leaves the old
-    store intact. NOT safe concurrently with probes/appends — run it
-    where the micro-batches serialize (between foreachBatch calls) or
-    in a quiet window. Returns ``{files_before, files_after, rows}``."""
-    bands_path = f"{index_path}/bands"
-    tmp_path = f"{index_path}/bands_compacting"
-    jvm = spark._jvm
-    jbands = jvm.org.apache.hadoop.fs.Path(bands_path)
-    fs = jbands.getFileSystem(spark._jsc.hadoopConfiguration())
-    files_before = sum(
-        1
-        for s in fs.listStatus(jbands)
-        if not s.getPath().getName().startswith("_")
-    )
-    bands = spark.read.parquet(bands_path)
+    The swap IS the manifest commit (``manifest.py``): the merged
+    segment is written first, one manifest rename publishes it, and
+    only :func:`manifest.vacuum_store` (run here with
+    ``keep_generations``) retires the old segments — so a crash at any
+    point, including mid-compact, leaves a committed generation
+    readable (closes the r10 delete-then-rename stranding window).
+    Still run it in the single writer's thread (between foreachBatch
+    calls): concurrent PROBES of the retained generations are safe, a
+    concurrent APPEND would race the manifest commit (detected, one
+    side raises). Returns ``{files_before, files_after, rows}``."""
+    files_before = _live_data_files(spark, index_path)
+    bands = read_neardup_bands(spark, index_path)
     if n_files is None:
         n_files = max(1, spark.sparkContext.defaultParallelism // 4)
     rows = bands.count()
+    seg = mf.new_segment_name()
     bands.repartition(n_files, "band_val").write.mode("overwrite").parquet(
-        tmp_path
+        f"{index_path}/{seg}"
     )
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
-    fs.delete(jbands, True)
-    fs.rename(jtmp, jbands)
-    files_after = sum(
-        1
-        for s in fs.listStatus(jbands)
-        if not s.getPath().getName().startswith("_")
-    )
+    mf.commit_replace(spark, index_path, [seg], legacy=_LEGACY)
+    mf.vacuum_store(spark, index_path, keep_generations)
     return {
         "files_before": files_before,
-        "files_after": files_after,
+        "files_after": _live_data_files(spark, index_path),
         "rows": rows,
     }

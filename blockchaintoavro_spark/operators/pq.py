@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import manifest as mf
+
 __all__ = [
     "pq_train",
     "pq_encode",
@@ -34,8 +36,16 @@ __all__ = [
     "ivfpq_topk",
     "build_ivfpq_index",
     "query_ivfpq",
+    "read_ivfpq_codes",
     "append_to_ivfpq_index",
 ]
+
+# pre-r11 on-disk layout of a persisted IVFADC index, adopted on the
+# first manifest commit
+_IVFPQ_LEGACY = {
+    "segments": ["codes"],
+    "refs": {"centroids": "centroids", "codebooks": "codebooks"},
+}
 
 
 def _subspace_slices(vec: Column, m: int, dsub: int) -> Column:
@@ -574,10 +584,12 @@ def build_ivfpq_index(
         corpus, n_centroids, m, n_codes, n_iters, id_col, vec_col
     )
     spark = corpus.sparkSession
+    cent_dir = mf.new_ref_name("cent")
+    books_dir = mf.new_ref_name("books")
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
         "cid int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/{cent_dir}")
     spark.createDataFrame(
         [
             (s, j, c)
@@ -585,18 +597,27 @@ def build_ivfpq_index(
             for j, c in enumerate(book)
         ],
         "sub_id int, code int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/{books_dir}")
+    seg = mf.new_segment_name()
     ivfpq_encode(corpus, centroids, books, id_col, vec_col).write.mode(
         "overwrite"
-    ).partitionBy("cid").parquet(f"{index_path}/codes")
-    from .similarity import _assign_with_dist, _write_stats
+    ).partitionBy("cid").parquet(f"{index_path}/{seg}")
+    from .similarity import _assign_with_dist
 
     row = (
         _assign_with_dist(corpus, centroids, id_col, vec_col)
         .agg(F.count("*").alias("n"), F.sum("_dist").alias("s"))
         .first()
     )
-    _write_stats(spark, index_path, int(row["n"]), float(row["s"] or 0.0))
+    # models, codes and drift baseline publish in ONE manifest commit
+    # (manifest.py, r11): never observed mismatched; crash-safe rebuild
+    mf.commit_replace(
+        spark, index_path, [seg],
+        legacy=_IVFPQ_LEGACY,
+        refs={"centroids": cent_dir, "codebooks": books_dir},
+        stats={"n": int(row["n"]), "dist_sum": float(row["s"] or 0.0)},
+    )
+    mf.vacuum_store(spark, index_path, keep_generations=1)
 
 
 def append_to_ivfpq_index(
@@ -617,19 +638,22 @@ def append_to_ivfpq_index(
 
     Indexes persisted before stats existed have no baseline (the code
     table stores no vectors to backfill from): the first append returns
-    ``drift_ratio=None`` and seeds the running stats going forward."""
-    from .similarity import _assign_with_dist, _write_stats
+    ``drift_ratio=None`` and seeds the running stats going forward.
+
+    Durability (r11): the code rows land in a fresh immutable segment
+    and the updated stats ride the same one-file manifest commit —
+    data and statistics can never disagree, a crash before the commit
+    is invisible, and a caller retry cannot double-append."""
+    from .similarity import _assign_with_dist, read_ivf_stats
 
     spark = new.sparkSession
     centroids, books = _read_ivfpq_model(spark, index_path)
-    try:
-        srow = spark.read.parquet(f"{index_path}/stats").first()
-        base_n, base_s = int(srow["n"]), float(srow["dist_sum"])
-    except Exception:
-        base_n, base_s = 0, 0.0
+    stats = read_ivf_stats(spark, index_path)
+    base_n, base_s = stats if stats is not None else (0, 0.0)
     enc = ivfpq_encode(new, centroids, books, id_col, vec_col)
-    enc.write.mode("append").partitionBy("cid").parquet(
-        f"{index_path}/codes"
+    seg = mf.new_segment_name()
+    enc.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{index_path}/{seg}"
     )
     row = (
         _assign_with_dist(new, centroids, id_col, vec_col)
@@ -637,7 +661,11 @@ def append_to_ivfpq_index(
         .first()
     )
     n_new, s_new = int(row["n"]), float(row["s"] or 0.0)
-    _write_stats(spark, index_path, base_n + n_new, base_s + s_new)
+    mf.commit_append(
+        spark, index_path, [seg],
+        legacy=_IVFPQ_LEGACY,
+        stats={"n": base_n + n_new, "dist_sum": base_s + s_new},
+    )
     index_mean = base_s / base_n if base_n else None
     batch_mean = s_new / n_new if n_new else None
     return {
@@ -653,18 +681,33 @@ def append_to_ivfpq_index(
     }
 
 
+def read_ivfpq_codes(spark, index_path: str):
+    """The cid-partitioned 8-byte-code table as of the newest committed
+    manifest (union of immutable segment scans); pre-r11 indexes fall
+    back to the bare ``codes`` directory."""
+    m = mf.latest_manifest(spark, index_path)
+    if m is not None:
+        return mf.read_segments(spark, index_path, m[1])
+    return spark.read.parquet(f"{index_path}/codes")
+
+
 def _read_ivfpq_model(
     spark, index_path: str
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """The two bounded model collects (KBs) a persisted IVFADC index
     stores — shared by :func:`query_ivfpq` and
-    :func:`append_to_ivfpq_index`."""
+    :func:`append_to_ivfpq_index`. Resolved through the manifest's
+    ``refs`` (pre-r11 indexes fall back to the bare directories)."""
+    m = mf.latest_manifest(spark, index_path)
+    refs = m[1].get("refs", {}) if m is not None else {}
+    cent_dir = refs.get("centroids", "centroids")
+    books_dir = refs.get("codebooks", "codebooks")
     cents = (
-        spark.read.parquet(f"{index_path}/centroids").orderBy("cid").collect()
+        spark.read.parquet(f"{index_path}/{cent_dir}").orderBy("cid").collect()
     )
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
     book_rows = (
-        spark.read.parquet(f"{index_path}/codebooks")
+        spark.read.parquet(f"{index_path}/{books_dir}")
         .orderBy("sub_id", "code")
         .collect()
     )
@@ -695,7 +738,7 @@ def query_ivfpq(
     ADC probe as :func:`ivfpq_topk` — identical results to the
     train-per-call path by construction."""
     centroids, books = _read_ivfpq_model(spark, index_path)
-    encoded = spark.read.parquet(f"{index_path}/codes")
+    encoded = read_ivfpq_codes(spark, index_path)
     return ivfpq_topk(
         encoded, queries, centroids, books, k, nprobe,
         id_col, vec_col, rerank_with, shortlist,

@@ -57,6 +57,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import manifest as mf
+
+# pre-r11 on-disk layout of the gram-count store, adopted on first commit
+_GRAM_LEGACY = {"segments": ["counts"]}
+
 
 def _batch_window_hashes(texts: list, k: int):
     """Fingerprint every valid k-char window of a batch of documents in
@@ -851,7 +856,10 @@ def append_gram_counts(
 
     Physical shape: the batch detection is the packed sorted-gram
     Exchange (one per ingest, sized to the ingest); the append is a
-    partition-local parquet write. Nothing reads history."""
+    partition-local parquet write of a fresh immutable segment,
+    published by one manifest commit (``manifest.py``, r11) — a crash
+    before the commit leaves an orphan no reader sees, so retrying a
+    failed ingest cannot double-count. Nothing reads history."""
     import json as _json
 
     spark = batch.sparkSession
@@ -871,48 +879,64 @@ def append_gram_counts(
         spark.createDataFrame(
             [(_json.dumps(params, sort_keys=True),)], "params string"
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    seg = mf.new_segment_name()
     (
         duplicated_substrings_sorted(
             batch, k, 1, id_col, text_col,
             target_rows_per_partition, n_partitions,
         )
-        .write.mode("append")
-        .parquet(f"{store_path}/counts")
+        .write.mode("overwrite")
+        .parquet(f"{store_path}/{seg}")
     )
+    mf.commit_append(spark, store_path, [seg], legacy=_GRAM_LEGACY)
+
+
+def read_gram_counts(spark, store_path: str) -> DataFrame:
+    """The standing per-ingest count deltas ``(sub, n_docs)`` as of the
+    newest committed manifest (union of immutable segment scans,
+    snapshot-isolated); pre-r11 stores fall back to the bare ``counts``
+    directory."""
+    m = mf.latest_manifest(spark, store_path)
+    if m is not None:
+        return mf.read_segments(spark, store_path, m[1])
+    return spark.read.parquet(f"{store_path}/counts")
 
 
 def compact_gram_counts(
-    spark, store_path: str, n_files: int | None = None
+    spark, store_path: str, n_files: int | None = None,
+    keep_generations: int = 1,
 ) -> dict:
-    """Merge the count store's per-ingest delta files: one
-    ``groupBy(sub).sum`` rewrite behind a crash-safe rename — the LSM
-    compaction that keeps both the store's file count and its row count
-    (one row per distinct gram, not per gram per ingest) bounded. Not
-    concurrent-safe with appends; run between ingests. Returns
+    """Merge the count store's per-ingest delta segments: one
+    ``groupBy(sub).sum`` rewrite published by a manifest commit — the
+    LSM compaction that keeps both the store's file count and its row
+    count (one row per distinct gram, not per gram per ingest) bounded.
+    The merged segment is written first and one manifest rename is the
+    commit point; old segments are retired only by the trailing
+    ``vacuum_store`` — a crash at any point leaves a committed
+    generation readable (closes the r10 delete-then-rename stranding
+    window). Run in the single writer's thread (between ingests);
+    concurrent READS of retained generations are safe. Returns
     ``{rows_before, rows_after, files_after}``."""
-    counts_path = f"{store_path}/counts"
-    tmp_path = f"{store_path}/counts_compacting"
-    counts = spark.read.parquet(counts_path)
+    counts = read_gram_counts(spark, store_path)
     rows_before = counts.count()
     if n_files is None:
         n_files = max(1, spark.sparkContext.defaultParallelism // 4)
     merged = counts.groupBy("sub").agg(F.sum("n_docs").alias("n_docs"))
+    seg = mf.new_segment_name()
     merged.repartition(n_files, "sub").write.mode("overwrite").parquet(
-        tmp_path
+        f"{store_path}/{seg}"
     )
-    jvm = spark._jvm
-    jc = jvm.org.apache.hadoop.fs.Path(counts_path)
-    jt = jvm.org.apache.hadoop.fs.Path(tmp_path)
-    fs = jc.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jc, True)
-    fs.rename(jt, jc)
-    out = spark.read.parquet(counts_path)
+    mf.commit_replace(spark, store_path, [seg], legacy=_GRAM_LEGACY)
+    mf.vacuum_store(spark, store_path, keep_generations)
+    out = read_gram_counts(spark, store_path)
+    jseg = spark._jvm.org.apache.hadoop.fs.Path(f"{store_path}/{seg}")
+    fs = jseg.getFileSystem(spark._jsc.hadoopConfiguration())
     return {
         "rows_before": rows_before,
         "rows_after": out.count(),
         "files_after": sum(
             1
-            for s in fs.listStatus(jc)
+            for s in fs.listStatus(jseg)
             if not s.getPath().getName().startswith("_")
         ),
     }
@@ -931,7 +955,7 @@ def refresh_dup_dictionary(
     instead of re-detecting every document ever ingested. Returns the
     dictionary size."""
     dups = (
-        spark.read.parquet(f"{store_path}/counts")
+        read_gram_counts(spark, store_path)
         .groupBy("sub")
         .agg(F.sum("n_docs").alias("_n"))
         .filter(F.col("_n") >= min_docs)

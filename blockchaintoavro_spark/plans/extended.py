@@ -686,7 +686,7 @@ def x_inc_gram(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..operators.substr_sorted import append_gram_counts
+    from ..operators.substr_sorted import append_gram_counts, read_gram_counts
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     store = tempfile.mkdtemp(prefix="spark_graft_gramstore_")
@@ -694,7 +694,7 @@ def x_inc_gram(spark: SparkSession, sf: str) -> DataFrame:
         append_gram_counts(d.filter(F.col("doc_id") % 2 == 0), store, k=20)
         append_gram_counts(d.filter(F.col("doc_id") % 2 == 1), store, k=20)
         out = (
-            spark.read.parquet(f"{store}/counts")
+            read_gram_counts(spark, store)
             .groupBy("sub")
             .agg(F.sum("n_docs").alias("_n"))
             .filter(F.col("_n") >= 2)

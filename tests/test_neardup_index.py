@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from blockchaintoavro_spark.operators.neardup_index import (
     build_neardup_index,
     probe_neardup_index,
+    read_neardup_bands,
 )
 
 
@@ -109,7 +110,7 @@ def test_incremental_append_modes(spark, tmpdir):
 
     ids_in_index = lambda: {
         r["_nd_id"]
-        for r in spark.read.parquet(f"{idx}/bands").select("_nd_id").distinct().collect()
+        for r in read_neardup_bands(spark, idx).select("_nd_id").distinct().collect()
     }
     assert ids_in_index() == {1}
 
@@ -267,7 +268,7 @@ def test_scrubber_dedup_within_batch_and_compaction(spark, tmpdir):
     assert kept == [3, 5]  # min-id of the {5,9} cluster wins
     ids = {
         r["_nd_id"]
-        for r in spark.read.parquet(f"{idx}/bands").select("_nd_id").distinct().collect()
+        for r in read_neardup_bands(spark, idx).select("_nd_id").distinct().collect()
     }
     assert ids == {3, 5}  # the within-batch loser never entered the index
     # and history still wins over later batches
@@ -287,3 +288,34 @@ def test_scrubber_dedup_within_batch_and_compaction(spark, tmpdir):
                                        append="none").collect())
     )
     assert after_probe == before_probe and len(after_probe) == 2
+
+
+def test_scrubber_bands_each_batch_once(spark, tmpdir, monkeypatch):
+    """r10 VERDICT #5: the scrubber must reuse the probe's persisted
+    band frame for the index append instead of re-tokenizing the
+    survivors — i.e. exactly ONE _bands_for call per scrubbed batch."""
+    from blockchaintoavro_spark.operators import neardup_index as ndi
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    c = "completely different content about spark shuffles and partitions"
+    idx = f"{tmpdir}/nd_onceband"
+    ndi.build_neardup_index(mk([(1, a)]), idx, kind="minhash")
+
+    calls = []
+    real = ndi._bands_for
+    monkeypatch.setattr(
+        ndi, "_bands_for", lambda *args: calls.append(1) or real(*args)
+    )
+    scrubber = ndi.NearDupScrubber(idx, f"{tmpdir}/nd_onceband_out")
+    kept = sorted(
+        r["doc_id"] for r in scrubber.scrub(mk([(2, a), (3, c)])).collect()
+    )
+    assert kept == [3]
+    assert len(calls) == 1  # banded once: probe frame reused for append
+    ids = {
+        r["_nd_id"]
+        for r in ndi.read_neardup_bands(spark, idx)
+        .select("_nd_id").distinct().collect()
+    }
+    assert ids == {1, 3}

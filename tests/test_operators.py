@@ -2104,7 +2104,7 @@ def test_ivf_persisted_index_matches_per_call_and_skips_lloyd(spark, sf_dir, tmp
     p = jvm.PythonSQLUtils.explainString(
         got_df._jdf.queryExecution(), "formatted"
     )
-    assert "ivf_index/assignments" in p
+    assert "ivf_index/seg-" in p  # the manifest-pinned segment (r11)
     assert "posexplode" not in p and "avg(" not in p
 
     # index is reusable across sessions-of-truth: a second query with
@@ -2697,7 +2697,9 @@ def test_ivfpq_persisted_index_matches_train_per_call(spark, tmp_path):
     }
     assert got == want and len(got) == 9
     # the index stores codes, not vectors: schema check
-    stored = spark.read.parquet(f"{path}/codes")
+    from blockchaintoavro_spark.operators.pq import read_ivfpq_codes
+
+    stored = read_ivfpq_codes(spark, path)
     assert set(stored.columns) == {"vec_id", "cid", "codes", "norm"}
 
 
@@ -2945,8 +2947,6 @@ def test_ivf_append_no_training_equivalence_and_drift(spark, sf_dir, tmp_path):
     identical to assigning everything with those centroids in one pass,
     running stats maintained across appends, and the drift ratio must
     flag a distribution shift."""
-    import shutil
-
     import blockchaintoavro_spark.operators.similarity as sim
     from blockchaintoavro_spark.operators.similarity import (
         _ivf_probe,
@@ -2977,8 +2977,7 @@ def test_ivf_append_no_training_equivalence_and_drift(spark, sf_dir, tmp_path):
 
     # equivalence: query over (build A + append B) == one-pass
     # assignment of A∪B with the SAME standing centroids
-    cents = spark.read.parquet(f"{idx}/centroids").orderBy("cid").collect()
-    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    centroids = sim.read_ivf_centroids(spark, idx)
     q = emb.filter(F.col("vec_id") < 10)
     got = sorted(
         map(tuple, query_ivf(spark, idx, q, k=3, nprobe=6)
@@ -2995,8 +2994,8 @@ def test_ivf_append_no_training_equivalence_and_drift(spark, sf_dir, tmp_path):
     assert got == ref and len(got) > 0
 
     # running stats accumulate; stats survive as the new baseline
-    srow = spark.read.parquet(f"{idx}/stats").first()
-    assert srow["n"] == 200
+    # (committed in the SAME manifest as the appended segment — r11)
+    assert sim.read_ivf_stats(spark, idx)[0] == 200
 
     # held-out data reads ABOVE the training baseline (Lloyd fits the
     # build snapshot) — exactly the signal the metric exists to surface
@@ -3018,10 +3017,24 @@ def test_ivf_append_no_training_equivalence_and_drift(spark, sf_dir, tmp_path):
     # toward 1 (the batch is now part of the baseline)
     assert d2["drift_ratio"] < drift["drift_ratio"], (drift, d2)
 
-    # legacy index without stats: baseline backfills with one scan
-    shutil.rmtree(f"{idx}/stats")
-    d3 = append_to_ivf_index(idx, q.limit(5))
+    # legacy (pre-r11, manifest-less) index without stats: the first
+    # append adopts the bare-directory layout, backfills the baseline
+    # with one scan, and commits the first manifest
+    legacy = str(tmp_path / "ivf_legacy")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.parquet(f"{legacy}/centroids")
+    sim.read_ivf_assignments(spark, idx).write.partitionBy("cid").parquet(
+        f"{legacy}/assignments"
+    )
+    d3 = append_to_ivf_index(legacy, q.limit(5))
     assert d3["n_indexed"] == 300 and d3["index_mean_dist"] is not None
+    from blockchaintoavro_spark.operators import manifest as mfmod
+
+    gen, man = mfmod.latest_manifest(spark, legacy)
+    assert man["segments"][0] == "assignments" and len(man["segments"]) == 2
+    assert sim.read_ivf_stats(spark, legacy)[0] == 305
 
 
 def test_ivfpq_append_no_training_and_query_sees_appended(spark, sf_dir, tmp_path):
@@ -3071,7 +3084,9 @@ def test_ivfpq_append_no_training_and_query_sees_appended(spark, sf_dir, tmp_pat
             .select("q_id", "neighbor_id").collect())
     )
     assert got == ref and len(got) > 0
-    assert spark.read.parquet(f"{idx}/stats").first()["n"] == 200
+    from blockchaintoavro_spark.operators.similarity import read_ivf_stats
+
+    assert read_ivf_stats(spark, idx)[0] == 200
 
 
 def test_mixture_tiebreak_deterministic_at_boundary(spark):
@@ -3170,9 +3185,13 @@ def test_incremental_gram_counts_equal_full_detection(spark, sf_dir, tmp_path):
         (r["sub"], r["n_docs"])
         for r in duplicated_substrings_sorted(docs, k=15, min_docs=1).collect()
     }
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        read_gram_counts,
+    )
+
     merged = {
         (r["sub"], r["n_docs"])
-        for r in spark.read.parquet(f"{store}/counts").collect()
+        for r in read_gram_counts(spark, store).collect()
     }
     assert merged == full
 
@@ -3187,6 +3206,8 @@ def test_ivf_rebuild_from_own_vectors_closes_drift_loop(spark, sf_dir, tmp_path)
         append_to_ivf_index,
         build_ivf_index,
         query_ivf,
+        read_ivf_assignments,
+        read_ivf_stats,
         rebuild_ivf_index,
         topk_per_query,
     )
@@ -3197,24 +3218,24 @@ def test_ivf_rebuild_from_own_vectors_closes_drift_loop(spark, sf_dir, tmp_path)
     idx = str(tmp_path / "ivf_rebuild")
     build_ivf_index(emb.filter(F.col("vec_id") < 100), idx, n_centroids=16)
     append_to_ivf_index(idx, emb.filter(F.col("vec_id") >= 100))
-    drifted = spark.read.parquet(f"{idx}/stats").first()
+    drifted = read_ivf_stats(spark, idx)
     ids_before = {
         r["neighbor_id"]
-        for r in spark.read.parquet(f"{idx}/assignments")
+        for r in read_ivf_assignments(spark, idx)
         .select("neighbor_id").collect()
     }
     rebuild_ivf_index(spark, idx, n_centroids=16)
     ids_after = {
         r["neighbor_id"]
-        for r in spark.read.parquet(f"{idx}/assignments")
+        for r in read_ivf_assignments(spark, idx)
         .select("neighbor_id").collect()
     }
     assert ids_after == ids_before and len(ids_after) == 200
-    rebuilt = spark.read.parquet(f"{idx}/stats").first()
-    assert rebuilt["n"] == 200
+    rebuilt = read_ivf_stats(spark, idx)
+    assert rebuilt[0] == 200
     # quantizer trained on ALL 200 fits at least as well as the one
     # trained on the first 100 measured over the same 200 vectors
-    assert rebuilt["dist_sum"] / 200 <= drifted["dist_sum"] / 200 + 1e-9
+    assert rebuilt[1] / 200 <= drifted[1] / 200 + 1e-9
     # probing every list stays exact after the rebuild
     q = emb.filter(F.col("vec_id") < 5)
     got = sorted(

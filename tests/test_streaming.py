@@ -608,6 +608,7 @@ def test_neardup_scrub_stream_equals_batch(spark, tmpdir):
         NearDupScrubber,
         build_neardup_index,
         neardup_scrub_stream,
+        read_neardup_bands,
     )
 
     schema = "doc_id long, text string"
@@ -660,6 +661,6 @@ def test_neardup_scrub_stream_equals_batch(spark, tmpdir):
     # both index stores converge to the same surviving id set
     ids = lambda p: {
         r["_nd_id"]
-        for r in spark.read.parquet(f"{p}/bands").select("_nd_id").distinct().collect()
+        for r in read_neardup_bands(spark, p).select("_nd_id").distinct().collect()
     }
     assert ids(st_idx) == ids(ref_idx) == {1, 2, 3, 4, 6}
