@@ -487,6 +487,87 @@ def video_clip_matches(
     )
 
 
+def video_clip_matches_robust(
+    clips: DataFrame,
+    corpus: DataFrame,
+    max_hamming: int = 2,
+    min_votes: int = 2,
+    id_col: str = "doc_id",
+    code_col: str = "phash",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Clip-in-clip temporal alignment for RE-ENCODED clips (r10
+    VERDICT #2): :func:`video_clip_matches` keys on ``k`` CONSECUTIVE
+    codes verbatim, so one flipped bit in any frame of a shingle kills
+    it — right for same-source excerpts, blind to the common crawl case
+    where the clip was re-encoded and every frame code wobbles a few
+    bits. Here candidates come from the per-frame banded Hamming join
+    of :func:`video_neardup_pairs` — EXACT at radius ``max_hamming``
+    for ``max_hamming < n_bands`` by the pigeonhole argument — and the
+    alignment comes from offset voting over the matched FRAME PAIRS
+    (Haitsma & Kalker 2002 §III): a true embedding puts every
+    within-radius frame pair on one ``offset = video_pos − clip_pos``
+    diagonal, while chance near-collisions scatter. Returns
+    ``(clip_id, video_id, offset, n_votes)`` with ``n_votes ≥
+    min_votes``; a clean k-frame excerpt yields ``n_votes = n_frames``
+    (vs ``n_frames − k + 1`` shingle votes), so thresholds carry over.
+
+    Works unchanged on audio fingerprint windows (``afp_codes`` /
+    ``audio_clip_matches`` feed the same ``(id, frame_no, code)``
+    shape) — re-encoded audio flips AFP bits exactly the same way.
+
+    Scale: band-keyed equi-join (never all-pairs — plan-asserted),
+    row-local ``bit_count`` verify, one (pair, offset) aggregate
+    bounded by true overlaps + collision noise. Single-frame matches
+    are less temporally specific than shingles, so expect more
+    candidate offsets per pair before the vote gate — the price of
+    noise robustness; keep ``min_votes ≥ 2``."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"exactness needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    band_bits = (64 + n_bands - 1) // n_bands
+    mask = F.lit((1 << band_bits) - 1)
+
+    def bands(df: DataFrame, id_alias: str, f_alias: str, c_alias: str):
+        code = F.col(code_col)
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col("frame_no").alias(f_alias),
+            code.alias(c_alias),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(code, b * band_bits).bitwiseAND(
+                            mask
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band_id", "band_val"),
+        )
+
+    v = bands(corpus, "video_id", "_vf", "_vc")
+    c = bands(clips, "clip_id", "_cf", "_cc")
+    matched = (
+        v.join(c, ["band_id", "band_val"])
+        .filter(
+            F.bit_count(F.col("_vc").bitwiseXOR(F.col("_cc"))) <= max_hamming
+        )
+        .select("clip_id", "video_id", "_cf", "_vf")
+        .distinct()
+    )
+    return (
+        matched.groupBy(
+            "clip_id", "video_id",
+            (F.col("_vf") - F.col("_cf")).alias("offset"),
+        )
+        .agg(F.count("*").alias("n_votes"))
+        .filter(F.col("n_votes") >= min_votes)
+    )
+
+
 def video_phash_fixture_codes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Run the REAL video pipeline end-to-end on a synthesized corpus:
     per id (``g = id//5``, ``r = id%5``), a 3-frame 64×64 raw ``DIB ``

@@ -4505,6 +4505,80 @@ def x_video_clip(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("clip_id", "video_id", "offset")
 
 
+@declare(
+    "x_video_clip_match_robust",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 20),
+    corpus AS (
+      SELECT doc_id AS vid, f AS pos, doc_id*1000003 + f*7919 AS c
+      FROM ids, range(40) t(f)
+    ),
+    clips AS (
+      SELECT doc_id + 1000 AS cid, i AS pos,
+             xor(xor(((doc_id*3) % 20)*1000003
+                       + (((doc_id*7) % 30) + i)*7919,
+                     CAST(1 AS BIGINT) << CAST(i % 17 AS INT)),
+                 CAST(1 AS BIGINT) << CAST(20 + (i*i) % 23 AS INT)) AS c
+      FROM ids, range(10) t(i)
+    ),
+    cand AS (
+      SELECT cl.cid AS clip_id, co.vid AS video_id, co.pos - cl.pos AS off
+      FROM clips cl JOIN corpus co ON bit_count(xor(cl.c, co.c)) <= 2
+    )
+    SELECT clip_id, video_id, CAST(off AS BIGINT) AS "offset",
+           CAST(COUNT(*) AS BIGINT) AS n_votes
+    FROM cand GROUP BY clip_id, video_id, off
+    HAVING COUNT(*) >= 4
+    ORDER BY clip_id, video_id, "offset"
+    """,
+)
+def x_video_clip_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """ROBUST clip-in-clip alignment (operators/phash.py:
+    video_clip_matches_robust — r10 VERDICT #2): the same 20-video /
+    10-frame-excerpt construction as x_video_clip_match, but every clip
+    frame code is corrupted by exactly TWO bit flips (a deterministic
+    stand-in for re-encode noise, which breaks every exact k=5 shingle)
+    before matching. Candidates are per-frame banded Hamming matches —
+    exact at radius 2 < n_bands=4 by pigeonhole, so the banded plan
+    equals the oracle's brute-force all-pairs histogram — and alignment
+    is offset voting over matched frame pairs: each clip surfaces its
+    source video at its cut offset with all 10 frames voting. The
+    oracle replays code construction, corruption (xor of two shifted
+    bits), radius filter and vote gate verbatim in SQL."""
+    from ..operators.phash import video_clip_matches_robust
+
+    ids = t(spark, sf, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id"
+    )
+    code = lambda d, f: (d * F.lit(1_000_003) + f * F.lit(7_919))
+    corpus = ids.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(39))).alias("frame_no")
+    ).select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        code(F.col("doc_id"), F.col("frame_no")).alias("phash"),
+    )
+    bit1 = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 17 AS INT))")
+    bit2 = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(20 + (i*i) % 23 AS INT))")
+    clips = ids.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i")
+    ).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.col("i").cast("long").alias("frame_no"),
+        code(
+            (F.col("doc_id") * 3) % 20,
+            ((F.col("doc_id") * 7) % 30) + F.col("i"),
+        ).bitwiseXOR(bit1).bitwiseXOR(bit2).alias("phash"),
+    )
+    m = video_clip_matches_robust(clips, corpus, max_hamming=2, min_votes=4)
+    return m.select(
+        "clip_id",
+        "video_id",
+        F.col("offset").cast("long").alias("offset"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+    ).orderBy("clip_id", "video_id", "offset")
+
+
 # ---------------------------------------------------------------------------
 # perceptual audio near-dup (completes the multimodal dedup family:
 # text MinHash → image pHash → audio AFP; operators/afp.py)

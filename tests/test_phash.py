@@ -369,3 +369,56 @@ def test_video_clip_match_exact_vs_brute_force_and_hash_parity(spark):
         "simple",
     )
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_video_clip_match_robust_survives_per_frame_corruption(spark):
+    """r10 VERDICT #2 done-criterion: a re-encoded clip whose EVERY
+    frame code is corrupted by 2 bit flips still reports the correct
+    (video, offset) — with full n_frames votes — while the exact
+    shingled matcher finds nothing; the result equals the brute-force
+    all-pairs Hamming histogram (pigeonhole exactness at radius <
+    n_bands); and the plan stays an equi-join (never a nested loop)."""
+    from blockchaintoavro_spark.operators.phash import (
+        video_clip_matches,
+        video_clip_matches_robust,
+    )
+
+    code = lambda d, f: d * 1_000_003 + f * 7_919
+    corrupt = lambda c, i: c ^ (1 << (i % 17)) ^ (1 << (20 + (i * i) % 23))
+    corpus_rows = [(v, f, code(v, f)) for v in range(10) for f in range(30)]
+    # 8-frame excerpt of video 4 starting at frame 11, noisy re-encode
+    clip_rows = [(1004, i, corrupt(code(4, 11 + i), i)) for i in range(8)]
+    corpus = _seq_codes(spark, corpus_rows)
+    clips = _seq_codes(spark, clip_rows)
+
+    got_df = video_clip_matches_robust(
+        clips, corpus, max_hamming=2, min_votes=4
+    )
+    got = {
+        (r["clip_id"], r["video_id"], r["offset"], r["n_votes"])
+        for r in got_df.collect()
+    }
+    assert got == {(1004, 4, 11, 8)}
+
+    # the exact-shingle matcher is blind to this clip at ANY vote gate
+    assert (
+        video_clip_matches(clips, corpus, k=5, min_votes=1).count() == 0
+    )
+
+    # brute force: every (clip frame, corpus frame) pair within radius,
+    # histogrammed by offset — banded result must equal it exactly
+    votes: dict = {}
+    for cid, cf, cc in clip_rows:
+        for vid, vf, vc in corpus_rows:
+            if bin(cc ^ vc).count("1") <= 2:
+                key = (cid, vid, vf - cf)
+                votes[key] = votes.get(key, 0) + 1
+    want = {(k[0], k[1], k[2], n) for k, n in votes.items() if n >= 4}
+    assert got == want
+
+    # physical plan: band-keyed equi-join, no nested loop / cartesian
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    assert "NestedLoop" not in p and "Cartesian" not in p
