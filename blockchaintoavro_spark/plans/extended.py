@@ -138,6 +138,74 @@ def x_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("q_id", "neighbor_id")
 
 
+@declare("x_ivf_drift_rebuild", oracle=None)
+def x_ivf_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming drift loop, batch-observable leg (operators/
+    similarity.py:IvfIndexMaintainer — r10 VERDICT #3): build a 4-list
+    IVF index on four clean synthetic clusters (vectors derived from
+    ``embeddings.vec_id`` arithmetic), then maintain two ingests — one
+    same-distribution (drift ratio ≈ 1 → no rebuild) and one from four
+    NEW clusters (ratio ≫ threshold → exactly one rebuild, retraining
+    the quantizer from the index's own stored vectors). Returns the
+    per-batch maintenance ledger. Rows-only by design (Lloyd training
+    is engine-defined); stream-equals-batch, single-rebuild and
+    recall-recovery are pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import IvfIndexMaintainer, build_ivf_index
+
+    ids = t(spark, sf, "embeddings").select("vec_id").filter(
+        F.col("vec_id") < 160
+    )
+    i = F.col("vec_id")
+    old_dom = (i % 4).cast("int")
+    new_dom = (F.lit(32) + (i % 4)).cast("int")
+    old_noise = (F.lit(8) + (i / 4).cast("long") % 4).cast("int")
+    new_noise = (F.lit(16) + (i / 4).cast("long") % 8).cast("int")
+    tilt = (i % 4).cast("int")
+
+    def mkvec(dom, noise, tilt_dim):
+        d = F.sequence(F.lit(0), F.lit(39))
+        return F.transform(
+            d,
+            lambda j: (
+                F.when(j == dom, F.lit(10.0)).otherwise(F.lit(0.0))
+                + F.when(j == noise, F.lit(0.5)).otherwise(F.lit(0.0))
+                + (
+                    F.when(j == tilt_dim, F.lit(0.5)).otherwise(F.lit(0.0))
+                    if tilt_dim is not None
+                    else F.lit(0.0)
+                )
+            ),
+        )
+
+    base = ids.filter(i < 64).select(i.alias("vec_id"),
+                                     mkvec(old_dom, old_noise, None)
+                                     .alias("embedding"))
+    same = ids.filter((i >= 64) & (i < 96)).select(
+        i.alias("vec_id"), mkvec(old_dom, old_noise, None).alias("embedding")
+    )
+    shifted = ids.filter(i >= 96).select(
+        i.alias("vec_id"), mkvec(new_dom, new_noise, tilt).alias("embedding")
+    )
+    idx = tempfile.mkdtemp(prefix="spark_graft_ivfdrift_")
+    try:
+        shutil.rmtree(idx, ignore_errors=True)
+        build_ivf_index(base, idx, n_centroids=4, n_iters=2)
+        m = IvfIndexMaintainer(idx, rebuild_threshold=1.3,
+                               n_centroids=4, n_iters=2)
+        ledger = []
+        for b_no, batch in enumerate((same, shifted), start=1):
+            d = m.maintain(batch)
+            ledger.append((b_no, int(d["n_appended"]), bool(d["rebuilt"])))
+        return spark.createDataFrame(
+            ledger, "batch long, n_appended long, rebuilt boolean"
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 @declare(
     "x_embedding_neardup",
     oracle="""
