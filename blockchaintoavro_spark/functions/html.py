@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 
 from .text import EN_STOPWORDS
 
-__all__ = ["html_strip_tags", "html_extract_text", "html_block_stats"]
+__all__ = [
+    "html_strip_tags",
+    "html_extract_text",
+    "html_detect_lang",
+    "html_extract_multilang",
+    "html_block_stats",
+]
 
 # elements whose CONTENT is dropped whole (no backreference closers —
 # RE2 has none, so each element gets its own literal pattern)
@@ -132,9 +138,16 @@ def _clean_block(b: Column) -> Column:
 
 
 def _link_len(b: Column) -> Column:
-    """Characters of ANCHOR text in a still-tagged block."""
+    """Characters of ANCHOR text in a still-tagged block, measured on
+    the same entity-DECODED text as the link-density denominator
+    (``_clean_block``) — ADVICE r10: counting ``&amp;`` as five chars
+    in the numerator only inflated link density for entity-heavy
+    anchors and could drop prose a consistent measure keeps."""
     parts = F.regexp_extract_all(b, F.lit(LINK_RE), F.lit(1))
-    return F.length(F.regexp_replace(F.array_join(parts, ""), ANY_TAG_RE, ""))
+    t = F.regexp_replace(F.array_join(parts, ""), ANY_TAG_RE, "")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.length(t)
 
 
 def html_extract_text(
@@ -191,6 +204,82 @@ def html_extract_text(
     return F.array_join(
         F.transform(kept, lambda b: F.trim(_clean_block(b))), "\n"
     )
+
+
+def html_detect_lang(
+    col: Column | str,
+    langs: tuple[str, ...] | None = None,
+    normalize_ws: bool = False,
+) -> Column:
+    """Heuristic language of an HTML document: strip the markup, then
+    argmax of function-word hits per candidate language over the whole
+    page's tokens (the stopword method jusText itself uses to pick its
+    list). Ties resolve to the EARLIER entry in ``langs`` (first-max of
+    ``array_position``), zero-hit pages to ``langs[0]`` — both
+    deterministic and oracle-replicable. Pure row-local expression."""
+    from .stopwords import DEFAULT_LANGS, STOPWORDS
+
+    langs = langs or DEFAULT_LANGS
+    stripped = html_strip_tags(col, normalize_ws)
+    return _detect_from_text(stripped, langs, STOPWORDS)[0]
+
+
+def _detect_from_text(stripped: Column, langs, stopwords):
+    """(lang, stop_array) for already-stripped text: hits of each
+    language's list over the page tokens, first-max argmax, and the
+    winning list selected via ``element_at`` over an array-of-arrays —
+    no per-language expression branching."""
+    words = _block_words(F.replace(stripped, F.lit("\n"), F.lit(" ")))
+    stop_arrays = [
+        F.array(*[F.lit(s) for s in stopwords[lang]]) for lang in langs
+    ]
+    scores = F.array(
+        *[
+            F.size(F.filter(words, lambda w: F.array_contains(sa, F.lower(w))))
+            for sa in stop_arrays
+        ]
+    )
+    idx = F.array_position(scores, F.array_max(scores)).cast("int")
+    # explicit NULL guard: element_at treats a NULL index as -1 (last
+    # element) in this Spark build, so NULL html would "detect" the
+    # final list entry instead of propagating NULL
+    lang = F.when(
+        idx.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx))
+    stop = F.element_at(F.array(*stop_arrays), F.coalesce(idx, F.lit(1)))
+    return lang, stop
+
+
+def html_extract_multilang(
+    col: Column | str,
+    langs: tuple[str, ...] | None = None,
+    min_words: int = 3,
+    min_stop_pct: int = 5,
+    long_block_words: int = 30,
+    normalize_ws: bool = False,
+) -> Column:
+    """Main-content extraction for MULTILINGUAL crawl data (r10 VERDICT
+    #4): detect the page language by stopword-hit argmax
+    (:func:`html_detect_lang`), then run the jusText keep rule with
+    THAT language's function-word list — so a German or Polish
+    paragraph is kept because it is stopword-dense in German or Polish,
+    not because it tripped the long-block escape (which also keeps long
+    navigation). Returns ``struct(lang, content)``; NULL html → NULL
+    fields. Still one row-local Catalyst expression — zero shuffle, the
+    language never leaves the row."""
+    from .stopwords import DEFAULT_LANGS, STOPWORDS
+
+    langs = langs or DEFAULT_LANGS
+    stripped = html_strip_tags(col, normalize_ws)
+    lang, stop = _detect_from_text(stripped, langs, STOPWORDS)
+    kept = F.filter(
+        F.split(stripped, "\n"),
+        lambda b: _keep_block(
+            b, stop, min_words, min_stop_pct, long_block_words
+        ),
+    )
+    content = F.array_join(F.transform(kept, lambda b: F.trim(b)), "\n")
+    return F.struct(lang.alias("lang"), content.alias("content"))
 
 
 def html_block_stats(

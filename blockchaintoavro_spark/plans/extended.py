@@ -2503,6 +2503,119 @@ def x_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- multilingual extraction fixture (r10 VERDICT #4) -------------------
+# one prose sentence per language, each ~15 words (below the 30-word
+# long-block escape) and stopword-dense ONLY in its own language — the
+# keep decision must come from the per-language list, not the escape
+_ML_SENTS = (
+    "the dog and the cat have a game with the ball and they are glad",
+    "der Hund und die Katze haben ein Spiel mit dem Ball und sie sind froh",
+    "le chat et le chien sont dans la maison et ils ont un jeu avec le ballon",
+    "el perro y el gato tienen un juego con la pelota y ellos son muy felices",
+    "il cane e il gatto hanno un gioco con la palla e loro sono molto felici",
+    "jest nowy dom i ona ma kota i pies jest bardzo wielki i dobry oraz niski",
+)
+_ML_PAGE = (
+    "<html><body><nav>Portfolio Impressum Kontakt Download</nav><h1>Doc ",
+    "</h1><p>",
+    "</p><footer>Copyright 2024 Example Corp</footer></body></html>",
+)
+
+
+def _ml_lists_sql() -> str:
+    from ..functions.stopwords import DEFAULT_LANGS, STOPWORDS
+
+    one = lambda ws: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    return "[" + ", ".join(one(STOPWORDS[l]) for l in DEFAULT_LANGS) + "]"
+
+
+def _ml_langs_sql() -> str:
+    from ..functions.stopwords import DEFAULT_LANGS
+
+    return "[" + ", ".join(f"'{l}'" for l in DEFAULT_LANGS) + "]"
+
+
+_MLB_WORDS = "list_filter(string_split(trim(b), ' '), w -> w <> '')"
+_ML_KEEP = (
+    f"len({_MLB_WORDS}) >= 3 AND ("
+    f"100 * len(list_filter({_MLB_WORDS}, w -> list_contains(stop, lower(w))))"
+    f" >= 5 * len({_MLB_WORDS})"
+    f" OR len({_MLB_WORDS}) >= 30)"
+)
+
+
+def _ml_oracle() -> str:
+    sents = "[" + ", ".join(f"'{s}'" for s in _ML_SENTS) + "]"
+    a, b, c = _ML_PAGE
+    html = (
+        f"'{a}' || CAST(doc_id AS VARCHAR) || '{b}' || "
+        f"({sents})[CAST(doc_id % 6 AS INT) + 1] || '{c}'"
+    )
+    words = (
+        "list_filter(string_split(trim(replace(stripped, chr(10), ' ')), ' ')"
+        ", w -> w <> '')"
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {html} AS html
+      FROM documents WHERE doc_id < 150
+    ), s AS (
+      SELECT doc_id, {_h_chain_sql("html")} AS stripped FROM h
+    ), d AS (
+      SELECT doc_id, stripped,
+             list_transform({_ml_lists_sql()}, sw ->
+               len(list_filter({words}, w -> list_contains(sw, lower(w)))))
+               AS scores
+      FROM s
+    ), p AS (
+      SELECT doc_id, stripped,
+             list_position(scores, list_aggregate(scores, 'max')) AS idx
+      FROM d
+    ), q AS (
+      SELECT doc_id,
+             ({_ml_langs_sql()})[idx] AS lang,
+             ({_ml_lists_sql()})[idx] AS stop,
+             string_split(stripped, chr(10)) AS blocks
+      FROM p
+    )
+    SELECT doc_id, lang,
+           array_to_string(list_transform(
+             list_filter(blocks, b -> {_ML_KEEP}), b -> trim(b)), chr(10))
+             AS content
+    FROM q ORDER BY doc_id
+    """
+
+
+@declare("x_html_extract_multilang", oracle=_ml_oracle())
+def x_html_multilang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language HTML extraction (functions/html.py:
+    html_extract_multilang — r10 VERDICT #4): each document is wrapped
+    in a page whose prose sentence cycles through six languages; the
+    operator detects the page language by stopword-hit argmax over the
+    compact per-language function-word lists (functions/stopwords.py)
+    and runs the jusText keep rule with THAT list — the non-English
+    prose survives via its own language's density, never the long-block
+    escape, while nav/footer boilerplate drops in every language. The
+    DuckDB oracle replays the identical chain — strip, detection argmax
+    (same first-max tie-break), list selection, keep rule — from the
+    same stopword constants."""
+    from ..functions.html import html_extract_multilang
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    sent = F.element_at(
+        F.array(*[F.lit(s) for s in _ML_SENTS]),
+        (F.col("doc_id") % 6).cast("int") + F.lit(1),
+    )
+    html = F.concat(
+        F.lit(_ML_PAGE[0]), F.col("doc_id").cast("string"),
+        F.lit(_ML_PAGE[1]), sent, F.lit(_ML_PAGE[2]),
+    )
+    res = html_extract_multilang(html)
+    return d.select(
+        "doc_id", res["lang"].alias("lang"), res["content"].alias("content")
+    ).orderBy("doc_id")
+
+
 @declare(
     "x_sequence_pack",
     oracle="""

@@ -186,3 +186,60 @@ def test_link_density_rule_drops_stopword_rich_nav(spark):
         spark, plain, html_extract_text("h")
     )
     assert _one(spark, None, html_extract_text("h", max_link_pct=50)) is None
+
+
+def test_link_density_measures_decoded_anchor_text(spark):
+    """ADVICE r10: the link-density NUMERATOR must measure the same
+    entity-decoded text as the denominator — an entity-heavy anchor
+    previously counted '&amp;' as five characters and could push a
+    prose block over max_link_pct that a consistent measure keeps."""
+    # decoded: total 48 chars, anchor 20 chars (41% <= 50 -> keep);
+    # encoded anchor is 28 chars (58% > 50 -> the old bug dropped it)
+    html = (
+        "<p>the mix of <a href='/x'>salt &amp; pepper &amp; more</a>"
+        " is for it and on it</p>"
+    )
+    kept = _one(spark, html, html_extract_text("h", max_link_pct=50))
+    assert "salt & pepper & more" in kept and kept != ""
+
+
+def test_multilang_extraction_keeps_nonenglish_prose(spark):
+    """r10 VERDICT #4 done-criterion: non-English prose is kept via its
+    OWN language's stopword density (each sentence is ~15 words — far
+    below the 30-word long-block escape), boilerplate drops in every
+    language, and the page language is detected; the EN-only extractor
+    drops the same prose (the gap this closes)."""
+    from blockchaintoavro_spark.functions.html import (
+        html_detect_lang,
+        html_extract_multilang,
+    )
+
+    prose = {
+        "en": "the dog and the cat have a game with the ball and they are glad",
+        "de": "der Hund und die Katze haben ein Spiel mit dem Ball und sie sind froh",
+        "fr": "le chat et le chien sont dans la maison et ils ont un jeu avec le ballon",
+        "es": "el perro y el gato tienen un juego con la pelota y ellos son muy felices",
+        "it": "il cane e il gatto hanno un gioco con la palla e loro sono molto felici",
+        "pl": "jest nowy dom i ona ma kota i pies jest bardzo wielki i dobry oraz niski",
+    }
+    page = (
+        "<html><body><nav>Portfolio Impressum Kontakt Download</nav>"
+        "<h1>Doc 7</h1><p>{}</p>"
+        "<footer>Copyright 2024 Example Corp</footer></body></html>"
+    )
+    for lang, sent in prose.items():
+        html = page.format(sent)
+        got = _one(spark, html, html_extract_multilang("h"))
+        assert got["lang"] == lang, (lang, got)
+        assert got["content"] == sent, (lang, got)
+        assert _one(spark, html, html_detect_lang("h")) == lang
+        if lang != "en":
+            # the EN-only rule starves: no EN stopwords, 15 words < 30
+            assert _one(spark, html, html_extract_text("h")) == ""
+
+    # NULL passthrough and zero-hit tie-break to langs[0]
+    assert _one(spark, None, html_extract_multilang("h"))["lang"] is None
+    assert (
+        _one(spark, "<p>zzz qqq www</p>", html_extract_multilang("h"))["lang"]
+        == "en"
+    )
