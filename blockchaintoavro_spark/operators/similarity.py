@@ -338,7 +338,15 @@ def neardup_pairs_lsh(
 
 def _centroid_scores(vec: F.Column, centroids: list[list[float]]) -> F.Column:
     """array<struct<neg,cid>> of (-cosine, centroid_id) per centroid —
-    pure JVM higher-order functions, codegen'd; ready to sort/min."""
+    pure JVM higher-order functions, codegen'd; ready to sort/min.
+
+    This is the LITERAL path: the K×dim matrix is inlined into the
+    expression tree — right for the production default K=16 (and what
+    the declared-query oracles pin). For K past
+    ``_CENTROID_LITERAL_MAX_K`` use :func:`_with_centroid_scores`,
+    which binds the matrix ONCE on a broadcast one-row model frame
+    instead of growing an O(K·dim) literal tree inside the main plan
+    (r10 VERDICT note; the same trade as the r9 PQ codebook fix)."""
     from ..functions.vectors import cosine_similarity
 
     cents = F.array(
@@ -350,6 +358,46 @@ def _centroid_scores(vec: F.Column, centroids: list[list[float]]) -> F.Column:
             (-cosine_similarity(vec, cv)).alias("neg"),
             i.cast("int").alias("cid"),
         ),
+    )
+
+
+# past this K the centroid matrix stops being a sane expression literal
+# (a production IVF wants thousands of lists; an O(K·dim) literal tree
+# bloats analysis of every plan that embeds it) and rides a broadcast
+# one-row model frame instead — the hashed_linear_score pattern
+_CENTROID_LITERAL_MAX_K = 64
+
+
+def _with_centroid_scores(
+    df: DataFrame, vec: F.Column, centroids: list[list[float]], out_col: str
+) -> DataFrame:
+    """``df`` plus ``out_col`` = the :func:`_centroid_scores` array.
+    K ≤ ``_CENTROID_LITERAL_MAX_K``: inline literal (unchanged plans —
+    the oracle-pinned default). Larger K: the matrix becomes ONE array
+    literal on a broadcast one-row frame (``range(1)``), the main plan
+    only references the model column, and the join is a one-row
+    broadcast nested-loop — no shuffle of ``df`` at any size."""
+    if len(centroids) <= _CENTROID_LITERAL_MAX_K:
+        return df.withColumn(out_col, _centroid_scores(vec, centroids))
+    from ..functions.vectors import cosine_similarity
+
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    model = df.sparkSession.range(1).select(cents.alias("_cents"))
+    return (
+        df.join(F.broadcast(model))
+        .withColumn(
+            out_col,
+            F.transform(
+                F.col("_cents"),
+                lambda cv, i: F.struct(
+                    (-cosine_similarity(vec, cv)).alias("neg"),
+                    i.cast("int").alias("cid"),
+                ),
+            ),
+        )
+        .drop("_cents")
     )
 
 
@@ -381,11 +429,11 @@ def train_ivf_centroids(
         .collect()
     ]
     for _ in range(n_iters):
-        scored = corpus.select(v.alias("e")).select(
+        scored = _with_centroid_scores(
+            corpus.select(v.alias("e")), F.col("e"), centroids, "_sc"
+        ).select(
             "e",
-            F.array_min(_centroid_scores(F.col("e"), centroids))["cid"].alias(
-                "cid"
-            ),
+            F.array_min(F.col("_sc"))["cid"].alias("cid"),
         )
         means = (
             scored.select("cid", F.posexplode("e").alias("pos", "x"))
@@ -428,12 +476,13 @@ def ann_topk_ivf(
         corpus, n_centroids, n_iters, id_col, vec_col
     )
     cv = F.col(vec_col).cast("array<double>")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        cv.alias("_cv"),
-    ).withColumn(
-        "cid", F.array_min(_centroid_scores(F.col("_cv"), centroids))["cid"]
-    )
+    c = _with_centroid_scores(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            cv.alias("_cv"),
+        ),
+        F.col("_cv"), centroids, "_sc",
+    ).withColumn("cid", F.array_min(F.col("_sc"))["cid"]).drop("_sc")
     return _ivf_probe(c, queries, centroids, k, nprobe, id_col, vec_col)
 
 
@@ -453,20 +502,20 @@ def _ivf_probe(
     windowed top-k. ``assigned`` must carry ``(neighbor_id, _cv, cid)``."""
     cv = F.col(vec_col).cast("array<double>")
     q = (
-        queries.select(F.col(id_col).alias("q_id"), cv.alias("_qv"))
+        _with_centroid_scores(
+            queries.select(F.col(id_col).alias("q_id"), cv.alias("_qv")),
+            F.col("_qv"), centroids, "_sc",
+        )
         .withColumn(
             "cid",
             F.explode(
                 F.transform(
-                    F.slice(
-                        F.array_sort(_centroid_scores(F.col("_qv"), centroids)),
-                        1,
-                        nprobe,
-                    ),
+                    F.slice(F.array_sort(F.col("_sc")), 1, nprobe),
                     lambda s: s["cid"],
                 )
             ),
         )
+        .drop("_sc")
     )
     cand = (
         assigned.join(F.broadcast(q), "cid")
@@ -541,12 +590,14 @@ def _assign_with_dist(
 ) -> DataFrame:
     """Nearest-centroid assignment plus the quantization distance
     ``1 − cos(vec, centroid)`` — the quantity whose batch-vs-index mean
-    is the codebook-drift signal. One narrow map, no shuffle."""
+    is the codebook-drift signal. One narrow map, no shuffle (at large
+    K the centroid matrix joins as a one-row broadcast model — still no
+    shuffle of ``df``)."""
     cv = F.col(vec_col).cast("array<double>")
-    best = F.array_min(_centroid_scores(F.col("_cv"), centroids))
+    base = df.select(F.col(id_col).alias("neighbor_id"), cv.alias("_cv"))
+    scored = _with_centroid_scores(base, F.col("_cv"), centroids, "_sc")
     return (
-        df.select(F.col(id_col).alias("neighbor_id"), cv.alias("_cv"))
-        .withColumn("_best", best)
+        scored.withColumn("_best", F.array_min(F.col("_sc")))
         .select(
             "neighbor_id",
             "_cv",

@@ -3246,3 +3246,57 @@ def test_ivf_rebuild_from_own_vectors_closes_drift_loop(spark, sf_dir, tmp_path)
         (r.q_id, r.neighbor_id) for r in topk_per_query(emb, q, k=3).collect()
     )
     assert got == exact
+
+
+def test_centroid_scores_broadcast_model_large_k(spark):
+    """r10 VERDICT note (similarity.py:_centroid_scores): past
+    _CENTROID_LITERAL_MAX_K the centroid matrix must ride a one-row
+    broadcast model frame instead of an O(K*dim) literal in the main
+    expression tree. Results identical to the literal path; at K=1024
+    the plan binds the matrix ONCE (one sentinel occurrence), joins it
+    as a one-row broadcast, and never shuffles the corpus."""
+    import blockchaintoavro_spark.operators.similarity as sim
+
+    dim = 8
+    rows = [
+        (i, [float((i * j) % 7 - 3) + 0.1 for j in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # exact equality just above the threshold: model path == literal
+    k = sim._CENTROID_LITERAL_MAX_K + 6
+    cents = [
+        [float((c * j) % 5 - 2) + 0.25 for j in range(dim)] for c in range(k)
+    ]
+    pick = lambda: sorted(
+        map(tuple, sim._assign_with_dist(df, cents, "vec_id", "embedding")
+            .select("neighbor_id", "cid", "_dist").collect())
+    )
+    got = pick()
+    old_max = sim._CENTROID_LITERAL_MAX_K
+    sim._CENTROID_LITERAL_MAX_K = 10 ** 9  # force the literal path
+    try:
+        want = pick()
+    finally:
+        sim._CENTROID_LITERAL_MAX_K = old_max
+    assert got == want and len(got) == 40
+
+    # K=1024: matrix bound once, broadcast one-row join, zero shuffles
+    sentinel = 123456.789
+    cents_big = [
+        [
+            sentinel if (c == 500 and j == 0) else float((c + j) % 3) + 0.5
+            for j in range(dim)
+        ]
+        for c in range(1024)
+    ]
+    out = sim._assign_with_dist(df, cents_big, "vec_id", "embedding")
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert p.count("123456.789") == 1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Exchange hashpartitioning" not in p
+    assert out.count() == 40  # analyzes and executes fine at K=1024
