@@ -413,19 +413,31 @@ def bench_round10_operators(spark) -> dict:
         .parquet(store)
     )
     stripper = SortedDictStripper(store, store + "_out")
-    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+    def _vmrss_mb() -> int:
+        # CURRENT driver RSS from /proc, not ru_maxrss: the rusage
+        # high-water mark is monotone across the whole process, so if
+        # any earlier bench in this run peaked higher the delta reads
+        # ~0 regardless of this refresh's real allocation (ADVICE r10)
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) // 1024
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+    rss_before = _vmrss_mb()
     _, sec = timed(lambda: stripper._refresh(spark))
-    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    rss_after = _vmrss_mb()
     results["stripper_refresh_packed"] = {
         "n_hashes": n_hashes,
         "array_mb": round(n_hashes * 8 / 2**20, 1),
-        "driver_peak_rss_before_mb": rss_before,
-        "driver_peak_rss_after_mb": rss_after,
-        "peak_delta_mb": rss_after - rss_before,
+        "driver_rss_before_mb": rss_before,
+        "driver_rss_after_mb": rss_after,
+        "rss_delta_mb": rss_after - rss_before,
         "sec": sec,
     }
     print(
-        f"stripper_refresh_packed {n_hashes} hashes: peak RSS "
+        f"stripper_refresh_packed {n_hashes} hashes: driver RSS "
         f"{rss_before} -> {rss_after} MB (+{rss_after - rss_before}) in {sec}s",
         flush=True,
     )
