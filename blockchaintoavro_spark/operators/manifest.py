@@ -57,10 +57,15 @@ The protocol:
 Writer concurrency: commits are single-file renames with an existence
 check, so on filesystems where rename-to-existing fails (HDFS) a lost
 update raises :class:`ConcurrentCommitError`; on POSIX rename semantics
-the check narrows the race to a TOCTOU window. The stores keep their
-documented single-WRITER discipline (micro-batches serialize in
-``foreachBatch``); what the manifest adds is that READERS are safe at
-any time and a crashed writer never corrupts or strands the store.
+the check narrows the race to a TOCTOU window. APPENDS additionally
+support optimistic retry (``commit_append(..., retries=N)``): the
+staged segment is untouched by a lost race, so the retry re-reads the
+winner's manifest and re-commits — concurrent appends all land, and
+``update_stats`` folds stats deltas against whichever manifest won
+(thread-tested). Compaction/replace stays a single-writer maintenance
+step (two concurrent compactions would waste work, not corrupt: one
+loses the race and raises). READERS are safe at any time, and a
+crashed writer never corrupts or strands the store.
 
 100 TB posture: the manifest is O(#segments) bytes and the commit is
 one metadata rename regardless of data size; compaction bounds
@@ -79,7 +84,9 @@ __all__ = [
     "latest_manifest",
     "commit_manifest",
     "new_segment_name",
+    "new_ref_name",
     "current_state",
+    "live_data_file_count",
     "commit_append",
     "commit_replace",
     "read_segments",
@@ -213,18 +220,41 @@ def commit_append(
     new_segments: list[str],
     legacy: dict | None = None,
     stats: dict | None = None,
+    update_stats=None,
+    retries: int = 0,
 ) -> dict:
     """Publish already-written segment directories: manifest ``N+1`` =
     current segments + ``new_segments`` (and, when given, the ``stats``
     that describe the store AFTER this append — data and stats commit
-    together, so neither can be observed without the other)."""
-    gen, man = current_state(spark, root, legacy)
-    new_man = dict(man)
-    new_man["segments"] = list(man.get("segments", [])) + list(new_segments)
-    if stats is not None:
-        new_man["stats"] = stats
-    commit_manifest(spark, root, new_man, gen + 1)
-    return new_man
+    together, so neither can be observed without the other).
+
+    Optimistic concurrency (r11): losing a generation race raises
+    :class:`ConcurrentCommitError`; with ``retries > 0`` the commit
+    re-reads the winner's manifest and re-attempts — the staged
+    segments are untouched and unreferenced, so a retry is one
+    metadata read + one rename, never a data rewrite. Pass
+    ``update_stats`` (``old_stats | None -> new_stats``) instead of an
+    absolute ``stats`` dict when retrying: it is re-evaluated against
+    the CURRENT manifest each attempt, so two concurrent appends fold
+    their stats deltas correctly no matter who wins."""
+    attempt = 0
+    while True:
+        gen, man = current_state(spark, root, legacy)
+        new_man = dict(man)
+        new_man["segments"] = list(man.get("segments", [])) + list(
+            new_segments
+        )
+        if update_stats is not None:
+            new_man["stats"] = update_stats(man.get("stats"))
+        elif stats is not None:
+            new_man["stats"] = stats
+        try:
+            commit_manifest(spark, root, new_man, gen + 1)
+            return new_man
+        except ConcurrentCommitError:
+            attempt += 1
+            if attempt > retries:
+                raise
 
 
 def commit_replace(
@@ -264,6 +294,28 @@ def read_segments(spark, root: str, manifest: dict):
         df = spark.read.parquet(f"{root}/{s}")
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def live_data_file_count(
+    spark, root: str, legacy_segments: tuple = ()
+) -> int:
+    """Data files across the newest manifest's segments (or the legacy
+    layout) — counted recursively so cid-partitioned segments report
+    their leaf parquet files. The metric compaction exists to bound:
+    probes/queries list and open exactly these files."""
+    m = latest_manifest(spark, root)
+    segs = m[1]["segments"] if m is not None else list(legacy_segments)
+    count = 0
+    for s in segs:
+        jp, fs = _fs(spark, f"{root}/{s}")
+        if not fs.exists(jp):
+            continue
+        it = fs.listFiles(jp, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                count += 1
+    return count
 
 
 def vacuum_store(spark, root: str, keep_generations: int = 1) -> dict:

@@ -181,7 +181,7 @@ def _append_bands(spark, index_path: str, bands: DataFrame) -> None:
     orphan directory no probe can see, so retries never duplicate."""
     seg = mf.new_segment_name()
     bands.write.mode("overwrite").parquet(f"{index_path}/{seg}")
-    mf.commit_append(spark, index_path, [seg], legacy=_LEGACY)
+    mf.commit_append(spark, index_path, [seg], legacy=_LEGACY, retries=5)
 
 
 def _match_plan(
@@ -347,12 +347,15 @@ class NearDupScrubber:
         out_path: str,
         broadcast_max_bands: int = 4_000_000,
         dedup_within_batch: bool = False,
+        compact_every: int | None = None,
     ) -> None:
         self.index_path = index_path
         self.out_path = out_path
         self.broadcast_max_bands = broadcast_max_bands
         self.dedup_within_batch = dedup_within_batch
+        self.compact_every = compact_every
         self.batches = 0  # introspection for tests
+        self.compactions = 0
 
     def scrub(self, batch: DataFrame) -> DataFrame:
         """Probe + survivors of one batch (exposed for direct use);
@@ -403,6 +406,11 @@ class NearDupScrubber:
         survivors.write.mode("append").parquet(self.out_path)
         release_local_checkpoint(survivors)
         self.batches += 1
+        # each micro-batch appends one band segment; fold the small
+        # files back periodically in the writer's own serialized slot
+        if self.compact_every and self.batches % self.compact_every == 0:
+            compact_neardup_index(batch.sparkSession, self.index_path)
+            self.compactions += 1
 
 
 def neardup_scrub_stream(
@@ -412,6 +420,7 @@ def neardup_scrub_stream(
     checkpoint_dir: str,
     broadcast_max_bands: int = 4_000_000,
     dedup_within_batch: bool = False,
+    compact_every: int | None = None,
 ):
     """Streaming leg: returns a ``DataStreamWriter`` (caller picks the
     trigger and starts it) whose ``foreachBatch`` near-dup-scrubs each
@@ -419,7 +428,8 @@ def neardup_scrub_stream(
     :class:`NearDupScrubber`, appending surviving documents to
     ``out_path`` and growing the index with their bands."""
     applier = NearDupScrubber(
-        index_path, out_path, broadcast_max_bands, dedup_within_batch
+        index_path, out_path, broadcast_max_bands, dedup_within_batch,
+        compact_every,
     )
     writer = (
         stream.writeStream.foreachBatch(applier)
@@ -433,20 +443,7 @@ def _live_data_files(spark, index_path: str) -> int:
     """Data-file count across the segments the newest manifest pins
     (or the legacy ``bands`` dir) — the metric compaction exists to
     bound."""
-    m = mf.latest_manifest(spark, index_path)
-    segs = m[1]["segments"] if m is not None else ["bands"]
-    jvm = spark._jvm
-    count = 0
-    for s in segs:
-        jp = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{s}")
-        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jp):
-            count += sum(
-                1
-                for st in fs.listStatus(jp)
-                if not st.getPath().getName().startswith("_")
-            )
-    return count
+    return mf.live_data_file_count(spark, index_path, ("bands",))
 
 
 def compact_neardup_index(

@@ -664,7 +664,11 @@ def append_to_ivfpq_index(
     mf.commit_append(
         spark, index_path, [seg],
         legacy=_IVFPQ_LEGACY,
-        stats={"n": base_n + n_new, "dist_sum": base_s + s_new},
+        update_stats=lambda old: {
+            "n": (int(old["n"]) if old else base_n) + n_new,
+            "dist_sum": (float(old["dist_sum"]) if old else base_s) + s_new,
+        },
+        retries=5,
     )
     index_mean = base_s / base_n if base_n else None
     batch_mean = s_new / n_new if n_new else None
@@ -678,6 +682,37 @@ def append_to_ivfpq_index(
             if index_mean and batch_mean is not None
             else None
         ),
+    }
+
+
+def compact_ivfpq_index(
+    spark, index_path: str, n_files: int | None = None,
+    keep_generations: int = 1,
+) -> dict:
+    """Merge the per-append code segments into ONE cid-partitioned
+    segment (:func:`similarity.compact_ivf_index` applied to the
+    8-byte-code table): models and stats carry over in the manifest,
+    old segments retire via vacuum, a crash leaves a committed
+    generation readable. Returns ``{files_before, files_after,
+    rows}``."""
+    files_before = mf.live_data_file_count(spark, index_path, ("codes",))
+    encoded = read_ivfpq_codes(spark, index_path)
+    if n_files is None:
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+    rows = encoded.count()
+    seg = mf.new_segment_name()
+    (
+        encoded.repartition(n_files, "cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{index_path}/{seg}")
+    )
+    mf.commit_replace(spark, index_path, [seg], legacy=_IVFPQ_LEGACY)
+    mf.vacuum_store(spark, index_path, keep_generations)
+    return {
+        "files_before": files_before,
+        "files_after": mf.live_data_file_count(spark, index_path),
+        "rows": rows,
     }
 
 

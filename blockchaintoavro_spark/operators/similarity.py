@@ -715,10 +715,16 @@ def append_to_ivf_index(
         f"{index_path}/{seg}"
     )
     a.unpersist()
+    # fold the delta into whatever stats the WINNING manifest carries —
+    # re-evaluated per retry, so concurrent appends accumulate exactly
     mf.commit_append(
         spark, index_path, [seg],
         legacy=_IVF_LEGACY,
-        stats={"n": base_n + n_new, "dist_sum": base_s + s_new},
+        update_stats=lambda old: {
+            "n": (int(old["n"]) if old else base_n) + n_new,
+            "dist_sum": (float(old["dist_sum"]) if old else base_s) + s_new,
+        },
+        retries=5,
     )
     index_mean = base_s / base_n if base_n else None
     batch_mean = s_new / n_new if n_new else None
@@ -766,6 +772,43 @@ def rebuild_ivf_index(
         release_local_checkpoint(assigned)
 
 
+def compact_ivf_index(
+    spark, index_path: str, n_files: int | None = None,
+    keep_generations: int = 1,
+) -> dict:
+    """Merge the per-append assignment segments into ONE cid-partitioned
+    segment — the OPTIMIZE step a daily-append (or streaming-maintained)
+    index needs: every query lists and opens the live file set, and one
+    small segment per append eventually makes footer reads and task
+    scheduling the probe's real cost. Publishes via the manifest commit
+    (centroid ref and drift stats carry over unchanged — the data is
+    identical, just re-laid-out), retires old segments with
+    ``vacuum_store``; a crash at any point leaves a committed
+    generation readable. Run in the single writer's thread. Returns
+    ``{files_before, files_after, rows}``."""
+    files_before = mf.live_data_file_count(
+        spark, index_path, ("assignments",)
+    )
+    assigned = read_ivf_assignments(spark, index_path)
+    if n_files is None:
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+    rows = assigned.count()
+    seg = mf.new_segment_name()
+    (
+        assigned.repartition(n_files, "cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{index_path}/{seg}")
+    )
+    mf.commit_replace(spark, index_path, [seg], legacy=_IVF_LEGACY)
+    mf.vacuum_store(spark, index_path, keep_generations)
+    return {
+        "files_before": files_before,
+        "files_after": mf.live_data_file_count(spark, index_path),
+        "rows": rows,
+    }
+
+
 class IvfIndexMaintainer:
     """``foreachBatch`` applier that CLOSES the drift loop (r10 VERDICT
     #3): each micro-batch of new vectors is appended to the persisted
@@ -798,6 +841,7 @@ class IvfIndexMaintainer:
         n_iters: int = 3,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        compact_every: int | None = None,
     ) -> None:
         self.index_path = index_path
         self.rebuild_threshold = rebuild_threshold
@@ -805,8 +849,10 @@ class IvfIndexMaintainer:
         self.n_iters = n_iters
         self.id_col = id_col
         self.vec_col = vec_col
+        self.compact_every = compact_every
         self.batches = 0  # introspection for tests
         self.rebuilds = 0
+        self.compactions = 0
         self.history: list[dict] = []
 
     def maintain(self, batch: DataFrame) -> dict:
@@ -830,6 +876,14 @@ class IvfIndexMaintainer:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         self.maintain(batch)
         self.batches += 1
+        # streaming appends spray one segment per micro-batch; fold the
+        # small files back periodically — micro-batches serialize, so
+        # this runs in the writer's own slot (the compactor's contract).
+        # A rebuild already rewrote everything into one segment, so the
+        # count restarts from its own cadence either way.
+        if self.compact_every and self.batches % self.compact_every == 0:
+            compact_ivf_index(batch.sparkSession, self.index_path)
+            self.compactions += 1
 
 
 def ivf_index_maintain_stream(
@@ -841,6 +895,7 @@ def ivf_index_maintain_stream(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = None,
 ):
     """Streaming leg of the drift loop: returns a ``DataStreamWriter``
     (caller picks the trigger and starts it) whose ``foreachBatch``
@@ -850,7 +905,8 @@ def ivf_index_maintain_stream(
     ``append_to_ivf_index`` + ``rebuild_ivf_index`` the r10 VERDICT
     called for, mirroring ``neardup_scrub_stream``'s shape."""
     applier = IvfIndexMaintainer(
-        index_path, rebuild_threshold, n_centroids, n_iters, id_col, vec_col
+        index_path, rebuild_threshold, n_centroids, n_iters, id_col,
+        vec_col, compact_every,
     )
     writer = (
         stream.writeStream.foreachBatch(applier)

@@ -888,7 +888,8 @@ def append_gram_counts(
         .write.mode("overwrite")
         .parquet(f"{store_path}/{seg}")
     )
-    mf.commit_append(spark, store_path, [seg], legacy=_GRAM_LEGACY)
+    mf.commit_append(spark, store_path, [seg], legacy=_GRAM_LEGACY,
+                     retries=5)
 
 
 def read_gram_counts(spark, store_path: str) -> DataFrame:

@@ -225,3 +225,103 @@ def test_ivf_crash_mid_rebuild_keeps_old_index(
     sim.rebuild_ivf_index(spark, idx, n_centroids=8, n_iters=2)
     assert sim.read_ivf_stats(spark, idx)[0] == 60
     assert len(res()) == len(before) > 0
+
+
+def test_commit_append_retry_folds_stats_after_lost_race(
+    spark, tmp_path, monkeypatch
+):
+    """Optimistic concurrency: a commit that loses the generation race
+    retries against the WINNER's manifest — the staged segment is
+    reused (no data rewrite), the winner's segments survive, and
+    update_stats folds the delta into the winner's stats rather than
+    the stale pre-race baseline. With retries=0 the race raises."""
+    root = str(tmp_path / "store")
+    _append(spark, root, [(1, "a")])
+
+    rival = mf.new_segment_name()
+    spark.createDataFrame([(7, "r")], "k long, v string").write.parquet(
+        f"{root}/{rival}"
+    )
+    mine = mf.new_segment_name()
+    spark.createDataFrame([(2, "m")], "k long, v string").write.parquet(
+        f"{root}/{mine}"
+    )
+
+    real_commit = mf.commit_manifest
+    state = {"interfered": 0}
+
+    def racing_commit(sp, rt, man, gen):
+        if not state["interfered"]:
+            state["interfered"] = 1
+            # a rival writer takes this generation first, with its own
+            # segment and its own stats
+            real_commit(
+                sp, rt,
+                {
+                    "segments": [
+                        s for s in man["segments"] if s not in (mine, rival)
+                    ]
+                    + [rival],
+                    "stats": {"n": 4, "dist_sum": 2.0},
+                },
+                gen,
+            )
+        return real_commit(sp, rt, man, gen)
+
+    monkeypatch.setattr(mf, "commit_manifest", racing_commit)
+    with pytest.raises(mf.ConcurrentCommitError):
+        mf.commit_append(
+            spark, root, [mine],
+            update_stats=lambda old: {
+                "n": (old["n"] if old else 0) + 2,
+                "dist_sum": (old["dist_sum"] if old else 0.0) + 0.5,
+            },
+            retries=0,
+        )
+    state["interfered"] = 0
+    mf.commit_append(
+        spark, root, [mine],
+        update_stats=lambda old: {
+            "n": (old["n"] if old else 0) + 2,
+            "dist_sum": (old["dist_sum"] if old else 0.0) + 0.5,
+        },
+        retries=3,
+    )
+    monkeypatch.undo()
+    gen, man = mf.latest_manifest(spark, root)
+    assert rival in man["segments"] and mine in man["segments"]
+    assert man["stats"] == {"n": 6, "dist_sum": 2.5}  # winner's 4 + my 2
+    assert _read_ids(spark, root) == [1, 2, 7]
+
+
+def test_concurrent_appends_with_retries_all_commit(spark, tmp_path):
+    """Four threads appending simultaneously with retries: every append
+    lands exactly once, the store reads all rows, and the final
+    generation count equals the number of commits."""
+    import threading
+
+    root = str(tmp_path / "store")
+    _append(spark, root, [(1, "a")])
+    errs = []
+
+    def worker(v):
+        try:
+            seg = mf.new_segment_name()
+            spark.createDataFrame(
+                [(v, "x")], "k long, v string"
+            ).write.parquet(f"{root}/{seg}")
+            mf.commit_append(spark, root, [seg], retries=16)
+        except Exception as e:  # pragma: no cover - the assertion below
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(v,)) for v in (10, 11, 12, 13)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert _read_ids(spark, root) == [1, 10, 11, 12, 13]
+    gen, man = mf.latest_manifest(spark, root)
+    assert gen == 5 and len(man["segments"]) == 5

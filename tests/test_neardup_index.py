@@ -319,3 +319,42 @@ def test_scrubber_bands_each_batch_once(spark, tmpdir, monkeypatch):
         .select("_nd_id").distinct().collect()
     }
     assert ids == {1, 3}
+
+
+def test_scrubber_auto_compaction_bounds_segments(spark, tmpdir):
+    """compact_every: the foreachBatch applier folds the per-batch band
+    segments back into one inside its own serialized slot — segment
+    count stays bounded, dedup behavior identical."""
+    from blockchaintoavro_spark.operators import manifest as mfmod
+    from blockchaintoavro_spark.operators.neardup_index import (
+        NearDupScrubber,
+        build_neardup_index,
+        read_neardup_bands,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    c = "completely different content about spark shuffles and partitions"
+    d = "watermarks bound the state kept for late arriving event time rows"
+    idx = f"{tmpdir}/nd_autocompact"
+    build_neardup_index(mk([]).limit(0), idx, kind="minhash")
+    scrubber = NearDupScrubber(
+        idx, f"{tmpdir}/nd_ac_out", compact_every=2
+    )
+    scrubber(mk([(1, a), (2, c)]), 0)
+    scrubber(mk([(3, a), (4, d)]), 1)  # 3 dups 1 -> dropped
+    assert scrubber.batches == 2 and scrubber.compactions == 1
+    gen, man = mfmod.latest_manifest(spark, idx)
+    assert len(man["segments"]) == 1  # folded back to one segment
+    ids = {
+        r["_nd_id"]
+        for r in read_neardup_bands(spark, idx)
+        .select("_nd_id").distinct().collect()
+    }
+    assert ids == {1, 2, 4}
+    # the index keeps working after compaction
+    scrubber(mk([(5, d), (6, c)]), 2)
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{tmpdir}/nd_ac_out").collect()
+    )
+    assert got == [1, 2, 4]  # 5 dups 4, 6 dups 2

@@ -3300,3 +3300,57 @@ def test_centroid_scores_broadcast_model_large_k(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "Exchange hashpartitioning" not in p
     assert out.count() == 40  # analyzes and executes fine at K=1024
+
+
+def test_ivf_and_ivfpq_compaction_preserves_results(spark, sf_dir, tmp_path):
+    """compact_ivf_index / compact_ivfpq_index: per-append segments fold
+    into one cid-partitioned segment behind a manifest commit — query
+    results, row counts and drift stats are unchanged; the live file
+    count drops; a subsequent append still works."""
+    from blockchaintoavro_spark.operators import manifest as mfmod
+    from blockchaintoavro_spark.operators import similarity as sim
+    from blockchaintoavro_spark.operators.pq import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        query_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 160"
+    )
+    q = emb.filter("vec_id < 8")
+    res = lambda df: sorted((r.q_id, r.neighbor_id) for r in df.collect())
+
+    idx = str(tmp_path / "ivf_compact")
+    sim.build_ivf_index(emb.filter("vec_id < 80"), idx, n_centroids=8)
+    for lo in (80, 120):
+        sim.append_to_ivf_index(
+            idx, emb.filter(f"vec_id >= {lo} and vec_id < {lo + 40}")
+        )
+    before = res(sim.query_ivf(spark, idx, q, k=3, nprobe=8))
+    stats_before = sim.read_ivf_stats(spark, idx)
+    out = sim.compact_ivf_index(spark, idx, n_files=2)
+    assert out["files_after"] < out["files_before"]
+    assert out["rows"] == 160
+    assert res(sim.query_ivf(spark, idx, q, k=3, nprobe=8)) == before
+    assert sim.read_ivf_stats(spark, idx) == stats_before
+    gen, man = mfmod.latest_manifest(spark, idx)
+    assert len(man["segments"]) == 1
+    sim.append_to_ivf_index(idx, emb.limit(0))  # still appendable
+
+    pidx = str(tmp_path / "ivfpq_compact")
+    build_ivfpq_index(
+        emb.filter("vec_id < 80"), pidx, n_centroids=8, m=4, n_codes=8
+    )
+    for lo in (80, 120):
+        append_to_ivfpq_index(
+            pidx, emb.filter(f"vec_id >= {lo} and vec_id < {lo + 40}")
+        )
+    pbefore = res(query_ivfpq(spark, pidx, q, k=3, nprobe=8))
+    pstats = sim.read_ivf_stats(spark, pidx)
+    pout = compact_ivfpq_index(spark, pidx, n_files=2)
+    assert pout["files_after"] < pout["files_before"]
+    assert pout["rows"] == 160
+    assert res(query_ivfpq(spark, pidx, q, k=3, nprobe=8)) == pbefore
+    assert sim.read_ivf_stats(spark, pidx) == pstats
