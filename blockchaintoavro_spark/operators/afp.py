@@ -276,6 +276,42 @@ def audio_clip_matches(
     )
 
 
+def audio_clip_matches_robust(
+    clips: DataFrame,
+    corpus: DataFrame,
+    max_hamming: int = 2,
+    min_votes: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window_samples: int = 8192,
+    hop_samples: int = 4096,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Audio clip-in-clip alignment that survives RE-ENCODING
+    (:func:`audio_clip_matches` needs every one of ``k`` consecutive
+    window codes verbatim; a transcoded clip wobbles a few AFP bits per
+    window and never shingles). Same composition, robust matcher:
+    windowed AFP codes on both sides, then per-window banded Hamming
+    candidates + offset voting (``phash.video_clip_matches_robust`` —
+    exact at radius ``max_hamming < n_bands`` by pigeonhole). Returns
+    ``(clip_id, video_id→recording id, offset, n_votes)``, offsets in
+    hop units; a clean n-window excerpt collects all n votes."""
+    from blockchaintoavro_spark.operators.phash import (
+        video_clip_matches_robust,
+    )
+
+    cw = afp_codes_windowed(
+        clips, payload_col, id_col, window_samples, hop_samples
+    )
+    vw = afp_codes_windowed(
+        corpus, payload_col, id_col, window_samples, hop_samples
+    )
+    return video_clip_matches_robust(
+        cw, vw, max_hamming=max_hamming, min_votes=min_votes,
+        id_col=id_col, code_col="afp", n_bands=n_bands,
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic fixture: synthesized WAV corpus whose fingerprint a SQL
 # oracle can recompute (the x_afp_codes / x_afp_neardup declared queries)

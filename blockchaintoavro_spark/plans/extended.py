@@ -1455,6 +1455,60 @@ def x_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_tpch_q12",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+                 AND l_shipdate > o_orderdate
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY ship_class
+    """,
+)
+def x_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-priority audit (the last unrepresented
+    Q shape): a year-window fact scan joins orders on the key PLUS a
+    cross-table date predicate (Q12's signature ``commitdate <
+    receiptdate`` comparison, expressed here as ``shipdate >
+    orderdate`` over the columns this schema carries), then one
+    conditional CASE-count pair classifies lines by order priority per
+    ship class. The date window pushes to the lineitem scan; the extra
+    date condition rides the equi-join as a post-join filter — still a
+    keyed join, never a nested loop (plan-asserted)."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@declare(
     "x_tpch_q14",
     oracle="""
     SELECT CAST(CAST(ROUND(
@@ -4913,6 +4967,74 @@ def x_audio_clip(spark: SparkSession, sf: str) -> DataFrame:
     clips = base.mapInPandas(gen_clips, schema=schema)
     m = audio_clip_matches(
         clips, corpus, k=5, min_votes=2,
+        window_samples=win, hop_samples=hop,
+    )
+    return m.select(
+        "clip_id",
+        "video_id",
+        F.col("offset").cast("long").alias("offset"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+    ).orderBy("clip_id", "video_id", "offset")
+
+
+@declare("x_audio_clip_match_robust", oracle=None)
+def x_audio_clip_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """RE-ENCODE-robust audio alignment (operators/afp.py:
+    audio_clip_matches_robust — r10 VERDICT #2 audio leg): the same
+    eight-recording construction as x_audio_clip_match, but every
+    excerpt's samples carry a deterministic perturbation (the
+    transcode-noise stand-in, flipping a few AFP bits per window) that
+    blinds the exact shingled matcher (test-pinned in
+    tests/test_afp.py); per-window banded Hamming candidates + offset
+    voting still align each clip to its source recording at its cut
+    offset. Engine-defined fingerprints → rows-only."""
+    import numpy as np
+
+    from ..functions.audio import encode_wav
+    from ..operators.afp import audio_clip_matches_robust
+
+    win, hop = 512, 256
+    base = t(spark, sf, "documents").filter(F.col("doc_id") < 8).select(
+        "doc_id"
+    )
+
+    def sample(did: int, lo: int, n: int) -> "np.ndarray":
+        i = np.arange(lo, lo + n, dtype=np.int64)
+        m = 997 + (did * 53) % 151
+        return ((131 + did) * i + (i * i) % m) % 32768 - 16384
+
+    def gen_corpus(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = sample(did, 0, hop * 60 + win)
+                ids.append(did)
+                payloads.append(encode_wav(8000, 1, [int(v) for v in s], 16))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def gen_clips(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                start = (did * 5) % 40
+                s = sample(did, start * hop, hop * 11 + win)
+                j = np.arange(s.size, dtype=np.int64)
+                s = np.clip(s + (j * j) % 97 - 48, -16384, 16383)
+                ids.append(did + 500)
+                payloads.append(encode_wav(8000, 1, [int(v) for v in s], 16))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = "doc_id long, payload binary"
+    corpus = base.mapInPandas(gen_corpus, schema=schema)
+    clips = base.mapInPandas(gen_clips, schema=schema)
+    m = audio_clip_matches_robust(
+        clips, corpus, max_hamming=3, min_votes=4,
         window_samples=win, hop_samples=hop,
     )
     return m.select(

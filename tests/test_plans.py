@@ -1076,3 +1076,13 @@ def test_tpch_q9_part_filter_broadcast_semireduces_fact(spark, registry, sf_dir)
     assert "CartesianProduct" not in s and "NestedLoop" not in s, s
     p = plan_of(spark, registry, "x_tpch_q9_like", sf_dir)
     assert "StartsWith" in p or "Contains" in p or "LIKE" in p or "Like" in p, p
+
+
+def test_tpch_q12_pushed_filter_and_keyed_join(spark, registry, sf_dir):
+    """Q12 shape: the year window reaches the lineitem scan as a pushed
+    filter, and the join (equi-key + cross-table date predicate) stays
+    a keyed join — the date condition must NOT degrade it to a nested
+    loop or cartesian."""
+    p = plan_of(spark, registry, "x_tpch_q12", sf_dir)
+    assert "PushedFilters" in p and "l_shipdate" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
