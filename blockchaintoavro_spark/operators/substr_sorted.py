@@ -810,13 +810,18 @@ def write_dup_dictionary(
     n_partitions: int | None = None,
 ) -> None:
     """Materialize a STANDING duplicated-fingerprint dictionary
-    (``sub long`` parquet at ``path``, mode=overwrite) from a corpus
-    snapshot via sorted-gram detection — the detect-once half of the
-    incremental remediation pattern (reference etl.sh:6-33 re-runs its
-    whole batch on every invocation; a standing store lets a stream
-    scrub documents as they arrive). Refresh by calling again on a
-    newer snapshot: the overwrite commits a new file set, which
-    :class:`SortedDictStripper` detects by listing the store."""
+    (``sub long`` parquet at ``path``) from a corpus snapshot via
+    sorted-gram detection — the detect-once half of the incremental
+    remediation pattern (reference etl.sh:6-33 re-runs its whole batch
+    on every invocation; a standing store lets a stream scrub documents
+    as they arrive). Refresh by calling again on a newer snapshot: the
+    new segment publishes with ONE manifest commit (r11 — the old
+    ``mode("overwrite")`` had a delete window where a crashed refresh
+    stranded the stream's next broadcast), and
+    :class:`SortedDictStripper` detects the new generation by its
+    watch token."""
+    spark = df.sparkSession
+    seg = mf.new_segment_name()
     (
         duplicated_substrings_sorted(
             df, k, min_docs, id_col, text_col,
@@ -824,8 +829,22 @@ def write_dup_dictionary(
         )
         .select("sub")
         .write.mode("overwrite")
-        .parquet(path)
+        .parquet(f"{path}/{seg}")
     )
+    mf.commit_replace(spark, path, [seg])
+    # keep ONE prior generation: a stripper that pinned the previous
+    # dictionary mid-stream finishes its batch before the files retire
+    mf.vacuum_store(spark, path, keep_generations=2)
+
+
+def read_dup_dictionary(spark, path: str) -> DataFrame:
+    """The standing duplicated-fingerprint dictionary (``sub long``) as
+    of the newest committed manifest; pre-r11 dictionaries (bare
+    parquet files at ``path``) read directly."""
+    m = mf.latest_manifest(spark, path)
+    if m is not None:
+        return mf.read_segments(spark, path, m[1])
+    return spark.read.parquet(path)
 
 
 def append_gram_counts(
@@ -953,7 +972,9 @@ def refresh_dup_dictionary(
     new file set and re-broadcasts once. With disjoint-id ingests the
     result equals ``write_dup_dictionary`` on the full concatenated
     corpus (test-pinned), at the cost of one scan of the count store
-    instead of re-detecting every document ever ingested. Returns the
+    instead of re-detecting every document ever ingested. The refresh
+    publishes atomically (manifest commit, r11) — a crash mid-refresh
+    leaves the previous dictionary generation serving. Returns the
     dictionary size."""
     dups = (
         read_gram_counts(spark, store_path)
@@ -962,15 +983,23 @@ def refresh_dup_dictionary(
         .filter(F.col("_n") >= min_docs)
         .select("sub")
     )
-    dups.write.mode("overwrite").parquet(dict_path)
-    return spark.read.parquet(dict_path).count()
+    seg = mf.new_segment_name()
+    dups.write.mode("overwrite").parquet(f"{dict_path}/{seg}")
+    mf.commit_replace(spark, dict_path, [seg])
+    mf.vacuum_store(spark, dict_path, keep_generations=2)
+    return read_dup_dictionary(spark, dict_path).count()
 
 
 def _store_token(spark, path: str):
-    """Snapshot identity of a dictionary store: the sorted
+    """Snapshot identity of a dictionary store: the committed manifest
+    generation when the store has one (r11 — one small-file listing,
+    and the token flips exactly at the commit point), else the sorted
     ``(name, length, mtime)`` of its files via the Hadoop FileSystem
     API — works on any Spark-supported filesystem (local, HDFS, object
     stores), no driver-side os.listdir assumption."""
+    m = mf.latest_manifest(spark, path)
+    if m is not None:
+        return ("generation", m[0])
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1032,7 +1061,7 @@ class SortedDictStripper:
         token = _store_token(spark, self.dict_path)
         if token == self._token:
             return
-        dups = spark.read.parquet(self.dict_path)
+        dups = read_dup_dictionary(spark, self.dict_path)
         n = dups.count()
         if self._bc is not None:
             self._bc.destroy()
@@ -1073,7 +1102,7 @@ class SortedDictStripper:
 
             return strip_spans_against(
                 batch,
-                spark.read.parquet(self.dict_path),
+                read_dup_dictionary(spark, self.dict_path),
                 self.k, self.id_col, self.text_col, hash_only=True,
             )
         bc, k, id_col, text_col = self._bc, self.k, self.id_col, self.text_col

@@ -325,3 +325,50 @@ def test_concurrent_appends_with_retries_all_commit(spark, tmp_path):
     assert _read_ids(spark, root) == [1, 10, 11, 12, 13]
     gen, man = mf.latest_manifest(spark, root)
     assert gen == 5 and len(man["segments"]) == 5
+
+
+def test_dup_dictionary_refresh_crash_keeps_serving(
+    spark, tmp_path, monkeypatch
+):
+    """The strip dictionary is the 4th standing artifact (r11): a
+    refresh killed before its manifest commit leaves the previous
+    dictionary generation serving the stream — the old
+    ``mode("overwrite")`` delete window stranded it."""
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        SortedDictStripper,
+        read_dup_dictionary,
+        write_dup_dictionary,
+    )
+
+    base = "x" * 30
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    snap = mk([(1, base + "a"), (2, base + "b")])  # 30-char shared prefix
+    dict_path = str(tmp_path / "dup_dict")
+    write_dup_dictionary(snap, dict_path, k=20)
+    want = {r["sub"] for r in read_dup_dictionary(spark, dict_path).collect()}
+    assert want  # the shared prefix produced duplicated fingerprints
+
+    stripper = SortedDictStripper(dict_path, str(tmp_path / "out"), k=20)
+    out1 = stripper.strip(mk([(9, base + "c")])).collect()
+    assert out1[0]["n_stripped"] > 0 and stripper.refreshes == 1
+
+    boom = RuntimeError("killed mid-refresh")
+    monkeypatch.setattr(
+        mf, "commit_replace", lambda *a, **k: (_ for _ in ()).throw(boom)
+    )
+    with pytest.raises(RuntimeError, match="killed mid-refresh"):
+        write_dup_dictionary(mk([(5, "completely different text")]),
+                             dict_path, k=20)
+    monkeypatch.undo()
+    # previous generation intact: same dictionary, and the stripper's
+    # token is unchanged so it does not even re-broadcast
+    assert {
+        r["sub"] for r in read_dup_dictionary(spark, dict_path).collect()
+    } == want
+    out2 = stripper.strip(mk([(10, base + "d")])).collect()
+    assert out2[0]["n_stripped"] > 0 and stripper.refreshes == 1
+
+    # a successful refresh flips the token exactly once
+    write_dup_dictionary(snap, dict_path, k=20)
+    stripper.strip(mk([(11, base + "e")])).collect()
+    assert stripper.refreshes == 2

@@ -3160,7 +3160,11 @@ def test_incremental_gram_counts_equal_full_detection(spark, sf_dir, tmp_path):
     append_gram_counts(b1, store, k=15)
     append_gram_counts(b2, store, k=15)
     n = refresh_dup_dictionary(spark, store, dict_path, min_docs=2)
-    got = {r["sub"] for r in spark.read.parquet(dict_path).collect()}
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        read_dup_dictionary,
+    )
+
+    got = {r["sub"] for r in read_dup_dictionary(spark, dict_path).collect()}
     want = {
         r["sub"]
         for r in duplicated_substrings_sorted(docs, k=15, min_docs=2)
@@ -3173,7 +3177,9 @@ def test_incremental_gram_counts_equal_full_detection(spark, sf_dir, tmp_path):
     stats = compact_gram_counts(spark, store, n_files=2)
     assert stats["rows_after"] < stats["rows_before"]
     refresh_dup_dictionary(spark, store, dict_path, min_docs=2)
-    assert {r["sub"] for r in spark.read.parquet(dict_path).collect()} == want
+    assert {
+        r["sub"] for r in read_dup_dictionary(spark, dict_path).collect()
+    } == want
 
     # appending at a different k must refuse (silent count corruption)
     with _pytest.raises(ValueError, match="was built with"):

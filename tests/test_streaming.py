@@ -517,7 +517,11 @@ def test_sorted_strip_stream_equals_batch_and_refreshes(spark, tmpdir):
     applier = writer._spark_graft_applier
     writer.trigger(availableNow=True).start().awaitTermination(120)
 
-    store1 = spark.read.parquet(dict_path)
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        read_dup_dictionary,
+    )
+
+    store1 = read_dup_dictionary(spark, dict_path)
     want1 = {
         r["doc_id"]: (r["clean_text"], r["n_stripped"])
         for r in strip_spans_against(snap1, store1, k=20, hash_only=True).collect()
@@ -548,7 +552,7 @@ def test_sorted_strip_stream_equals_batch_and_refreshes(spark, tmpdir):
         .awaitTermination(120)
     )
     assert applier.refreshes == 2  # exactly one reload for the new set
-    store2 = spark.read.parquet(dict_path)
+    store2 = read_dup_dictionary(spark, dict_path)
     want2 = {
         r["doc_id"]: (r["clean_text"], r["n_stripped"])
         for r in strip_spans_against(extra, store2, k=20, hash_only=True).collect()
