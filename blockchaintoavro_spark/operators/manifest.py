@@ -82,6 +82,7 @@ __all__ = [
     "ConcurrentCommitError",
     "MANIFEST_DIR",
     "latest_manifest",
+    "manifest_at",
     "commit_manifest",
     "new_segment_name",
     "new_ref_name",
@@ -148,6 +149,21 @@ def latest_manifest(spark, root: str) -> tuple[int, dict] | None:
     return gen, _read_json(
         spark, f"{root}/{MANIFEST_DIR}/{_manifest_file(gen)}"
     )
+
+
+def manifest_at(spark, root: str, generation: int) -> dict:
+    """The manifest of one specific RETAINED generation — time-travel
+    reads: a committed manifest is immutable and its segments are never
+    rewritten, so pinning it reproduces the store exactly as of that
+    commit (until vacuum retires the generation, which raises here)."""
+    path = f"{root}/{MANIFEST_DIR}/{_manifest_file(generation)}"
+    jp, fs = _fs(spark, path)
+    if not fs.exists(jp):
+        raise FileNotFoundError(
+            f"{root}: generation {generation} was never committed or has "
+            f"been vacuumed (retained: {_list_generations(spark, root)})"
+        )
+    return _read_json(spark, path)
 
 
 def commit_manifest(spark, root: str, manifest: dict, generation: int) -> None:

@@ -114,9 +114,10 @@ def build_neardup_index(
     seed: int = 42,
 ) -> None:
     """Band the corpus snapshot ONCE and persist the standing index:
-    ``{index_path}/bands`` (the band table) + ``{index_path}/meta``
-    (one row: kind + banding parameters as JSON, so probes reproduce
-    the identical banding). ``kind="minhash"`` expects ``(id, text)``
+    a manifest-pinned band segment (read it via
+    :func:`read_neardup_bands`) + ``{index_path}/meta`` (one row: kind
+    + banding parameters as JSON, so probes reproduce the identical
+    banding). ``kind="minhash"`` expects ``(id, text)``
     and stores LSH bands; ``kind="hamming"`` expects an already-coded
     frame ``(id, code)`` — feed it ``phash_codes`` / ``afp_codes`` /
     ``video_phash_codes`` output, which keeps the index agnostic of the
@@ -164,11 +165,20 @@ def _read_meta(spark, index_path: str) -> tuple[str, dict]:
     return row["kind"], json.loads(row["params"])
 
 
-def read_neardup_bands(spark, index_path: str) -> DataFrame:
+def read_neardup_bands(
+    spark, index_path: str, generation: int | None = None
+) -> DataFrame:
     """The standing band table as of the newest committed manifest —
     a union of immutable segment scans, snapshot-isolated from any
-    concurrent append/compaction. Falls back to the pre-r11 bare
-    ``bands`` directory for legacy indexes."""
+    concurrent append/compaction. ``generation`` pins a retained older
+    manifest instead (time travel — "what did the index contain before
+    yesterday's ingest?"); raise ``keep_generations`` on the
+    maintenance calls to retain more history. Falls back to the
+    pre-r11 bare ``bands`` directory for legacy indexes."""
+    if generation is not None:
+        return mf.read_segments(
+            spark, index_path, mf.manifest_at(spark, index_path, generation)
+        )
     m = mf.latest_manifest(spark, index_path)
     if m is not None:
         return mf.read_segments(spark, index_path, m[1])

@@ -372,3 +372,40 @@ def test_dup_dictionary_refresh_crash_keeps_serving(
     write_dup_dictionary(snap, dict_path, k=20)
     stripper.strip(mk([(11, base + "e")])).collect()
     assert stripper.refreshes == 2
+
+
+def test_time_travel_reads_pinned_generation(spark, tmp_path):
+    """A retained manifest is immutable, so pinning it reproduces the
+    store exactly as of that commit — and a vacuumed generation raises
+    with the retained list, never a partial read."""
+    from blockchaintoavro_spark.operators.neardup_index import (
+        build_neardup_index,
+        probe_neardup_index,
+        read_neardup_bands,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    c = "completely different content about spark shuffles and partitions"
+    d = "watermarks bound the state kept for late arriving event time rows"
+    root = str(tmp_path / "nd_tt")
+    build_neardup_index(mk([(1, a)]), root, kind="minhash")   # gen 1
+    probe_neardup_index(mk([(2, c)]), root, append="survivors")  # gen 2
+    probe_neardup_index(mk([(3, d)]), root, append="survivors")  # gen 3
+
+    ids_at = lambda g: {
+        r["_nd_id"]
+        for r in read_neardup_bands(spark, root, generation=g)
+        .select("_nd_id").distinct().collect()
+    }
+    assert ids_at(1) == {1}
+    assert ids_at(2) == {1, 2}
+    assert ids_at(3) == {1, 2, 3} == {
+        r["_nd_id"]
+        for r in read_neardup_bands(spark, root)
+        .select("_nd_id").distinct().collect()
+    }
+    mf.vacuum_store(spark, root, keep_generations=2)
+    assert ids_at(2) == {1, 2}  # still retained
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        ids_at(1)

@@ -477,6 +477,83 @@ def bench_round10_operators(spark) -> dict:
     return results
 
 
+def bench_round11_operators(spark) -> dict:
+    """Round-11 manifest-store mechanics. Claims under measurement:
+    (1) the manifest COMMIT is metadata-priced — one small-file write +
+    one rename, independent of data size; (2) per-append segment
+    fragmentation taxes probe wall-clock (many footer reads / tasks),
+    and one compaction returns it to the single-segment baseline —
+    the reason the streaming appliers take ``compact_every``."""
+    import shutil
+    import tempfile
+
+    from blockchaintoavro_spark.operators import manifest as mf
+    from blockchaintoavro_spark.operators.neardup_index import (
+        build_neardup_index,
+        compact_neardup_index,
+        probe_neardup_index,
+    )
+
+    results: dict[str, dict] = {}
+
+    docs = scaled_documents(spark, 10)  # 50k docs
+    idx = tempfile.mkdtemp(prefix="sg_ndman_")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_neardup_index(docs, idx, kind="minhash")
+    batch = scaled_documents(spark, 1).filter("doc_id < 500")
+    n0, probe_1seg = timed(
+        lambda: probe_neardup_index(batch, idx, append="none").count()
+    )
+
+    # fragment: 32 small appends (one segment each), probe again
+    for j in range(32):
+        probe_neardup_index(
+            scaled_documents(spark, 1).filter(
+                f"doc_id >= {5000 + j * 50} and doc_id < {5050 + j * 50}"
+            ),
+            idx,
+            append="all",
+        )
+    files_frag = mf.live_data_file_count(spark, idx)
+    n1, probe_frag = timed(
+        lambda: probe_neardup_index(batch, idx, append="none").count()
+    )
+    _, compact_sec = timed(lambda: compact_neardup_index(spark, idx))
+    files_compact = mf.live_data_file_count(spark, idx)
+    n2, probe_compact = timed(
+        lambda: probe_neardup_index(batch, idx, append="none").count()
+    )
+    assert n1 == n2  # compaction must not change probe results
+    results["probe_vs_fragmentation"] = {
+        "index_docs": 50000,
+        "probe_1segment_sec": probe_1seg,
+        "files_fragmented": files_frag,
+        "probe_33segments_sec": probe_frag,
+        "compact_sec": compact_sec,
+        "files_after_compact": files_compact,
+        "probe_after_compact_sec": probe_compact,
+    }
+    print(
+        f"probe_vs_fragmentation: 1seg {probe_1seg}s, 33seg {probe_frag}s "
+        f"({files_frag} files), post-compact {probe_compact}s "
+        f"({files_compact} files, compact {compact_sec}s)",
+        flush=True,
+    )
+
+    # commit cost: stage one tiny segment, time ONLY the manifest commit
+    seg = mf.new_segment_name()
+    spark.range(1).selectExpr(
+        "id as _nd_id", "0 as band_id", "id as band_val"
+    ).coalesce(1).write.parquet(f"{idx}/{seg}")
+    _, commit_sec = timed(
+        lambda: mf.commit_append(spark, idx, [seg], retries=1)
+    )
+    results["manifest_commit"] = {"sec": commit_sec}
+    print(f"manifest_commit: {commit_sec}s", flush=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    return results
+
+
 def bench_model_ops(spark) -> dict:
     """Round-9 model-based selection ops. The sweep legs (classifier
     inference, DSIR weights+sample) must scale LINEARLY in corpus size
@@ -630,6 +707,7 @@ def main() -> None:
         "round7_operators": bench_round7_operators(spark),
         "round9_operators": bench_round9_operators(spark),
         "round10_operators": bench_round10_operators(spark),
+        "round11_operators": bench_round11_operators(spark),
         "model_ops": bench_model_ops(spark),
         "ocf_split": bench_ocf_split(spark),
     }
