@@ -164,12 +164,26 @@ def pq_encode(
     dsub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
     subs = _subspace_slices(v, m, dsub)
-    # bind the m×n_codes×dsub codebook literal ONCE and reference the
-    # same Column everywhere — each _books_lit call is m·n_codes·dsub
-    # F.lit constructions, so re-inlining it per use site multiplies
-    # plan-construction cost and tree size as the model grows (r9
-    # ADVICE); one binding keeps the plan at one literal per call site
-    books = _books_lit(codebooks)
+    sqnorms = [
+        [sum(x * x for x in c) for c in book] for book in codebooks
+    ]
+    sq_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in sqnorms]
+    )
+    # bind the m×n_codes×dsub codebook literal ONCE (r9 ADVICE); past
+    # the float gate it rides a one-row broadcast MODEL frame instead,
+    # so the main plan carries a column reference, not an O(model)
+    # literal tree per use site (r11 — same trade as
+    # similarity._with_centroid_scores)
+    n_floats = m * len(codebooks[0]) * dsub
+    if n_floats <= _BOOKS_LITERAL_MAX_FLOATS:
+        src, books, sq_books = corpus, _books_lit(codebooks), sq_lit
+    else:
+        model = corpus.sparkSession.range(1).select(
+            _books_lit(codebooks).alias("_books"), sq_lit.alias("_sqb")
+        )
+        src = corpus.join(F.broadcast(model))
+        books, sq_books = F.col("_books"), F.col("_sqb")
     codes = F.transform(
         subs,
         lambda sub, s: F.array_min(
@@ -186,26 +200,29 @@ def pq_encode(
             )
         )["code"],
     )
-    sqnorms = [
-        [sum(x * x for x in c) for c in book] for book in codebooks
-    ]
-    sq_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in sqnorms]
-    )
     norm = F.sqrt(
         F.aggregate(
             F.zip_with(
                 F.col("codes"),
-                sq_lit,
+                sq_books,
                 lambda code, row: F.element_at(row, code + 1),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    return corpus.select(
-        F.col(id_col), codes.alias("codes")
-    ).withColumn("norm", norm)
+    return (
+        src.withColumn("codes", codes)
+        .withColumn("norm", norm)
+        .select(F.col(id_col), "codes", "norm")
+    )
+
+
+# past this many total codebook floats (m × n_codes × dsub, plus the
+# coarse centroids for IVFADC) the model leaves the expression tree and
+# rides a one-row broadcast frame — a production PQ at n_codes=256
+# would otherwise inline tens of thousands of literal nodes per use site
+_BOOKS_LITERAL_MAX_FLOATS = 8192
 
 
 def _books_lit(codebooks: list[list[list[float]]]) -> Column:
@@ -404,16 +421,27 @@ def ivfpq_encode(
     parameters — needed for cosine ADC, and not decomposable into
     per-subspace tables because of the ``c·r̂`` cross term, so it is
     computed once here). Zero-shuffle narrow map."""
-    from .similarity import _centroid_scores
+    from .similarity import _with_centroid_scores
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = F.col("_v")
-    # literals bound ONCE (books was previously inlined at both the
-    # encode and reconstruction sites — 2× the m·n_codes·dsub F.lit
-    # construction cost; r9 ADVICE)
-    books = _books_lit(codebooks)
-    cent = F.element_at(_cent_lit(centroids), F.col("cid") + 1)
+    # literals bound ONCE (r9 ADVICE); past the float gate the whole
+    # model (codebooks + coarse centroids) rides a one-row broadcast
+    # frame so the main tree references columns, not literal arrays,
+    # at BOTH the encode and reconstruction sites (r11)
+    n_floats = m * len(codebooks[0]) * dsub + len(centroids) * len(
+        centroids[0]
+    )
+    if n_floats <= _BOOKS_LITERAL_MAX_FLOATS:
+        books, cent_arr, model = _books_lit(codebooks), _cent_lit(centroids), None
+    else:
+        model = corpus.sparkSession.range(1).select(
+            _books_lit(codebooks).alias("_books"),
+            _cent_lit(centroids).alias("_cents"),
+        )
+        books, cent_arr = F.col("_books"), F.col("_cents")
+    cent = F.element_at(cent_arr, F.col("cid") + 1)
     resid = F.zip_with(v, cent, lambda a, b: a - b)
     codes = F.transform(
         _subspace_slices(resid, m, dsub),
@@ -445,14 +473,17 @@ def ivfpq_encode(
             lambda acc, x: acc + x,
         )
     )
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    base = _with_centroid_scores(base, v, centroids, "_sc")
+    base = base.withColumn("cid", F.array_min(F.col("_sc"))["cid"]).drop(
+        "_sc"
+    )
+    if model is not None:
+        base = base.join(F.broadcast(model))
     return (
-        corpus.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-        )
-        .withColumn(
-            "cid", F.array_min(_centroid_scores(v, centroids))["cid"]
-        )
-        .withColumn("codes", codes)
+        base.withColumn("codes", codes)
         .withColumn("norm", recon_norm)
         .select(id_col, "cid", "codes", "norm")
     )

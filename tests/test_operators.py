@@ -3360,3 +3360,59 @@ def test_ivf_and_ivfpq_compaction_preserves_results(spark, sf_dir, tmp_path):
     assert pout["rows"] == 160
     assert res(query_ivfpq(spark, pidx, q, k=3, nprobe=8)) == pbefore
     assert sim.read_ivf_stats(spark, pidx) == pstats
+
+
+def test_pq_books_broadcast_model_large_model(spark, sf_dir):
+    """r11: past _BOOKS_LITERAL_MAX_FLOATS the PQ/IVFADC codebooks (and
+    the IVFADC coarse centroids) ride a one-row broadcast model frame.
+    Encodes are bit-identical to the literal path, and at a
+    production-sized model the plan carries the matrix once with no
+    corpus shuffle."""
+    import blockchaintoavro_spark.operators.pq as pqm
+    from blockchaintoavro_spark.operators.pq import (
+        ivfpq_encode,
+        pq_encode,
+        train_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 60"
+    )
+    cents, books = train_ivfpq(emb, n_centroids=4, m=4, n_codes=4, n_iters=1)
+
+    rows = lambda df: sorted(
+        (r[0], tuple(r[1]), round(r[2], 9)) for r in df.collect()
+    )
+    ivf_rows = lambda df: sorted(
+        (r[0], r[1], tuple(r[2]), round(r[3], 9)) for r in df.collect()
+    )
+    lit_pq = rows(pq_encode(emb, books))
+    lit_ivf = ivf_rows(ivfpq_encode(emb, cents, books))
+    old = pqm._BOOKS_LITERAL_MAX_FLOATS
+    pqm._BOOKS_LITERAL_MAX_FLOATS = 0  # force the model path
+    try:
+        assert rows(pq_encode(emb, books)) == lit_pq
+        assert ivf_rows(ivfpq_encode(emb, cents, books)) == lit_ivf
+    finally:
+        pqm._BOOKS_LITERAL_MAX_FLOATS = old
+
+    # production-sized model (16 x 64 x 16 = 16384 floats > gate):
+    # sentinel bound once, broadcast join, no corpus shuffle
+    sentinel = 987654.321
+    big_books = [
+        [
+            [sentinel if (s, j, x) == (3, 17, 0) else float((s + j + x) % 5) + 0.5
+             for x in range(16)]
+            for j in range(64)
+        ]
+        for s in range(16)
+    ]
+    out = pq_encode(emb, big_books)
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert p.count("987654.321") == 1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Exchange hashpartitioning" not in p
+    assert out.count() == 60
