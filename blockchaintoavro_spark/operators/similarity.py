@@ -772,6 +772,70 @@ def rebuild_ivf_index(
         release_local_checkpoint(assigned)
 
 
+def embedding_contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PARAPHRASE-level benchmark decontamination — the embedding twin
+    of ``dedup.contamination_hits``: 13-gram hygiene misses reworded or
+    translated eval items, but their embeddings still sit next to the
+    benchmark's. A corpus row whose cosine to ANY benchmark vector
+    reaches ``threshold`` is flagged; returns ``(id, bench_id, sim)``
+    per hit (one corpus row can hit several items).
+
+    Scale: a benchmark is an eval suite — 1e3-1e5 rows, KBs-MBs — so it
+    BROADCASTS and the corpus never shuffles: one row-local scoring
+    pass inside whole-stage codegen, a pure map at 100 TB. The
+    threshold compares on the 4-dp ROUNDed decimal on both engine and
+    oracle (the exact-oracle float discipline), so hit membership can
+    never flip on a last-ulp difference."""
+    from ..functions.vectors import cosine_similarity
+
+    c = corpus.select(
+        F.col(id_col).alias("_dc_id"),
+        F.col(vec_col).cast("array<double>").alias("_dc_v"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).cast("array<double>").alias("_db_v"),
+    )
+    sim = cosine_similarity(F.col("_dc_v"), F.col("_db_v"))
+    return (
+        c.join(F.broadcast(b))
+        .withColumn("_s4", F.round(sim, 4).cast("decimal(38,4)"))
+        .filter(F.col("_s4") >= threshold)
+        .select(
+            F.col("_dc_id").alias(id_col),
+            "bench_id",
+            F.col("_s4").cast("double").alias("sim"),
+        )
+    )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus minus semantically contaminated rows: LEFT ANTI against
+    the distinct hit ids of :func:`embedding_contamination_hits` —
+    compose after the n-gram ``dedup.decontaminate`` for both lexical
+    and paraphrase hygiene in one pipeline."""
+    hits = (
+        embedding_contamination_hits(
+            corpus, benchmark, threshold, id_col, vec_col
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(hits, id_col, "left_anti")
+
+
 def compact_ivf_index(
     spark, index_path: str, n_files: int | None = None,
     keep_generations: int = 1,

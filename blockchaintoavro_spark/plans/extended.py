@@ -248,6 +248,46 @@ def x_embnd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_embedding_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 20
+    ), corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 20 AND vec_id < 400
+    ), hits AS (
+      SELECT c.vec_id, b.bench_id,
+             CAST(ROUND(list_cosine_similarity(c.e, b.e), 4)
+                  AS DECIMAL(38,4)) AS sim4
+      FROM corp c JOIN bench b ON TRUE
+    )
+    SELECT vec_id, bench_id, CAST(sim4 AS DOUBLE) AS sim
+    FROM hits WHERE sim4 >= 0.3
+    ORDER BY vec_id, bench_id
+    """,
+)
+def x_emb_decon(spark: SparkSession, sf: str) -> DataFrame:
+    """PARAPHRASE-level benchmark decontamination (operators/
+    similarity.py:embedding_contamination_hits): the first 20 vectors
+    stand in for an eval suite, the next 380 for the corpus; every
+    corpus row within rounded cosine 0.3 of any benchmark item is
+    flagged with the item it hits. The benchmark side broadcasts and
+    the corpus never shuffles (plan-asserted); the threshold compares
+    on the 4-dp decimal on both sides so membership can't flip at the
+    boundary. `embedding_decontaminate` (the anti-join) is test-pinned
+    to drop exactly these ids."""
+    from ..operators.similarity import embedding_contamination_hits
+
+    emb = t(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20)
+    corp = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 400))
+    return embedding_contamination_hits(corp, bench, 0.3).orderBy(
+        "vec_id", "bench_id"
+    )
+
+
+@declare(
     "x_quantize_embeddings",
     oracle="""
     WITH e AS (

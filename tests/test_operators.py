@@ -3416,3 +3416,42 @@ def test_pq_books_broadcast_model_large_model(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "Exchange hashpartitioning" not in p
     assert out.count() == 60
+
+
+def test_embedding_decontaminate_known_answer_and_plan(spark):
+    """Paraphrase-level decontamination: a corpus row equal (or nearly
+    equal) to a benchmark vector is flagged and dropped; unrelated rows
+    survive; the benchmark broadcasts and the corpus never shuffles."""
+    from blockchaintoavro_spark.operators.similarity import (
+        embedding_contamination_hits,
+        embedding_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0, 0.0]), (901, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),      # verbatim copy of 900
+            (2, [0.9, 0.1, 0.0, 0.0]),      # near-paraphrase of 900
+            (3, [0.0, 0.0, 1.0, 0.0]),      # clean (orthogonal)
+            (4, [0.0, -1.0, 0.0, 0.0]),     # clean (opposite of 901)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    hits = embedding_contamination_hits(corpus, bench, threshold=0.95)
+    got = {(r["vec_id"], r["bench_id"]) for r in hits.collect()}
+    assert got == {(1, 900), (2, 900)}
+    kept = sorted(
+        r["vec_id"]
+        for r in embedding_decontaminate(corpus, bench, 0.95).collect()
+    )
+    assert kept == [3, 4]
+
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        hits._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Exchange hashpartitioning" not in p  # corpus never shuffles
