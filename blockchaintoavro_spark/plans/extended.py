@@ -248,6 +248,62 @@ def x_embnd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents WHERE doc_id < 300
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def x_jsonl(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL source/sink round-trip (sources/jsonl.py): 300 documents
+    export to newline-delimited JSON (the interchange format crawl and
+    annotation pipelines exchange) and read back with an EXPLICIT
+    schema in quarantine mode; per-lang doc counts, token totals and a
+    32-bit-md5 content checksum of the ROUNDTRIPPED text must
+    hash-match DuckDB computing the same aggregates straight from the
+    source table — i.e. the JSON escape/unescape preserved every byte
+    and nothing was quarantined. Corrupt-line quarantine itself is
+    test-pinned (tests/test_operators.py)."""
+    import shutil
+    import tempfile
+
+    from ..sources.jsonl import CORRUPT_COL, read_jsonl, write_jsonl
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "lang", "text"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+    try:
+        write_jsonl(d.coalesce(4), path)
+        back = read_jsonl(
+            spark, path, "doc_id long, lang string, text string"
+        )
+        out = (
+            back.filter(F.col(CORRUPT_COL).isNull())
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.size(F.split("text", " ")))
+                .cast("long")
+                .alias("n_tokens"),
+                F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+                      .cast("long"))
+                .cast("long")
+                .alias("content_sum"),
+            )
+            .orderBy("lang")
+        )
+        return out.localCheckpoint()  # eager: tmp dir drops below
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@declare(
     "x_embedding_decontaminate",
     oracle="""
     WITH bench AS (

@@ -3455,3 +3455,37 @@ def test_embedding_decontaminate_known_answer_and_plan(spark):
     )
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "Exchange hashpartitioning" not in p  # corpus never shuffles
+
+
+def test_jsonl_quarantine_and_failfast(spark, tmp_path):
+    """read_jsonl: mangled lines land in _corrupt_record with data
+    columns NULL (the pipeline counts and routes them); clean rows
+    parse; quarantine=False raises on the first bad line."""
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.sources.jsonl import (
+        corrupt_lines,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    path = str(tmp_path / "jl")
+    good = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    write_jsonl(good.coalesce(1), path)
+    # drop a mangled line into the directory as its own file (a raw
+    # file has no Hadoop .crc sidecar, so only the JSON parse fails)
+    with open(f"{path}/extra.json", "w") as fh:
+        fh.write('{"doc_id": 3, "text": BROKEN\n')
+
+    df = read_jsonl(spark, path, "doc_id long, text string")
+    assert df.filter("doc_id IS NOT NULL").count() == 2
+    bad = corrupt_lines(df).collect()
+    assert len(bad) == 1 and "BROKEN" in bad[0]["_corrupt_record"]
+    assert bad[0]["doc_id"] is None  # data columns NULL on quarantine
+
+    with _pytest.raises(Exception, match="FAILFAST|Malformed|corrupt"):
+        read_jsonl(
+            spark, path, "doc_id long, text string", quarantine=False
+        ).collect()
