@@ -747,10 +747,15 @@ def compact_ivfpq_index(
     }
 
 
-def read_ivfpq_codes(spark, index_path: str):
+def read_ivfpq_codes(spark, index_path: str, generation: int | None = None):
     """The cid-partitioned 8-byte-code table as of the newest committed
-    manifest (union of immutable segment scans); pre-r11 indexes fall
-    back to the bare ``codes`` directory."""
+    manifest (union of immutable segment scans); ``generation`` pins a
+    retained older manifest (time travel); pre-r11 indexes fall back to
+    the bare ``codes`` directory."""
+    if generation is not None:
+        return mf.read_segments(
+            spark, index_path, mf.manifest_at(spark, index_path, generation)
+        )
     m = mf.latest_manifest(spark, index_path)
     if m is not None:
         return mf.read_segments(spark, index_path, m[1])

@@ -623,11 +623,18 @@ def read_ivf_centroids(spark, index_path: str) -> list[list[float]]:
     return [[float(x) for x in r["centroid"]] for r in rows]
 
 
-def read_ivf_assignments(spark, index_path: str) -> DataFrame:
+def read_ivf_assignments(
+    spark, index_path: str, generation: int | None = None
+) -> DataFrame:
     """The cid-partitioned assignments table as of the newest committed
     manifest — a union of immutable segment scans (partition pruning on
-    ``cid`` survives per leg); pre-r11 indexes fall back to the bare
-    ``assignments`` directory."""
+    ``cid`` survives per leg); ``generation`` pins a retained older
+    manifest (time travel: the index as of a past append/rebuild);
+    pre-r11 indexes fall back to the bare ``assignments`` directory."""
+    if generation is not None:
+        return mf.read_segments(
+            spark, index_path, mf.manifest_at(spark, index_path, generation)
+        )
     m = mf.latest_manifest(spark, index_path)
     if m is not None:
         return mf.read_segments(spark, index_path, m[1])

@@ -837,10 +837,17 @@ def write_dup_dictionary(
     mf.vacuum_store(spark, path, keep_generations=2)
 
 
-def read_dup_dictionary(spark, path: str) -> DataFrame:
+def read_dup_dictionary(
+    spark, path: str, generation: int | None = None
+) -> DataFrame:
     """The standing duplicated-fingerprint dictionary (``sub long``) as
-    of the newest committed manifest; pre-r11 dictionaries (bare
+    of the newest committed manifest — or, with ``generation``, as of a
+    retained older refresh (time travel); pre-r11 dictionaries (bare
     parquet files at ``path``) read directly."""
+    if generation is not None:
+        return mf.read_segments(
+            spark, path, mf.manifest_at(spark, path, generation)
+        )
     m = mf.latest_manifest(spark, path)
     if m is not None:
         return mf.read_segments(spark, path, m[1])
@@ -911,11 +918,18 @@ def append_gram_counts(
                      retries=5)
 
 
-def read_gram_counts(spark, store_path: str) -> DataFrame:
+def read_gram_counts(
+    spark, store_path: str, generation: int | None = None
+) -> DataFrame:
     """The standing per-ingest count deltas ``(sub, n_docs)`` as of the
     newest committed manifest (union of immutable segment scans,
-    snapshot-isolated); pre-r11 stores fall back to the bare ``counts``
-    directory."""
+    snapshot-isolated); ``generation`` pins a retained older manifest
+    instead (time travel); pre-r11 stores fall back to the bare
+    ``counts`` directory."""
+    if generation is not None:
+        return mf.read_segments(
+            spark, store_path, mf.manifest_at(spark, store_path, generation)
+        )
     m = mf.latest_manifest(spark, store_path)
     if m is not None:
         return mf.read_segments(spark, store_path, m[1])

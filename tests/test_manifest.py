@@ -20,6 +20,7 @@ from __future__ import annotations
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from blockchaintoavro_spark.operators import manifest as mf
 
@@ -409,3 +410,58 @@ def test_time_travel_reads_pinned_generation(spark, tmp_path):
     assert ids_at(2) == {1, 2}  # still retained
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         ids_at(1)
+
+
+def test_time_travel_uniform_across_all_store_readers(spark, tmp_path):
+    """Every standing-store reader takes a generation pin: gram counts,
+    strip dictionary, IVF assignments and IVFADC codes read back
+    exactly as of a retained commit."""
+    from blockchaintoavro_spark.operators.pq import (
+        build_ivfpq_index,
+        append_to_ivfpq_index,
+        read_ivfpq_codes,
+    )
+    from blockchaintoavro_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        read_ivf_assignments,
+    )
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        append_gram_counts,
+        read_gram_counts,
+        read_dup_dictionary,
+        write_dup_dictionary,
+    )
+
+    base = "y" * 30
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "grams")
+    append_gram_counts(mk([(1, base + "a")]), store, k=20)     # gen 1
+    append_gram_counts(mk([(2, base + "b")]), store, k=20)     # gen 2
+    assert read_gram_counts(spark, store, generation=1).count() < \
+        read_gram_counts(spark, store).count()
+
+    dpath = str(tmp_path / "dict")
+    write_dup_dictionary(mk([(1, base + "a"), (2, base + "b")]), dpath, k=20)
+    write_dup_dictionary(mk([(9, "no dups here at all")]), dpath, k=20)
+    assert read_dup_dictionary(spark, dpath).count() == 0
+    assert read_dup_dictionary(spark, dpath, generation=1).count() > 0
+
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(7)),
+                    lambda d: (F.col("id") % 5 + d).cast("double") + 0.5)
+        .alias("embedding"),
+    )
+    idx = str(tmp_path / "ivf_tt")
+    build_ivf_index(emb.filter("vec_id < 40"), idx, n_centroids=4, n_iters=1)
+    append_to_ivf_index(idx, emb.filter("vec_id >= 40"))
+    assert read_ivf_assignments(spark, idx, generation=1).count() == 40
+    assert read_ivf_assignments(spark, idx).count() == 60
+
+    pidx = str(tmp_path / "ivfpq_tt")
+    build_ivfpq_index(emb.filter("vec_id < 40"), pidx,
+                      n_centroids=4, m=4, n_codes=4, n_iters=1)
+    append_to_ivfpq_index(pidx, emb.filter("vec_id >= 40"))
+    assert read_ivfpq_codes(spark, pidx, generation=1).count() == 40
+    assert read_ivfpq_codes(spark, pidx).count() == 60
