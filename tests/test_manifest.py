@@ -465,3 +465,75 @@ def test_time_travel_uniform_across_all_store_readers(spark, tmp_path):
     append_to_ivfpq_index(pidx, emb.filter("vec_id >= 40"))
     assert read_ivfpq_codes(spark, pidx, generation=1).count() == 40
     assert read_ivfpq_codes(spark, pidx).count() == 60
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# a program over the store: each element is one operation
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.integers(0, 99), min_size=1, max_size=3)),
+        st.tuples(st.just("crash_append"),
+                  st.lists(st.integers(0, 99), min_size=1, max_size=3)),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("crash_compact"), st.just(None)),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_OPS)
+@settings(max_examples=12, deadline=None)
+def test_manifest_protocol_invariant_under_random_histories(
+    spark, tmp_path_factory, ops
+):
+    """Protocol-level property: under ANY interleaving of appends,
+    compactions, vacuums and mid-operation crashes (data written,
+    commit never issued), every read returns exactly the multiset of
+    successfully COMMITTED appends — crashed work is invisible, compaction
+    and vacuum are content-neutral, and the store is never unreadable."""
+    root = str(tmp_path_factory.mktemp("mstore") / "store")
+    mk = lambda vals: spark.createDataFrame(
+        [(v, "x") for v in vals], "k long, v string"
+    )
+    expected: list[int] = []
+
+    def read_all():
+        m = mf.latest_manifest(spark, root)
+        if m is None:
+            return []
+        return sorted(
+            r["k"] for r in mf.read_segments(spark, root, m[1]).collect()
+        )
+
+    for op, arg in ops:
+        if op == "append":
+            seg = mf.new_segment_name()
+            mk(arg).coalesce(1).write.parquet(f"{root}/{seg}")
+            mf.commit_append(spark, root, [seg])
+            expected.extend(arg)
+        elif op == "crash_append":
+            seg = mf.new_segment_name()  # written, never committed
+            mk(arg).coalesce(1).write.parquet(f"{root}/{seg}")
+        elif op == "compact" and expected:
+            seg = mf.new_segment_name()
+            m = mf.latest_manifest(spark, root)
+            mf.read_segments(spark, root, m[1]).coalesce(1).write.parquet(
+                f"{root}/{seg}"
+            )
+            mf.commit_replace(spark, root, [seg])
+        elif op == "crash_compact" and expected:
+            seg = mf.new_segment_name()  # merged data staged, no commit
+            m = mf.latest_manifest(spark, root)
+            mf.read_segments(spark, root, m[1]).coalesce(1).write.parquet(
+                f"{root}/{seg}"
+            )
+        elif op == "vacuum":
+            mf.vacuum_store(spark, root, keep_generations=arg)
+        assert read_all() == sorted(expected), (op, arg, ops)
+    mf.vacuum_store(spark, root, keep_generations=1)
+    assert read_all() == sorted(expected)
