@@ -54,10 +54,16 @@ The protocol:
   commit so in-flight readers of the previous generation finish before
   their files disappear.
 
-Writer concurrency: commits are single-file renames with an existence
-check, so on filesystems where rename-to-existing fails (HDFS) a lost
-update raises :class:`ConcurrentCommitError`; on POSIX rename semantics
-the check narrows the race to a TOCTOU window. APPENDS additionally
+Writer concurrency: the commit point is an atomic CREATE-IF-ABSENT of
+the generation's manifest file (r12 — the r11 exists-check+rename
+narrowed the race to a TOCTOU window on POSIX, where rename silently
+overwrites): on ``file:`` stores the staged manifest is published with
+``link(2)`` (``java.nio.Files.createLink``), which the kernel fails
+with ``EEXIST`` atomically; on rename-is-exclusive filesystems (HDFS)
+it is ``FileContext.rename(src, dst, Rename.NONE)``. Either way
+exactly ONE writer per generation succeeds and the loser raises
+:class:`ConcurrentCommitError` — never a silent overwrite of a
+committed manifest. APPENDS additionally
 support optimistic retry (``commit_append(..., retries=N)``): the
 staged segment is untouched by a lost race, so the retry re-reads the
 winner's manifest and re-commits — concurrent appends all land, and
@@ -166,13 +172,61 @@ def manifest_at(spark, root: str, generation: int) -> dict:
     return _read_json(spark, path)
 
 
+def _publish_if_absent(spark, fs, jtmp, jfinal) -> bool:
+    """Atomically publish the staged file as ``jfinal`` iff no file of
+    that name exists yet; ``False`` on a lost race. The primitive is
+    scheme-dependent but atomic on both paths:
+
+    - ``file:`` — ``java.nio.Files.createLink`` = POSIX ``link(2)``,
+      which the kernel fails with ``EEXIST`` atomically (local rename
+      silently REPLACES an existing destination, so rename can never be
+      a create-if-absent commit point on POSIX);
+    - everything else — ``FileContext.rename(src, dst, Rename.NONE)``,
+      the rename-is-exclusive contract HDFS implements in the namenode.
+    """
+    from py4j.protocol import Py4JJavaError
+
+    jvm = spark._jvm
+    uri = fs.makeQualified(jfinal).toUri()
+    if uri.getScheme() in (None, "file"):
+        src = jvm.java.io.File(
+            fs.makeQualified(jtmp).toUri().getPath()
+        ).toPath()
+        dst = jvm.java.io.File(uri.getPath()).toPath()
+        try:
+            jvm.java.nio.file.Files.createLink(dst, src)
+        except Py4JJavaError as e:
+            name = e.java_exception.getClass().getName()
+            if "FileAlreadyExistsException" in name:
+                return False
+            raise
+        fs.delete(jtmp, False)
+        return True
+    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        uri, spark._jsc.hadoopConfiguration()
+    )
+    rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark._sc._gateway.new_array(rename_enum, 1)
+    opts[0] = rename_enum.NONE
+    try:
+        fctx.rename(jtmp, jfinal, opts)
+    except Py4JJavaError as e:
+        name = e.java_exception.getClass().getName()
+        if "FileAlreadyExistsException" in name or "PathExistsException" in name:
+            return False
+        raise
+    return True
+
+
 def commit_manifest(spark, root: str, manifest: dict, generation: int) -> None:
     """THE commit point: stage the JSON under a dot-temp name, then one
-    ``fs.rename`` to ``manifest-{generation}.json`` publishes it —
-    readers see either the old manifest or the complete new one, never
-    partial bytes. Raises :class:`ConcurrentCommitError` if that
-    generation already exists (lost-update detection under the stores'
-    single-writer discipline)."""
+    atomic create-if-absent publishes it as
+    ``manifest-{generation}.json`` — readers see either the old
+    manifest or the complete new one, never partial bytes, and two
+    writers racing the same generation can never both "win" (r12: the
+    primitive itself rejects an existing destination, closing the r11
+    exists-check TOCTOU window on POSIX rename semantics). Raises
+    :class:`ConcurrentCommitError` on the lost race."""
     payload = json.dumps(manifest, sort_keys=True).encode("utf-8")
     tmp = f"{root}/{MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}"
     jtmp, fs = _fs(spark, tmp)
@@ -183,7 +237,7 @@ def commit_manifest(spark, root: str, manifest: dict, generation: int) -> None:
         out.close()
     final = f"{root}/{MANIFEST_DIR}/{_manifest_file(generation)}"
     jfinal, _ = _fs(spark, final)
-    if fs.exists(jfinal) or not fs.rename(jtmp, jfinal):
+    if not _publish_if_absent(spark, fs, jtmp, jfinal):
         fs.delete(jtmp, False)
         raise ConcurrentCommitError(
             f"{root}: generation {generation} already committed"
@@ -230,6 +284,31 @@ def current_state(
     return 0, base
 
 
+def _durable_state(spark, root: str, legacy: dict | None) -> tuple[int, dict]:
+    """:func:`current_state`, but a NON-EMPTY legacy adoption is first
+    persisted as the on-disk generation-0 manifest (r12 — ADVICE r11:
+    an in-memory-only adoption followed by a ``commit_replace`` never
+    recorded the bare legacy dirs in any manifest, and since they lack
+    owned prefixes :func:`vacuum_store` could never retire them — the
+    superseded data leaked on disk permanently). With generation 0 on
+    disk, the legacy dirs expire like any other dead refs. A lost race
+    on the gen-0 commit means another adopter won — re-read and build
+    on whatever is newest."""
+    m = latest_manifest(spark, root)
+    if m is not None:
+        return m
+    gen, base = current_state(spark, root, legacy)
+    if base.get("segments") or base.get("refs"):
+        try:
+            commit_manifest(spark, root, base, 0)
+        except ConcurrentCommitError:
+            pass
+        m = latest_manifest(spark, root)
+        if m is not None:
+            return m
+    return gen, base
+
+
 def commit_append(
     spark,
     root: str,
@@ -255,7 +334,7 @@ def commit_append(
     their stats deltas correctly no matter who wins."""
     attempt = 0
     while True:
-        gen, man = current_state(spark, root, legacy)
+        gen, man = _durable_state(spark, root, legacy)
         new_man = dict(man)
         new_man["segments"] = list(man.get("segments", [])) + list(
             new_segments
@@ -285,7 +364,7 @@ def commit_replace(
     ``N+1`` lists exactly ``segments`` (+ optional model-dir ``refs`` /
     ``stats``). The old generation's files are untouched until
     :func:`vacuum_store` — a crash anywhere leaves a readable store."""
-    gen, man = current_state(spark, root, legacy)
+    gen, man = _durable_state(spark, root, legacy)
     new_man = dict(man)
     new_man["segments"] = list(segments)
     if stats is not None:
@@ -334,14 +413,29 @@ def live_data_file_count(
     return count
 
 
-def vacuum_store(spark, root: str, keep_generations: int = 1) -> dict:
+def vacuum_store(
+    spark,
+    root: str,
+    keep_generations: int = 1,
+    orphan_grace_seconds: float = 3600.0,
+) -> dict:
     """Retire history: keep the newest ``keep_generations`` manifests,
-    delete older manifest files, every directory ONLY they referenced,
-    and orphaned store-owned dirs (``seg-*``/``cent-*``/``books-*``
-    from crashed writers) plus stale ``.tmp-*`` commit files. Runs in
-    the single writer's thread (same discipline as compaction); readers
-    still scanning a vacuumed generation should finish inside the
-    retained window — raise ``keep_generations`` to widen it."""
+    delete older manifest files and every directory ONLY they
+    referenced. ORPHANED store-owned dirs (``seg-*``/``cent-*``/
+    ``books-*`` that no manifest at all references) and stale
+    ``.tmp-*`` commit files are deleted only once their modification
+    time is older than ``orphan_grace_seconds`` (default 1 h — the
+    Delta/Iceberg VACUUM retention pattern): an orphan younger than
+    the grace window may be a CONCURRENT appender's staged-but-not-yet-
+    committed segment or in-flight ``.tmp`` manifest, and deleting it
+    would make the rival's commit publish a manifest pointing at
+    nothing (ADVICE r11 #2). Directories referenced by an EXPIRED
+    manifest need no grace: they were committed, superseded, and are
+    invisible to every retained generation. Readers still scanning a
+    vacuumed generation should finish inside the retained window —
+    raise ``keep_generations`` to widen it. Set
+    ``orphan_grace_seconds=0`` only when no append can be in flight
+    (tests, single-process maintenance)."""
     gens = _list_generations(spark, root)
     if not gens:
         return {"deleted_manifests": 0, "deleted_dirs": 0}
@@ -355,13 +449,17 @@ def vacuum_store(spark, root: str, keep_generations: int = 1) -> dict:
         )
         (live if g in keep else dead_refs).update(names)
     jroot, fs = _fs(spark, root)
+    # the filesystem's clock, not the driver's — mtimes come from it
+    now_ms = spark._jvm.java.lang.System.currentTimeMillis()
+    grace_ms = int(orphan_grace_seconds * 1000)
+    aged_out = lambda st: st.getModificationTime() <= now_ms - grace_ms
     deleted_dirs = 0
     for s in fs.listStatus(jroot):
         name = s.getPath().getName()
         if name in live or name == MANIFEST_DIR:
             continue
         owned = any(name.startswith(p) for p in _OWNED_PREFIXES)
-        if name in dead_refs or owned:
+        if name in dead_refs or (owned and aged_out(s)):
             fs.delete(s.getPath(), True)
             deleted_dirs += 1
     deleted_manifests = 0
@@ -369,7 +467,8 @@ def vacuum_store(spark, root: str, keep_generations: int = 1) -> dict:
     for s in fs.listStatus(jmdir):
         name = s.getPath().getName()
         if name.startswith(".tmp-"):
-            fs.delete(s.getPath(), False)
+            if aged_out(s):
+                fs.delete(s.getPath(), False)
             continue
         if name.startswith("manifest-") and name.endswith(".json"):
             g = int(name[len("manifest-") : -len(".json")])

@@ -157,7 +157,7 @@ def build_neardup_index(
         f"{index_path}/{seg}"
     )
     mf.commit_replace(spark, index_path, [seg], legacy=_LEGACY)
-    mf.vacuum_store(spark, index_path, keep_generations=1)
+    mf.vacuum_store(spark, index_path, keep_generations=2)
 
 
 def _read_meta(spark, index_path: str) -> tuple[str, dict]:
@@ -458,7 +458,7 @@ def _live_data_files(spark, index_path: str) -> int:
 
 def compact_neardup_index(
     spark, index_path: str, n_files: int | None = None,
-    keep_generations: int = 1,
+    keep_generations: int = 2,
 ) -> dict:
     """Rewrite the band store into ONE segment of ``n_files`` files
     clustered by ``band_val`` — the maintenance step a daily-append

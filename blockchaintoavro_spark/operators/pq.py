@@ -648,7 +648,7 @@ def build_ivfpq_index(
         refs={"centroids": cent_dir, "codebooks": books_dir},
         stats={"n": int(row["n"]), "dist_sum": float(row["s"] or 0.0)},
     )
-    mf.vacuum_store(spark, index_path, keep_generations=1)
+    mf.vacuum_store(spark, index_path, keep_generations=2)
 
 
 def append_to_ivfpq_index(
@@ -718,7 +718,7 @@ def append_to_ivfpq_index(
 
 def compact_ivfpq_index(
     spark, index_path: str, n_files: int | None = None,
-    keep_generations: int = 1,
+    keep_generations: int = 2,
 ) -> dict:
     """Merge the per-append code segments into ONE cid-partitioned
     segment (:func:`similarity.compact_ivf_index` applied to the

@@ -582,7 +582,7 @@ def build_ivf_index(
         refs={"centroids": cent_dir},
         stats={"n": int(row["n"]), "dist_sum": float(row["s"] or 0.0)},
     )
-    mf.vacuum_store(spark, index_path, keep_generations=1)
+    mf.vacuum_store(spark, index_path, keep_generations=2)
 
 
 def _assign_with_dist(
@@ -845,7 +845,7 @@ def embedding_decontaminate(
 
 def compact_ivf_index(
     spark, index_path: str, n_files: int | None = None,
-    keep_generations: int = 1,
+    keep_generations: int = 2,
 ) -> dict:
     """Merge the per-append assignment segments into ONE cid-partitioned
     segment — the OPTIMIZE step a daily-append (or streaming-maintained)

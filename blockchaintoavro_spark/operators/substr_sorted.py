@@ -938,7 +938,7 @@ def read_gram_counts(
 
 def compact_gram_counts(
     spark, store_path: str, n_files: int | None = None,
-    keep_generations: int = 1,
+    keep_generations: int = 2,
 ) -> dict:
     """Merge the count store's per-ingest delta segments: one
     ``groupBy(sub).sum`` rewrite published by a manifest commit — the

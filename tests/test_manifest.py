@@ -67,11 +67,15 @@ def test_crashed_append_is_invisible_and_retry_safe(spark, tmp_path):
     # the caller's full retry (new segment + commit) does not duplicate
     _append(spark, root, [(9, "x")])
     assert _read_ids(spark, root) == [1, 9]
-    # vacuum clears the orphan
-    mf.vacuum_store(spark, root, keep_generations=10)
     jvm = spark._jvm
     jp = jvm.org.apache.hadoop.fs.Path(f"{root}/{orphan}")
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    # a vacuum with the default grace window PROTECTS the fresh orphan
+    # (it could be a concurrent appender's staged segment — ADVICE r11)
+    mf.vacuum_store(spark, root, keep_generations=10)
+    assert fs.exists(jp)
+    # past the grace window (forced to 0 here) the orphan is retired
+    mf.vacuum_store(spark, root, keep_generations=10, orphan_grace_seconds=0)
     assert not fs.exists(jp)
     assert _read_ids(spark, root) == [1, 9]
 
@@ -82,6 +86,130 @@ def test_concurrent_commit_detected(spark, tmp_path):
     gen, man = mf.latest_manifest(spark, root)
     with pytest.raises(mf.ConcurrentCommitError):
         mf.commit_manifest(spark, root, man, gen)  # generation taken
+
+
+def test_commit_point_atomic_exactly_one_winner_per_generation(
+    spark, tmp_path
+):
+    """r12 (ADVICE r11 #3): the commit point is an atomic
+    create-if-absent — N threads racing the SAME generation produce
+    exactly ONE committed manifest; every loser raises; the winner's
+    payload is intact (never silently overwritten, the POSIX-rename
+    failure mode this replaced)."""
+    import threading
+
+    root = str(tmp_path / "store")
+    _append(spark, root, [(1, "a")])  # gen 1
+    results: dict[int, str] = {}
+    lock = threading.Lock()
+
+    def worker(i):
+        try:
+            mf.commit_manifest(
+                spark, root, {"segments": [], "stats": {"writer": i}}, 2
+            )
+            out = "won"
+        except mf.ConcurrentCommitError:
+            out = "lost"
+        with lock:
+            results[i] = out
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results.values()).count("won") == 1
+    gen, man = mf.latest_manifest(spark, root)
+    winner = next(i for i, r in results.items() if r == "won")
+    assert gen == 2 and man["stats"] == {"writer": winner}
+    # and no stale .tmp files leak from the losers (their cleanup ran)
+    jdir = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{mf.MANIFEST_DIR}")
+    fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmps = [
+        s.getPath().getName()
+        for s in fs.listStatus(jdir)
+        if s.getPath().getName().startswith(".tmp-")
+    ]
+    assert tmps == []
+
+
+def test_vacuum_grace_protects_inflight_append_staging(spark, tmp_path):
+    """ADVICE r11 #2: vacuum must not delete a CONCURRENT appender's
+    staged-but-uncommitted segment (or .tmp manifest) — under the
+    default grace window fresh orphans survive, so the in-flight append
+    can still commit and its manifest references a live directory."""
+    root = str(tmp_path / "store")
+    _append(spark, root, [(1, "a")])
+    # an in-flight append: segment staged, commit not yet issued
+    staged = mf.new_segment_name()
+    spark.createDataFrame([(5, "s")], "k long, v string").write.parquet(
+        f"{root}/{staged}"
+    )
+    # ... and a rival's in-flight .tmp manifest
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{root}/{mf.MANIFEST_DIR}/.tmp-inflight"
+    )
+    fs = jtmp.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jtmp, True)
+    out.write(b"{}")
+    out.close()
+
+    mf.vacuum_store(spark, root, keep_generations=1)  # default grace
+    jseg = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{staged}")
+    assert fs.exists(jseg) and fs.exists(jtmp)
+    # the append completes normally after the vacuum
+    mf.commit_append(spark, root, [staged])
+    assert _read_ids(spark, root) == [1, 5]
+    # expired-manifest refs need NO grace: compact, then vacuum at
+    # keep=1 with default grace retires the superseded segments at once
+    merged = mf.new_segment_name()
+    m = mf.latest_manifest(spark, root)
+    mf.read_segments(spark, root, m[1]).coalesce(1).write.parquet(
+        f"{root}/{merged}"
+    )
+    mf.commit_replace(spark, root, [merged])
+    before = {
+        s.getPath().getName()
+        for s in fs.listStatus(spark._jvm.org.apache.hadoop.fs.Path(root))
+    }
+    assert staged in before
+    mf.vacuum_store(spark, root, keep_generations=1)
+    after = {
+        s.getPath().getName()
+        for s in fs.listStatus(spark._jvm.org.apache.hadoop.fs.Path(root))
+    }
+    assert staged not in after and merged in after
+    assert _read_ids(spark, root) == [1, 5]
+
+
+def test_legacy_adoption_is_durable_so_vacuum_retires_legacy_dirs(
+    spark, tmp_path
+):
+    """ADVICE r11 #5: adopting a pre-manifest layout persists the
+    adopted generation-0 manifest on disk, so once newer generations
+    supersede it, vacuum retires the bare legacy directories instead of
+    leaking them forever (they lack owned prefixes, so only a manifest
+    reference can ever mark them dead)."""
+    root = str(tmp_path / "store")
+    _store(spark, f"{root}/bands", [(1, "a"), (2, "b")])  # pre-r11 layout
+    legacy = {"segments": ["bands"]}
+    # a REPLACE on the legacy store (the build_* adoption path)
+    merged = mf.new_segment_name()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(f"{root}/{merged}")
+    mf.commit_replace(spark, root, [merged], legacy=legacy)
+    # the adoption itself is on disk as generation 0
+    assert mf.manifest_at(spark, root, 0)["segments"] == ["bands"]
+    gen, man = mf.latest_manifest(spark, root)
+    assert gen == 1 and man["segments"] == [merged]
+    # once generation 0 expires, the legacy dir is retired with it
+    mf.vacuum_store(spark, root, keep_generations=1)
+    jband = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/bands")
+    fs = jband.getFileSystem(spark._jsc.hadoopConfiguration())
+    assert not fs.exists(jband)
+    assert _read_ids(spark, root) == [1, 2, 3]
 
 
 def test_stats_commit_atomically_with_data(spark, tmp_path):
