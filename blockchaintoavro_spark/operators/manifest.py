@@ -98,6 +98,8 @@ __all__ = [
     "commit_replace",
     "read_segments",
     "vacuum_store",
+    "last_committed_batch",
+    "fence_stats",
 ]
 
 MANIFEST_DIR = "_manifests"
@@ -373,6 +375,44 @@ def commit_replace(
         new_man["refs"] = {**man.get("refs", {}), **refs}
     commit_manifest(spark, root, new_man, gen + 1)
     return new_man
+
+
+def last_committed_batch(spark, root: str) -> int | None:
+    """The newest manifest's ``stats["last_batch_id"]``, or ``None``
+    when the store has no manifest or has never recorded one — THE
+    exactly-once fence for ``foreachBatch`` appliers (r12): Structured
+    Streaming redelivers a micro-batch after a crash with the SAME
+    monotone batch id, so a store whose last committed id is ``>=`` the
+    incoming one has already applied that batch as a unit and must skip
+    it. The id rides the same atomic manifest rename as the data it
+    fences, so 'data committed' and 'batch recorded' can never be
+    observed apart."""
+    m = latest_manifest(spark, root)
+    if m is None:
+        return None
+    b = (m[1].get("stats") or {}).get("last_batch_id")
+    return int(b) if b is not None else None
+
+
+def fence_stats(batch_id: int, extra=None):
+    """An ``update_stats`` callable for :func:`commit_append` that
+    stamps ``last_batch_id`` (monotone max — a replayed smaller id can
+    never roll the fence back) while PRESERVING every other stats key
+    the manifest already carries. ``extra`` (``old_stats -> dict``)
+    lets the caller fold its own stat updates into the same commit."""
+
+    def update(old: dict | None) -> dict:
+        new = dict(old or {})
+        if extra is not None:
+            new.update(extra(old))
+        prev = new.get("last_batch_id")
+        new["last_batch_id"] = (
+            max(int(prev), int(batch_id)) if prev is not None
+            else int(batch_id)
+        )
+        return new
+
+    return update
 
 
 def read_segments(spark, root: str, manifest: dict):

@@ -25,7 +25,16 @@ makes each ingest's cost proportional to the ingest):
   ``foreachBatch`` leg: each micro-batch probes, keeps only unseen
   documents, and grows the index — micro-batches execute serially, so
   probe-then-append is well ordered and stream equals batch by
-  construction (tested).
+  construction (tested). The applier is EXACTLY-ONCE under crash/replay
+  (r12): both of its effects — the survivors written to ``out_path``
+  and the bands appended to the index — are manifest commits fenced by
+  the micro-batch id (``manifest.last_committed_batch``), and the out
+  commit lands FIRST, so whichever single effect a crash strands, the
+  replay probes an index that does not yet contain the batch,
+  recomputes the identical survivor set, and completes only the
+  missing commit. No document is ever dropped and no band or output
+  row ever duplicated (every window is kill-tested in
+  tests/test_exactly_once.py).
 
 100 TB posture: the standing state is ``n_bands`` 8-byte rows per
 document (the band table IS the index — no full text, no signatures);
@@ -58,9 +67,11 @@ __all__ = [
     "build_neardup_index",
     "probe_neardup_index",
     "read_neardup_bands",
+    "read_scrubbed",
     "NearDupScrubber",
     "neardup_scrub_stream",
     "compact_neardup_index",
+    "compact_scrub_output",
 ]
 
 _KINDS = ("minhash", "hamming")
@@ -185,13 +196,41 @@ def read_neardup_bands(
     return spark.read.parquet(f"{index_path}/bands")
 
 
-def _append_bands(spark, index_path: str, bands: DataFrame) -> None:
+def read_scrubbed(
+    spark, out_path: str, generation: int | None = None
+) -> DataFrame:
+    """The scrubbed (surviving) documents a :class:`NearDupScrubber`
+    has committed to ``out_path`` — a union of immutable per-batch
+    segment scans pinned by the newest manifest, snapshot-isolated
+    from the in-flight micro-batch; ``generation`` pins a retained
+    older manifest (time travel: the corpus as of a past batch). Falls
+    back to a bare parquet scan for pre-r12 outputs (written with
+    ``mode("append")`` before the store was manifest-committed)."""
+    if generation is not None:
+        return mf.read_segments(
+            spark, out_path, mf.manifest_at(spark, out_path, generation)
+        )
+    m = mf.latest_manifest(spark, out_path)
+    if m is not None:
+        return mf.read_segments(spark, out_path, m[1])
+    return spark.read.parquet(out_path)
+
+
+def _append_bands(
+    spark, index_path: str, bands: DataFrame, batch_id: int | None = None
+) -> None:
     """Durable append: write a fresh immutable segment, then publish it
     with one manifest commit — a crash before the commit leaves an
-    orphan directory no probe can see, so retries never duplicate."""
+    orphan directory no probe can see, so retries never duplicate.
+    ``batch_id`` (streaming appliers) stamps the exactly-once fence
+    into the same commit."""
     seg = mf.new_segment_name()
     bands.write.mode("overwrite").parquet(f"{index_path}/{seg}")
-    mf.commit_append(spark, index_path, [seg], legacy=_LEGACY, retries=5)
+    update = mf.fence_stats(batch_id) if batch_id is not None else None
+    mf.commit_append(
+        spark, index_path, [seg], legacy=_LEGACY, retries=5,
+        update_stats=update,
+    )
 
 
 def _match_plan(
@@ -343,6 +382,14 @@ class NearDupScrubber:
     probe-then-append is well ordered and the stream equals the batch
     sequence by construction (tests/test_streaming.py).
 
+    EXACTLY-ONCE (r12): ``out_path`` is a manifest-committed store
+    (read it with :func:`read_scrubbed`), and both per-batch effects
+    are fenced by the micro-batch id — see ``__call__``. A crash at
+    ANY point (including between the two commits) neither drops a
+    document from the output corpus nor duplicates output rows or
+    index bands on the checkpoint's redelivery
+    (tests/test_exactly_once.py drives every window).
+
     ``dedup_within_batch=True`` additionally resolves near-dups INSIDE
     each batch (banded pairs under the index's own parameters →
     connected components → keep the min-id per cluster) before anything
@@ -367,13 +414,16 @@ class NearDupScrubber:
         self.batches = 0  # introspection for tests
         self.compactions = 0
 
-    def scrub(self, batch: DataFrame) -> DataFrame:
-        """Probe + survivors of one batch (exposed for direct use);
-        appends the survivors' bands to the index as a side effect.
-        The batch is banded ONCE: the probe's persisted band frame,
-        semi-joined down to the final survivor ids, is what the append
-        publishes (r10 VERDICT #5 — the old path re-tokenized every
-        survivor a second time)."""
+    def _scrub_core(self, batch: DataFrame):
+        """Probe + survivor resolution with NO store writes: returns
+        ``(survivors, surv_bands, bb)`` where ``survivors`` is
+        localCheckpoint-materialized (stable across later store
+        mutation), ``surv_bands`` is the survivors' slice of the
+        probe's persisted band frame (the batch is banded ONCE — r10
+        VERDICT #5), and ``bb`` must be ``unpersist()``-ed by the
+        caller after both are consumed. Deterministic given the index
+        generation and the batch (seeded hashing, min-id cluster
+        resolution) — the property the replay path relies on."""
         from blockchaintoavro_spark.session import release_local_checkpoint
 
         # probe read-only: the index must grow with the FINAL survivor
@@ -405,21 +455,63 @@ class NearDupScrubber:
             "_nd_id",
             "left_semi",
         )
+        return survivors, surv_bands, bb
+
+    def scrub(self, batch: DataFrame) -> DataFrame:
+        """Probe + survivors of one batch (exposed for direct
+        single-writer batch use); appends the survivors' bands to the
+        index as a side effect. NOT fenced — redelivery semantics
+        belong to the streaming path (``__call__``), which fences both
+        of its effects by batch id."""
+        survivors, surv_bands, bb = self._scrub_core(batch)
         _append_bands(batch.sparkSession, self.index_path, surv_bands)
         bb.unpersist()
         return survivors
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        """Exactly-once ``foreachBatch`` slot (r12 — closes the r11
+        replay data-loss window): both effects are manifest commits
+        fenced by ``batch_id``, ordered out-path FIRST.
+
+        Why the order matters: a replayed batch must probe an index
+        that does NOT yet contain its own bands — with index-first, a
+        crash between the commits made the replay match every survivor
+        against itself and emit zero survivors (silent loss). With
+        out-first, the crash windows are: before the out commit
+        (nothing visible — plain re-run), between the two (out fenced
+        and skipped, probe unchanged ⇒ identical survivors recomputed,
+        index append completes), after both (both fenced — no-op)."""
         from blockchaintoavro_spark.session import release_local_checkpoint
 
-        survivors = self.scrub(batch)
-        survivors.write.mode("append").parquet(self.out_path)
-        release_local_checkpoint(survivors)
+        spark = batch.sparkSession
+        out_last = mf.last_committed_batch(spark, self.out_path)
+        idx_last = mf.last_committed_batch(spark, self.index_path)
+        out_done = out_last is not None and batch_id <= out_last
+        idx_done = idx_last is not None and batch_id <= idx_last
+        if not (out_done and idx_done):
+            survivors, surv_bands, bb = self._scrub_core(batch)
+            if not out_done:
+                seg = mf.new_segment_name()
+                survivors.write.mode("overwrite").parquet(
+                    f"{self.out_path}/{seg}"
+                )
+                mf.commit_append(
+                    spark, self.out_path, [seg],
+                    update_stats=mf.fence_stats(batch_id), retries=5,
+                )
+            if not idx_done:
+                _append_bands(
+                    spark, self.index_path, surv_bands, batch_id=batch_id
+                )
+            release_local_checkpoint(survivors)
+            bb.unpersist()
         self.batches += 1
-        # each micro-batch appends one band segment; fold the small
-        # files back periodically in the writer's own serialized slot
+        # each micro-batch appends one segment to each store; fold the
+        # small files back periodically in the writer's own serialized
+        # slot (stats — including the fence — carry over the rewrite)
         if self.compact_every and self.batches % self.compact_every == 0:
-            compact_neardup_index(batch.sparkSession, self.index_path)
+            compact_neardup_index(spark, self.index_path)
+            compact_scrub_output(spark, self.out_path)
             self.compactions += 1
 
 
@@ -435,8 +527,10 @@ def neardup_scrub_stream(
     """Streaming leg: returns a ``DataStreamWriter`` (caller picks the
     trigger and starts it) whose ``foreachBatch`` near-dup-scrubs each
     micro-batch against the standing index at ``index_path`` via
-    :class:`NearDupScrubber`, appending surviving documents to
-    ``out_path`` and growing the index with their bands."""
+    :class:`NearDupScrubber`, committing surviving documents to the
+    ``out_path`` manifest store (read with :func:`read_scrubbed`) and
+    growing the index with their bands — both effects batch-id-fenced,
+    so the checkpoint's redelivery after a crash is exactly-once."""
     applier = NearDupScrubber(
         index_path, out_path, broadcast_max_bands, dedup_within_batch,
         compact_every,
@@ -493,5 +587,35 @@ def compact_neardup_index(
     return {
         "files_before": files_before,
         "files_after": _live_data_files(spark, index_path),
+        "rows": rows,
+    }
+
+
+def compact_scrub_output(
+    spark, out_path: str, n_files: int | None = None,
+    keep_generations: int = 2,
+) -> dict:
+    """OPTIMIZE for the scrubber's output store: the streaming applier
+    commits one survivors segment per micro-batch, so a long-running
+    stream accumulates small files exactly like the band index does —
+    fold them into one segment published by a manifest commit. The
+    manifest copy carries ``stats`` (including the exactly-once
+    ``last_batch_id`` fence) forward unchanged, so a replay remains a
+    no-op across compactions. Run in the writer's serialized slot.
+    Returns ``{files_before, files_after, rows}``."""
+    files_before = mf.live_data_file_count(spark, out_path)
+    docs = read_scrubbed(spark, out_path)
+    if n_files is None:
+        n_files = max(1, spark.sparkContext.defaultParallelism // 4)
+    rows = docs.count()
+    seg = mf.new_segment_name()
+    docs.repartition(n_files).write.mode("overwrite").parquet(
+        f"{out_path}/{seg}"
+    )
+    mf.commit_replace(spark, out_path, [seg])
+    mf.vacuum_store(spark, out_path, keep_generations)
+    return {
+        "files_before": files_before,
+        "files_after": mf.live_data_file_count(spark, out_path),
         "rows": rows,
     }

@@ -543,6 +543,7 @@ def build_ivf_index(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_stats: dict | None = None,
 ) -> None:
     """Train the IVF coarse quantizer ONCE and persist the index (r8
     VERDICT "What's missing" #4: ``ann_topk_ivf`` re-ran Lloyd on every
@@ -576,11 +577,17 @@ def build_ivf_index(
     row = assigned.agg(
         F.count("*").alias("n"), F.sum("_dist").alias("s")
     ).first()
+    # a build/rebuild RESETS the drift baseline and clears any pending
+    # flag; extra_stats carries keys that must survive the reset (the
+    # exactly-once fence — rebuild_ivf_index passes last_batch_id)
+    stats = {"n": int(row["n"]), "dist_sum": float(row["s"] or 0.0)}
+    if extra_stats:
+        stats.update(extra_stats)
     mf.commit_replace(
         spark, index_path, [seg],
         legacy=_IVF_LEGACY,
         refs={"centroids": cent_dir},
-        stats={"n": int(row["n"]), "dist_sum": float(row["s"] or 0.0)},
+        stats=stats,
     )
     mf.vacuum_store(spark, index_path, keep_generations=2)
 
@@ -657,11 +664,24 @@ def read_ivf_stats(spark, index_path: str) -> tuple[int, float] | None:
         return None
 
 
+def read_ivf_manifest_stats(spark, index_path: str) -> dict:
+    """The FULL stats dict the newest manifest carries (``{}`` when
+    none): drift baseline ``n``/``dist_sum`` plus, for streaming-
+    maintained indexes, the exactly-once ``last_batch_id`` fence and
+    the crash-recoverable ``pending_rebuild`` flag (r12)."""
+    m = mf.latest_manifest(spark, index_path)
+    if m is None:
+        return {}
+    return dict(m[1].get("stats") or {})
+
+
 def append_to_ivf_index(
     index_path: str,
     new: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
+    flag_drift_above: float | None = None,
 ) -> dict:
     """Grow a persisted IVF index with ZERO training jobs (r9 VERDICT
     #5): assign the new vectors with the STANDING centroids (narrow
@@ -681,7 +701,20 @@ def append_to_ivf_index(
     segment and the UPDATED stats ride the same one-file manifest
     commit — data and statistics can never disagree (the r10 ADVICE
     ordering window), a crash before the commit is invisible, and a
-    caller retry cannot double-append.
+    lost-race retry re-commits the same staged segment (never a data
+    rewrite).
+
+    Exactly-once (r12): pass ``batch_id`` from a ``foreachBatch`` slot
+    to stamp ``last_batch_id`` into the same commit — the fence the
+    :class:`IvfIndexMaintainer` checks so a checkpoint REPLAY of a
+    committed batch cannot re-append the same vectors (the r11
+    duplicate-rows window). ``flag_drift_above`` additionally persists
+    ``pending_rebuild=True`` in that commit when the batch's drift
+    ratio (measured against the stats of whichever manifest the commit
+    lands on) exceeds it — so a crash between the append and its
+    rebuild cannot lose the rebuild. Both keys, and any other stats
+    the manifest carries, are PRESERVED by appends that don't set
+    them.
 
     Returns ``{n_indexed, index_mean_dist, n_appended, batch_mean_dist,
     drift_ratio}``. Queries need no special handling:
@@ -722,15 +755,37 @@ def append_to_ivf_index(
         f"{index_path}/{seg}"
     )
     a.unpersist()
+
     # fold the delta into whatever stats the WINNING manifest carries —
-    # re-evaluated per retry, so concurrent appends accumulate exactly
+    # re-evaluated per retry, so concurrent appends accumulate exactly;
+    # every key the manifest already has (fence, pending flag, future
+    # additions) survives an append that doesn't set it
+    def _update(old: dict | None) -> dict:
+        st = dict(old or {})
+        old_n = int(st["n"]) if "n" in st else base_n
+        old_s = float(st["dist_sum"]) if "dist_sum" in st else base_s
+        st["n"] = old_n + n_new
+        st["dist_sum"] = old_s + s_new
+        if flag_drift_above is not None:
+            old_mean = old_s / old_n if old_n else None
+            bm = s_new / n_new if n_new else None
+            drifted = (
+                old_mean is not None and old_mean > 0.0
+                and bm is not None and bm / old_mean > flag_drift_above
+            )
+            st["pending_rebuild"] = bool(st.get("pending_rebuild")) or drifted
+        if batch_id is not None:
+            prev = st.get("last_batch_id")
+            st["last_batch_id"] = (
+                max(int(prev), int(batch_id)) if prev is not None
+                else int(batch_id)
+            )
+        return st
+
     mf.commit_append(
         spark, index_path, [seg],
         legacy=_IVF_LEGACY,
-        update_stats=lambda old: {
-            "n": (int(old["n"]) if old else base_n) + n_new,
-            "dist_sum": (float(old["dist_sum"]) if old else base_s) + s_new,
-        },
+        update_stats=_update,
         retries=5,
     )
     index_mean = base_s / base_n if base_n else None
@@ -764,7 +819,15 @@ def rebuild_ivf_index(
     the index's current size); queries before/after see the same vector
     set under a better-fitting quantizer. The rewrite publishes
     atomically (:func:`build_ivf_index`'s manifest commit) — a crash
-    mid-rebuild leaves the pre-rebuild index intact."""
+    mid-rebuild leaves the pre-rebuild index intact. The exactly-once
+    ``last_batch_id`` fence (r12) is carried through the reset, and
+    ``pending_rebuild`` is cleared by it — a rebuild IS the pending
+    work, so the same commit that publishes it retires the flag."""
+    carried = {
+        k: v
+        for k, v in read_ivf_manifest_stats(spark, index_path).items()
+        if k == "last_batch_id"
+    }
     assigned = read_ivf_assignments(spark, index_path).select(
         F.col("neighbor_id").alias("vec_id"),
         F.col("_cv").alias("embedding"),
@@ -772,7 +835,10 @@ def rebuild_ivf_index(
     # localCheckpoint: the rebuild replaces the segments it reads from
     assigned = assigned.localCheckpoint()
     try:
-        build_ivf_index(assigned, index_path, n_centroids, n_iters)
+        build_ivf_index(
+            assigned, index_path, n_centroids, n_iters,
+            extra_stats=carried or None,
+        )
     finally:
         from ..session import release_local_checkpoint
 
@@ -785,6 +851,11 @@ def embedding_contamination_hits(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_max_rows: int = 2_000_000,
+    dim: int = 64,
+    n_tables: int = 24,
+    planes_per_table: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """PARAPHRASE-level benchmark decontamination — the embedding twin
     of ``dedup.contamination_hits``: 13-gram hygiene misses reworded or
@@ -793,12 +864,21 @@ def embedding_contamination_hits(
     reaches ``threshold`` is flagged; returns ``(id, bench_id, sim)``
     per hit (one corpus row can hit several items).
 
-    Scale: a benchmark is an eval suite — 1e3-1e5 rows, KBs-MBs — so it
-    BROADCASTS and the corpus never shuffles: one row-local scoring
-    pass inside whole-stage codegen, a pure map at 100 TB. The
-    threshold compares on the 4-dp ROUNDed decimal on both engine and
-    oracle (the exact-oracle float discipline), so hit membership can
-    never flip on a last-ulp difference."""
+    Scale: a benchmark is an eval suite — 1e3-1e5 rows, KBs-MBs — so
+    under ``broadcast_max_rows`` it BROADCASTS and the corpus never
+    shuffles: one row-local exhaustive scoring pass inside whole-stage
+    codegen, a pure map at 100 TB. ABOVE the gate (r12 — the r11
+    unconditional broadcast OOMed the driver on a corpus-sized
+    "benchmark") the plan degrades to the multi-table
+    random-hyperplane LSH candidate join + the SAME exact rounded
+    threshold filter, so no nested loop ever forms at any size; the
+    only approximation is candidate recall, and at decontamination
+    thresholds it is negligible — a cos ``0.95`` pair survives all 24
+    tables unmatched with probability ``(1-(1-θ/π)^4)^24 ≈ 1e-11``
+    (tune ``n_tables`` up for lower thresholds). The threshold
+    compares on the 4-dp ROUNDed decimal on both engine and oracle
+    (the exact-oracle float discipline), so hit membership can never
+    flip on a last-ulp difference."""
     from ..functions.vectors import cosine_similarity
 
     c = corpus.select(
@@ -809,10 +889,25 @@ def embedding_contamination_hits(
         F.col(id_col).alias("bench_id"),
         F.col(vec_col).cast("array<double>").alias("_db_v"),
     )
+    small_bench = benchmark.count() <= broadcast_max_rows
+    if small_bench:
+        pairs = c.join(F.broadcast(b))
+    else:
+        cb = _multi_table_buckets(
+            corpus, "_dc_id", "_dc_v", id_col, vec_col, dim,
+            n_tables, planes_per_table, seed,
+        )
+        bb = _multi_table_buckets(
+            benchmark, "bench_id", "_db_v", id_col, vec_col, dim,
+            n_tables, planes_per_table, seed,
+        )
+        # equi-join on (table, bucket); the exact filter runs per
+        # collision (cheap, rare) and hits dedup AFTER it, so the wide
+        # shuffle is over hits, not candidates
+        pairs = cb.join(bb, ["table_id", "bucket"])
     sim = cosine_similarity(F.col("_dc_v"), F.col("_db_v"))
-    return (
-        c.join(F.broadcast(b))
-        .withColumn("_s4", F.round(sim, 4).cast("decimal(38,4)"))
+    hits = (
+        pairs.withColumn("_s4", F.round(sim, 4).cast("decimal(38,4)"))
         .filter(F.col("_s4") >= threshold)
         .select(
             F.col("_dc_id").alias(id_col),
@@ -820,6 +915,9 @@ def embedding_contamination_hits(
             F.col("_s4").cast("double").alias("sim"),
         )
     )
+    if not small_bench:
+        hits = hits.dropDuplicates([id_col, "bench_id"])
+    return hits
 
 
 def embedding_decontaminate(
@@ -828,14 +926,17 @@ def embedding_decontaminate(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    **gate_kwargs,
 ) -> DataFrame:
     """Corpus minus semantically contaminated rows: LEFT ANTI against
     the distinct hit ids of :func:`embedding_contamination_hits` —
     compose after the n-gram ``dedup.decontaminate`` for both lexical
-    and paraphrase hygiene in one pipeline."""
+    and paraphrase hygiene in one pipeline. ``gate_kwargs`` pass
+    through to the hits plan (``broadcast_max_rows`` and the LSH
+    candidate parameters used above the gate)."""
     hits = (
         embedding_contamination_hits(
-            corpus, benchmark, threshold, id_col, vec_col
+            corpus, benchmark, threshold, id_col, vec_col, **gate_kwargs
         )
         .select(id_col)
         .distinct()
@@ -889,9 +990,20 @@ class IvfIndexMaintainer:
     the index's own stored vectors (:func:`rebuild_ivf_index`) in the
     same serialized slot — so a stream whose distribution shifts keeps
     its recall without an operator watching a dashboard. Micro-batches
-    execute serially, so append-then-rebuild is well ordered; both steps
-    publish via the manifest protocol, so a crash between them leaves a
-    committed, consistent index and the restarted batch replays safely.
+    execute serially, so append-then-rebuild is well ordered.
+
+    EXACTLY-ONCE under crash/replay (r12 — closes the r11
+    duplicate-append window): every append commits the micro-batch id
+    as the manifest's ``last_batch_id`` fence, so a checkpoint replay
+    of a committed batch skips the append entirely (no duplicate
+    assignment rows, no double-counted drift stats). A drifting append
+    also persists ``pending_rebuild=True`` in that SAME commit; the
+    rebuild that follows clears it (while carrying the fence through
+    its stats reset), so the crash windows are: before the append
+    commit — nothing visible, plain re-run; between append and rebuild
+    — the replay skips the fenced append and RECOVERS the pending
+    rebuild first; after the rebuild — the replay is a complete no-op.
+    Every window is kill-tested in tests/test_exactly_once.py.
 
     A rebuild resets the baseline to the CURRENT vector set, so the
     batch that triggered it measures the next batch against post-shift
@@ -926,18 +1038,39 @@ class IvfIndexMaintainer:
         self.compactions = 0
         self.history: list[dict] = []
 
-    def maintain(self, batch: DataFrame) -> dict:
+    def maintain(self, batch: DataFrame, batch_id: int | None = None) -> dict:
         """Append one batch + rebuild-on-drift (exposed for direct
-        use); returns the drift dict with a ``rebuilt`` flag added."""
+        use); returns the drift dict with a ``rebuilt`` flag added.
+        With ``batch_id`` (the streaming slot) the append is fenced:
+        a replayed id skips the append (``{"skipped": True}`` entry),
+        and a ``pending_rebuild`` flag left by a crash between a
+        drifting append and its rebuild is recovered FIRST."""
+        spark = batch.sparkSession
+        stats = read_ivf_manifest_stats(spark, self.index_path)
+        recovered = False
+        if stats.get("pending_rebuild"):
+            # a prior batch committed its drift flag but crashed before
+            # the retrain — finish that work before anything else
+            rebuild_ivf_index(
+                spark, self.index_path, self.n_centroids, self.n_iters
+            )
+            self.rebuilds += 1
+            recovered = True
+        last = stats.get("last_batch_id")
+        if batch_id is not None and last is not None and batch_id <= int(last):
+            drift = {"skipped": True, "batch_id": batch_id,
+                     "rebuilt": recovered}
+            self.history.append(drift)
+            return drift
         drift = append_to_ivf_index(
-            self.index_path, batch, self.id_col, self.vec_col
+            self.index_path, batch, self.id_col, self.vec_col,
+            batch_id=batch_id, flag_drift_above=self.rebuild_threshold,
         )
         ratio = drift.get("drift_ratio")
-        drift["rebuilt"] = False
+        drift["rebuilt"] = recovered
         if ratio is not None and ratio > self.rebuild_threshold:
             rebuild_ivf_index(
-                batch.sparkSession, self.index_path,
-                self.n_centroids, self.n_iters,
+                spark, self.index_path, self.n_centroids, self.n_iters
             )
             self.rebuilds += 1
             drift["rebuilt"] = True
@@ -945,7 +1078,7 @@ class IvfIndexMaintainer:
         return drift
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        self.maintain(batch)
+        self.maintain(batch, batch_id)
         self.batches += 1
         # streaming appends spray one segment per micro-batch; fold the
         # small files back periodically — micro-batches serialize, so

@@ -330,6 +330,7 @@ def test_scrubber_auto_compaction_bounds_segments(spark, tmpdir):
         NearDupScrubber,
         build_neardup_index,
         read_neardup_bands,
+        read_scrubbed,
     )
 
     mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
@@ -354,7 +355,11 @@ def test_scrubber_auto_compaction_bounds_segments(spark, tmpdir):
     assert ids == {1, 2, 4}
     # the index keeps working after compaction
     scrubber(mk([(5, d), (6, c)]), 2)
+    # out_path is a manifest store as of r12; compact_every folds it too
+    gen_o, man_o = mfmod.latest_manifest(spark, f"{tmpdir}/nd_ac_out")
+    assert len(man_o["segments"]) == 2  # compacted at batch 2 + batch 3's
     got = sorted(
-        r["doc_id"] for r in spark.read.parquet(f"{tmpdir}/nd_ac_out").collect()
+        r["doc_id"]
+        for r in read_scrubbed(spark, f"{tmpdir}/nd_ac_out").collect()
     )
     assert got == [1, 2, 4]  # 5 dups 4, 6 dups 2

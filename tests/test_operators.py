@@ -3457,6 +3457,56 @@ def test_embedding_decontaminate_known_answer_and_plan(spark):
     assert "Exchange hashpartitioning" not in p  # corpus never shuffles
 
 
+def test_embedding_decontaminate_size_gate_lsh_path_same_hits(spark):
+    """r11 VERDICT #3: above ``broadcast_max_rows`` the decontamination
+    plan degrades to the LSH candidate join + the same exact rounded
+    threshold filter instead of broadcasting a corpus-sized
+    "benchmark". Gate forced to 1 row here: both paths must return the
+    SAME hits and the same surviving corpus, and the gated plan must be
+    an equi-join (no nested loop against an unbroadcastable side)."""
+    from blockchaintoavro_spark.operators.similarity import (
+        embedding_contamination_hits,
+        embedding_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0, 0.0]), (901, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, -1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    want = {
+        (r["vec_id"], r["bench_id"], r["sim"])
+        for r in embedding_contamination_hits(
+            corpus, bench, threshold=0.95
+        ).collect()
+    }
+    gated = embedding_contamination_hits(
+        corpus, bench, threshold=0.95, broadcast_max_rows=1, dim=4
+    )
+    got = {(r["vec_id"], r["bench_id"], r["sim"]) for r in gated.collect()}
+    assert got == want == {(1, 900, 1.0), (2, 900, 0.9939)}
+    kept = sorted(
+        r["vec_id"]
+        for r in embedding_decontaminate(
+            corpus, bench, 0.95, broadcast_max_rows=1, dim=4
+        ).collect()
+    )
+    assert kept == [3, 4]
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        gated._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
 def test_jsonl_quarantine_and_failfast(spark, tmp_path):
     """read_jsonl: mangled lines land in _corrupt_record with data
     columns NULL (the pipeline counts and routes them); clean rows
@@ -3489,3 +3539,64 @@ def test_jsonl_quarantine_and_failfast(spark, tmp_path):
         read_jsonl(
             spark, path, "doc_id long, text string", quarantine=False
         ).collect()
+
+
+def test_jsonl_schema_object_not_mutated_across_reads(spark, tmp_path):
+    """ADVICE r11 #1: read_jsonl must not mutate the caller's
+    StructType in place — reusing ONE schema object across reads used
+    to accumulate duplicate _corrupt_record fields and silently alter
+    the caller's schema for later writes."""
+    from pyspark.sql import types as T
+
+    from blockchaintoavro_spark.sources.jsonl import (
+        CORRUPT_COL,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    path = str(tmp_path / "jl")
+    write_jsonl(
+        spark.createDataFrame([(1, "a")], "doc_id long, text string"), path
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    for _ in range(3):  # three reads with the SAME schema object
+        df = read_jsonl(spark, path, schema)
+        assert df.columns.count(CORRUPT_COL) == 1
+    assert [f.name for f in schema.fields] == ["doc_id", "text"]
+
+
+def test_jsonl_all_lines_corrupt_is_total(spark, tmp_path):
+    """The sf-independent totality contract (r11 VERDICT #5): a file
+    where EVERY line is mangled must quarantine every row — no
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN error, no schema-inference crash,
+    count preserved end to end."""
+    from blockchaintoavro_spark.sources.jsonl import (
+        corrupt_lines,
+        read_jsonl,
+    )
+
+    path = str(tmp_path / "jl_all_bad")
+    import os
+
+    os.makedirs(path)
+    with open(f"{path}/dump.json", "w") as fh:
+        for i in range(5):
+            fh.write(f'{{"doc_id": {i}, "text": MANGLED {i}\n')
+
+    df = read_jsonl(spark, path, "doc_id long, text string")
+    # NB: count() straight off the scan would reference no data column
+    # and trip QUERY_ONLY_CORRUPT_RECORD_COLUMN — counting a data-column
+    # projection is the supported path (read_jsonl docstring)
+    assert df.select("doc_id").count() == 5
+    assert df.filter("doc_id IS NOT NULL").select("doc_id").count() == 0
+    rows = corrupt_lines(df).collect()
+    assert len(rows) == 5
+    assert all(r["doc_id"] is None and r["text"] is None for r in rows)
+    assert sorted(r["_corrupt_record"] for r in rows) == sorted(
+        f'{{"doc_id": {i}, "text": MANGLED {i}' for i in range(5)
+    )

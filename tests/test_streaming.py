@@ -613,6 +613,7 @@ def test_neardup_scrub_stream_equals_batch(spark, tmpdir):
         build_neardup_index,
         neardup_scrub_stream,
         read_neardup_bands,
+        read_scrubbed,
     )
 
     schema = "doc_id long, text string"
@@ -660,7 +661,8 @@ def test_neardup_scrub_stream_equals_batch(spark, tmpdir):
     writer = neardup_scrub_stream(stream, st_idx, out, f"{tmpdir}/nd_ckpt")
     writer.trigger(availableNow=True).start().awaitTermination(120)
     assert writer._spark_graft_applier.batches == 2
-    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # out_path is a manifest-committed store as of r12 (exactly-once)
+    got = sorted(r["doc_id"] for r in read_scrubbed(spark, out).collect())
     assert got == sorted(kept)
     # both index stores converge to the same surviving id set
     ids = lambda p: {
