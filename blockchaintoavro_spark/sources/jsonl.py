@@ -57,11 +57,27 @@ def read_jsonl(
     with every data column NULL (PERMISSIVE), so the pipeline can count
     and route them (:func:`corrupt_lines`) instead of dying mid-ingest;
     ``False`` uses FAILFAST — first bad line raises (CI/contract
-    loads)."""
+    loads).
+
+    Totality caveat (pinned in tests): Spark refuses any query off the
+    raw scan whose referenced-column set is ONLY the corrupt column —
+    and bare ``df.count()`` prunes to exactly that
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). Count a
+    data-column projection (``df.select("id").count()``), ``collect``,
+    or cache the parsed result first; :func:`corrupt_lines` keeps the
+    data columns in its projection for the same reason. This holds
+    even when EVERY line in the file is corrupt — the scan itself is
+    total, only corrupt-column-only plans are rejected."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if quarantine:
-        schema = schema.add(CORRUPT_COL, T.StringType())
+        # a COPY, never StructType.add: add() mutates the caller's
+        # schema object in place, so reusing one schema across reads
+        # would accumulate duplicate _corrupt_record fields and
+        # silently alter later writes (ADVICE r11 #1)
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
         return (
             spark.read.schema(schema)
             .option("mode", "PERMISSIVE")
