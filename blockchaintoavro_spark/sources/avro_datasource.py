@@ -6,7 +6,7 @@ Reference parity: the reference's entire output surface is Avro container
 files (AvroWriter.java:38-67; Main.java:229-232 loads FormatOptions.avro());
 the pip PySpark distribution ships no spark-avro DataSource, so the engine
 registers its own spec-implemented OCF codec (sources/avro_io.py — Avro
-1.12 binary encoding, null/deflate/snappy/bzip2/xz codecs, validated against the
+1.12 binary encoding, null/deflate/snappy/bzip2/xz/zstandard codecs, validated against the
 official Avro Java library) through the public Python DataSource API
 instead of a private mapInArrow convention.
 

@@ -475,8 +475,14 @@ class OCFWriter:
         codec: str = "deflate",
         sync: bytes | None = None,
     ):
-        if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
+        if codec not in ("null", "deflate", "snappy", "bzip2", "xz",
+                         "zstandard"):
             raise ValueError(f"unsupported codec {codec}")
+        if codec == "zstandard":
+            # fail at construction, not mid-append on an executor
+            from blockchaintoavro_spark.sources import zstd_codec
+
+            zstd_codec._require()
         self._fh, self._schema, self._codec = fh, schema, codec
         sj = json.dumps(schema)
         # Random per-file sync marker, as the spec recommends: a
@@ -529,6 +535,10 @@ class OCFWriter:
             import lzma
 
             payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
+        elif self._codec == "zstandard":  # spec: one zstd frame, no suffix
+            from blockchaintoavro_spark.sources import zstd_codec
+
+            payload = zstd_codec.compress(payload)
         out = io.BytesIO()
         _write_long(out, len(records))
         _write_long(out, len(payload))
@@ -707,6 +717,18 @@ def _iter_ocf_blocks_split(
                     payload = _lzma.decompress(payload, format=_lzma.FORMAT_XZ)
                 except _lzma.LZMAError as e:
                     raise ValueError(f"corrupt xz block in {path}: {e}") from e
+            elif codec == "zstandard":
+                from blockchaintoavro_spark.sources import zstd_codec
+
+                # ZstdUnavailableError (RuntimeError) passes through:
+                # a missing library is an environment problem, never
+                # 'corrupt file'
+                try:
+                    payload = zstd_codec.decompress(payload)
+                except zstd_codec.ZstdError as e:
+                    raise ValueError(
+                        f"corrupt zstandard block in {path}: {e}"
+                    ) from e
             elif codec != "null":
                 raise ValueError(f"unsupported avro codec {codec!r} in {path}")
             buf = io.BytesIO(payload)

@@ -76,7 +76,21 @@ RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
+from blockchaintoavro_spark.sources import zstd_codec as _zstd
+
+# zstandard rides the system libzstd (ctypes); param-skip keeps the
+# suite portable to hosts without it
+_ZSTD = pytest.param(
+    "zstandard",
+    marks=pytest.mark.skipif(
+        not _zstd.available(), reason="no system libzstd"
+    ),
+)
+
+
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "bzip2", "xz", _ZSTD]
+)
 def test_ocf_python_roundtrip(tmp_path, codec):
     """Byte-level encode/decode roundtrip incl. long extremes, empty
     bytes/strings/arrays, nulls at every level, both codecs."""
@@ -89,7 +103,9 @@ def test_ocf_python_roundtrip(tmp_path, codec):
     assert avro_to_spark_schema(sch) == NESTED_SCHEMA
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "bzip2", "xz", _ZSTD]
+)
 def test_ocf_readable_by_official_java_avro(tmp_path, spark, codec):
     """The parity proof: the Apache Avro Java library (the same codebase
     the reference's AvroWriter uses) must read our Python-written file —
@@ -119,7 +135,9 @@ def test_ocf_readable_by_official_java_avro(tmp_path, spark, codec):
     assert [tx0.get("vals").get(i) for i in range(3)] == [1, -2, 3]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "bzip2", "xz", _ZSTD]
+)
 def test_ocf_reads_file_written_by_java_avro(tmp_path, spark, codec):
     """The other direction of the interop contract (ADVICE r4): a file
     written by the JVM DataFileWriter — including
@@ -151,6 +169,11 @@ def test_ocf_reads_file_written_by_java_avro(tmp_path, spark, codec):
         writer.setCodec(cf.bzip2Codec())
     elif codec == "xz":
         writer.setCodec(cf.xzCodec(6))
+    elif codec == "zstandard":
+        # avro's ZstandardCodec streams through ZstdOutputStream, so its
+        # frames declare NO content size — this exercises our
+        # ZSTD_decompressStream path, not just the exact-size one
+        writer.setCodec(cf.zstandardCodec(3))
     else:
         writer.setCodec(cf.nullCodec())
     writer.create(sch, jvm.java.io.File(path))
@@ -460,7 +483,9 @@ def _write_multiblock(path: str, n_records: int, per_block: int, codec: str):
     return recs
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "bzip2", "xz", _ZSTD]
+)
 def test_ocf_split_read_covers_blocks_exactly(tmp_path, codec):
     """Consecutive byte-range splits partition the block set exactly —
     every record once, none dropped — for split counts from 1 to one
@@ -615,7 +640,9 @@ def _legacy_marker(codec: str) -> bytes:
     return hashlib.md5((sj + "|" + codec).encode()).digest()
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "bzip2", "xz", _ZSTD]
+)
 def test_split_read_survives_embedded_foreign_sync(tmp_path, codec):
     """VERDICT r4 nit #1 regression: a payload containing another file's
     sync marker (the re-ingestion scenario — and, pre-r5, EVERY payload
@@ -1047,7 +1074,7 @@ def test_ocf_corrupt_block_record_count_raises_valueerror(tmp_path):
         read_ocf(mut)
 
 
-@pytest.mark.parametrize("codec", ["bzip2", "xz"])
+@pytest.mark.parametrize("codec", ["bzip2", "xz", _ZSTD])
 def test_ocf_corrupt_compressed_block_raises_valueerror(tmp_path, codec):
     """Deterministic regression (r5 ADVICE): corrupt bzip2/xz payloads
     raise OSError / lzma.LZMAError from the stdlib decompressors — both
@@ -1074,7 +1101,9 @@ def test_ocf_corrupt_compressed_block_raises_valueerror(tmp_path, codec):
         read_ocf(mut)
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "snappy", "bzip2", "xz", _ZSTD]
+)
 def test_ocf_corruption_always_raises_descriptive_valueerror(tmp_path, codec):
     """Fuzz regression: corrupt container bytes must surface as the
     descriptive ValueError convention — never raw EOFError/IndexError/
