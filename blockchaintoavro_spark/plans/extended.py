@@ -5189,3 +5189,109 @@ def x_dup_spans_maximal(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 80)
     return duplicated_spans_sorted(d, k=20).orderBy("doc_id", "span_start")
+
+
+@declare(
+    "x_avro_zstd_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents WHERE doc_id < 400
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def x_avro_zstd(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro OCF ``zstandard`` codec round-trip (r11 VERDICT #6 —
+    sources/zstd_codec.py + avro_io.py): 400 documents write to Avro
+    container files under the spec's zstandard block codec (one zstd
+    frame per block, RFC 8878 via the system libzstd bound through
+    ctypes — executors load it lazily like a stdlib codec) and re-read
+    through the engine's distributed OCF scanner; per-lang doc counts,
+    token totals and a 32-bit-md5 content checksum of the ROUNDTRIPPED
+    text must hash-match DuckDB computing the same aggregates straight
+    from the source table. JVM interop both directions (including
+    avro-java's unknown-content-size streaming frames) is pinned in
+    tests/test_avro.py."""
+    import shutil
+    import tempfile
+
+    from ..sources.avro_io import read_ocf_dataset, write_ocf_dataset
+
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "lang", "text"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_zstd_")
+    try:
+        write_ocf_dataset(d.repartition(4), path, codec="zstandard")
+        back = read_ocf_dataset(spark, path)
+        out = (
+            back.groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.size(F.split("text", " ")))
+                .cast("long")
+                .alias("n_tokens"),
+                F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+                      .cast("long"))
+                .cast("long")
+                .alias("content_sum"),
+            )
+            .orderBy("lang")
+        )
+        return out.localCheckpoint()  # eager: tmp dir drops below
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@declare(
+    "x_embedding_decontaminate_lsh",
+    oracle="""
+    WITH bench AS (
+      SELECT vec_id + 1000 AS bench_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5) AS e
+      FROM embeddings WHERE vec_id >= 25 AND vec_id < 36
+    ), corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 20 AND vec_id < 400
+    ), hits AS (
+      SELECT c.vec_id, b.bench_id,
+             CAST(ROUND(list_cosine_similarity(c.e, b.e), 4)
+                  AS DECIMAL(38,4)) AS sim4
+      FROM corp c JOIN bench b ON TRUE
+    )
+    SELECT vec_id, bench_id, CAST(sim4 AS DOUBLE) AS sim
+    FROM hits WHERE sim4 >= 0.95 ORDER BY vec_id, bench_id
+    """,
+)
+def x_emb_decon_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE path of paraphrase decontamination (r11 VERDICT #3 —
+    similarity.py:embedding_contamination_hits above its broadcast
+    gate): the gate is forced to 1 row so the plan takes the
+    multi-table LSH candidate join + exact rounded-threshold filter
+    instead of broadcasting the benchmark. The benchmark here is 11
+    corpus vectors re-scaled by 1.5 (cosine exactly 1.0 to their
+    originals — a sign-identical copy collides in EVERY hash table, so
+    the candidate step is deterministic-exact for true hits at this
+    threshold; a natural 0.95 near-hit would be missed with probability
+    (1-(1-theta/pi)^4)^24 ~ 1e-11). DuckDB computes the exhaustive
+    exact hits; both sides must agree pair-for-pair — the done
+    criterion that the gated path returns the SAME hits."""
+    from ..operators.similarity import embedding_contamination_hits
+
+    emb = t(spark, sf, "embeddings")
+    bench = emb.filter(
+        (F.col("vec_id") >= 25) & (F.col("vec_id") < 36)
+    ).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * F.lit(1.5),
+        ).alias("embedding"),
+    )
+    corp = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 400))
+    return embedding_contamination_hits(
+        corp, bench, 0.95, broadcast_max_rows=1
+    ).orderBy("vec_id", "bench_id")
