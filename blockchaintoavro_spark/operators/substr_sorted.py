@@ -1049,6 +1049,15 @@ class SortedDictStripper:
     Stream-equals-batch (given the same standing store) holds exactly
     because stripping is per-doc-local; proven in
     tests/test_streaming.py.
+
+    EXACTLY-ONCE (r12): ``out_path`` is a manifest-committed store
+    (read it with :func:`read_stripped`) and each micro-batch's commit
+    stamps the batch id as the manifest fence — a checkpoint replay of
+    a committed batch is skipped, so crash/redelivery can never
+    duplicate stripped rows (the old ``mode("append")`` write
+    re-appended the whole batch on replay). Stripping has no second
+    effect (the dictionary is read-only here), so the fence alone
+    closes every window.
     """
 
     def __init__(
@@ -1138,7 +1147,36 @@ class SortedDictStripper:
         )
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        self.strip(batch).write.mode("append").parquet(self.out_path)
+        spark = batch.sparkSession
+        last = mf.last_committed_batch(spark, self.out_path)
+        if last is not None and batch_id <= last:
+            return  # committed by a previous attempt — exactly-once
+        seg = mf.new_segment_name()
+        self.strip(batch).write.mode("overwrite").parquet(
+            f"{self.out_path}/{seg}"
+        )
+        mf.commit_append(
+            spark, self.out_path, [seg],
+            update_stats=mf.fence_stats(batch_id), retries=5,
+        )
+
+
+def read_stripped(
+    spark, out_path: str, generation: int | None = None
+) -> DataFrame:
+    """The stripped documents a :class:`SortedDictStripper` has
+    committed — a union of immutable per-batch segments pinned by the
+    newest manifest (``generation`` pins a retained older one); falls
+    back to a bare parquet scan for pre-r12 outputs written with
+    ``mode("append")``."""
+    if generation is not None:
+        return mf.read_segments(
+            spark, out_path, mf.manifest_at(spark, out_path, generation)
+        )
+    m = mf.latest_manifest(spark, out_path)
+    if m is not None:
+        return mf.read_segments(spark, out_path, m[1])
+    return spark.read.parquet(out_path)
 
 
 def strip_duplicated_spans_stream(
@@ -1154,8 +1192,10 @@ def strip_duplicated_spans_stream(
     """Streaming leg of the sorted strip: returns a ``DataStreamWriter``
     (caller picks the trigger and starts it) whose ``foreachBatch``
     scrubs each micro-batch against the standing dictionary at
-    ``dict_path`` via :class:`SortedDictStripper`, appending
-    ``(id, clean_text, n_stripped)`` parquet at ``out_path``."""
+    ``dict_path`` via :class:`SortedDictStripper`, committing
+    ``(id, clean_text, n_stripped)`` to the ``out_path`` manifest
+    store (read with :func:`read_stripped`), batch-id-fenced so
+    crash/replay is exactly-once."""
     applier = SortedDictStripper(
         dict_path, out_path, k, id_col, text_col, broadcast_max_hashes
     )

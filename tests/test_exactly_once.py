@@ -280,3 +280,46 @@ def test_scrub_output_store_reads_and_compacts(spark, tmp_path):
     assert mf.last_committed_batch(spark, out) == 3
     applier(_mk(spark, [5]), 3)
     assert _out_ids(spark, out) == [1, 2, 3, 5]
+
+
+def test_sorted_stripper_replay_writes_exactly_once(spark, tmp_path):
+    """The third foreachBatch applier: SortedDictStripper's out store
+    is batch-id-fenced too — a checkpoint replay of a committed batch
+    must not duplicate stripped rows (the pre-r12 mode("append") write
+    re-appended the whole batch)."""
+    from blockchaintoavro_spark.operators.substr_sorted import (
+        SortedDictStripper,
+        read_stripped,
+        write_dup_dictionary,
+    )
+
+    base = "z" * 30
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    dict_path = str(tmp_path / "dict")
+    write_dup_dictionary(
+        mk([(1, base + "a"), (2, base + "b")]), dict_path, k=20
+    )
+    out = str(tmp_path / "out")
+    applier = SortedDictStripper(dict_path, out, k=20)
+
+    batch = mk([(9, base + "c"), (10, "totally clean text here")])
+    applier(batch, 0)
+    rows1 = sorted(
+        (r["doc_id"], r["n_stripped"])
+        for r in read_stripped(spark, out).collect()
+    )
+    assert [d for d, _ in rows1] == [9, 10]
+    assert rows1[0][1] > 0  # the shared prefix was stripped
+
+    applier(batch, 0)  # replay after a committed batch: no-op
+    rows2 = sorted(
+        (r["doc_id"], r["n_stripped"])
+        for r in read_stripped(spark, out).collect()
+    )
+    assert rows2 == rows1
+    assert mf.last_committed_batch(spark, out) == 0
+
+    applier(mk([(11, base + "d")]), 1)  # new id still lands
+    assert sorted(
+        r["doc_id"] for r in read_stripped(spark, out).collect()
+    ) == [9, 10, 11]

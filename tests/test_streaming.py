@@ -519,6 +519,7 @@ def test_sorted_strip_stream_equals_batch_and_refreshes(spark, tmpdir):
 
     from blockchaintoavro_spark.operators.substr_sorted import (
         read_dup_dictionary,
+        read_stripped,
     )
 
     store1 = read_dup_dictionary(spark, dict_path)
@@ -528,7 +529,7 @@ def test_sorted_strip_stream_equals_batch_and_refreshes(spark, tmpdir):
     }
     got1 = {
         r["doc_id"]: (r["clean_text"], r["n_stripped"])
-        for r in spark.read.parquet(out).collect()
+        for r in read_stripped(spark, out).collect()
     }
     assert got1 == want1
     assert any(v[1] > 0 for v in want1.values())
@@ -558,7 +559,7 @@ def test_sorted_strip_stream_equals_batch_and_refreshes(spark, tmpdir):
         for r in strip_spans_against(extra, store2, k=20, hash_only=True).collect()
     }
     got_all = {}
-    for r in spark.read.parquet(out).collect():
+    for r in read_stripped(spark, out).collect():
         got_all.setdefault(r["doc_id"], (r["clean_text"], r["n_stripped"]))
     got2 = {k: v for k, v in got_all.items() if k >= 100}
     assert got2 == want2
