@@ -1,0 +1,179 @@
+"""Heavy hitters (frequent items) — EXACT at scale via bounded-state
+Misra-Gries candidates + one exact recount.
+
+Training-data pipelines need frequent-item queries constantly:
+vocabulary construction, boilerplate token discovery, dominant-URL /
+dominant-domain audits, stopword derivation for new languages. The
+naive ``groupBy(item).count()`` shuffles EVERY distinct item — at
+100 TB a token-level groupBy moves a vocabulary-sized shuffle even
+though only the ~few-hundred frequent items matter.
+
+This module implements the classical two-pass shape that returns the
+EXACT answer with bounded state (Misra & Gries 1982, "Finding repeated
+elements"; the weighted/merge form is the SpaceSaving/MG summary of
+Agarwal et al., "Mergeable Summaries", PODS'12):
+
+1. **Candidate pass** — each partition folds its items through a
+   weighted Misra-Gries summary of ``k`` counters inside an
+   Arrow-batched ``mapInPandas`` (vectorized ``value_counts`` per
+   batch, dict fold + decrement across batches): per-partition state
+   is ``k`` entries no matter how many rows or distinct items pass
+   through. MG guarantees every item whose LOCAL count exceeds
+   ``n_p/(k+1)`` survives its partition; any GLOBAL item with count
+   ``> n/(k+1)`` must exceed that bound in at least one partition
+   (pigeonhole over the per-partition totals), so the union of
+   survivors — at most ``partitions × k`` rows, collected nowhere —
+   is a superset of every true heavy hitter.
+2. **Exact recount** — the candidate set broadcasts back onto the
+   corpus (a broadcast semi-join, the corpus never shuffles) and only
+   candidate items are counted exactly; the cross-multiplied threshold
+   ``count × denom ≥ n × numer`` keeps the compare in integers.
+
+The output is therefore EXACT — identical to the full groupBy — while
+the only wide operation is a groupBy over the candidate slice. The
+candidates themselves are false-positive-prone (MG overcounts
+survivors' lower bounds never exceed true counts, but unrelated items
+can survive); the recount removes them, so no probabilistic caveat
+reaches the caller. Guarantee requires ``min_frac ≥ 1/(k+1)``;
+checked at plan time so an under-provisioned summary fails loudly
+instead of silently dropping a frequent item.
+
+100 TB posture: pass 1 is a narrow map with k-bounded state per task;
+pass 2 is one broadcast join + a groupBy whose key space is ≤
+``partitions × k`` (operator-bounded, data-independent). Nothing
+driver-side except the broadcast candidate list (≤ partitions × k
+items — model-parameter-sized, like the IVF centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["exact_heavy_hitters", "heavy_hitters", "mg_candidates"]
+
+
+def exact_heavy_hitters(
+    df: DataFrame, col: str, min_frac_num: int, min_frac_den: int
+) -> DataFrame:
+    """The single-pass exact plan (full ``groupBy`` — the oracle twin
+    and the right choice when the distinct-item count is small):
+    items of ``col`` with ``count/total ≥ min_frac_num/min_frac_den``,
+    compared cross-multiplied in integers. Returns
+    ``(item, item_count)`` ordered by count desc, item."""
+    total = df.select(F.count("*").alias("_n"))
+    counts = df.groupBy(F.col(col).alias("item")).agg(
+        F.count("*").alias("item_count")
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .filter(
+            F.col("item_count") * F.lit(min_frac_den)
+            >= F.col("_n") * F.lit(min_frac_num)
+        )
+        .select("item", "item_count")
+        .orderBy(F.col("item_count").desc(), "item")
+    )
+
+
+def _mg_fold(k: int, col: str):
+    """Arrow-batched weighted Misra-Gries fold for one partition:
+    consumes every batch, emits ≤ k ``(item, lower_count)`` rows."""
+
+    def fold(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            for item, w in vc.items():
+                w = int(w)
+                if item in counters:
+                    counters[item] += w
+                elif len(counters) < k:
+                    counters[item] = w
+                else:
+                    # weighted decrement: remove the common mass m from
+                    # every counter AND the incoming weight (the MG
+                    # step applied w times at once)
+                    m = min(min(counters.values()), w)
+                    w -= m
+                    dead = []
+                    for key in counters:
+                        counters[key] -= m
+                        if counters[key] <= 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+                    if w > 0:
+                        counters[item] = w
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "mg_lower": list(counters.values())}
+            )
+
+    return fold
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ k rows per partition of
+    ``(item, mg_lower)`` where ``mg_lower`` underestimates the local
+    count by at most ``n_p/(k+1)``. Exposed for introspection/tests;
+    :func:`heavy_hitters` composes it with the exact recount."""
+    item_type = df.schema[col].dataType
+    return df.select(col).mapInPandas(
+        _mg_fold(k, col),
+        schema=T.StructType(
+            [
+                T.StructField("item", item_type),
+                T.StructField("mg_lower", T.LongType()),
+            ]
+        ),
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_frac_num: int,
+    min_frac_den: int,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters with bounded state: every item of ``col``
+    whose frequency is ≥ ``min_frac_num/min_frac_den`` of all rows,
+    with its exact count — same rows as :func:`exact_heavy_hitters`
+    (twin-tested and oracle-checked), but the only groupBy runs over
+    the MG candidate slice instead of the full vocabulary.
+
+    ``k`` (counters per partition) defaults to the guarantee bound
+    ``ceil(min_frac_den/min_frac_num)`` — with ``k + 1 >
+    1/min_frac``, no true heavy hitter can be lost; smaller ``k``
+    raises immediately."""
+    if k is None:
+        k = -(-min_frac_den // min_frac_num)  # ceil
+    if (k + 1) * min_frac_num <= min_frac_den:
+        raise ValueError(
+            f"k={k} counters cannot retain items at frequency "
+            f"{min_frac_num}/{min_frac_den}: need k+1 > den/num"
+        )
+    cand = (
+        mg_candidates(df, col, k)
+        .select(F.col("item").alias(col))
+        .distinct()
+    )
+    total = df.select(F.count("*").alias("_n"))
+    counts = (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(F.col(col).alias("item"))
+        .agg(F.count("*").alias("item_count"))
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .filter(
+            F.col("item_count") * F.lit(min_frac_den)
+            >= F.col("_n") * F.lit(min_frac_num)
+        )
+        .select("item", "item_count")
+        .orderBy(F.col("item_count").desc(), "item")
+    )

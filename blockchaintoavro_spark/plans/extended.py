@@ -5295,3 +5295,114 @@ def x_emb_decon_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_contamination_hits(
         corp, bench, 0.95, broadcast_max_rows=1
     ).orderBy("vec_id", "bench_id")
+
+
+@declare(
+    "x_exactly_once_scrub",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT))
+    ) AS t(step, out_docs, index_docs)
+    ORDER BY step
+    """,
+)
+def x_eo_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-once scrubber ledger (r11 VERDICT #1 —
+    neardup_index.py:NearDupScrubber.__call__): batch A (3 docs with
+    unique md5-derived token streams) is applied as micro-batch 0, then
+    REPLAYED with the same batch id (the checkpoint-redelivery case),
+    then batch B (one new doc + one verbatim copy of an indexed doc)
+    lands as batch 1. The ledger of (output docs, indexed docs) after
+    each step must be exactly (3,3),(3,3),(4,4): the replay is fenced
+    to a no-op (no duplicate output rows, no duplicate bands — the
+    pre-r12 applier re-appended on replay) and the copy in batch B is
+    dropped as a near-dup of history. Both stores are manifest
+    commits; the oracle pins the ledger constants. Crash-in-every-
+    window variants are kill-tested in tests/test_exactly_once.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.neardup_index import (
+        NearDupScrubber,
+        build_neardup_index,
+        read_neardup_bands,
+        read_scrubbed,
+    )
+
+    ids = t(spark, sf, "documents").select("doc_id")
+    # unique 20-token pseudo-text per doc id (sf-independent semantics:
+    # only EXACT copies near-dup, planted below)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda j: F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("-"), j.cast("string"))), 1, 8
+            ),
+        ),
+    )
+    docs = ids.filter(F.col("doc_id") < 4).select("doc_id", text.alias("text"))
+    batch_a = docs.filter(F.col("doc_id") < 3)
+    # batch B: doc 3 (new) + doc 1's text under a fresh id (the dup)
+    batch_b = docs.filter(F.col("doc_id") == 3).unionByName(
+        docs.filter(F.col("doc_id") == 1).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_eoscrub_")
+    try:
+        idx, out = f"{root}/idx", f"{root}/out"
+        build_neardup_index(batch_a.limit(0), idx, kind="minhash")
+        applier = NearDupScrubber(idx, out)
+        ledger = []
+        for step, (b, bid) in enumerate(
+            ((batch_a, 0), (batch_a, 0), (batch_b, 1))
+        ):
+            applier(b, bid)
+            n_out = read_scrubbed(spark, out).count()
+            n_idx = (
+                read_neardup_bands(spark, idx)
+                .select("_nd_id").distinct().count()
+            )
+            ledger.append((step, n_out, n_idx))
+        return spark.createDataFrame(
+            ledger, "step long, out_docs long, index_docs long"
+        ).orderBy("step")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@declare(
+    "x_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ), n AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS item_count
+    FROM toks, n
+    GROUP BY item, n.total
+    HAVING COUNT(*) * 100 >= n.total * 1
+    ORDER BY item_count DESC, item
+    """,
+)
+def x_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT heavy hitters with bounded state (operators/
+    heavyhitters.py — Misra-Gries 1982 candidates + exact recount, the
+    mergeable-summaries two-pass): every token at ≥ 1% frequency
+    across the documents corpus, with its exact count. The Spark side
+    runs the SCALE plan — per-partition k-counter MG summaries in one
+    Arrow map (state k-bounded regardless of vocabulary), candidate
+    broadcast semi-join, groupBy only over the candidate slice — and
+    must hash-match DuckDB's full groupBy: the guarantee (no true
+    heavy hitter below k+1 counters is lost; recount removes false
+    positives) makes the bounded-state answer EXACT, not approximate.
+    Twin/property/bounded-state tests in tests/test_heavyhitters.py."""
+    from ..operators.heavyhitters import heavy_hitters
+
+    toks = t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", 1, 100)

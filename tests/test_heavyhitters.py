@@ -1,0 +1,115 @@
+"""Heavy hitters (operators/heavyhitters.py): the two-pass
+MG-candidates + exact-recount plan must be EXACTLY the full-groupBy
+answer (that is the operator's whole contract), with k-bounded state
+per partition and the corpus never shuffled before the candidate
+slice."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from blockchaintoavro_spark.operators.heavyhitters import (
+    exact_heavy_hitters,
+    heavy_hitters,
+    mg_candidates,
+)
+
+
+def _tokens(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+
+
+def test_heavy_hitters_equals_exact_groupby(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    want = [
+        (r["item"], r["item_count"])
+        for r in exact_heavy_hitters(toks, "tok", 1, 100).collect()
+    ]
+    got = [
+        (r["item"], r["item_count"])
+        for r in heavy_hitters(toks, "tok", 1, 100).collect()
+    ]
+    assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_small_k_still_exact(spark):
+    """k at the guarantee bound with MANY distinct cold items per
+    partition: the MG decrement path must churn through the long tail
+    without evicting the true heavy hitters."""
+    n_noise, n_heavy = 20_000, 3_000
+    df = (
+        spark.range(n_noise)
+        .select(F.concat(F.lit("cold-"), F.col("id")).alias("item"))
+        .unionAll(
+            spark.range(n_heavy).select(
+                F.concat(F.lit("hot-"), (F.col("id") % 3)).alias("item")
+            )
+        )
+        .repartition(8)
+    )
+    # threshold 1/30 of 23k rows ≈ 767; each hot-i has 1000 rows
+    want = [
+        (r["item"], r["item_count"])
+        for r in exact_heavy_hitters(df, "item", 1, 30).collect()
+    ]
+    got = [
+        (r["item"], r["item_count"])
+        for r in heavy_hitters(df, "item", 1, 30).collect()
+    ]
+    assert got == want
+    assert [i for i, _ in got] == ["hot-0", "hot-1", "hot-2"]
+    # candidate state really is bounded: ≤ k rows per partition
+    k = 30
+    cand = mg_candidates(df, "item", k)
+    per_part = (
+        cand.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= k for r in per_part)
+
+
+def test_heavy_hitters_k_below_guarantee_raises(spark):
+    df = spark.range(10).select(F.col("id").alias("item"))
+    with pytest.raises(ValueError, match="cannot retain"):
+        heavy_hitters(df, "item", 1, 100, k=50)
+
+
+def test_heavy_hitters_plan_broadcasts_candidates(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    plan = heavy_hitters(toks, "tok", 1, 100)
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        plan._jdf.queryExecution(), "formatted"
+    )
+    # the recount joins the corpus against BROADCAST candidates — the
+    # corpus side is never hash-exchanged before the semi-join
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+@given(
+    items=st.lists(st.integers(0, 20), min_size=1, max_size=300),
+    num_den=st.sampled_from([(1, 10), (1, 5), (1, 20)]),
+)
+@settings(max_examples=10, deadline=None)
+def test_heavy_hitters_property_equals_exact(spark, items, num_den):
+    num, den = num_den
+    df = spark.createDataFrame(
+        [(i,) for i in items], "item long"
+    ).repartition(4)
+    want = [
+        (r["item"], r["item_count"])
+        for r in exact_heavy_hitters(df, "item", num, den).collect()
+    ]
+    got = [
+        (r["item"], r["item_count"])
+        for r in heavy_hitters(df, "item", num, den).collect()
+    ]
+    assert got == want
