@@ -695,6 +695,124 @@ def bench_ocf_split(spark) -> dict:
     }
 
 
+def bench_round12_operators(spark) -> dict:
+    """Round-12 mechanics. Claims under measurement: (1) the
+    exactly-once batch-id fence costs one small-file manifest read per
+    store per batch — metadata-priced, independent of batch and index
+    size — and a REPLAYED batch short-circuits before any probe/write
+    work; (2) the zstandard OCF codec trades against deflate the way
+    upstream zstd does (comparable ratio, faster decode), so the codec
+    choice is a knob, not a cliff."""
+    import shutil
+    import tempfile
+    import time
+
+    from blockchaintoavro_spark.operators import manifest as mf
+    from blockchaintoavro_spark.operators.neardup_index import (
+        NearDupScrubber,
+        build_neardup_index,
+        read_scrubbed,
+    )
+
+    results: dict[str, dict] = {}
+
+    corpus = scaled_documents(spark, 2)  # 10k standing docs
+    idx = tempfile.mkdtemp(prefix="sg_eo_idx_")
+    out = tempfile.mkdtemp(prefix="sg_eo_out_")
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    build_neardup_index(corpus.filter("doc_id < 5000"), idx, kind="minhash")
+    applier = NearDupScrubber(idx, out)
+    batches = [
+        corpus.filter(
+            f"doc_id >= {5000 + j * 100} and doc_id < {5100 + j * 100}"
+        )
+        for j in range(6)
+    ]
+    t0 = time.perf_counter()
+    for j, b in enumerate(batches):
+        applier(b, j)
+    per_batch = round((time.perf_counter() - t0) / len(batches), 3)
+    t0 = time.perf_counter()
+    for j, b in enumerate(batches):
+        applier(b, j)  # checkpoint replay: every id fenced -> no-op
+    per_replay = round((time.perf_counter() - t0) / len(batches), 4)
+    _, fence_read_sec = timed(lambda: mf.last_committed_batch(spark, idx))
+    n_out = read_scrubbed(spark, out).count()
+    results["exactly_once_fence"] = {
+        "index_docs": 5000,
+        "batches": 6,
+        "batch_docs": 100,
+        "per_applied_batch_sec": per_batch,
+        "per_replayed_batch_sec": per_replay,
+        "fence_read_sec": fence_read_sec,
+        "out_docs": n_out,
+    }
+    print(
+        f"exactly_once_fence: apply {per_batch}s/batch, replay "
+        f"{per_replay}s/batch (fence read {fence_read_sec}s), "
+        f"{n_out} docs out",
+        flush=True,
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+
+    # zstandard vs deflate: same rows through the OCF writer/reader
+    from blockchaintoavro_spark.sources import zstd_codec
+    from blockchaintoavro_spark.sources.avro_io import (
+        OCFWriter,
+        read_ocf,
+        spark_to_avro_schema,
+    )
+    from pyspark.sql import types as T
+
+    if zstd_codec.available():
+        sch = spark_to_avro_schema(
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType(), True),
+                    T.StructField("text", T.StringType(), True),
+                ]
+            ),
+            "Doc",
+        )
+        rows = [
+            {
+                "doc_id": i,
+                "text": f"document {i} payload {i * 2654435761 % 10**12} "
+                * 4,
+            }
+            for i in range(200_000)
+        ]
+        d = tempfile.mkdtemp(prefix="sg_zstd_")
+        results["ocf_codec_tradeoff"] = {}
+        for codec in ("deflate", "zstandard"):
+            path = os.path.join(d, f"{codec}.avro")
+            t0 = time.perf_counter()
+            with open(path, "wb") as fh:
+                w = OCFWriter(fh, sch, codec)
+                for k in range(0, len(rows), 5000):
+                    w.append(rows[k : k + 5000])
+            write_sec = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            _, back = read_ocf(path)
+            read_sec = round(time.perf_counter() - t0, 3)
+            assert len(back) == len(rows)
+            results["ocf_codec_tradeoff"][codec] = {
+                "rows": len(rows),
+                "file_mb": round(os.path.getsize(path) / 1e6, 2),
+                "write_sec": write_sec,
+                "read_sec": read_sec,
+            }
+            print(
+                f"ocf_codec_tradeoff {codec}: "
+                f"{results['ocf_codec_tradeoff'][codec]}",
+                flush=True,
+            )
+        shutil.rmtree(d, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     spark = get_spark("scale_bench")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -708,6 +826,7 @@ def main() -> None:
         "round9_operators": bench_round9_operators(spark),
         "round10_operators": bench_round10_operators(spark),
         "round11_operators": bench_round11_operators(spark),
+        "round12_operators": bench_round12_operators(spark),
         "model_ops": bench_model_ops(spark),
         "ocf_split": bench_ocf_split(spark),
     }
