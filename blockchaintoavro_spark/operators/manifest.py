@@ -96,6 +96,7 @@ __all__ = [
     "live_data_file_count",
     "commit_append",
     "commit_replace",
+    "commit_compaction",
     "read_segments",
     "vacuum_store",
     "last_committed_batch",
@@ -413,6 +414,53 @@ def fence_stats(batch_id: int, extra=None):
         return new
 
     return update
+
+
+def commit_compaction(
+    spark,
+    root: str,
+    new_segments: list[str],
+    replaced: list[str],
+    legacy: dict | None = None,
+    retries: int = 5,
+) -> dict:
+    """Publish a CONTENT-NEUTRAL rewrite that replaces exactly the
+    segments the compactor read — and, unlike :func:`commit_replace`,
+    SURVIVES concurrent appends (r12): manifest ``N+1`` = (current
+    segments − ``replaced``) + ``new_segments``, recomputed against
+    whichever manifest is newest on each retry, so a segment appended
+    after the compactor took its snapshot is carried forward instead
+    of being clobbered or forcing one side to fail. This is the
+    Delta/Iceberg OPTIMIZE conflict rule: a re-layout only conflicts
+    with writes that touched the files it rewrote, and appends never
+    do. Stats (including the exactly-once batch fence) ride the
+    winning manifest's values — a concurrent append's stats update is
+    preserved because each retry starts from the CURRENT manifest.
+
+    Only valid for data-identical rewrites of ``replaced`` (small-file
+    folding, re-clustering): a rewrite that CHANGES content (an index
+    rebuild publishing new model refs) must stay a strict
+    :func:`commit_replace` in a single writer's slot, because merging
+    it with concurrent appends that referenced the old model would
+    publish mixed-generation semantics."""
+    replaced_set = set(replaced)
+    attempt = 0
+    while True:
+        gen, man = _durable_state(spark, root, legacy)
+        survivors = [
+            s for s in man.get("segments", []) if s not in replaced_set
+        ]
+        new_man = dict(man)
+        new_man["segments"] = survivors + [
+            s for s in new_segments if s not in survivors
+        ]
+        try:
+            commit_manifest(spark, root, new_man, gen + 1)
+            return new_man
+        except ConcurrentCommitError:
+            attempt += 1
+            if attempt > retries:
+                raise
 
 
 def read_segments(spark, root: str, manifest: dict):

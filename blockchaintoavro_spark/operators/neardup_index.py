@@ -569,12 +569,20 @@ def compact_neardup_index(
     ``keep_generations``) retires the old segments — so a crash at any
     point, including mid-compact, leaves a committed generation
     readable (closes the r10 delete-then-rename stranding window).
-    Still run it in the single writer's thread (between foreachBatch
-    calls): concurrent PROBES of the retained generations are safe, a
-    concurrent APPEND would race the manifest commit (detected, one
-    side raises). Returns ``{files_before, files_after, rows}``."""
+    Concurrent PROBES of the retained generations are safe, and as of
+    r12 so are concurrent APPENDS: the rewrite replaces exactly the
+    segments of the snapshot it read (``manifest.commit_compaction``,
+    the OPTIMIZE conflict rule), so a segment appended mid-compaction
+    is carried forward instead of one side failing. Returns
+    ``{files_before, files_after, rows}``."""
     files_before = _live_data_files(spark, index_path)
-    bands = read_neardup_bands(spark, index_path)
+    m = mf.latest_manifest(spark, index_path)
+    if m is not None:
+        replaced = list(m[1].get("segments", []))
+        bands = mf.read_segments(spark, index_path, m[1])
+    else:
+        replaced = ["bands"]  # pre-manifest layout, adopted below
+        bands = spark.read.parquet(f"{index_path}/bands")
     if n_files is None:
         n_files = max(1, spark.sparkContext.defaultParallelism // 4)
     rows = bands.count()
@@ -582,7 +590,7 @@ def compact_neardup_index(
     bands.repartition(n_files, "band_val").write.mode("overwrite").parquet(
         f"{index_path}/{seg}"
     )
-    mf.commit_replace(spark, index_path, [seg], legacy=_LEGACY)
+    mf.commit_compaction(spark, index_path, [seg], replaced, legacy=_LEGACY)
     mf.vacuum_store(spark, index_path, keep_generations)
     return {
         "files_before": files_before,
@@ -601,10 +609,15 @@ def compact_scrub_output(
     fold them into one segment published by a manifest commit. The
     manifest copy carries ``stats`` (including the exactly-once
     ``last_batch_id`` fence) forward unchanged, so a replay remains a
-    no-op across compactions. Run in the writer's serialized slot.
-    Returns ``{files_before, files_after, rows}``."""
+    no-op across compactions; a batch committed mid-compaction is
+    carried forward (``manifest.commit_compaction``). Returns
+    ``{files_before, files_after, rows}``."""
     files_before = mf.live_data_file_count(spark, out_path)
-    docs = read_scrubbed(spark, out_path)
+    m = mf.latest_manifest(spark, out_path)
+    if m is None:
+        raise ValueError(f"{out_path}: not a scrubber output store")
+    replaced = list(m[1].get("segments", []))
+    docs = mf.read_segments(spark, out_path, m[1])
     if n_files is None:
         n_files = max(1, spark.sparkContext.defaultParallelism // 4)
     rows = docs.count()
@@ -612,7 +625,7 @@ def compact_scrub_output(
     docs.repartition(n_files).write.mode("overwrite").parquet(
         f"{out_path}/{seg}"
     )
-    mf.commit_replace(spark, out_path, [seg])
+    mf.commit_compaction(spark, out_path, [seg], replaced)
     mf.vacuum_store(spark, out_path, keep_generations)
     return {
         "files_before": files_before,

@@ -724,10 +724,18 @@ def compact_ivfpq_index(
     segment (:func:`similarity.compact_ivf_index` applied to the
     8-byte-code table): models and stats carry over in the manifest,
     old segments retire via vacuum, a crash leaves a committed
-    generation readable. Returns ``{files_before, files_after,
-    rows}``."""
+    generation readable, and concurrent appends are preserved (r12 —
+    ``manifest.commit_compaction`` replaces only the snapshot's
+    segments; same models, so mid-compaction codes stay valid).
+    Returns ``{files_before, files_after, rows}``."""
     files_before = mf.live_data_file_count(spark, index_path, ("codes",))
-    encoded = read_ivfpq_codes(spark, index_path)
+    m = mf.latest_manifest(spark, index_path)
+    if m is not None:
+        replaced = list(m[1].get("segments", []))
+        encoded = mf.read_segments(spark, index_path, m[1])
+    else:
+        replaced = ["codes"]  # pre-manifest layout
+        encoded = spark.read.parquet(f"{index_path}/codes")
     if n_files is None:
         n_files = max(1, spark.sparkContext.defaultParallelism // 4)
     rows = encoded.count()
@@ -738,7 +746,8 @@ def compact_ivfpq_index(
         .partitionBy("cid")
         .parquet(f"{index_path}/{seg}")
     )
-    mf.commit_replace(spark, index_path, [seg], legacy=_IVFPQ_LEGACY)
+    mf.commit_compaction(spark, index_path, [seg], replaced,
+                         legacy=_IVFPQ_LEGACY)
     mf.vacuum_store(spark, index_path, keep_generations)
     return {
         "files_before": files_before,

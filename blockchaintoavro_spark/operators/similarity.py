@@ -956,12 +956,21 @@ def compact_ivf_index(
     (centroid ref and drift stats carry over unchanged — the data is
     identical, just re-laid-out), retires old segments with
     ``vacuum_store``; a crash at any point leaves a committed
-    generation readable. Run in the single writer's thread. Returns
+    generation readable. Concurrent appends are preserved (r12 —
+    ``manifest.commit_compaction`` replaces only the snapshot's
+    segments; same centroids, so a mid-compaction append's
+    assignments stay valid). Returns
     ``{files_before, files_after, rows}``."""
     files_before = mf.live_data_file_count(
         spark, index_path, ("assignments",)
     )
-    assigned = read_ivf_assignments(spark, index_path)
+    m = mf.latest_manifest(spark, index_path)
+    if m is not None:
+        replaced = list(m[1].get("segments", []))
+        assigned = mf.read_segments(spark, index_path, m[1])
+    else:
+        replaced = ["assignments"]  # pre-manifest layout
+        assigned = spark.read.parquet(f"{index_path}/assignments")
     if n_files is None:
         n_files = max(1, spark.sparkContext.defaultParallelism // 4)
     rows = assigned.count()
@@ -972,7 +981,8 @@ def compact_ivf_index(
         .partitionBy("cid")
         .parquet(f"{index_path}/{seg}")
     )
-    mf.commit_replace(spark, index_path, [seg], legacy=_IVF_LEGACY)
+    mf.commit_compaction(spark, index_path, [seg], replaced,
+                         legacy=_IVF_LEGACY)
     mf.vacuum_store(spark, index_path, keep_generations)
     return {
         "files_before": files_before,

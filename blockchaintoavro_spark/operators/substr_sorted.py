@@ -948,10 +948,20 @@ def compact_gram_counts(
     commit point; old segments are retired only by the trailing
     ``vacuum_store`` — a crash at any point leaves a committed
     generation readable (closes the r10 delete-then-rename stranding
-    window). Run in the single writer's thread (between ingests);
-    concurrent READS of retained generations are safe. Returns
+    window). Concurrent READS of retained generations are safe, and as
+    of r12 so are concurrent ingests: the rewrite replaces exactly the
+    delta segments of the snapshot it summed
+    (``manifest.commit_compaction``), so a delta appended
+    mid-compaction survives as a delta — LSM semantics make the merged
+    total unchanged. Returns
     ``{rows_before, rows_after, files_after}``."""
-    counts = read_gram_counts(spark, store_path)
+    m = mf.latest_manifest(spark, store_path)
+    if m is not None:
+        replaced = list(m[1].get("segments", []))
+        counts = mf.read_segments(spark, store_path, m[1])
+    else:
+        replaced = ["counts"]  # pre-manifest layout
+        counts = spark.read.parquet(f"{store_path}/counts")
     rows_before = counts.count()
     if n_files is None:
         n_files = max(1, spark.sparkContext.defaultParallelism // 4)
@@ -960,7 +970,8 @@ def compact_gram_counts(
     merged.repartition(n_files, "sub").write.mode("overwrite").parquet(
         f"{store_path}/{seg}"
     )
-    mf.commit_replace(spark, store_path, [seg], legacy=_GRAM_LEGACY)
+    mf.commit_compaction(spark, store_path, [seg], replaced,
+                         legacy=_GRAM_LEGACY)
     mf.vacuum_store(spark, store_path, keep_generations)
     out = read_gram_counts(spark, store_path)
     jseg = spark._jvm.org.apache.hadoop.fs.Path(f"{store_path}/{seg}")

@@ -323,3 +323,67 @@ def test_sorted_stripper_replay_writes_exactly_once(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in read_stripped(spark, out).collect()
     ) == [9, 10, 11]
+
+
+def test_stream_restart_after_crash_is_exactly_once(spark, tmp_path, monkeypatch):
+    """END-TO-END through a real Structured Streaming checkpoint: the
+    scrubber query CRASHES mid-batch-1 (injected between the out
+    commit and the index append — the r11 data-loss window), then the
+    query is RESTARTED from the same checkpoint. The redelivered batch
+    must complete the missing effect only: final output and index are
+    exactly the crash-free result — no document lost, none duplicated."""
+    import time
+
+    import blockchaintoavro_spark.operators.neardup_index as ndi_mod
+    from blockchaintoavro_spark.operators.neardup_index import (
+        build_neardup_index,
+        neardup_scrub_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _mk(spark, [1, 2]).coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    _mk(spark, [3, 4]).coalesce(1).write.mode("append").parquet(src)
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    build_neardup_index(spark.createDataFrame([], SCHEMA), idx,
+                        kind="minhash")
+
+    real_append = ndi_mod._append_bands
+    state = {"armed": True}
+
+    def flaky(spark_, path, bands, batch_id=None):
+        if state["armed"] and batch_id == 1:
+            state["armed"] = False
+            raise RuntimeError("injected crash after out commit")
+        return real_append(spark_, path, bands, batch_id=batch_id)
+
+    monkeypatch.setattr(ndi_mod, "_append_bands", flaky)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(spark.createDataFrame([], SCHEMA).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            neardup_scrub_stream(stream, idx, out, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_stream()
+    # crash landed between the two commits of batch 1
+    assert _out_ids(spark, out) == [1, 2, 3]  # out committed batch 1
+    assert _index_ids(spark, idx) == [1, 2]   # index did not
+
+    run_stream()  # restart from the SAME checkpoint: batch 1 replays
+    assert _out_ids(spark, out) == [1, 2, 3]  # exactly once, no loss
+    assert _index_ids(spark, idx) == [1, 2, 3]
+    assert mf.last_committed_batch(spark, out) == 1
+    assert mf.last_committed_batch(spark, idx) == 1

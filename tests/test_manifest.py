@@ -291,7 +291,7 @@ def test_kill_mid_compact_leaves_store_readable(spark, tmp_path, monkeypatch):
     # (a) kill between segment write and manifest commit
     boom = RuntimeError("killed mid-compact")
     monkeypatch.setattr(
-        mf, "commit_replace",
+        mf, "commit_compaction",
         lambda *a, **k: (_ for _ in ()).throw(boom),
     )
     with pytest.raises(RuntimeError, match="killed mid-compact"):
@@ -454,6 +454,57 @@ def test_concurrent_appends_with_retries_all_commit(spark, tmp_path):
     assert _read_ids(spark, root) == [1, 10, 11, 12, 13]
     gen, man = mf.latest_manifest(spark, root)
     assert gen == 5 and len(man["segments"]) == 5
+
+
+def test_compaction_preserves_concurrent_append(spark, tmp_path, monkeypatch):
+    """r12: a compaction and an append may interleave — the OPTIMIZE
+    conflict rule. The rewrite replaces exactly the segments of the
+    snapshot it read; an append that commits BETWEEN the snapshot and
+    the compaction's manifest commit must survive (its segment AND its
+    stats — the exactly-once fence a streaming applier wrote), instead
+    of one side failing or the append being clobbered."""
+    root = str(tmp_path / "store")
+    s1 = _append(spark, root, [(1, "a")])
+    s2 = _append(spark, root, [(2, "b")])
+
+    real_commit = mf.commit_manifest
+    state = {"raced": 0, "rival": None}
+
+    def racing(sp, rt, man, gen):
+        if not state["raced"]:
+            state["raced"] = 1
+            rival = mf.new_segment_name()
+            state["rival"] = rival
+            spark.createDataFrame(
+                [(7, "r")], "k long, v string"
+            ).write.parquet(f"{rt}/{rival}")
+            real_commit(
+                sp, rt,
+                {"segments": [s1, s2, rival],
+                 "stats": {"last_batch_id": 9}},
+                gen,
+            )
+        return real_commit(sp, rt, man, gen)
+
+    monkeypatch.setattr(mf, "commit_manifest", racing)
+    snap = mf.latest_manifest(spark, root)
+    merged = mf.new_segment_name()
+    mf.read_segments(spark, root, snap[1]).coalesce(1).write.parquet(
+        f"{root}/{merged}"
+    )
+    mf.commit_compaction(
+        spark, root, [merged], replaced=snap[1]["segments"]
+    )
+    monkeypatch.undo()
+
+    assert _read_ids(spark, root) == [1, 2, 7]  # append survived
+    gen, man = mf.latest_manifest(spark, root)
+    assert merged in man["segments"] and state["rival"] in man["segments"]
+    assert s1 not in man["segments"] and s2 not in man["segments"]
+    assert man["stats"] == {"last_batch_id": 9}  # fence preserved
+    # and vacuum retires the replaced segments without touching either
+    mf.vacuum_store(spark, root, keep_generations=1)
+    assert _read_ids(spark, root) == [1, 2, 7]
 
 
 def test_dup_dictionary_refresh_crash_keeps_serving(
