@@ -658,6 +658,8 @@ _OPS = st.lists(
                   st.lists(st.integers(0, 99), min_size=1, max_size=3)),
         st.tuples(st.just("compact"), st.just(None)),
         st.tuples(st.just("crash_compact"), st.just(None)),
+        st.tuples(st.just("append_mid_compact"),
+                  st.lists(st.integers(0, 99), min_size=1, max_size=3)),
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
     ),
     min_size=1,
@@ -671,10 +673,13 @@ def test_manifest_protocol_invariant_under_random_histories(
     spark, tmp_path_factory, ops
 ):
     """Protocol-level property: under ANY interleaving of appends,
-    compactions, vacuums and mid-operation crashes (data written,
-    commit never issued), every read returns exactly the multiset of
-    successfully COMMITTED appends — crashed work is invisible, compaction
-    and vacuum are content-neutral, and the store is never unreadable."""
+    compactions (snapshot-scoped ``commit_compaction``, r12), vacuums,
+    appends landing BETWEEN a compaction's snapshot and its commit, and
+    mid-operation crashes (data written, commit never issued), every
+    read returns exactly the multiset of successfully COMMITTED appends
+    — crashed work is invisible, compaction and vacuum are
+    content-neutral, racing appends are never lost, and the store is
+    never unreadable."""
     root = str(tmp_path_factory.mktemp("mstore") / "store")
     mk = lambda vals: spark.createDataFrame(
         [(v, "x") for v in vals], "k long, v string"
@@ -704,12 +709,29 @@ def test_manifest_protocol_invariant_under_random_histories(
             mf.read_segments(spark, root, m[1]).coalesce(1).write.parquet(
                 f"{root}/{seg}"
             )
-            mf.commit_replace(spark, root, [seg])
+            mf.commit_compaction(
+                spark, root, [seg], replaced=m[1]["segments"]
+            )
         elif op == "crash_compact" and expected:
             seg = mf.new_segment_name()  # merged data staged, no commit
             m = mf.latest_manifest(spark, root)
             mf.read_segments(spark, root, m[1]).coalesce(1).write.parquet(
                 f"{root}/{seg}"
+            )
+        elif op == "append_mid_compact" and expected:
+            # a compactor takes its snapshot, then an append COMMITS
+            # before the compaction does — the merge must keep both
+            snap = mf.latest_manifest(spark, root)
+            merged = mf.new_segment_name()
+            mf.read_segments(spark, root, snap[1]).coalesce(1).write.parquet(
+                f"{root}/{merged}"
+            )
+            rival = mf.new_segment_name()
+            mk(arg).coalesce(1).write.parquet(f"{root}/{rival}")
+            mf.commit_append(spark, root, [rival])
+            expected.extend(arg)
+            mf.commit_compaction(
+                spark, root, [merged], replaced=snap[1]["segments"],
             )
         elif op == "vacuum":
             mf.vacuum_store(spark, root, keep_generations=arg)
