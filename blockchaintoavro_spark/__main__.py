@@ -117,6 +117,36 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """OPTIMIZE + VACUUM for a manifest-pinned standing store: fold the
+    per-ingest/per-batch segments back into one (band index, IVF/IVFADC
+    code tables, gram-count LSM, scrubber output) and retire expired
+    generations. Append-safe (manifest.commit_compaction) — a segment
+    committed mid-compaction is carried forward; run on a cadence like
+    any lakehouse OPTIMIZE job."""
+    import json as _json
+
+    spark = _session(args.threads)
+    kind = args.kind
+    if kind == "neardup":
+        from .operators.neardup_index import compact_neardup_index as fn
+    elif kind == "ivf":
+        from .operators.similarity import compact_ivf_index as fn
+    elif kind == "ivfpq":
+        from .operators.pq import compact_ivfpq_index as fn
+    elif kind == "grams":
+        from .operators.substr_sorted import compact_gram_counts as fn
+    else:  # scrub-output
+        from .operators.neardup_index import compact_scrub_output as fn
+    stats = fn(
+        spark, args.store,
+        n_files=args.n_files,
+        keep_generations=args.keep_generations,
+    )
+    print(_json.dumps({"kind": kind, **stats}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m blockchaintoavro_spark",
@@ -151,6 +181,18 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("--target-mb", type=int, default=128)
     co.add_argument("--partition-col", default=None)
     co.set_defaults(fn=cmd_compact)
+
+    ma = sub.add_parser(
+        "maintain", help=cmd_maintain.__doc__.split("\n", 1)[0]
+    )
+    ma.add_argument("--store", required=True, help="standing-store root dir")
+    ma.add_argument(
+        "--kind", required=True,
+        choices=["neardup", "ivf", "ivfpq", "grams", "scrub-output"],
+    )
+    ma.add_argument("--n-files", type=int, default=None)
+    ma.add_argument("--keep-generations", type=int, default=2)
+    ma.set_defaults(fn=cmd_maintain)
     return p
 
 

@@ -81,3 +81,36 @@ def test_cli_compact_merges_drop_dir(spark, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["rows"] == 500 and stats["n_out"] == 1 and stats["n_in"] >= 4
     assert read_ocf_dataset(spark, out).count() == 500
+
+
+def test_cli_maintain_compacts_standing_store(spark, tmp_path, capsys):
+    """r12: the maintain subcommand folds a manifest store's per-ingest
+    segments into one and reports the OPTIMIZE stats — the cadence job
+    a long-running ingest schedules."""
+    import json
+
+    from blockchaintoavro_spark.operators import manifest as mf
+    from blockchaintoavro_spark.operators.neardup_index import (
+        build_neardup_index,
+        probe_neardup_index,
+    )
+
+    idx = str(tmp_path / "nd_idx")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    build_neardup_index(
+        mk([(1, "the quick brown fox jumps over the lazy dog today")]),
+        idx, kind="minhash",
+    )
+    for j, txt in enumerate(
+        ("spark shuffles partition data across executors by key",
+         "watermarks bound state for late arriving event rows")
+    ):
+        probe_neardup_index(mk([(10 + j, txt)]), idx, append="survivors")
+    assert len(mf.latest_manifest(spark, idx)[1]["segments"]) == 3
+
+    rc = main(["maintain", "--store", idx, "--kind", "neardup",
+               "--n-files", "2"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["kind"] == "neardup" and stats["rows"] > 0
+    assert len(mf.latest_manifest(spark, idx)[1]["segments"]) == 1
