@@ -1232,3 +1232,34 @@ def test_ocf_legit_null_heavy_array_roundtrips(tmp_path):
     write_ocf(path, sch, [{"a": [None] * 5000}], codec="null")
     _, records = read_ocf(path)
     assert records == [{"a": [None] * 5000}]
+
+
+def test_avro_ocf_datasource_zstandard_option(tmp_path, spark):
+    """The DataSource's codec option reaches the distributed writer:
+    files written with option("codec","zstandard") carry the spec
+    codec name in their OCF meta and round-trip through both the
+    DataSource reader and the raw read_ocf path."""
+    if not _zstd.available():
+        pytest.skip("no system libzstd")
+    import glob
+
+    from blockchaintoavro_spark.sources import avro_datasource as ads
+    from blockchaintoavro_spark.sources.avro_io import _read_meta
+
+    ads.register(spark)
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "zstd_ds")
+    (
+        df.write.format("avro_ocf")
+        .mode("overwrite")
+        .option("codec", "zstandard")
+        .save(out)
+    )
+    files = sorted(glob.glob(f"{out}/*.avro"))
+    assert files
+    with open(files[0], "rb") as fh:
+        meta, _sync = _read_meta(fh)
+    assert meta["avro.codec"] == b"zstandard"
+    back = spark.read.format("avro_ocf").load(out)
+    assert back.count() == df.count()
+    assert back.schema == df.schema
