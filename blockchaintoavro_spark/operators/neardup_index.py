@@ -217,16 +217,21 @@ def read_scrubbed(
 
 
 def _append_bands(
-    spark, index_path: str, bands: DataFrame, batch_id: int | None = None
+    spark, index_path: str, bands: DataFrame, batch_id: int | None = None,
+    query_id: str | None = None,
 ) -> None:
     """Durable append: write a fresh immutable segment, then publish it
     with one manifest commit — a crash before the commit leaves an
     orphan directory no probe can see, so retries never duplicate.
     ``batch_id`` (streaming appliers) stamps the exactly-once fence
-    into the same commit."""
+    into the same commit, keyed by ``query_id`` when the applier knows
+    its streaming lineage (r13, ADVICE r12 #1)."""
     seg = mf.new_segment_name()
     bands.write.mode("overwrite").parquet(f"{index_path}/{seg}")
-    update = mf.fence_stats(batch_id) if batch_id is not None else None
+    update = (
+        mf.fence_stats(batch_id, query_id=query_id)
+        if batch_id is not None else None
+    )
     mf.commit_append(
         spark, index_path, [seg], legacy=_LEGACY, retries=5,
         update_stats=update,
@@ -396,7 +401,16 @@ class NearDupScrubber:
     is kept or indexed — the full production semantics when a single
     day's crawl can contain its own duplicates. Default False: within-
     batch duplicates both survive (the batch operators remain available
-    for callers who dedup upstream)."""
+    for callers who dedup upstream).
+
+    PER-LINEAGE fences (r13, ADVICE r12 #1): inside a streaming slot
+    the fence is keyed by the query's persistent id
+    (``manifest.streaming_query_id``), so a stream restarted on a NEW
+    checkpoint (batch ids restart at 0) or a second query feeding the
+    same store re-applies its own batches instead of being silently
+    swallowed by another lineage's high-water mark. ``fence_key``
+    supplies the lineage key for direct (non-stream) callers; the
+    stream wrapper passes its checkpoint dir."""
 
     def __init__(
         self,
@@ -405,14 +419,17 @@ class NearDupScrubber:
         broadcast_max_bands: int = 4_000_000,
         dedup_within_batch: bool = False,
         compact_every: int | None = None,
+        fence_key: str | None = None,
     ) -> None:
         self.index_path = index_path
         self.out_path = out_path
         self.broadcast_max_bands = broadcast_max_bands
         self.dedup_within_batch = dedup_within_batch
         self.compact_every = compact_every
+        self.fence_key = fence_key
         self.batches = 0  # introspection for tests
         self.compactions = 0
+        self.last_query_id: str | None = None  # introspection for tests
 
     def _scrub_core(self, batch: DataFrame):
         """Probe + survivor resolution with NO store writes: returns
@@ -484,8 +501,10 @@ class NearDupScrubber:
         from blockchaintoavro_spark.session import release_local_checkpoint
 
         spark = batch.sparkSession
-        out_last = mf.last_committed_batch(spark, self.out_path)
-        idx_last = mf.last_committed_batch(spark, self.index_path)
+        qid = mf.streaming_query_id(spark) or self.fence_key
+        self.last_query_id = qid
+        out_last = mf.last_committed_batch(spark, self.out_path, qid)
+        idx_last = mf.last_committed_batch(spark, self.index_path, qid)
         out_done = out_last is not None and batch_id <= out_last
         idx_done = idx_last is not None and batch_id <= idx_last
         if not (out_done and idx_done):
@@ -497,11 +516,13 @@ class NearDupScrubber:
                 )
                 mf.commit_append(
                     spark, self.out_path, [seg],
-                    update_stats=mf.fence_stats(batch_id), retries=5,
+                    update_stats=mf.fence_stats(batch_id, query_id=qid),
+                    retries=5,
                 )
             if not idx_done:
                 _append_bands(
-                    spark, self.index_path, surv_bands, batch_id=batch_id
+                    spark, self.index_path, surv_bands, batch_id=batch_id,
+                    query_id=qid,
                 )
             release_local_checkpoint(survivors)
             bb.unpersist()
@@ -529,11 +550,13 @@ def neardup_scrub_stream(
     micro-batch against the standing index at ``index_path`` via
     :class:`NearDupScrubber`, committing surviving documents to the
     ``out_path`` manifest store (read with :func:`read_scrubbed`) and
-    growing the index with their bands — both effects batch-id-fenced,
-    so the checkpoint's redelivery after a crash is exactly-once."""
+    growing the index with their bands — both effects batch-id-fenced
+    per query lineage (runtime query id, falling back to the checkpoint
+    dir), so the checkpoint's redelivery after a crash is exactly-once
+    and a NEW checkpoint's restarted batch ids are not swallowed."""
     applier = NearDupScrubber(
         index_path, out_path, broadcast_max_bands, dedup_within_batch,
-        compact_every,
+        compact_every, fence_key=checkpoint_dir,
     )
     writer = (
         stream.writeStream.foreachBatch(applier)

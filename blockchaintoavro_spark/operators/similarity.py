@@ -682,6 +682,7 @@ def append_to_ivf_index(
     vec_col: str = "embedding",
     batch_id: int | None = None,
     flag_drift_above: float | None = None,
+    query_id: str | None = None,
 ) -> dict:
     """Grow a persisted IVF index with ZERO training jobs (r9 VERDICT
     #5): assign the new vectors with the STANDING centroids (narrow
@@ -714,7 +715,8 @@ def append_to_ivf_index(
     lands on) exceeds it — so a crash between the append and its
     rebuild cannot lose the rebuild. Both keys, and any other stats
     the manifest carries, are PRESERVED by appends that don't set
-    them.
+    them. ``query_id`` keys the fence per streaming lineage (r13,
+    ADVICE r12 #1 — see ``manifest.fence_stats``).
 
     Returns ``{n_indexed, index_mean_dist, n_appended, batch_mean_dist,
     drift_ratio}``. Queries need no special handling:
@@ -775,11 +777,7 @@ def append_to_ivf_index(
             )
             st["pending_rebuild"] = bool(st.get("pending_rebuild")) or drifted
         if batch_id is not None:
-            prev = st.get("last_batch_id")
-            st["last_batch_id"] = (
-                max(int(prev), int(batch_id)) if prev is not None
-                else int(batch_id)
-            )
+            st = mf.fence_stats(batch_id, query_id=query_id)(st)
         return st
 
     mf.commit_append(
@@ -826,7 +824,7 @@ def rebuild_ivf_index(
     carried = {
         k: v
         for k, v in read_ivf_manifest_stats(spark, index_path).items()
-        if k == "last_batch_id"
+        if k in ("last_batch_id", "fences")
     }
     assigned = read_ivf_assignments(spark, index_path).select(
         F.col("neighbor_id").alias("vec_id"),
@@ -1035,6 +1033,7 @@ class IvfIndexMaintainer:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         compact_every: int | None = None,
+        fence_key: str | None = None,
     ) -> None:
         self.index_path = index_path
         self.rebuild_threshold = rebuild_threshold
@@ -1043,9 +1042,11 @@ class IvfIndexMaintainer:
         self.id_col = id_col
         self.vec_col = vec_col
         self.compact_every = compact_every
+        self.fence_key = fence_key
         self.batches = 0  # introspection for tests
         self.rebuilds = 0
         self.compactions = 0
+        self.last_query_id: str | None = None  # introspection for tests
         self.history: list[dict] = []
 
     def maintain(self, batch: DataFrame, batch_id: int | None = None) -> dict:
@@ -1056,6 +1057,8 @@ class IvfIndexMaintainer:
         and a ``pending_rebuild`` flag left by a crash between a
         drifting append and its rebuild is recovered FIRST."""
         spark = batch.sparkSession
+        qid = mf.streaming_query_id(spark) or self.fence_key
+        self.last_query_id = qid
         stats = read_ivf_manifest_stats(spark, self.index_path)
         recovered = False
         if stats.get("pending_rebuild"):
@@ -1066,7 +1069,7 @@ class IvfIndexMaintainer:
             )
             self.rebuilds += 1
             recovered = True
-        last = stats.get("last_batch_id")
+        last = mf.fence_lookup(stats, qid)
         if batch_id is not None and last is not None and batch_id <= int(last):
             drift = {"skipped": True, "batch_id": batch_id,
                      "rebuilt": recovered}
@@ -1075,6 +1078,7 @@ class IvfIndexMaintainer:
         drift = append_to_ivf_index(
             self.index_path, batch, self.id_col, self.vec_col,
             batch_id=batch_id, flag_drift_above=self.rebuild_threshold,
+            query_id=qid,
         )
         ratio = drift.get("drift_ratio")
         drift["rebuilt"] = recovered
@@ -1120,7 +1124,7 @@ def ivf_index_maintain_stream(
     called for, mirroring ``neardup_scrub_stream``'s shape."""
     applier = IvfIndexMaintainer(
         index_path, rebuild_threshold, n_centroids, n_iters, id_col,
-        vec_col, compact_every,
+        vec_col, compact_every, fence_key=checkpoint_dir,
     )
     writer = (
         stream.writeStream.foreachBatch(applier)

@@ -1068,7 +1068,10 @@ class SortedDictStripper:
     duplicate stripped rows (the old ``mode("append")`` write
     re-appended the whole batch on replay). Stripping has no second
     effect (the dictionary is read-only here), so the fence alone
-    closes every window.
+    closes every window. The fence is keyed per query lineage (r13,
+    ADVICE r12 #1 — runtime streaming query id, falling back to
+    ``fence_key``): a restart on a NEW checkpoint re-applies its own
+    batch 0 instead of being swallowed by the old lineage's fence.
     """
 
     def __init__(
@@ -1079,6 +1082,7 @@ class SortedDictStripper:
         id_col: str = "doc_id",
         text_col: str = "text",
         broadcast_max_hashes: int = 8_000_000,
+        fence_key: str | None = None,
     ) -> None:
         self.dict_path = dict_path
         self.out_path = out_path
@@ -1086,7 +1090,9 @@ class SortedDictStripper:
         self.id_col = id_col
         self.text_col = text_col
         self.broadcast_max_hashes = broadcast_max_hashes
+        self.fence_key = fence_key
         self.refreshes = 0          # introspection: broadcast reloads
+        self.last_query_id: str | None = None  # introspection for tests
         self._token = None
         self._bc = None
         self._over_gate = False
@@ -1159,7 +1165,9 @@ class SortedDictStripper:
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        last = mf.last_committed_batch(spark, self.out_path)
+        qid = mf.streaming_query_id(spark) or self.fence_key
+        self.last_query_id = qid
+        last = mf.last_committed_batch(spark, self.out_path, qid)
         if last is not None and batch_id <= last:
             return  # committed by a previous attempt — exactly-once
         seg = mf.new_segment_name()
@@ -1168,7 +1176,7 @@ class SortedDictStripper:
         )
         mf.commit_append(
             spark, self.out_path, [seg],
-            update_stats=mf.fence_stats(batch_id), retries=5,
+            update_stats=mf.fence_stats(batch_id, query_id=qid), retries=5,
         )
 
 
@@ -1205,10 +1213,12 @@ def strip_duplicated_spans_stream(
     scrubs each micro-batch against the standing dictionary at
     ``dict_path`` via :class:`SortedDictStripper`, committing
     ``(id, clean_text, n_stripped)`` to the ``out_path`` manifest
-    store (read with :func:`read_stripped`), batch-id-fenced so
-    crash/replay is exactly-once."""
+    store (read with :func:`read_stripped`), batch-id-fenced per query
+    lineage so crash/replay is exactly-once and a fresh checkpoint's
+    restarted batch ids are not swallowed."""
     applier = SortedDictStripper(
-        dict_path, out_path, k, id_col, text_col, broadcast_max_hashes
+        dict_path, out_path, k, id_col, text_col, broadcast_max_hashes,
+        fence_key=checkpoint_dir,
     )
     writer = (
         stream.writeStream.foreachBatch(applier)

@@ -354,11 +354,13 @@ def test_stream_restart_after_crash_is_exactly_once(spark, tmp_path, monkeypatch
     real_append = ndi_mod._append_bands
     state = {"armed": True}
 
-    def flaky(spark_, path, bands, batch_id=None):
+    def flaky(spark_, path, bands, batch_id=None, query_id=None):
         if state["armed"] and batch_id == 1:
             state["armed"] = False
             raise RuntimeError("injected crash after out commit")
-        return real_append(spark_, path, bands, batch_id=batch_id)
+        return real_append(
+            spark_, path, bands, batch_id=batch_id, query_id=query_id
+        )
 
     monkeypatch.setattr(ndi_mod, "_append_bands", flaky)
 
@@ -387,3 +389,119 @@ def test_stream_restart_after_crash_is_exactly_once(spark, tmp_path, monkeypatch
     assert _index_ids(spark, idx) == [1, 2, 3]
     assert mf.last_committed_batch(spark, out) == 1
     assert mf.last_committed_batch(spark, idx) == 1
+
+
+# ---------------------------------------------------------------------------
+# per-query-lineage fences (r13, ADVICE r12 #1)
+
+
+def test_new_lineage_reapplies_batch_zero_not_swallowed(spark, tmp_path):
+    """ADVICE r12 #1's loss scenario: a stream restarted on a NEW
+    checkpoint restarts batch ids at 0. A global batch-id fence
+    silently skips those real batches; the per-lineage fence must
+    apply them — and still fence replays WITHIN each lineage."""
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ndi.build_neardup_index(
+        spark.createDataFrame([], SCHEMA), idx, kind="minhash"
+    )
+    a = ndi.NearDupScrubber(idx, out, fence_key="ckpt-A")
+    a(_mk(spark, [1, 2]), 0)
+    a(_mk(spark, [3]), 1)
+    assert _out_ids(spark, out) == [1, 2, 3]
+
+    # checkpoint deleted / recreated: same store, new lineage, batch 0
+    b = ndi.NearDupScrubber(idx, out, fence_key="ckpt-B")
+    b(_mk(spark, [5]), 0)  # would be swallowed by a global fence (<= 1)
+    assert _out_ids(spark, out) == [1, 2, 3, 5]
+
+    # replays inside EACH lineage stay fenced to no-ops
+    b(_mk(spark, [5]), 0)
+    a(_mk(spark, [3]), 1)
+    assert _out_ids(spark, out) == [1, 2, 3, 5]
+    assert _index_ids(spark, idx) == [1, 2, 3, 5]
+    # both lineages recorded in the same manifest stats
+    m = mf.latest_manifest(spark, out)
+    assert m[1]["stats"]["fences"] == {"ckpt-A": 1, "ckpt-B": 0}
+
+
+def test_pre_r13_global_fence_adopted_by_first_lineage(spark, tmp_path):
+    """A store whose manifests predate per-query fences carries only the
+    bare ``last_batch_id``. The first lineage to touch it ADOPTS that
+    fence (the single-writer assumption the store was built under): a
+    same-lineage restart replaying a committed batch stays a no-op
+    instead of duplicating rows."""
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ndi.build_neardup_index(
+        spark.createDataFrame([], SCHEMA), idx, kind="minhash"
+    )
+    legacy = ndi.NearDupScrubber(idx, out)  # no lineage key — pre-r13 shape
+    legacy(_mk(spark, [1, 2]), 0)
+    assert "fences" not in (mf.latest_manifest(spark, out)[1]["stats"] or {})
+
+    upgraded = ndi.NearDupScrubber(idx, out, fence_key="ckpt-A")
+    upgraded(_mk(spark, [1, 2]), 0)  # replay of the committed batch
+    assert _out_ids(spark, out) == [1, 2]  # adopted fence: no duplicates
+    upgraded(_mk(spark, [3]), 1)
+    assert _out_ids(spark, out) == [1, 2, 3]
+    assert mf.latest_manifest(spark, out)[1]["stats"]["fences"] == {
+        "ckpt-A": 1
+    }
+
+
+def test_ivf_maintainer_fences_per_lineage(spark, tmp_path, sf_dir):
+    """The IVF maintainer's append fence is per lineage too: a new
+    checkpoint's batch 0 appends instead of being skipped, and each
+    lineage's own replay is skipped."""
+    from blockchaintoavro_spark.operators.similarity import (
+        build_ivf_index,
+        read_ivf_assignments,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build_ivf_index(emb.filter("vec_id < 30"), str(tmp_path / "ivf"),
+                    n_centroids=4, n_iters=1)
+    path = str(tmp_path / "ivf")
+
+    a = sim.IvfIndexMaintainer(path, fence_key="ckpt-A", n_centroids=4)
+    a.maintain(emb.filter("vec_id >= 30 and vec_id < 40"), batch_id=0)
+    assert read_ivf_assignments(spark, path).count() == 40
+
+    b = sim.IvfIndexMaintainer(path, fence_key="ckpt-B", n_centroids=4)
+    b.maintain(emb.filter("vec_id >= 40 and vec_id < 45"), batch_id=0)
+    assert read_ivf_assignments(spark, path).count() == 45  # applied
+
+    assert a.maintain(
+        emb.filter("vec_id >= 30 and vec_id < 40"), batch_id=0
+    )["skipped"]
+    assert b.maintain(
+        emb.filter("vec_id >= 40 and vec_id < 45"), batch_id=0
+    )["skipped"]
+    assert read_ivf_assignments(spark, path).count() == 45
+
+
+def test_streaming_slot_uses_runtime_query_id(spark, tmp_path):
+    """Inside a real foreachBatch slot the fence key is Spark's
+    persistent query id (checkpoint metadata — fresh for a new
+    checkpoint dir), not the checkpoint-path fallback."""
+    from blockchaintoavro_spark.operators.neardup_index import (
+        build_neardup_index,
+        neardup_scrub_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _mk(spark, [1, 2]).coalesce(1).write.parquet(src)
+    idx, out, ckpt = (str(tmp_path / d) for d in ("idx", "out", "ckpt"))
+    build_neardup_index(spark.createDataFrame([], SCHEMA), idx,
+                        kind="minhash")
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], SCHEMA).schema
+    ).parquet(src)
+    writer = neardup_scrub_stream(stream, idx, out, ckpt)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    applier = writer._spark_graft_applier
+    assert applier.last_query_id == str(q.id)  # runtime id, not ckpt path
+    fences = mf.latest_manifest(spark, out)[1]["stats"]["fences"]
+    assert fences == {str(q.id): 0}

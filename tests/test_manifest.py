@@ -667,20 +667,16 @@ _OPS = st.lists(
 )
 
 
-@given(ops=_OPS)
-@settings(max_examples=12, deadline=None)
-def test_manifest_protocol_invariant_under_random_histories(
-    spark, tmp_path_factory, ops
-):
-    """Protocol-level property: under ANY interleaving of appends,
-    compactions (snapshot-scoped ``commit_compaction``, r12), vacuums,
-    appends landing BETWEEN a compaction's snapshot and its commit, and
-    mid-operation crashes (data written, commit never issued), every
-    read returns exactly the multiset of successfully COMMITTED appends
-    — crashed work is invisible, compaction and vacuum are
-    content-neutral, racing appends are never lost, and the store is
-    never unreadable."""
-    root = str(tmp_path_factory.mktemp("mstore") / "store")
+def _run_random_history(spark, root, ops):
+    """The protocol property body, shared by the default-publisher and
+    conditional-put-publisher runs (r13 — VERDICT r12 "Next round" #1):
+    under ANY interleaving of appends, compactions (snapshot-scoped
+    ``commit_compaction``, r12), vacuums, appends landing BETWEEN a
+    compaction's snapshot and its commit, and mid-operation crashes
+    (data written, commit never issued), every read returns exactly the
+    multiset of successfully COMMITTED appends — crashed work is
+    invisible, compaction and vacuum are content-neutral, racing
+    appends are never lost, and the store is never unreadable."""
     mk = lambda vals: spark.createDataFrame(
         [(v, "x") for v in vals], "k long, v string"
     )
@@ -738,3 +734,234 @@ def test_manifest_protocol_invariant_under_random_histories(
         assert read_all() == sorted(expected), (op, arg, ops)
     mf.vacuum_store(spark, root, keep_generations=1)
     assert read_all() == sorted(expected)
+
+
+@given(ops=_OPS)
+@settings(max_examples=12, deadline=None)
+def test_manifest_protocol_invariant_under_random_histories(
+    spark, tmp_path_factory, ops
+):
+    """The protocol property through the default ``file:`` publisher
+    (``link(2)`` create-if-absent)."""
+    root = str(tmp_path_factory.mktemp("mstore") / "store")
+    _run_random_history(spark, root, ops)
+
+
+def _cond_put_local():
+    """A TRUE conditional put over the local filesystem — ``os.open``
+    with ``O_CREAT|O_EXCL`` is one atomic create-if-absent syscall, the
+    same contract as S3 ``If-None-Match: *`` / GCS
+    ``ifGenerationMatch=0`` — wrapped through the same
+    :func:`manifest.conditional_put_publisher` adapter a real object
+    store deployment would register."""
+    import os
+
+    def put_if_absent(path: str, payload: bytes) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(payload)
+        return True
+
+    return mf.conditional_put_publisher(put_if_absent)
+
+
+@given(ops=_OPS)
+@settings(max_examples=12, deadline=None)
+def test_manifest_protocol_invariant_through_conditional_put_publisher(
+    spark, tmp_path_factory, ops
+):
+    """r13 (VERDICT r12 #1 done-criterion): the SAME random-history
+    property, with every commit routed through a registered
+    conditional-write publisher instead of the built-in link/rename
+    primitives — the protocol must be publisher-agnostic."""
+    prev = mf.register_commit_publisher("file", _cond_put_local())
+    try:
+        root = str(tmp_path_factory.mktemp("mstore_cp") / "store")
+        _run_random_history(spark, root, ops)
+    finally:
+        mf.register_commit_publisher("file", prev)
+
+
+# ---------------------------------------------------------------------------
+# pluggable commit publishers + scheme safety (r13, VERDICT r12 #1)
+
+
+def test_scheme_detection_is_string_level():
+    assert mf._scheme_of("/tmp/x/store") == "file"
+    assert mf._scheme_of("file:///tmp/x") == "file"
+    assert mf._scheme_of("hdfs://nn:8020/warehouse/s") == "hdfs"
+    assert mf._scheme_of("s3a://bucket/prefix/store") == "s3a"
+    assert mf._scheme_of("gs://bucket/store") == "gs"
+    # a relative local path with no scheme separator
+    assert mf._scheme_of("rel/path/store") == "file"
+
+
+def test_object_store_scheme_refused_without_publisher(spark):
+    """S3A-family rename is copy+delete behind a client-side exists
+    check — the commit must REFUSE instead of silently reintroducing
+    the TOCTOU the protocol closed on POSIX (string-level, before any
+    FileSystem for the scheme is even resolved)."""
+    for root in ("s3a://bucket/store", "gs://bucket/store",
+                 "abfss://c@acct.dfs.core.windows.net/store"):
+        with pytest.raises(mf.UnsafeCommitSchemeError,
+                           match="conditional"):
+            mf.commit_manifest(spark, root, {"segments": []}, 1)
+
+
+def test_single_writer_env_optin_selects_exists_check(monkeypatch):
+    monkeypatch.setenv(mf._SINGLE_WRITER_ENV, "s3a, gs")
+    assert mf._publisher_for("s3a://b/s") is mf.single_writer_publisher
+    assert mf._publisher_for("gs://b/s") is mf.single_writer_publisher
+    with pytest.raises(mf.UnsafeCommitSchemeError):
+        mf._publisher_for("abfss://c@a/s")  # not opted in
+
+
+def test_registered_publisher_wins_dispatch():
+    sentinel = lambda spark, root, name, payload: True
+    prev = mf.register_commit_publisher("s3a", sentinel)
+    try:
+        assert mf._publisher_for("s3a://bucket/store") is sentinel
+    finally:
+        mf.register_commit_publisher("s3a", prev)
+    # restored: back to refusing
+    with pytest.raises(mf.UnsafeCommitSchemeError):
+        mf._publisher_for("s3a://bucket/store")
+
+
+def test_conditional_put_publisher_race_exactly_one_winner(
+    spark, tmp_path
+):
+    """The 8-thread generation race of
+    test_commit_point_atomic_exactly_one_winner_per_generation, re-run
+    with every commit routed through a conditional-put publisher — the
+    atomicity contract must come from the store's conditional write,
+    not from link/rename."""
+    import threading
+
+    prev = mf.register_commit_publisher("file", _cond_put_local())
+    try:
+        root = str(tmp_path / "store")
+        _append(spark, root, [(1, "a")])  # gen 1, via the publisher
+        results: dict[int, str] = {}
+        lock = threading.Lock()
+
+        def worker(i):
+            try:
+                mf.commit_manifest(
+                    spark, root, {"segments": [], "stats": {"writer": i}}, 2
+                )
+                out = "won"
+            except mf.ConcurrentCommitError:
+                out = "lost"
+            with lock:
+                results[i] = out
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(results.values()).count("won") == 1
+        gen, man = mf.latest_manifest(spark, root)
+        winner = next(i for i, r in results.items() if r == "won")
+        assert gen == 2 and man["stats"] == {"writer": winner}
+    finally:
+        mf.register_commit_publisher("file", prev)
+
+
+# ---------------------------------------------------------------------------
+# rival-compaction detection (r13, ADVICE r12 #4)
+
+
+def test_concurrent_compaction_detected_not_duplicated(spark, tmp_path):
+    """Two compactors snapshotting the same manifest: the first commit
+    wins; the second must raise ConcurrentCompactionError instead of
+    retrying into a manifest that carries BOTH rewrites of the same
+    rows (each row doubled — ADVICE r12 #4's failure)."""
+    root = str(tmp_path / "store")
+    _append(spark, root, [(1, "a")])
+    _append(spark, root, [(2, "b")])
+    snap = mf.latest_manifest(spark, root)
+
+    def stage_merge():
+        seg = mf.new_segment_name()
+        mf.read_segments(spark, root, snap[1]).coalesce(1).write.parquet(
+            f"{root}/{seg}"
+        )
+        return seg
+
+    first, second = stage_merge(), stage_merge()
+    mf.commit_compaction(spark, root, [first], snap[1]["segments"])
+    with pytest.raises(mf.ConcurrentCompactionError, match="rival"):
+        mf.commit_compaction(spark, root, [second], snap[1]["segments"])
+    # the winner's layout stands, content unchanged, loser invisible
+    assert _read_ids(spark, root) == [1, 2]
+    assert mf.latest_manifest(spark, root)[1]["segments"] == [first]
+    # a compaction racing only APPENDS still merges (unchanged r12 rule)
+    rival = _append(spark, root, [(3, "c")])
+    snap2_segments = [first]
+    merged = mf.new_segment_name()
+    spark.read.parquet(f"{root}/{first}").coalesce(1).write.parquet(
+        f"{root}/{merged}"
+    )
+    mf.commit_compaction(spark, root, [merged], snap2_segments)
+    assert _read_ids(spark, root) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# store-clock vacuum (r13, VERDICT r12 #2 / ADVICE r12 #5)
+
+
+def test_vacuum_grace_uses_store_clock_not_driver_clock(spark, tmp_path):
+    """Driver clock 2h AHEAD of the store must not eat the 1h orphan
+    grace: 'now' comes from the store's own clock, so an orphan the
+    store stamped 'just now' survives even though the driver's wall
+    clock says it is hours old."""
+    root = str(tmp_path / "store")
+    _append(spark, root, [(1, "a")])
+    staged = mf.new_segment_name()
+    spark.createDataFrame([(9, "s")], "k long, v string").write.parquet(
+        f"{root}/{staged}"
+    )
+    jseg = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{staged}")
+    fs = jseg.getFileSystem(spark._jsc.hadoopConfiguration())
+    # the store's clock runs 2h behind the driver: it stamped the fresh
+    # orphan at ITS own 'now'
+    store_now = spark._jvm.java.lang.System.currentTimeMillis() - 7_200_000
+    fs.setTimes(jseg, store_now, -1)
+
+    # store-side now (what the probe would read there): age 0 -> survives
+    res = mf.vacuum_store(spark, root, keep_generations=1, now_ms=store_now)
+    assert fs.exists(jseg) and res["deleted_dirs"] == 0
+    # the OLD rule — driver wall clock — would have deleted it
+    res = mf.vacuum_store(
+        spark, root, keep_generations=1, now_ms=store_now + 7_200_000
+    )
+    assert not fs.exists(jseg) and res["deleted_dirs"] == 1
+
+
+def test_store_now_probe_reads_fs_clock_and_leaves_no_residue(
+    spark, tmp_path
+):
+    """The default clock source is a probe file's mtime on the target
+    filesystem (locally that IS the system clock, within seconds), and
+    the probe never lingers."""
+    root = str(tmp_path / "store")
+    _append(spark, root, [(1, "a")])
+    jdir = spark._jvm.org.apache.hadoop.fs.Path(f"{root}/{mf.MANIFEST_DIR}")
+    fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    now = mf._store_now_ms(spark, fs, root)
+    sys_now = spark._jvm.java.lang.System.currentTimeMillis()
+    assert abs(sys_now - now) < 60_000
+    leftovers = [
+        s.getPath().getName()
+        for s in fs.listStatus(jdir)
+        if s.getPath().getName().startswith(".tmp-clockprobe-")
+    ]
+    assert leftovers == []
