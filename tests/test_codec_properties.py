@@ -131,3 +131,126 @@ def test_phash63_total_on_any_32x32_gray(pix):
     c = phash63(b, 32, 32, 1)
     assert c == phash63(b, 32, 32, 1)
     assert 0 <= c < (1 << 63)
+
+
+# ---------------------------------------------------------------------------
+# zstandard OCF codec (sources/zstd_codec.py) — the ctypes binding gets
+# the same adversarial Hypothesis coverage as the pure-Python codecs
+# (VERDICT r12 "Next round" #7): random payloads through BOTH decode
+# paths (content-size-declared and streaming/unknown-size frames),
+# truncation, and byte corruption.
+
+import ctypes
+
+import pytest
+
+from blockchaintoavro_spark.sources import zstd_codec as _zstd
+
+_needs_zstd = pytest.mark.skipif(
+    not _zstd.available(), reason="no system libzstd"
+)
+
+_payload = st.binary(min_size=0, max_size=4096)
+
+
+def _streaming_frame(data: bytes, level: int = 3) -> bytes:
+    """Compress via ZSTD_compressStream2 WITHOUT a pledged source size —
+    produces an unknown-content-size frame (the JVM streaming writer's
+    shape), forcing decompress() onto its ZSTD_decompressStream loop."""
+    lib = _zstd._load()
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+    lib.ZSTD_compressStream2.restype = ctypes.c_size_t
+    lib.ZSTD_compressStream2.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(_zstd._Buffer),
+        ctypes.POINTER(_zstd._Buffer),
+        ctypes.c_int,
+    ]
+    lib.ZSTD_CCtx_setParameter.restype = ctypes.c_size_t
+    lib.ZSTD_CCtx_setParameter.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    cctx = lib.ZSTD_createCCtx()
+    assert cctx
+    try:
+        ZSTD_c_contentSizeFlag = 200  # zstd.h — off → header says UNKNOWN
+        ret = lib.ZSTD_CCtx_setParameter(cctx, ZSTD_c_contentSizeFlag, 0)
+        assert not lib.ZSTD_isError(ret)
+        src = ctypes.create_string_buffer(data, len(data))
+        inb = _zstd._Buffer(
+            ctypes.cast(src, ctypes.c_void_p), len(data), 0
+        )
+        cap = lib.ZSTD_compressBound(len(data)) + 128
+        dst = ctypes.create_string_buffer(cap)
+        outb = _zstd._Buffer(ctypes.cast(dst, ctypes.c_void_p), cap, 0)
+        ZSTD_e_end = 2
+        while True:
+            ret = lib.ZSTD_compressStream2(
+                cctx, ctypes.byref(outb), ctypes.byref(inb), ZSTD_e_end
+            )
+            assert not lib.ZSTD_isError(ret)
+            if ret == 0:
+                break
+        return dst.raw[: outb.pos]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+
+
+@_needs_zstd
+@given(_payload, st.integers(min_value=1, max_value=9))
+@settings(max_examples=60, deadline=None)
+def test_zstd_roundtrip_content_size_path(data, level):
+    """compress() declares the content size; decompress() must take the
+    exact-size fast path and reproduce the payload bit-for-bit."""
+    frame = _zstd.compress(data, level)
+    lib = _zstd._load()
+    assert lib.ZSTD_getFrameContentSize(frame, len(frame)) == len(data)
+    assert _zstd.decompress(frame) == data
+
+
+@_needs_zstd
+@given(_payload)
+@settings(max_examples=60, deadline=None)
+def test_zstd_roundtrip_streaming_path(data):
+    """Unknown-content-size frames (the JVM writer's shape) must decode
+    through the streaming loop to the identical payload."""
+    frame = _streaming_frame(data)
+    lib = _zstd._load()
+    assert (
+        lib.ZSTD_getFrameContentSize(frame, len(frame))
+        == _zstd._CONTENTSIZE_UNKNOWN
+    )
+    assert _zstd.decompress(frame) == data
+
+
+@_needs_zstd
+@given(_payload, st.data())
+@settings(max_examples=60, deadline=None)
+def test_zstd_truncation_raises_zstderror_both_paths(data, rnd):
+    """ANY strict prefix of a frame (either shape) raises ZstdError —
+    never returns partial data, never raises a non-ZstdError, never
+    hangs the no-progress guard."""
+    for frame in (_zstd.compress(data), _streaming_frame(data)):
+        cut = rnd.draw(st.integers(min_value=0, max_value=len(frame) - 1))
+        with pytest.raises(_zstd.ZstdError):
+            _zstd.decompress(frame[:cut])
+
+
+@_needs_zstd
+@given(_payload, st.data())
+@settings(max_examples=80, deadline=None)
+def test_zstd_corruption_is_contained(data, rnd):
+    """Flipping any byte either raises ZstdError or decodes to SOME
+    byte string bounded by the declared size — it must never raise a
+    different exception type, crash the process, or blow the block cap
+    (zstd frames carry no checksum by default, so silent different
+    bytes are possible and acceptable; uncontained failures are not)."""
+    frame = bytearray(_zstd.compress(data))
+    i = rnd.draw(st.integers(min_value=0, max_value=len(frame) - 1))
+    frame[i] ^= rnd.draw(st.integers(min_value=1, max_value=255))
+    try:
+        out = _zstd.decompress(bytes(frame))
+    except _zstd.ZstdError:
+        return
+    assert isinstance(out, bytes) and len(out) <= _zstd._MAX_BLOCK

@@ -965,3 +965,47 @@ def test_store_now_probe_reads_fs_clock_and_leaves_no_residue(
         if s.getPath().getName().startswith(".tmp-clockprobe-")
     ]
     assert leftovers == []
+
+
+def test_read_segments_same_schema_single_scan(spark, tmp_path):
+    """VERDICT r12 #4: a many-segment same-schema store reads through
+    ONE multi-path parquet scan (plan-asserted single leg) instead of a
+    unionByName chain with one leg per append; results are identical."""
+    import re
+
+    root = str(tmp_path / "store")
+    for i in range(6):
+        _append(spark, root, [(i * 2, "a"), (i * 2 + 1, "b")])
+    m = mf.latest_manifest(spark, root)
+    df = mf.read_segments(spark, root, m[1])
+    assert sorted(r["k"] for r in df.collect()) == list(range(12))
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+    assert scans == 1, f"expected a single multi-path scan, got {scans}\n{p}"
+    assert "Union" not in p
+    # filters still push down through the merged scan
+    pf = jvm.PythonSQLUtils.explainString(
+        df.filter(F.col("k") > 8)._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,8)]" in pf
+
+
+def test_read_segments_mixed_schema_keeps_union(spark, tmp_path):
+    """A mid-evolution store (segments with different shapes) keeps the
+    per-leg unionByName path and stays readable."""
+    root = str(tmp_path / "store")
+    _append(spark, root, [(1, "a")])
+    seg = mf.new_segment_name()
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, w double"
+    ).write.parquet(f"{root}/{seg}")
+    with pytest.raises(Exception):
+        # schema-widening appends aren't unionByName-able without
+        # allowMissingColumns; read_segments must surface that, not
+        # silently drop the column via the multi-path first-file schema
+        m2 = mf.commit_append(spark, root, [seg])
+        m = mf.latest_manifest(spark, root)
+        mf.read_segments(spark, root, m[1]).collect()

@@ -3600,3 +3600,52 @@ def test_jsonl_all_lines_corrupt_is_total(spark, tmp_path):
     assert sorted(r["_corrupt_record"] for r in rows) == sorted(
         f'{{"doc_id": {i}, "text": MANGLED {i}' for i in range(5)
     )
+
+
+def test_lsh_dim_inference_and_mismatch_guard(spark):
+    """ADVICE r12 #2: a dim that disagrees with the data must raise
+    loudly, never silently NULL every dot product into bucket 0 (which
+    degenerates the (table_id, bucket) equi-join into a cross product).
+    dim=None infers from the data; ragged vectors raise in the task."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from blockchaintoavro_spark.operators.similarity import (
+        embedding_simhash64,
+        infer_embedding_dim,
+        neardup_pairs_lsh,
+        with_lsh_bucket,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 1.0, 0.5]) for i in range(6)],
+        "vec_id int, embedding array<double>",
+    )
+    # inference resolves the true dim
+    assert infer_embedding_dim(emb, "embedding", None, "t") == 4
+    # explicit-but-wrong dim raises at plan-build time
+    with pytest.raises(ValueError, match="dim=64 does not match"):
+        neardup_pairs_lsh(emb, dim=64)
+    with pytest.raises(ValueError, match="does not match"):
+        with_lsh_bucket(emb, dim=7)
+    with pytest.raises(ValueError, match="does not match"):
+        embedding_simhash64(emb, dim=3)
+    # inferred path produces sane buckets (not everything in bucket 0)
+    got = with_lsh_bucket(emb).select("bucket").distinct().count()
+    assert got >= 2
+    # a RAGGED vector (first row fine, later row mismatched) raises in
+    # the task rather than posting to bucket 0 of every table
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0])],
+        "vec_id int, embedding array<double>",
+    ).repartition(1)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)) as ei:
+        with_lsh_bucket(ragged, dim=4).collect()
+    assert "!= hyperplane dim 4" in str(ei.value)
+    # NULL vectors keep the pre-r13 contract: no postings, no error
+    withnull = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, None)],
+        "vec_id int, embedding array<double>",
+    )
+    rows = with_lsh_bucket(withnull, dim=4).collect()
+    assert len(rows) == 2
