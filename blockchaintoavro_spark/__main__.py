@@ -147,6 +147,38 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    """Deterministic train/val/test split of a parquet table: assign
+    each row a split label as a pure function of md5(key||salt)
+    (operators/split.py — stable under re-partitioning/re-ingest,
+    leakage-safe when keyed on a group id) and write the result
+    partitioned by split. The assignment is a zero-shuffle projection;
+    partitionBy routes rows at write time without an exchange."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .operators.split import hash_split
+
+    weights = {}
+    for part in args.weights.split(","):
+        name, w = part.split("=", 1)
+        weights[name.strip()] = float(w)
+    spark = _session(args.threads)
+    df = spark.read.parquet(args.input)
+    out = hash_split(df, args.key, weights, salt=args.salt)
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(args.output)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    print(_json.dumps({"output": args.output, "counts": counts}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m blockchaintoavro_spark",
@@ -193,6 +225,23 @@ def build_parser() -> argparse.ArgumentParser:
     ma.add_argument("--n-files", type=int, default=None)
     ma.add_argument("--keep-generations", type=int, default=2)
     ma.set_defaults(fn=cmd_maintain)
+
+    sp = sub.add_parser("split", help=cmd_split.__doc__.split("\n", 1)[0])
+    sp.add_argument("--input", required=True, help="source parquet path")
+    sp.add_argument("--output", required=True, help="destination dir")
+    sp.add_argument(
+        "--key", required=True,
+        help="split key column (a GROUP id makes the split leakage-safe)",
+    )
+    sp.add_argument(
+        "--weights", default="train=0.8,val=0.1,test=0.1",
+        help="name=weight[,name=weight...]",
+    )
+    sp.add_argument(
+        "--salt", default="",
+        help="re-deal the assignment for a new experiment",
+    )
+    sp.set_defaults(fn=cmd_split)
     return p
 
 

@@ -5406,3 +5406,128 @@ def x_heavy(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     return heavy_hitters(toks, "tok", 1, 100)
+
+
+# ---------------------------------------------------------------------------
+# deterministic splitting / sampling (operators/split.py — r13)
+
+
+@declare(
+    "x_salted_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN doc_id IS NULL THEN NULL
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r13'), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r13'), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, split
+    """,
+)
+def x_salted_split_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SALTED weighted train/val/test split (operators/split.py
+    hash_split — the DataFrame-level generalization of
+    quality.hash_split's fixed hex-pair expression, which x_hash_split
+    declares): the label is a pure function of md5(doc_id||salt), so a
+    fresh salt re-deals the whole assignment for a new experiment
+    without touching the data, arbitrary float weights render to
+    8-hex-char thresholds, and the assignment stays stable under
+    repartitioning/re-ingest and portable across engines (the oracle
+    reproduces it BIT-FOR-BIT via DuckDB's md5 — not a tolerance
+    check). Zero shuffle before the count: one whole-stage-codegen
+    projection (plan-asserted in tests/test_split.py). The literal
+    thresholds in the oracle are split_thresholds([.8,.1,.1]) =
+    cccccccc/e6666666 — pinned so engine and oracle can't drift."""
+    from ..operators.split import hash_split, split_thresholds
+
+    assert split_thresholds([0.8, 0.1, 0.1]) == ["cccccccc", "e6666666"]
+    docs = t(spark, sf, "documents")
+    return (
+        hash_split(docs, "doc_id", salt="r13")
+        .groupBy("lang", "split")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+@declare(
+    "x_group_split_cotravel",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id % 50 AS grp,
+             CASE WHEN substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT grp, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split) OVER (PARTITION BY grp) AS BIGINT)
+             AS splits_per_group
+    FROM g GROUP BY grp, split
+    ORDER BY grp, split
+    """,
+)
+def x_group_split_q(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAKAGE-SAFE group split: keying hash_split on the GROUP id
+    (here a synthetic 50-way cluster id; in production the dedup
+    cluster / domain) sends every member to the same split WITHOUT a
+    join or shuffle — the label depends only on the key bytes. The
+    splits_per_group column is the leakage audit: it must be 1 for
+    every group (hash-checked by the oracle, which computes the same
+    split in DuckDB)."""
+    from pyspark.sql import Window
+
+    from ..operators.split import hash_split
+
+    docs = t(spark, sf, "documents").withColumn(
+        "grp", F.col("doc_id") % 50
+    )
+    per = (
+        hash_split(docs, "grp")
+        .groupBy("grp", "split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("grp")
+    return per.withColumn(
+        "splits_per_group",
+        # COUNT(DISTINCT) over a window is unsupported in Spark;
+        # size(collect_set) is the standard equivalent
+        F.size(F.collect_set("split").over(w)).cast("long"),
+    ).orderBy("grp", "split")
+
+
+@declare(
+    "x_stratified_exact_n",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+    ) <= 5
+    ORDER BY lang, doc_id
+    """,
+)
+def x_stratified_exact_n_q(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT-count stratified draw (operators/split.py
+    stratified_sample_exact): exactly 5 docs per language, drawn by
+    hash order with the doc id as tie break — deterministic and
+    engine-portable, so the oracle reproduces the EXACT member set (no
+    tolerance). Complements x_stratified_sample (quality.stratified_keep
+    — the zero-shuffle FRACTION predicate): that form downsamples to a
+    mixing weight inside the scan; this form guarantees a fixed-size
+    per-stratum draw (eval sets, calibration), paying one exchange on
+    the stratum for it."""
+    from ..operators.split import stratified_sample_exact
+
+    docs = t(spark, sf, "documents")
+    return (
+        stratified_sample_exact(docs, "lang", 5, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

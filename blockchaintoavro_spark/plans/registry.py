@@ -44,6 +44,17 @@ def declare(
     """Decorator: register a declared query under ``name``."""
 
     def wrap(fn: SparkBuilder) -> SparkBuilder:
+        prev = REGISTRY.get(name)
+        if prev is not None and prev.spark is not fn:
+            # a duplicate name silently REPLACES the earlier query in
+            # the driver's surface — coverage vanishes without any test
+            # failing (nearly happened r13: a new x_hash_split shadowed
+            # the quality.py one). Fail at import instead.
+            raise ValueError(
+                f"declared query name {name!r} registered twice "
+                f"({prev.spark.__module__}.{prev.spark.__qualname__} vs "
+                f"{fn.__module__}.{fn.__qualname__})"
+            )
         REGISTRY[name] = DeclaredQuery(
             name=name,
             spark=fn,

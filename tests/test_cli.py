@@ -114,3 +114,50 @@ def test_cli_maintain_compacts_standing_store(spark, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["kind"] == "neardup" and stats["rows"] > 0
     assert len(mf.latest_manifest(spark, idx)[1]["segments"]) == 1
+
+
+def test_cli_split_partitions_by_split_and_matches_operator(
+    spark, tmp_path, capsys
+):
+    """r13: the split subcommand writes the corpus partitioned by the
+    deterministic split label and the assignment equals the operator's."""
+    import json
+
+    from blockchaintoavro_spark.__main__ import main
+    from blockchaintoavro_spark.operators.split import hash_split
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_split")
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    docs.write.parquet(src)
+    rc = main(
+        [
+            "split",
+            "--input", src,
+            "--output", out,
+            "--key", "doc_id",
+            "--weights", "train=0.9,holdout=0.1",
+            "--salt", "exp1",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep["counts"]) <= {"train", "holdout"}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in spark.read.parquet(out).select("doc_id", "split").collect()
+    }
+    want = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs, "doc_id", {"train": 0.9, "holdout": 0.1}, salt="exp1"
+        ).collect()
+    }
+    assert got == want and sum(rep["counts"].values()) == 200
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    ) == sorted(f"split={s}" for s in rep["counts"])

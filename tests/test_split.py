@@ -1,0 +1,175 @@
+"""Deterministic splitting/sampling (operators/split.py): assignment
+must be a pure function of the key (stable under repartitioning),
+reproduce bit-for-bit in DuckDB (the declared-query oracle), respect
+the weights, co-travel groups, and never shuffle in the pure-map
+forms."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from blockchaintoavro_spark.operators.split import (
+    hash_bucket_hex,
+    hash_sample,
+    hash_split,
+    hash_split_oracle_case,
+    split_thresholds,
+    stratified_sample_exact,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_split_thresholds_math():
+    assert split_thresholds([0.8, 0.1, 0.1]) == [
+        format(int(0.8 * 16**8), "08x"),
+        format(int(0.9 * 16**8), "08x"),
+    ]
+    with pytest.raises(ValueError):
+        split_thresholds([1.0, 0.0])
+
+
+def test_hash_split_stable_under_repartition(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(17), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    # weights are roughly respected (md5 uniformity; corpus is small so
+    # the tolerance is loose — the EXACT contract is the oracle parity)
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / n < 0.9
+    assert c["train"] + c["val"] + c["test"] == n
+
+
+def test_hash_split_matches_duckdb_oracle_bit_for_bit(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = sorted(
+        (r["doc_id"], r["split"])
+        for r in hash_split(docs, "doc_id", salt="r13")
+        .select("doc_id", "split")
+        .collect()
+    )
+    case = hash_split_oracle_case("doc_id", salt="r13")
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"SELECT doc_id, {case} AS split FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hash_split_null_key_gets_null_split(spark):
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    rows = {r["k"]: r["split"] for r in hash_split(df, "k").collect()}
+    assert rows[None] is None and rows["a"] in ("train", "val", "test")
+
+
+def test_hash_split_fresh_salt_redeals(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", salt="s1").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", salt="s2").collect()
+    }
+    assert a != b  # different deal...
+    assert set(a) == set(b)  # ...same universe
+
+
+def test_group_split_cotravel_and_no_shuffle(spark, sf_dir):
+    """Keying the split on a GROUP id puts every member in one split —
+    and the plan is a pure projection (no Exchange anywhere)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "grp", F.col("doc_id") % 50
+    )
+    out = hash_split(docs, "grp")
+    per_group = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        hash_split(_docs(spark, sf_dir), "doc_id")._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "Exchange" not in p
+
+
+def test_hash_sample_coherent_across_tables(spark, sf_dir):
+    """Sampling two tables on the SAME key keeps them coherent: the
+    sampled events' users are exactly the sampled users."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    # a second "table" keyed by the same id (exploded doc lines)
+    lines = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    sd = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    sl = {r["doc_id"] for r in hash_sample(lines, "doc_id", 0.3).collect()}
+    assert sl == sd  # identical key set: the tables stay joinable
+    # and the draw really is ~30% (500 keys)
+    assert 0.2 < len(sd) / docs.count() < 0.4
+
+
+def test_hash_sample_is_pure_filter(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        hash_sample(docs, "doc_id", 0.1)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p and "Filter" in p
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample_exact(docs, "lang", 5, "doc_id")
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(5, full[lang])
+    again = stratified_sample_exact(docs.repartition(13), "lang", 5, "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_registry_rejects_duplicate_query_names():
+    """A duplicate declared-query name must fail at import, not
+    silently replace the earlier query in the driver surface."""
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.plans.registry import declare, load_all
+
+    REGISTRY = load_all()
+    name = next(iter(REGISTRY))
+    with _pytest.raises(ValueError, match="registered twice"):
+
+        @declare(name)
+        def shadow(spark, sf):  # pragma: no cover
+            raise AssertionError
+
+    # re-registering the SAME function (module reload) stays legal
+    q = REGISTRY[name]
+    declare(name, oracle=q.oracle)(q.spark)
