@@ -60,7 +60,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["exact_heavy_hitters", "heavy_hitters", "mg_candidates"]
+__all__ = [
+    "exact_heavy_hitters",
+    "heavy_hitters",
+    "mg_add",
+    "mg_candidates",
+]
+
+
+def mg_add(counters: dict, item, w: int, k: int) -> None:
+    """One WEIGHTED Misra-Gries update: add ``w`` occurrences of
+    ``item`` to a summary of at most ``k`` counters, applying the MG
+    decrement ``w`` times at once when the summary is full. Shared by
+    the batch per-partition fold and the streaming per-shard state
+    (streaming/stateful.py) so both plans carry the identical guarantee
+    arithmetic."""
+    if item in counters:
+        counters[item] += w
+        return
+    if len(counters) < k:
+        counters[item] = w
+        return
+    # weighted decrement: remove the common mass m from every counter
+    # AND the incoming weight (the MG step applied w times at once)
+    m = min(min(counters.values()), w)
+    w -= m
+    dead = []
+    for key in counters:
+        counters[key] -= m
+        if counters[key] <= 0:
+            dead.append(key)
+    for key in dead:
+        del counters[key]
+    if w > 0:
+        counters[item] = w
 
 
 def exact_heavy_hitters(
@@ -106,26 +139,7 @@ def _mg_fold(k: int, col: str):
             vc = pdf[col].dropna().value_counts()
             n_p += int(vc.sum())
             for item, w in vc.items():
-                w = int(w)
-                if item in counters:
-                    counters[item] += w
-                elif len(counters) < k:
-                    counters[item] = w
-                else:
-                    # weighted decrement: remove the common mass m from
-                    # every counter AND the incoming weight (the MG
-                    # step applied w times at once)
-                    m = min(min(counters.values()), w)
-                    w -= m
-                    dead = []
-                    for key in counters:
-                        counters[key] -= m
-                        if counters[key] <= 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-                    if w > 0:
-                        counters[item] = w
+                mg_add(counters, item, int(w), k)
         if n_p == 0:
             return
         items = list(counters)

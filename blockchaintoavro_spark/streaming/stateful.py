@@ -80,3 +80,71 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitter_candidates(
+    stream: DataFrame,
+    col: str,
+    k: int = 100,
+    shards: int = 32,
+) -> DataFrame:
+    """Streaming frequent-items candidates with BOUNDED state — the
+    streaming twin of ``operators/heavyhitters.py``'s per-partition
+    Misra-Gries pass (same ``mg_add`` arithmetic, same guarantee).
+
+    Items are routed to ``shards`` parallel summaries by
+    ``xxhash64(item) % shards``; each shard keeps a k-counter MG state
+    row and re-emits its candidate set whenever a batch touches it
+    (output mode ``update``). Because every occurrence of an item lands
+    in ONE shard, any item whose total stream count exceeds
+    ``n/(k+1)`` necessarily exceeds its own shard's ``n_s/(k+1)``
+    (``n_s ≤ n``), so the union of shard candidates is a SUPERSET of
+    every true heavy hitter — a strictly stronger argument than the
+    batch plan's pigeonhole over arbitrary row partitions. ``mg_lower``
+    never exceeds the item's true count (MG lower bound). An exact
+    recount (batch ``heavy_hitters`` / a broadcast semi-join over the
+    stored corpus) turns candidates into exact answers.
+
+    Scale: state is ``shards × k`` counters cluster-wide, partitioned
+    by shard and checkpointed incrementally; the per-batch work is one
+    Exchange on the shard id + an Arrow-batched value_counts fold.
+    ``col`` must be a string column (state schema is array<string>)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.heavyhitters import mg_add
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        items, counts = state.get if state.exists else ([], [])
+        counters = dict(zip(items, counts))
+        for pdf in pdfs:
+            vc = pdf[col].dropna().value_counts()
+            for item, w in vc.items():
+                mg_add(counters, item, int(w), k)
+        state.update(
+            (list(counters), [int(v) for v in counters.values()])
+        )
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "shard": key[0],
+                    "item": list(counters),
+                    "mg_lower": [int(v) for v in counters.values()],
+                }
+            )
+
+    shard = F.pmod(F.xxhash64(F.col(col)), F.lit(shards)).alias("shard")
+    return (
+        stream.select(shard, F.col(col).cast("string").alias(col))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType="shard bigint, item string, mg_lower bigint",
+            stateStructType="items array<string>, counts array<bigint>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -165,3 +165,66 @@ def test_heavy_hitters_two_scans_not_three(spark, sf_dir, tmp_path):
         for r in exact_heavy_hitters(src, "tok", 1, 100).collect()
     ]
     assert [(r["item"], r["item_count"]) for r in plan.collect()] == want
+
+
+def test_streaming_mg_candidates_superset_and_bounded(
+    spark, sf_dir, tmp_path
+):
+    """r13 streaming leg: sharded Misra-Gries state over a multi-batch
+    replay must (a) end with a candidate union that contains every true
+    heavy hitter, (b) keep ≤ k counters per shard, and (c) report
+    mg_lower values that never exceed the true count."""
+    from blockchaintoavro_spark.streaming.stateful import (
+        streaming_heavy_hitter_candidates,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    src = str(tmp_path / "tok_stream")
+    # several files → several micro-batches with maxFilesPerTrigger=1
+    toks.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    k, shards = 100, 8
+    out = streaming_heavy_hitter_candidates(stream, "tok", k=k, shards=shards)
+    per_batch: dict[int, list] = {}
+
+    def sink(df, bid):
+        per_batch[bid] = df.collect()
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(per_batch) >= 2  # really multi-batch
+    # final state per shard = its rows from the LAST batch that emitted it
+    final: dict[int, dict[str, int]] = {}
+    for bid in sorted(per_batch):
+        by_shard: dict[int, dict[str, int]] = {}
+        for r in per_batch[bid]:
+            by_shard.setdefault(r["shard"], {})[r["item"]] = r["mg_lower"]
+        final.update(by_shard)
+    for shard_counters in final.values():
+        assert len(shard_counters) <= k
+    cand = {i for c in final.values() for i in c}
+    exact = {
+        r["item"]: r["item_count"]
+        for r in exact_heavy_hitters(toks, "tok", 1, k + 1).collect()
+    }
+    missing = set(exact) - cand
+    assert not missing, f"candidates lost true heavy hitters: {missing}"
+    truth = {
+        r["item"]: r["n"]
+        for r in toks.groupBy(F.col("tok").alias("item"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for counters in final.values():
+        for item, lower in counters.items():
+            assert lower <= truth[item], (item, lower, truth[item])

@@ -813,6 +813,57 @@ def bench_round12_operators(spark) -> dict:
     return results
 
 
+
+def bench_round13_operators(spark) -> dict:
+    """Round-13 mechanics. Claims under measurement: (1) the
+    deterministic split/sample operators are pure whole-stage maps —
+    cost tracks the scan linearly with corpus size, no Exchange at any
+    scale; (2) the 2-scan heavy-hitters plan keeps its candidate volume
+    operator-bounded (<= partitions x k) while wall-clock tracks the
+    two scans, even on an adversarial corpus where nearly every token
+    is unique (maximum Misra-Gries decrement churn)."""
+    from blockchaintoavro_spark.operators.heavyhitters import heavy_hitters
+    from blockchaintoavro_spark.operators.split import (
+        hash_sample,
+        hash_split,
+        stratified_sample_exact,
+    )
+
+    results: dict[str, dict] = {}
+    for mult in (1, 10, 100):
+        docs = scaled_documents(spark, mult)
+        _, t_split = timed(
+            lambda: hash_split(docs, "doc_id")
+            .filter("split = 'val'")
+            .count()
+        )
+        _, t_sample = timed(
+            lambda: hash_sample(docs, "doc_id", 0.01).count()
+        )
+        strata = docs.withColumn("stratum", F.col("doc_id") % 20)
+        _, t_strat = timed(
+            lambda: stratified_sample_exact(
+                strata, "stratum", 50, "doc_id"
+            ).count()
+        )
+        toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        hh, t_hh = timed(lambda: heavy_hitters(toks, "tok", 1, 100).collect())
+        results[f"x{mult}"] = {
+            "docs": 5000 * mult,
+            "hash_split_sec": t_split,
+            "hash_sample_sec": t_sample,
+            "stratified_exact_sec": t_strat,
+            "heavy_hitters_sec": t_hh,
+            "hh_rows": len(hh),
+        }
+        print(
+            f"round13 x{mult}: split {t_split}s, sample {t_sample}s, "
+            f"strat {t_strat}s, heavy_hitters {t_hh}s ({len(hh)} rows)",
+            flush=True,
+        )
+    return results
+
+
 def main() -> None:
     spark = get_spark("scale_bench")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -827,6 +878,7 @@ def main() -> None:
         "round10_operators": bench_round10_operators(spark),
         "round11_operators": bench_round11_operators(spark),
         "round12_operators": bench_round12_operators(spark),
+        "round13_operators": bench_round13_operators(spark),
         "model_ops": bench_model_ops(spark),
         "ocf_split": bench_ocf_split(spark),
     }
