@@ -119,6 +119,9 @@ __all__ = [
     "vacuum_store",
     "last_committed_batch",
     "fence_stats",
+    "segment_column_stats",
+    "segment_stats_update",
+    "prune_manifest",
 ]
 
 MANIFEST_DIR = "_manifests"
@@ -497,6 +500,7 @@ def commit_append(
             new_man["stats"] = update_stats(man.get("stats"))
         elif stats is not None:
             new_man["stats"] = stats
+        _gc_segstats(new_man)
         try:
             commit_manifest(spark, root, new_man, gen + 1)
             return new_man
@@ -525,6 +529,7 @@ def commit_replace(
         new_man["stats"] = stats
     if refs is not None:
         new_man["refs"] = {**man.get("refs", {}), **refs}
+    _gc_segstats(new_man)
     commit_manifest(spark, root, new_man, gen + 1)
     return new_man
 
@@ -622,6 +627,115 @@ def fence_stats(batch_id: int, extra=None, query_id: str | None = None):
     return update
 
 
+def segment_column_stats(df, cols) -> dict:
+    """Per-column ``[min, max]`` of one segment's rows — computed in a
+    single aggregate over the frame the appender is about to write, and
+    meant to ride the SAME manifest commit as the segment itself (via
+    :func:`segment_stats_update`), so the stats can never describe data
+    that isn't live. This is the lakehouse DATA-SKIPPING primitive
+    (Delta/Iceberg file stats, at segment granularity): a reader probing
+    a key/time range consults the manifest — O(#segments) JSON, already
+    in hand — and never lists or scans segments whose range cannot
+    match. For append-mostly stores keyed by time or monotone ids
+    (event logs, scrub output, rotated ingest) pruning is near-perfect:
+    cost tracks the QUERY's range, not the store's history.
+
+    Values are JSON-rendered: numbers and strings compare natively;
+    timestamps/dates are stored ISO-formatted (compare with the same
+    rendering). Columns whose min or max is NULL (all-NULL segment) are
+    omitted — the segment is then never pruned on that column."""
+    from datetime import date, datetime
+
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    row = df.agg(*aggs).first()
+
+    def conv(v):
+        if isinstance(v, datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, date):
+            return v.isoformat()
+        return v
+
+    out = {}
+    for c in cols:
+        mn, mx = conv(row[f"__mn_{c}"]), conv(row[f"__mx_{c}"])
+        if mn is not None and mx is not None:
+            out[c] = [mn, mx]
+    return out
+
+
+def segment_stats_update(seg_stats: dict, extra=None):
+    """An ``update_stats`` callable for :func:`commit_append` that
+    merges ``{segment_name: column_stats}`` into ``stats["segstats"]``
+    while preserving every other stats key. Composes with the
+    exactly-once fence both ways: pass this as ``fence_stats``'s
+    ``extra`` or vice versa — both merge into one stats dict riding one
+    atomic commit."""
+
+    def update(old: dict | None) -> dict:
+        new = dict(old or {})
+        if extra is not None:
+            new.update(extra(old) if callable(extra) else dict(extra))
+        ss = dict(new.get("segstats") or {})
+        ss.update(seg_stats)
+        new["segstats"] = ss
+        return new
+
+    return update
+
+
+def _gc_segstats(man: dict) -> None:
+    """Drop ``segstats`` entries for segments no longer listed — a
+    compaction/replace retires segments, and stale ranges must not
+    accumulate in the manifest forever (they are harmless to pruning,
+    which consults only live segments, but they grow the commit
+    payload)."""
+    st = man.get("stats")
+    ss = (st or {}).get("segstats")
+    if ss:
+        live = set(man.get("segments", []))
+        new_st = dict(st)  # never mutate a stats dict shared with the
+        new_st["segstats"] = {  # snapshot the commit was built from
+            k: v for k, v in ss.items() if k in live
+        }
+        man["stats"] = new_st
+
+
+def prune_manifest(
+    manifest: dict, col: str, lo=None, hi=None
+) -> dict:
+    """A manifest VIEW keeping only segments whose ``[min, max]`` range
+    for ``col`` can intersect ``[lo, hi]`` (either bound may be None =
+    unbounded). Segments without recorded stats for ``col`` are KEPT —
+    skipping is an optimization, never a correctness filter — and the
+    caller still applies the row-level predicate; pruning only removes
+    scans that provably cannot match. An empty pruned list means NO
+    segment can match: skip the read entirely (that is the win —
+    :func:`read_segments` deliberately raises on it, since a committed
+    store is never legitimately empty)."""
+    ss = (manifest.get("stats") or {}).get("segstats") or {}
+    keep = []
+    for s in manifest.get("segments", []):
+        rng = (ss.get(s) or {}).get(col)
+        if not rng:
+            keep.append(s)
+            continue
+        mn, mx = rng
+        if lo is not None and mx < lo:
+            continue
+        if hi is not None and mn > hi:
+            continue
+        keep.append(s)
+    out = dict(manifest)
+    out["segments"] = keep
+    return out
+
+
 def commit_compaction(
     spark,
     root: str,
@@ -678,6 +792,7 @@ def commit_compaction(
         new_man["segments"] = survivors + [
             s for s in new_segments if s not in survivors
         ]
+        _gc_segstats(new_man)
         try:
             commit_manifest(spark, root, new_man, gen + 1)
             return new_man

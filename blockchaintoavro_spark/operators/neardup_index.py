@@ -197,7 +197,12 @@ def read_neardup_bands(
 
 
 def read_scrubbed(
-    spark, out_path: str, generation: int | None = None
+    spark,
+    out_path: str,
+    generation: int | None = None,
+    prune_col: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
 ) -> DataFrame:
     """The scrubbed (surviving) documents a :class:`NearDupScrubber`
     has committed to ``out_path`` — a union of immutable per-batch
@@ -205,15 +210,25 @@ def read_scrubbed(
     from the in-flight micro-batch; ``generation`` pins a retained
     older manifest (time travel: the corpus as of a past batch). Falls
     back to a bare parquet scan for pre-r12 outputs (written with
-    ``mode("append")`` before the store was manifest-committed)."""
+    ``mode("append")`` before the store was manifest-committed).
+
+    ``prune_col`` + ``prune_lo``/``prune_hi`` (r13 data skipping):
+    segments whose committed ``[min, max]`` range for that column
+    cannot intersect the bounds are dropped from the scan entirely —
+    the manifest-level file-skip; the caller still applies the row
+    filter (pruning is an optimization, never a correctness filter).
+    Raises if pruning removes every segment (nothing can match — skip
+    the read)."""
     if generation is not None:
-        return mf.read_segments(
-            spark, out_path, mf.manifest_at(spark, out_path, generation)
-        )
-    m = mf.latest_manifest(spark, out_path)
-    if m is not None:
-        return mf.read_segments(spark, out_path, m[1])
-    return spark.read.parquet(out_path)
+        man = mf.manifest_at(spark, out_path, generation)
+    else:
+        m = mf.latest_manifest(spark, out_path)
+        if m is None:
+            return spark.read.parquet(out_path)
+        man = m[1]
+    if prune_col is not None:
+        man = mf.prune_manifest(man, prune_col, prune_lo, prune_hi)
+    return mf.read_segments(spark, out_path, man)
 
 
 def _append_bands(
@@ -472,7 +487,7 @@ class NearDupScrubber:
             "_nd_id",
             "left_semi",
         )
-        return survivors, surv_bands, bb
+        return survivors, surv_bands, bb, id_col
 
     def scrub(self, batch: DataFrame) -> DataFrame:
         """Probe + survivors of one batch (exposed for direct
@@ -480,7 +495,7 @@ class NearDupScrubber:
         index as a side effect. NOT fenced — redelivery semantics
         belong to the streaming path (``__call__``), which fences both
         of its effects by batch id."""
-        survivors, surv_bands, bb = self._scrub_core(batch)
+        survivors, surv_bands, bb, _ = self._scrub_core(batch)
         _append_bands(batch.sparkSession, self.index_path, surv_bands)
         bb.unpersist()
         return survivors
@@ -508,15 +523,27 @@ class NearDupScrubber:
         out_done = out_last is not None and batch_id <= out_last
         idx_done = idx_last is not None and batch_id <= idx_last
         if not (out_done and idx_done):
-            survivors, surv_bands, bb = self._scrub_core(batch)
+            survivors, surv_bands, bb, id_col = self._scrub_core(batch)
             if not out_done:
                 seg = mf.new_segment_name()
                 survivors.write.mode("overwrite").parquet(
                     f"{self.out_path}/{seg}"
                 )
+                # per-segment id range rides the same commit (r13 data
+                # skipping): a range probe over the scrubbed corpus
+                # scans only the micro-batch segments that can match
                 mf.commit_append(
                     spark, self.out_path, [seg],
-                    update_stats=mf.fence_stats(batch_id, query_id=qid),
+                    update_stats=mf.fence_stats(
+                        batch_id, query_id=qid,
+                        extra=mf.segment_stats_update(
+                            {
+                                seg: mf.segment_column_stats(
+                                    survivors, [id_col]
+                                )
+                            }
+                        ),
+                    ),
                     retries=5,
                 )
             if not idx_done:

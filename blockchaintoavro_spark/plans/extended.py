@@ -5531,3 +5531,82 @@ def x_stratified_exact_n_q(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+@declare(
+    "x_pruned_range_read",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS segments_scanned,
+           CAST(3 AS BIGINT) AS segments_total
+    FROM documents WHERE doc_id BETWEEN 5 AND 9
+    ORDER BY doc_id
+    """,
+)
+def x_pruned_range_read_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest-level DATA SKIPPING end to end (r13 —
+    operators/manifest.py segment_column_stats / prune_manifest): three
+    micro-batches with disjoint doc_id ranges (0-3, 4-7, 8-11, unique
+    md5-derived texts so nothing near-dups) each commit their survivors
+    segment WITH its id range in one atomic rename; a [5, 9] range
+    probe must then scan exactly 2 of the 3 segments (the pruned count
+    is returned as a column and pinned by the oracle) and return the
+    identical rows a full scan + filter would. At 100 TB this is the
+    probe-cost-tracks-the-query-range property: pruning happens on the
+    manifest JSON, before any file listing or footer read."""
+    import shutil
+    import tempfile
+
+    from ..operators import manifest as mf
+    from ..operators.neardup_index import NearDupScrubber, build_neardup_index
+
+    ids = t(spark, sf, "documents").select("doc_id")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda j: F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("#"), j.cast("string"))), 1, 8
+            ),
+        ),
+    )
+    docs = ids.filter(F.col("doc_id") < 12).select(
+        "doc_id", text.alias("text")
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_prune_")
+    try:
+        idx, out = f"{root}/idx", f"{root}/out"
+        build_neardup_index(docs.limit(0), idx, kind="minhash")
+        applier = NearDupScrubber(idx, out)
+        for bid in range(3):
+            applier(
+                docs.filter(
+                    (F.col("doc_id") >= bid * 4)
+                    & (F.col("doc_id") < (bid + 1) * 4)
+                ),
+                bid,
+            )
+        gen, man = mf.latest_manifest(spark, out)
+        pruned = mf.prune_manifest(man, "doc_id", 5, 9)
+        rows = (
+            mf.read_segments(spark, out, pruned)
+            .filter(F.col("doc_id").between(5, 9))
+            .select(
+                "doc_id",
+                F.lit(len(pruned["segments"]))
+                .cast("long")
+                .alias("segments_scanned"),
+                F.lit(len(man["segments"]))
+                .cast("long")
+                .alias("segments_total"),
+            )
+            .orderBy("doc_id")
+        )
+        # materialize before the store is deleted
+        out_rows = rows.collect()
+        return spark.createDataFrame(
+            out_rows, "doc_id long, segments_scanned long, segments_total long"
+        ).orderBy("doc_id")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -505,3 +505,40 @@ def test_streaming_slot_uses_runtime_query_id(spark, tmp_path):
     assert applier.last_query_id == str(q.id)  # runtime id, not ckpt path
     fences = mf.latest_manifest(spark, out)[1]["stats"]["fences"]
     assert fences == {str(q.id): 0}
+
+
+def test_scrubber_out_store_records_id_ranges_and_prunes(spark, tmp_path):
+    """r13 data skipping: each micro-batch's survivors segment commits
+    its doc_id [min,max] in the same manifest rename as the data, and a
+    range read prunes non-matching segments from the scan while
+    returning identical rows; compaction GCs the stale ranges."""
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ndi.build_neardup_index(
+        spark.createDataFrame([], SCHEMA), idx, kind="minhash"
+    )
+    applier = ndi.NearDupScrubber(idx, out)
+    applier(_mk(spark, [1, 2]), 0)
+    applier(_mk(spark, [3]), 1)
+    applier(_mk(spark, [5]), 2)
+    gen, man = mf.latest_manifest(spark, out)
+    ss = man["stats"]["segstats"]
+    assert sorted(v["doc_id"] for v in ss.values()) == [[1, 2], [3, 3], [5, 5]]
+    pruned = ndi.read_scrubbed(
+        spark, out, prune_col="doc_id", prune_lo=3, prune_hi=4
+    )
+    assert sorted(r["doc_id"] for r in pruned.collect()) == [3]
+    # pruning dropped the other two segments from the PLAN, not by filter
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    matching = [s for s, v in ss.items() if v["doc_id"] == [3, 3]]
+    others = [s for s, v in ss.items() if v["doc_id"] != [3, 3]]
+    assert matching[0] in p and all(s not in p for s in others)
+    # the fence survives alongside the ranges, and compaction GCs them
+    assert mf.last_committed_batch(spark, out, applier.last_query_id) == 2
+    ndi.compact_scrub_output(spark, out)
+    gen2, man2 = mf.latest_manifest(spark, out)
+    assert not (man2["stats"].get("segstats") or {})
+    assert _out_ids(spark, out) == [1, 2, 3, 5]

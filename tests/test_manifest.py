@@ -1009,3 +1009,101 @@ def test_read_segments_mixed_schema_keeps_union(spark, tmp_path):
         m2 = mf.commit_append(spark, root, [seg])
         m = mf.latest_manifest(spark, root)
         mf.read_segments(spark, root, m[1]).collect()
+
+
+def _append_with_stats(spark, root, rows):
+    df = spark.createDataFrame(rows, "k long, v string")
+    seg = mf.new_segment_name()
+    df.write.parquet(f"{root}/{seg}")
+    mf.commit_append(
+        spark, root, [seg],
+        update_stats=mf.segment_stats_update(
+            {seg: mf.segment_column_stats(df, ["k"])}
+        ),
+    )
+    return seg
+
+
+def test_segment_stats_prune_skips_non_matching_segments(spark, tmp_path):
+    """r13 data skipping: per-segment [min,max] ride the SAME commit as
+    the segment; a range probe consults the manifest and scans only
+    segments whose range can match — result identical to the full scan,
+    plan holds only the pruned paths."""
+    import re
+
+    root = str(tmp_path / "store")
+    segs = [
+        _append_with_stats(spark, root, [(i * 10 + j, "x") for j in range(10)])
+        for i in range(4)  # ranges [0,9], [10,19], [20,29], [30,39]
+    ]
+    gen, man = mf.latest_manifest(spark, root)
+    ss = man["stats"]["segstats"]
+    assert ss[segs[0]]["k"] == [0, 9] and ss[segs[3]]["k"] == [30, 39]
+    pruned = mf.prune_manifest(man, "k", lo=12, hi=25)
+    assert pruned["segments"] == [segs[1], segs[2]]
+    got = sorted(
+        r["k"]
+        for r in mf.read_segments(spark, root, pruned)
+        .filter("k between 12 and 25")
+        .collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in mf.read_segments(spark, root, man)
+        .filter("k between 12 and 25")
+        .collect()
+    )
+    assert got == want == list(range(12, 26))
+    # the pruned plan never references the excluded segments' paths
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        mf.read_segments(spark, root, pruned)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert segs[1] in p or segs[2] in p
+    assert segs[0] not in p and segs[3] not in p
+    # fully-disjoint probe prunes EVERYTHING -> skip the scan
+    assert mf.prune_manifest(man, "k", lo=1000)["segments"] == []
+    # unbounded side + unknown-column safety
+    assert mf.prune_manifest(man, "k", hi=9)["segments"] == [segs[0]]
+    assert len(mf.prune_manifest(man, "other")["segments"]) == 4
+
+
+def test_segment_stats_compose_with_fence_and_gc_on_compaction(
+    spark, tmp_path
+):
+    """segstats compose with the exactly-once fence in one commit, and
+    a compaction retires replaced segments' stats instead of letting
+    them accumulate."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    seg = mf.new_segment_name()
+    df.write.parquet(f"{root}/{seg}")
+    mf.commit_append(
+        spark, root, [seg],
+        update_stats=mf.fence_stats(
+            7,
+            extra=mf.segment_stats_update(
+                {seg: mf.segment_column_stats(df, ["k"])}
+            ),
+            query_id="q1",
+        ),
+    )
+    gen, man = mf.latest_manifest(spark, root)
+    assert man["stats"]["fences"]["q1"] == 7
+    assert man["stats"]["segstats"][seg]["k"] == [1, 2]
+    # compact: merged segment replaces the old one; stale stats GC'd
+    merged = mf.new_segment_name()
+    mf.read_segments(spark, root, man).coalesce(1).write.parquet(
+        f"{root}/{merged}"
+    )
+    mf.commit_compaction(spark, root, [merged], replaced=[seg])
+    gen2, man2 = mf.latest_manifest(spark, root)
+    assert man2["segments"] == [merged]
+    assert seg not in (man2["stats"].get("segstats") or {})
+    assert man2["stats"]["fences"]["q1"] == 7  # fence survives the GC
+    # all-NULL column is omitted (never pruned on)
+    nul = spark.createDataFrame(
+        [(None, "z")], "k long, v string"
+    )
+    assert mf.segment_column_stats(nul, ["k"]) == {}
