@@ -179,6 +179,40 @@ def cmd_split(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """Inspect a manifest-pinned standing store without touching data:
+    retained generations, live segments (with any committed data-skip
+    ranges), model refs, exactly-once fences, and live data-file count
+    — the operational DESCRIBE for debugging a stream or planning a
+    maintain run. Reads only the manifest JSONs (O(#segments), never
+    rows)."""
+    import json as _json
+
+    from .operators import manifest as mf
+
+    spark = _session(args.threads)
+    gens = mf._list_generations(spark, args.store)
+    m = mf.latest_manifest(spark, args.store)
+    if m is None:
+        print(_json.dumps({"store": args.store, "manifest": None}))
+        return 1
+    gen, man = m
+    stats = man.get("stats") or {}
+    report = {
+        "store": args.store,
+        "generation": gen,
+        "retained_generations": gens,
+        "segments": man.get("segments", []),
+        "refs": man.get("refs", {}),
+        "fences": stats.get("fences", {}),
+        "last_batch_id": stats.get("last_batch_id"),
+        "segstats": stats.get("segstats", {}),
+        "live_data_files": mf.live_data_file_count(spark, args.store),
+    }
+    print(_json.dumps(report, sort_keys=True))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m blockchaintoavro_spark",
@@ -242,6 +276,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="re-deal the assignment for a new experiment",
     )
     sp.set_defaults(fn=cmd_split)
+
+    de = sub.add_parser(
+        "describe", help=cmd_describe.__doc__.split("\n", 1)[0]
+    )
+    de.add_argument("--store", required=True, help="standing-store root dir")
+    de.set_defaults(fn=cmd_describe)
     return p
 
 

@@ -640,10 +640,15 @@ def segment_column_stats(df, cols) -> dict:
     (event logs, scrub output, rotated ingest) pruning is near-perfect:
     cost tracks the QUERY's range, not the store's history.
 
-    Values are JSON-rendered: numbers and strings compare natively;
-    timestamps/dates are stored ISO-formatted (compare with the same
-    rendering). Columns whose min or max is NULL (all-NULL segment) are
-    omitted — the segment is then never pruned on that column."""
+    Values are JSON-rendered: ints, floats, bools and strings compare
+    natively; timestamps/dates are stored ISO-formatted (compare with
+    the same rendering — fixed-width ISO strings order like the
+    instants they name). Columns whose min or max is NULL (all-NULL
+    segment) or whose type has no lossless JSON ordering (Decimal,
+    binary, arrays/structs) are OMITTED — the segment is then simply
+    never pruned on that column, keeping skipping sound rather than
+    risking a lossy conversion that rounds a true minimum upward past a
+    probe's bound."""
     from datetime import date, datetime
 
     from pyspark.sql import functions as F
@@ -659,7 +664,9 @@ def segment_column_stats(df, cols) -> dict:
             return v.isoformat(sep=" ")
         if isinstance(v, date):
             return v.isoformat()
-        return v
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None  # Decimal/binary/nested: no sound JSON ordering
 
     out = {}
     for c in cols:
@@ -726,10 +733,16 @@ def prune_manifest(
             keep.append(s)
             continue
         mn, mx = rng
-        if lo is not None and mx < lo:
-            continue
-        if hi is not None and mn > hi:
-            continue
+        try:
+            if lo is not None and mx < lo:
+                continue
+            if hi is not None and mn > hi:
+                continue
+        except TypeError:
+            # recorded range and probe bounds don't compare (schema
+            # evolved, or the caller passed the wrong type) — keep the
+            # segment: pruning must stay sound, never raise mid-plan
+            pass
         keep.append(s)
     out = dict(manifest)
     out["segments"] = keep

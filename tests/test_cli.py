@@ -161,3 +161,34 @@ def test_cli_split_partitions_by_split_and_matches_operator(
     assert sorted(
         d for d in os.listdir(out) if d.startswith("split=")
     ) == sorted(f"split={s}" for s in rep["counts"])
+
+
+def test_cli_describe_reports_store_state(spark, tmp_path, capsys):
+    """r13: the describe subcommand reports generations, segments,
+    fences and data-skip ranges from the manifest alone."""
+    import json
+
+    from blockchaintoavro_spark.__main__ import main
+    from blockchaintoavro_spark.operators import manifest as mf
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a"), (5, "b")], "k long, v string")
+    seg = mf.new_segment_name()
+    df.write.parquet(f"{root}/{seg}")
+    mf.commit_append(
+        spark, root, [seg],
+        update_stats=mf.fence_stats(
+            3, query_id="q9",
+            extra=mf.segment_stats_update(
+                {seg: mf.segment_column_stats(df, ["k"])}
+            ),
+        ),
+    )
+    assert main(["describe", "--store", root]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["generation"] == 1 and rep["segments"] == [seg]
+    assert rep["fences"] == {"q9": 3}
+    assert rep["segstats"][seg]["k"] == [1, 5]
+    assert rep["live_data_files"] >= 1
+    # a non-store path reports manifest: None with exit 1
+    assert main(["describe", "--store", str(tmp_path / "nope")]) == 1

@@ -1107,3 +1107,82 @@ def test_segment_stats_compose_with_fence_and_gc_on_compaction(
         [(None, "z")], "k long, v string"
     )
     assert mf.segment_column_stats(nul, ["k"]) == {}
+
+
+from hypothesis import given
+from hypothesis import strategies as hst
+
+
+@given(
+    segs=hst.lists(
+        hst.tuples(
+            hst.lists(hst.integers(-50, 50), max_size=6),  # segment values
+            hst.booleans(),  # whether stats were recorded
+        ),
+        max_size=8,
+    ),
+    lo=hst.one_of(hst.none(), hst.integers(-60, 60)),
+    hi=hst.one_of(hst.none(), hst.integers(-60, 60)),
+)
+def test_prune_manifest_sound_under_random_stores(segs, lo, hi):
+    """Pruning soundness, property-tested in pure Python: a dropped
+    segment PROVABLY contains no value in [lo, hi]; a segment whose
+    values intersect the range — or whose stats were never recorded —
+    is always kept. (Completeness beyond the min/max bound is not
+    claimed: [min,max] is a summary, so overlap without a true hit is
+    legitimately kept.)"""
+    man = {"segments": [], "stats": {"segstats": {}}}
+    data = {}
+    for i, (values, recorded) in enumerate(segs):
+        name = f"seg-{i}"
+        man["segments"].append(name)
+        data[name] = values
+        if recorded and values:
+            man["stats"]["segstats"][name] = {
+                "k": [min(values), max(values)]
+            }
+    pruned = set(mf.prune_manifest(man, "k", lo, hi)["segments"])
+    in_range = lambda v: (lo is None or v >= lo) and (hi is None or v <= hi)
+    for name in man["segments"]:
+        has_hit = any(in_range(v) for v in data[name])
+        if name not in pruned:
+            assert name in man["stats"]["segstats"], "statless seg dropped"
+            assert not has_hit, f"{name} dropped but contains a match"
+        if has_hit:
+            assert name in pruned
+
+
+def test_segment_stats_skip_unorderable_types(spark):
+    """Decimal/binary min-max values have no lossless JSON ordering —
+    they are omitted (never pruned on) instead of crashing the commit
+    or risking an unsound rounded bound; timestamps record ISO."""
+    import json as _json
+
+    df = spark.sql(
+        "SELECT CAST(1.5 AS DECIMAL(10,2)) AS d, "
+        "CAST('ab' AS BINARY) AS b, "
+        "TIMESTAMP '2024-05-06 07:08:09' AS ts, "
+        "DATE '2024-05-06' AS dt, 7 AS k"
+    )
+    st = mf.segment_column_stats(df, ["d", "b", "ts", "dt", "k"])
+    assert set(st) == {"ts", "dt", "k"}
+    assert st["k"] == [7, 7]
+    assert st["ts"] == ["2024-05-06 07:08:09", "2024-05-06 07:08:09"]
+    assert st["dt"] == ["2024-05-06", "2024-05-06"]
+    _json.dumps(st)  # the whole dict is manifest-serializable
+
+
+def test_prune_manifest_keeps_segment_on_type_mismatch():
+    """A probe whose bounds don't compare with a segment's recorded
+    type (schema evolution, wrong-typed caller) keeps the segment —
+    pruning never raises mid-plan and never drops data it can't
+    reason about."""
+    man = {
+        "segments": ["seg-a", "seg-b"],
+        "stats": {"segstats": {
+            "seg-a": {"k": ["2024-01-01", "2024-02-01"]},
+            "seg-b": {"k": [5, 9]},
+        }},
+    }
+    pruned = mf.prune_manifest(man, "k", lo=100)
+    assert pruned["segments"] == ["seg-a"]  # b provably < 100; a kept
