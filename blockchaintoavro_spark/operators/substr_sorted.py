@@ -1174,28 +1174,46 @@ class SortedDictStripper:
         self.strip(batch).write.mode("overwrite").parquet(
             f"{self.out_path}/{seg}"
         )
+        # the strip never changes ids, so the INPUT batch's id range is
+        # the segment's — committed with the data for range pruning
+        # (r13 data skipping; one narrow agg over the micro-batch)
         mf.commit_append(
             spark, self.out_path, [seg],
-            update_stats=mf.fence_stats(batch_id, query_id=qid), retries=5,
+            update_stats=mf.fence_stats(
+                batch_id, query_id=qid,
+                extra=mf.segment_stats_update(
+                    {seg: mf.segment_column_stats(batch, [self.id_col])}
+                ),
+            ),
+            retries=5,
         )
 
 
 def read_stripped(
-    spark, out_path: str, generation: int | None = None
+    spark,
+    out_path: str,
+    generation: int | None = None,
+    prune_col: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
 ) -> DataFrame:
     """The stripped documents a :class:`SortedDictStripper` has
     committed — a union of immutable per-batch segments pinned by the
     newest manifest (``generation`` pins a retained older one); falls
     back to a bare parquet scan for pre-r12 outputs written with
-    ``mode("append")``."""
+    ``mode("append")``. ``prune_col``/``prune_lo``/``prune_hi`` apply
+    the r13 manifest-level data skip (segments outside the committed
+    id range never reach the scan; callers still filter rows)."""
     if generation is not None:
-        return mf.read_segments(
-            spark, out_path, mf.manifest_at(spark, out_path, generation)
-        )
-    m = mf.latest_manifest(spark, out_path)
-    if m is not None:
-        return mf.read_segments(spark, out_path, m[1])
-    return spark.read.parquet(out_path)
+        man = mf.manifest_at(spark, out_path, generation)
+    else:
+        m = mf.latest_manifest(spark, out_path)
+        if m is None:
+            return spark.read.parquet(out_path)
+        man = m[1]
+    if prune_col is not None:
+        man = mf.prune_manifest(man, prune_col, prune_lo, prune_hi)
+    return mf.read_segments(spark, out_path, man)
 
 
 def strip_duplicated_spans_stream(

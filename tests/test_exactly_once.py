@@ -324,6 +324,20 @@ def test_sorted_stripper_replay_writes_exactly_once(spark, tmp_path):
         r["doc_id"] for r in read_stripped(spark, out).collect()
     ) == [9, 10, 11]
 
+    # r13 data skipping: each batch committed its id range, and a
+    # pruned read scans only the matching segment
+    gen, man = mf.latest_manifest(spark, out)
+    ranges = sorted(
+        v["doc_id"] for v in man["stats"]["segstats"].values()
+    )
+    assert ranges == [[9, 10], [11, 11]]
+    assert sorted(
+        r["doc_id"]
+        for r in read_stripped(
+            spark, out, prune_col="doc_id", prune_lo=11
+        ).collect()
+    ) == [11]
+
 
 def test_stream_restart_after_crash_is_exactly_once(spark, tmp_path, monkeypatch):
     """END-TO-END through a real Structured Streaming checkpoint: the

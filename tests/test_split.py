@@ -173,3 +173,38 @@ def test_registry_rejects_duplicate_query_names():
     # re-registering the SAME function (module reload) stays legal
     q = REGISTRY[name]
     declare(name, oracle=q.oracle)(q.spark)
+
+
+def test_hash_split_and_sample_work_on_streams(spark, sf_dir, tmp_path):
+    """The split/sample projections are watermark-free row-local
+    expressions, so they compose with Structured Streaming unchanged —
+    the streamed assignment equals the batch assignment row for row."""
+    docs = _docs(spark, sf_dir)
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        hash_sample(hash_split(stream, "doc_id", salt="st"), "doc_id", 0.5)
+        .select("doc_id", "split")
+        .writeStream.format("memory")
+        .queryName("split_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["split"]
+        for r in spark.table("split_stream_out").collect()
+    }
+    want = {
+        r["doc_id"]: r["split"]
+        for r in hash_sample(
+            hash_split(docs, "doc_id", salt="st"), "doc_id", 0.5
+        )
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert got == want and len(got) > 0
