@@ -1186,3 +1186,28 @@ def test_prune_manifest_keeps_segment_on_type_mismatch():
     }
     pruned = mf.prune_manifest(man, "k", lo=100)
     assert pruned["segments"] == ["seg-a"]  # b provably < 100; a kept
+
+
+def test_read_segments_partitioned_store_keeps_pruning(spark, tmp_path):
+    """cid-partitioned segments can't ride the multi-path fast path
+    (Spark refuses multi-root partition discovery —
+    CONFLICTING_DIRECTORY_STRUCTURES), so read_segments must fall back
+    to per-leg scans WITH partition pruning intact in every leg."""
+    import re
+
+    root = str(tmp_path / "cidstore")
+    for b in range(3):
+        seg = mf.new_segment_name()
+        spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id"), (F.col("id") % 8).alias("cid")
+        ).write.partitionBy("cid").parquet(f"{root}/{seg}")
+        mf.commit_append(spark, root, [seg])
+    m = mf.latest_manifest(spark, root)
+    df = mf.read_segments(spark, root, m[1])
+    q = df.filter(F.col("cid") == 3)
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+    assert scans == 3  # one leg per segment (fallback, by design)
+    assert p.count("PartitionFilters: [isnotnull(cid") == 3
+    assert q.count() == 38  # ids ≡ 3 mod 8 in [0, 300)
