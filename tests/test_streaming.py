@@ -131,7 +131,9 @@ def test_progress_monitor_and_drain(spark, tmpdir):
             .trigger(processingTime="1 second")
             .start()
         )
-        deadline = 60
+        # generous: under a co-running heavy job (round-close sweeps)
+        # the 1 s trigger can starve well past a tight deadline
+        deadline = 240
         import time
 
         while spark.table("mon_out").count() < b.count() and deadline > 0:
