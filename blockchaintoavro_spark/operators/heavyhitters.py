@@ -221,6 +221,19 @@ def heavy_hitters(
             f"{min_frac_num}/{min_frac_den}: need k+1 > den/num"
         )
     spark = df.sparkSession
+    # the summaries collect is model-parameter-sized ONLY while
+    # partitions × k stays small; a tiny min_frac (k = 1/min_frac) on a
+    # wide input would silently turn it into a data-sized collect —
+    # fail loudly with the remediation instead
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts * k > 10_000_000:
+        raise ValueError(
+            f"heavy_hitters would collect up to {n_parts} partitions x "
+            f"k={k} = {n_parts * k} candidate rows to the driver; at "
+            "this threshold the bounded-state plan no longer pays — "
+            "coalesce the input, raise min_frac, or use "
+            "exact_heavy_hitters (full groupBy)."
+        )
     item_type = df.schema[col].dataType
     summaries = _mg_summaries(df, col, k).collect()  # pass 1 (scan #1)
     n = sum(r["part_rows"] for r in summaries if r["part_rows"] is not None)

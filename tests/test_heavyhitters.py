@@ -228,3 +228,12 @@ def test_streaming_mg_candidates_superset_and_bounded(
     for counters in final.values():
         for item, lower in counters.items():
             assert lower <= truth[item], (item, lower, truth[item])
+
+
+def test_heavy_hitters_guards_driver_candidate_volume(spark):
+    """A tiny min_frac on a wide input would turn the summaries collect
+    into a data-sized transfer — it must fail loudly with remediation,
+    not OOM the driver."""
+    df = spark.range(100).select(F.col("id").alias("item")).repartition(32)
+    with pytest.raises(ValueError, match="candidate rows to the driver"):
+        heavy_hitters(df, "item", 1, 1_000_000)

@@ -208,3 +208,26 @@ def test_hash_split_and_sample_work_on_streams(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_hash_split_weight_change_moves_minimal_keys(spark, sf_dir):
+    """Threshold splits have the consistent-hashing property: nudging a
+    weight moves ONLY the keys in the boundary band — a re-split from
+    80/10/10 to 75/15/10 may move train->val rows but never reshuffles
+    val->train, test->anything, or train->test."""
+    docs = _docs(spark, sf_dir)
+    a = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs, "doc_id", {"train": 0.80, "val": 0.10, "test": 0.10}
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            docs, "doc_id", {"train": 0.75, "val": 0.15, "test": 0.10}
+        ).collect()
+    }
+    moved = {k: (a[k], b[k]) for k in a if a[k] != b[k]}
+    assert moved  # the band is non-empty at 500 docs w.h.p.
+    assert set(moved.values()) == {("train", "val")}
