@@ -5610,3 +5610,51 @@ def x_pruned_range_read_q(spark: SparkSession, sf: str) -> DataFrame:
         ).orderBy("doc_id")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@declare("x_streaming_heavy_hitters", oracle=None)
+def x_streaming_hh_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming frequent-items candidates with bounded state
+    (streaming/stateful.py:streaming_heavy_hitter_candidates — sharded
+    Misra-Gries applyInPandasWithState, r13): the documents corpus is
+    replayed as a stream and the final per-shard candidate sets are
+    returned. Rows-only by design (candidate membership beyond the
+    guaranteed superset depends on fold order); the superset guarantee
+    (every token above n/(k+1) survives), per-shard state bound, and
+    mg_lower <= true count are pinned in tests/test_heavyhitters.py;
+    the exact twin is the hash-checked x_heavy_hitters."""
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import streaming_heavy_hitter_candidates
+
+    toks = t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_shh_")
+    try:
+        src = f"{root}/toks"
+        toks.write.parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        out = streaming_heavy_hitter_candidates(stream, "tok", k=50, shards=8)
+        rows: list = []
+
+        def sink(df, bid):
+            rows.extend(df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.createDataFrame(
+            [(r["shard"], r["item"], r["mg_lower"]) for r in rows],
+            "shard long, item string, mg_lower long",
+        ).orderBy("shard", "item")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
