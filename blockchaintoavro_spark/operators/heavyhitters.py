@@ -65,6 +65,7 @@ __all__ = [
     "heavy_hitters",
     "mg_add",
     "mg_candidates",
+    "recount_candidates",
 ]
 
 
@@ -194,6 +195,7 @@ def heavy_hitters(
     min_frac_num: int,
     min_frac_den: int,
     k: int | None = None,
+    max_candidate_rows: int = 1_000_000,
 ) -> DataFrame:
     """EXACT heavy hitters with bounded state: every non-NULL item of
     ``col`` whose frequency is ≥ ``min_frac_num/min_frac_den`` of the
@@ -224,41 +226,73 @@ def heavy_hitters(
     # the summaries collect is model-parameter-sized ONLY while
     # partitions × k stays small; a tiny min_frac (k = 1/min_frac) on a
     # wide input would silently turn it into a data-sized collect —
-    # fail loudly with the remediation instead
-    n_parts = df.rdd.getNumPartitions()
-    if n_parts * k > 10_000_000:
+    # fail loudly with the remediation instead. Partition count comes
+    # from the JVM physical RDD (no job, no Python plan-to-RDD
+    # conversion — df.rdd would rebuild the whole plan behind a
+    # Python serializer just to ask for a number); for long string
+    # items even 10M rows is multi-GB driver heap, so the default cap
+    # is 1M and callers with bigger drivers can raise it explicitly.
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts * k > max_candidate_rows:
         raise ValueError(
             f"heavy_hitters would collect up to {n_parts} partitions x "
-            f"k={k} = {n_parts * k} candidate rows to the driver; at "
-            "this threshold the bounded-state plan no longer pays — "
-            "coalesce the input, raise min_frac, or use "
-            "exact_heavy_hitters (full groupBy)."
+            f"k={k} = {n_parts * k} candidate rows to the driver "
+            f"(cap: {max_candidate_rows}); at this threshold the "
+            "bounded-state plan no longer pays — coalesce the input, "
+            "raise min_frac, raise max_candidate_rows if your driver "
+            "has the heap, or use exact_heavy_hitters (full groupBy)."
         )
-    item_type = df.schema[col].dataType
     summaries = _mg_summaries(df, col, k).collect()  # pass 1 (scan #1)
     n = sum(r["part_rows"] for r in summaries if r["part_rows"] is not None)
     cand_items = {r["item"] for r in summaries if r["item"] is not None}
+    return recount_candidates(  # scan #2
+        df, col, cand_items, int(n), min_frac_num, min_frac_den
+    )
+
+
+def recount_candidates(
+    df: DataFrame,
+    col: str,
+    cand_items: set,
+    total_rows: int,
+    min_frac_num: int,
+    min_frac_den: int,
+) -> DataFrame:
+    """Candidates → EXACT answers in ONE corpus scan: broadcast the
+    candidate set, semi-join, group only over the candidate slice, and
+    keep items at ≥ ``min_frac_num/min_frac_den`` of ``total_rows``.
+
+    The shared second half of every bounded-state heavy-hitter plan —
+    :func:`heavy_hitters` feeds it the batch MG candidates (with the
+    total ridden on pass 1's ``part_rows``), and the streaming
+    composition (x_streaming_hh_exact) feeds it the final sharded-MG
+    candidate union with the total from the summed ``shard_rows``.
+    As long as the candidate set is a superset of the true heavy
+    hitters (both MG constructions guarantee it for ``k+1 >
+    den/num``), the output EQUALS the full-vocabulary groupBy."""
+    spark = df.sparkSession
+    item_type = df.schema[col].dataType
     out_schema = T.StructType(
         [
             T.StructField("item", item_type),
             T.StructField("item_count", T.LongType(), False),
         ]
     )
-    if n == 0 or not cand_items:
+    if total_rows == 0 or not cand_items:
         return spark.createDataFrame([], out_schema)
     cand = spark.createDataFrame(
         [(i,) for i in cand_items],
         T.StructType([T.StructField(col, item_type)]),
     )
     counts = (
-        df.join(F.broadcast(cand), col, "left_semi")  # scan #2
+        df.join(F.broadcast(cand), col, "left_semi")  # the one scan
         .groupBy(F.col(col).alias("item"))
         .agg(F.count("*").alias("item_count"))
     )
     return (
         counts.filter(
             F.col("item_count") * F.lit(min_frac_den)
-            >= F.lit(int(n)) * F.lit(min_frac_num)
+            >= F.lit(int(total_rows)) * F.lit(min_frac_num)
         )
         .select("item", "item_count")
         .orderBy(F.col("item_count").desc(), "item")

@@ -65,7 +65,20 @@ def split_thresholds(weights: list[float]) -> list[str]:
     out, cum = [], 0.0
     for w in weights[:-1]:
         cum += w / total
-        out.append(format(int(cum * _HEX_SPACE), "08x"))
+        # Clamp: a degenerate tiny trailing weight can round cum to
+        # exactly 1.0, whose rendering would be the 9-char '100000000'
+        # — lexicographically SMALLER than most 8-char draws, silently
+        # collapsing the boundary. The draw space is [0, _HEX_SPACE),
+        # so the largest representable threshold is _HEX_SPACE - 1.
+        out.append(format(min(int(cum * _HEX_SPACE), _HEX_SPACE - 1), "08x"))
+    if any(len(t) != 8 for t in out) or any(
+        a >= b for a, b in zip(out, out[1:])
+    ):
+        raise ValueError(
+            f"weights {weights!r} produce non-increasing thresholds {out!r}"
+            " — a split narrower than 2**-32 of the total is not"
+            " representable in the 8-hex-char draw space"
+        )
     return out
 
 
@@ -144,11 +157,28 @@ def hash_sample(
     re-partitioning, repeatable across engines, and consistent across
     tables sharing the key (sample users.1% and their events.1% COHERE
     when both key on user_id). Pure filter — zero shuffle, composes
-    with column pruning; the 100 TB stratified-sampling path."""
+    with column pruning; the 100 TB stratified-sampling path.
+
+    NULL-key rows are DROPPED at every fraction (a NULL key has no
+    draw, so it fails the ``<`` filter — and at ``fraction=1.0`` the
+    explicit not-null filter keeps the contract identical). This
+    deliberately differs from :func:`hash_split`, which SURFACES NULL
+    keys as a NULL split label: a split assignment is a column every
+    row must carry, while a sample is a predicate — rows with no key
+    cannot cohere across tables, so keeping them would silently break
+    the cross-table-coherence guarantee. Filter NULL keys explicitly
+    first if you need them."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    draw = hash_bucket_hex(F.col(key_col), salt)
+    if fraction >= 1.0:
+        # format(int(1.0 * 16**8)) would be the 9-char '100000000',
+        # which sorts BELOW any draw not starting with '0' — keep the
+        # semantics (every keyed row) without entering the compare.
+        return df.filter(draw.isNotNull())
     t = format(int(fraction * _HEX_SPACE), "08x")
-    return df.filter(hash_bucket_hex(F.col(key_col), salt) < F.lit(t))
+    assert len(t) == 8, t
+    return df.filter(draw < F.lit(t))
 
 
 def stratified_sample_exact(

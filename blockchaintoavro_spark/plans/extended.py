@@ -5639,10 +5639,20 @@ def x_streaming_hh_q(spark: SparkSession, sf: str) -> DataFrame:
             spark.read.parquet(src).schema
         ).parquet(src)
         out = streaming_heavy_hitter_candidates(stream, "tok", k=50, shards=8)
-        rows: list = []
+        # update-mode re-emits a shard's FULL current candidate set
+        # every batch that touches it — if availableNow splits the
+        # input into >1 micro-batch, earlier emissions are stale
+        # (conflicting mg_lower, evicted items). Keep, per shard, only
+        # the LAST batch that touched it.
+        by_shard: dict = {}
 
         def sink(df, bid):
-            rows.extend(df.collect())
+            for r in df.collect():
+                cur = by_shard.setdefault(r["shard"], (bid, []))
+                if cur[0] != bid:
+                    cur = (bid, [])
+                    by_shard[r["shard"]] = cur
+                cur[1].append(r)
 
         q = (
             out.writeStream.foreachBatch(sink)
@@ -5653,8 +5663,89 @@ def x_streaming_hh_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination(180)
         return spark.createDataFrame(
-            [(r["shard"], r["item"], r["mg_lower"]) for r in rows],
+            [
+                (r["shard"], r["item"], r["mg_lower"])
+                for _, (_, shard_rows) in sorted(by_shard.items())
+                for r in shard_rows
+            ],
             "shard long, item string, mg_lower long",
         ).orderBy("shard", "item")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@declare(
+    "x_streaming_hh_exact",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ), n AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS item_count
+    FROM toks, n
+    GROUP BY item, n.total
+    HAVING COUNT(*) * 100 >= n.total * 1
+    ORDER BY item_count DESC, item
+    """,
+)
+def x_streaming_hh_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming candidates → EXACT heavy hitters, end to end: the
+    corpus is replayed as a multi-batch stream through the sharded
+    Misra-Gries state (streaming/stateful.py — bounded shards × k
+    counters, checkpointed), the final per-shard candidate sets are
+    UNIONED (a guaranteed superset of every ≥1% token for k+1 > 100,
+    since each item lives in exactly one shard), the threshold
+    denominator comes from the summed final ``shard_rows`` the state
+    itself carried (no extra counting scan), and ONE broadcast-semi-
+    join recount over the stored corpus
+    (operators/heavyhitters.py:recount_candidates) produces exact
+    counts. Hash-checked against the SAME full-groupBy oracle as
+    x_heavy_hitters — proving the bounded-state streaming path reaches
+    the exact batch answer."""
+    import shutil
+    import tempfile
+
+    from ..operators.heavyhitters import recount_candidates
+    from ..streaming.stateful import streaming_heavy_hitter_candidates
+
+    toks = t(spark, sf, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_shhx_")
+    try:
+        src = f"{root}/toks"
+        # several files -> several micro-batches: the composition must
+        # hold across genuine incremental state updates
+        toks.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_heavy_hitter_candidates(
+            stream, "tok", k=100, shards=8
+        )
+        by_shard: dict = {}
+
+        def sink(df, bid):
+            for r in df.collect():
+                cur = by_shard.setdefault(r["shard"], (bid, []))
+                if cur[0] != bid:
+                    cur = (bid, [])
+                    by_shard[r["shard"]] = cur
+                cur[1].append(r)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        q.awaitTermination(180)
+        cand = {
+            r["item"] for _, rows in by_shard.values() for r in rows
+        }
+        n = sum(rows[0]["shard_rows"] for _, rows in by_shard.values())
+        return recount_candidates(toks, "tok", cand, n, 1, 100)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -101,9 +101,15 @@ def streaming_heavy_hitter_candidates(
     (``n_s ≤ n``), so the union of shard candidates is a SUPERSET of
     every true heavy hitter — a strictly stronger argument than the
     batch plan's pigeonhole over arbitrary row partitions. ``mg_lower``
-    never exceeds the item's true count (MG lower bound). An exact
-    recount (batch ``heavy_hitters`` / a broadcast semi-join over the
-    stored corpus) turns candidates into exact answers.
+    never exceeds the item's true count (MG lower bound). Each
+    emission also carries ``shard_rows`` — the exact count of non-NULL
+    items the shard has absorbed so far — so the heavy-hitter
+    threshold denominator (total stream size = sum of final
+    ``shard_rows``) rides the same bounded state. An exact recount
+    (``operators.heavyhitters.recount_candidates`` — broadcast
+    semi-join over the stored corpus; declared hash-checked as
+    x_streaming_hh_exact) turns candidates into exact answers with no
+    extra counting scan.
 
     Scale: state is ``shards × k`` counters cluster-wide, partitioned
     by shard and checkpointed incrementally; the per-batch work is one
@@ -118,14 +124,15 @@ def streaming_heavy_hitter_candidates(
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        items, counts = state.get if state.exists else ([], [])
+        items, counts, seen = state.get if state.exists else ([], [], 0)
         counters = dict(zip(items, counts))
         for pdf in pdfs:
             vc = pdf[col].dropna().value_counts()
             for item, w in vc.items():
                 mg_add(counters, item, int(w), k)
+                seen += int(w)
         state.update(
-            (list(counters), [int(v) for v in counters.values()])
+            (list(counters), [int(v) for v in counters.values()], int(seen))
         )
         if counters:
             yield pd.DataFrame(
@@ -133,6 +140,7 @@ def streaming_heavy_hitter_candidates(
                     "shard": key[0],
                     "item": list(counters),
                     "mg_lower": [int(v) for v in counters.values()],
+                    "shard_rows": int(seen),
                 }
             )
 
@@ -142,8 +150,14 @@ def streaming_heavy_hitter_candidates(
         .groupBy("shard")
         .applyInPandasWithState(
             update,
-            outputStructType="shard bigint, item string, mg_lower bigint",
-            stateStructType="items array<string>, counts array<bigint>",
+            outputStructType=(
+                "shard bigint, item string, mg_lower bigint, "
+                "shard_rows bigint"
+            ),
+            stateStructType=(
+                "items array<string>, counts array<bigint>, "
+                "shard_rows bigint"
+            ),
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -237,3 +237,64 @@ def test_heavy_hitters_guards_driver_candidate_volume(spark):
     df = spark.range(100).select(F.col("id").alias("item")).repartition(32)
     with pytest.raises(ValueError, match="candidate rows to the driver"):
         heavy_hitters(df, "item", 1, 1_000_000)
+    # the default cap is 1M (long string items make 10M rows multi-GB
+    # on the driver); 32 parts x k=62_500 = 2M trips it...
+    with pytest.raises(ValueError, match="candidate rows to the driver"):
+        heavy_hitters(df, "item", 1, 62_500)
+    # ...and a caller with driver heap can raise it explicitly
+    out = heavy_hitters(df, "item", 1, 62_500, max_candidate_rows=4_000_000)
+    assert out.count() == 100
+
+
+def test_streaming_candidates_recount_equals_exact(spark, sf_dir, tmp_path):
+    """The streaming→exact composition (x_streaming_hh_exact shape):
+    final sharded-MG candidate union + summed shard_rows fed to
+    recount_candidates must EQUAL the full-groupBy exact answer — and
+    the state-carried total must equal the true non-NULL count, so the
+    composition needs no extra counting scan."""
+    from blockchaintoavro_spark.operators.heavyhitters import (
+        recount_candidates,
+    )
+    from blockchaintoavro_spark.streaming.stateful import (
+        streaming_heavy_hitter_candidates,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    src = str(tmp_path / "tok_stream")
+    toks.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_heavy_hitter_candidates(stream, "tok", k=100, shards=8)
+    by_shard: dict = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            cur = by_shard.setdefault(r["shard"], (bid, []))
+            if cur[0] != bid:
+                cur = (bid, [])
+                by_shard[r["shard"]] = cur
+            cur[1].append(r)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    n = sum(rows[0]["shard_rows"] for _, rows in by_shard.values())
+    assert n == toks.filter(F.col("tok").isNotNull()).count()
+    cand = {r["item"] for _, rows in by_shard.values() for r in rows}
+    got = [
+        (r["item"], r["item_count"])
+        for r in recount_candidates(toks, "tok", cand, n, 1, 100).collect()
+    ]
+    want = [
+        (r["item"], r["item_count"])
+        for r in exact_heavy_hitters(toks, "tok", 1, 100).collect()
+    ]
+    assert got == want and len(got) > 0

@@ -33,6 +33,36 @@ def test_split_thresholds_math():
         split_thresholds([1.0, 0.0])
 
 
+def test_split_thresholds_clamped_to_draw_space():
+    """A degenerate tiny last weight rounds cum to 1.0; the rendered
+    threshold must stay an 8-char string ('ffffffff'), never the
+    9-char '100000000' that lexicographically collapses the branch."""
+    ts = split_thresholds([1.0, 1e-17])
+    assert ts == ["ffffffff"]
+    for t in split_thresholds([0.5, 0.25, 0.25]) + ts:
+        assert len(t) == 8
+    # unrepresentable interior weight (< 2**-32 of total, thresholds
+    # collide after clamping) is refused loudly, not silently merged
+    with pytest.raises(ValueError, match="non-increasing"):
+        split_thresholds([0.5, 1e-17, 0.5])
+
+
+def test_hash_sample_full_fraction_keeps_every_keyed_row(spark):
+    """fraction=1.0 must keep ALL keyed rows (the naive 9-hex-char
+    threshold '100000000' silently kept ~6% — draws starting '0');
+    NULL-key rows are dropped at EVERY fraction per the documented
+    sample-vs-split contract."""
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(256)] + [(None,)], "k string"
+    )
+    assert hash_sample(df, "k", 1.0).count() == 256
+    assert 0 < hash_sample(df, "k", 0.5).count() < 256
+    assert not [
+        r for r in hash_sample(df, "k", 1.0).collect() if r["k"] is None
+    ]
+    assert hash_sample(df, "k", 0.0).count() == 0
+
+
 def test_hash_split_stable_under_repartition(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     a = {
@@ -231,3 +261,93 @@ def test_hash_split_weight_change_moves_minimal_keys(spark, sf_dir):
     moved = {k: (a[k], b[k]) for k in a if a[k] != b[k]}
     assert moved  # the band is non-empty at 500 docs w.h.p.
     assert set(moved.values()) == {("train", "val")}
+
+
+# --- Hypothesis fuzz: engine/oracle bit-for-bit beyond the fixtures ---
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.lists(
+    st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="'\\\x00"
+            ),
+            min_size=0,
+            max_size=24,
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+_weights = st.lists(
+    st.floats(min_value=1e-3, max_value=10.0, allow_nan=False),
+    min_size=2,
+    max_size=5,
+)
+_salts = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_-", max_size=8
+)
+
+
+def _py_split(key, names, bounds, salt):
+    """hashlib reference for hash_split: the contract both engines must
+    render — md5 over UTF-8 of str(key)+salt, first 8 hex chars,
+    lexicographic compare against the 8-hex-char thresholds."""
+    d = hashlib.md5((str(key) + salt).encode("utf-8")).hexdigest()[:8]
+    for name, t in zip(names[:-1], bounds):
+        if d < t:
+            return name
+    return names[-1]
+
+
+@given(keys=_keys, weights=_weights, salt=_salts)
+@settings(max_examples=60, deadline=None)
+def test_fuzz_oracle_case_matches_hashlib_reference(keys, weights, salt):
+    """The DuckDB oracle CASE reproduces the hashlib contract on random
+    unicode/negative-int keys × random weights × salts — pins the
+    rendering half (CAST→VARCHAR, md5 UTF-8, substr, lexicographic
+    thresholds) cheaply at many examples."""
+    names = [f"s{i}" for i in range(len(weights))]
+    bounds = split_thresholds(weights)
+    case = hash_split_oracle_case(
+        "k", dict(zip(names, weights)), salt=salt
+    )
+    con = duckdb.connect()
+    got = dict(
+        con.execute(
+            f"SELECT k, {case} AS split FROM "
+            "(SELECT unnest(?) AS k)",
+            [[str(k) for k in keys]],
+        ).fetchall()
+    )
+    want = {str(k): _py_split(k, names, bounds, salt) for k in keys}
+    assert got == want
+
+
+@given(keys=_keys, weights=_weights, salt=_salts)
+@settings(max_examples=10, deadline=None)
+def test_fuzz_spark_split_matches_hashlib_reference(
+    spark, keys, weights, salt
+):
+    """The Spark expression tree reproduces the same hashlib contract —
+    together with the DuckDB property above this closes the triangle
+    Spark == hashlib == DuckDB over the fuzzed input space (int keys
+    ride through the cast-to-string path exactly as the oracle's
+    CAST AS VARCHAR)."""
+    names = [f"s{i}" for i in range(len(weights))]
+    bounds = split_thresholds(weights)
+    df = spark.createDataFrame([(str(k),) for k in keys], "k string")
+    got = {
+        r["k"]: r["split"]
+        for r in hash_split(
+            df, "k", dict(zip(names, weights)), salt=salt
+        ).collect()
+    }
+    want = {str(k): _py_split(k, names, bounds, salt) for k in keys}
+    assert got == want
