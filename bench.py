@@ -8,9 +8,16 @@ untimed warm-up pass over the whole set (JVM/codegen/arrow startup would
 otherwise be billed to whichever query runs first), then median of 5
 runs. ``spread`` records each query's interquartile range (VERDICT r4
 #7): dq10/dq15 moved ±14% between identical plans across rounds, so the
-IQR is what separates a real regression from warm-JVM jitter. The
-r1-r4 keys (metric/value/unit/queries/sf) are unchanged so rounds stay
-comparable; ``spread`` is additive.
+IQR is what separates a real regression from warm-JVM jitter.
+``cpu_sec`` (r14, VERDICT r13 #7) records each query's median CPU
+seconds across the whole process subtree — python driver + local-mode
+JVM (driver AND all executor threads) + Arrow python workers — read
+from ``/proc/*/stat``: three straight rounds of bench deltas were host
+drift on identical code (idle wall spread 8.0-12.4 s), and CPU time is
+the signal that separates code regressions from a noisy neighbor — a
+wall-clock move with flat CPU is the host, not the code. The r1-r4
+keys (metric/value/unit/queries/sf) are unchanged so rounds stay
+comparable; ``spread``/``cpu_sec`` are additive.
 """
 
 from __future__ import annotations
@@ -51,6 +58,34 @@ def _parse_sf(sf_dir: str):
     return base
 
 
+def _subtree_cpu_seconds(root_pid: int) -> float | None:
+    """Total user+system CPU seconds consumed so far by ``root_pid``
+    and every live descendant — the python driver, the local-mode JVM
+    (whose threads ARE the executors), and the Arrow python workers
+    the JVM forked. Linux /proc only; returns None elsewhere so the
+    bench degrades to wall clock."""
+    try:
+        tick = os.sysconf("SC_CLK_TCK")
+        total, stack, seen = 0.0, [int(root_pid)], set()
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                total += (int(parts[11]) + int(parts[12])) / tick
+                for tid in os.listdir(f"/proc/{p}/task"):
+                    with open(f"/proc/{p}/task/{tid}/children") as f:
+                        stack.extend(int(c) for c in f.read().split())
+            except OSError:
+                continue  # raced a dying process: its CPU is dropped
+        return total
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     registry = load_all()
     bench_set = {n: q for n, q in sorted(registry.items()) if q.bench}
@@ -60,32 +95,46 @@ def main() -> None:
     for name, q in bench_set.items():
         q.spark(spark, SF_DIR).collect()
 
+    self_pid = os.getpid()
+    cpu_works = _subtree_cpu_seconds(self_pid) is not None
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    cpu_sec: dict[str, float] = {}
     for name, q in bench_set.items():
         runs = []
+        cpu_runs = []
         for _ in range(N_RUNS):
+            c0 = _subtree_cpu_seconds(self_pid) if cpu_works else None
             t0 = time.perf_counter()
             df = q.spark(spark, SF_DIR)
             df.collect()
             runs.append(time.perf_counter() - t0)
+            if c0 is not None:
+                c1 = _subtree_cpu_seconds(self_pid)
+                if c1 is not None:
+                    # a worker dying mid-run can make the delta dip
+                    # below its true value; clamp at 0
+                    cpu_runs.append(max(0.0, c1 - c0))
         timings[name] = round(statistics.median(runs), 3)
         qs = statistics.quantiles(runs, n=4)  # [q1, median, q3]
         spreads[name] = round(qs[2] - qs[0], 3)
+        if cpu_runs:
+            cpu_sec[name] = round(statistics.median(cpu_runs), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "runs": N_RUNS,
-                "sf": _parse_sf(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "runs": N_RUNS,
+        "sf": _parse_sf(SF_DIR),
+    }
+    if cpu_sec:
+        out["cpu_sec"] = cpu_sec
+        out["cpu_total"] = round(sum(cpu_sec.values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -207,6 +207,7 @@ def cmd_describe(args) -> int:
         "fences": stats.get("fences", {}),
         "last_batch_id": stats.get("last_batch_id"),
         "segstats": stats.get("segstats", {}),
+        "segschema": stats.get("segschema", {}),
         "live_data_files": mf.live_data_file_count(spark, args.store),
     }
     print(_json.dumps(report, sort_keys=True))

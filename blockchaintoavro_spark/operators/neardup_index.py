@@ -526,23 +526,21 @@ class NearDupScrubber:
             survivors, surv_bands, bb, id_col = self._scrub_core(batch)
             if not out_done:
                 seg = mf.new_segment_name()
-                survivors.write.mode("overwrite").parquet(
+                # per-segment id range rides the WRITE job itself (r14
+                # one-scan append) and the same commit as the data: a
+                # range probe over the scrubbed corpus scans only the
+                # micro-batch segments that can match
+                observed, resolve = mf.observe_segment_stats(
+                    survivors, [id_col]
+                )
+                observed.write.mode("overwrite").parquet(
                     f"{self.out_path}/{seg}"
                 )
-                # per-segment id range rides the same commit (r13 data
-                # skipping): a range probe over the scrubbed corpus
-                # scans only the micro-batch segments that can match
                 mf.commit_append(
                     spark, self.out_path, [seg],
                     update_stats=mf.fence_stats(
                         batch_id, query_id=qid,
-                        extra=mf.segment_stats_update(
-                            {
-                                seg: mf.segment_column_stats(
-                                    survivors, [id_col]
-                                )
-                            }
-                        ),
+                        extra=mf.segment_stats_update({seg: resolve()}),
                     ),
                     retries=5,
                 )

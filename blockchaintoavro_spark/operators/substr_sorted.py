@@ -1171,19 +1171,19 @@ class SortedDictStripper:
         if last is not None and batch_id <= last:
             return  # committed by a previous attempt — exactly-once
         seg = mf.new_segment_name()
-        self.strip(batch).write.mode("overwrite").parquet(
-            f"{self.out_path}/{seg}"
+        # the segment's id range rides the WRITE job itself (r14
+        # one-scan append: an Observation on the written frame — no
+        # second aggregate scan of the micro-batch) and is committed
+        # with the data for range pruning
+        observed, resolve = mf.observe_segment_stats(
+            self.strip(batch), [self.id_col]
         )
-        # the strip never changes ids, so the INPUT batch's id range is
-        # the segment's — committed with the data for range pruning
-        # (r13 data skipping; one narrow agg over the micro-batch)
+        observed.write.mode("overwrite").parquet(f"{self.out_path}/{seg}")
         mf.commit_append(
             spark, self.out_path, [seg],
             update_stats=mf.fence_stats(
                 batch_id, query_id=qid,
-                extra=mf.segment_stats_update(
-                    {seg: mf.segment_column_stats(batch, [self.id_col])}
-                ),
+                extra=mf.segment_stats_update({seg: resolve()}),
             ),
             retries=5,
         )

@@ -963,20 +963,38 @@ def write_ocf_dataset(
 
 
 def read_ocf_dataset(
-    spark: SparkSession, path: str, partition_col: str | None = None
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    partition_values=None,
 ) -> DataFrame:
     """Parallel re-read of a :func:`write_ocf_dataset` layout. The Spark
     schema comes from the first file's own header (self-describing); the
     partition column is recovered from directory names as LONG (the
-    rotation window id — the only partition key the sinks use)."""
+    rotation window id — the only partition key the sinks use).
+    ``partition_values`` restricts the read to those partition ids —
+    only the matching directories are globbed, so a pruned range read
+    (operators/rotation.py:read_rotated_range) never lists the files
+    of windows outside the probe."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    pattern = (
-        os.path.join(path, f"{partition_col}=*", "*.avro")
-        if partition_col
-        else os.path.join(path, "*.avro")
-    )
-    files = sorted(glob.glob(pattern))
+    if partition_values is not None:
+        if partition_col is None:
+            raise ValueError("partition_values requires partition_col")
+        files = sorted(
+            f
+            for v in partition_values
+            for f in glob.glob(
+                os.path.join(path, f"{partition_col}={v}", "*.avro")
+            )
+        )
+    else:
+        pattern = (
+            os.path.join(path, f"{partition_col}=*", "*.avro")
+            if partition_col
+            else os.path.join(path, "*.avro")
+        )
+        files = sorted(glob.glob(pattern))
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
     data_schema = avro_to_spark_schema(read_ocf_header(files[0]))

@@ -1152,6 +1152,117 @@ def test_prune_manifest_sound_under_random_stores(segs, lo, hi):
             assert name in pruned
 
 
+_EPOCH = __import__("datetime").datetime(2024, 5, 1)
+
+
+@given(
+    segs=hst.lists(
+        hst.lists(hst.integers(0, 300_000), min_size=1, max_size=6),
+        max_size=6,
+    ),
+    lo_s=hst.one_of(hst.none(), hst.integers(-10_000, 310_000)),
+    hi_s=hst.one_of(hst.none(), hst.integers(-10_000, 310_000)),
+    lo_form=hst.sampled_from(["dt", "T", "space", "date"]),
+    hi_form=hst.sampled_from(["dt", "T", "space", "date"]),
+)
+def test_prune_manifest_timestamp_probe_renderings_sound(
+    segs, lo_s, hi_s, lo_form, hi_form
+):
+    """VERDICT r13 #1: random timestamp stores × probe RENDERINGS —
+    datetime objects, 'T'-separated ISO strings, ' '-separated ISO
+    strings, bare dates — must never prune a segment containing a
+    matching instant. (The 'T' string form was the unsound path:
+    ' ' < 'T' at index 10 inverted same-day comparisons.)"""
+    from datetime import timedelta
+
+    def inst(sec):
+        return _EPOCH + timedelta(seconds=sec)
+
+    def render(sec, form, end):
+        t = inst(sec)
+        if form == "dt":
+            return t
+        if form == "T":
+            return t.isoformat(sep="T")
+        if form == "space":
+            return t.isoformat(sep=" ")
+        # bare date probe: the operator treats it as the full day —
+        # widen the TRUE bound the same way so the assertion matches
+        # the documented semantics
+        return t.date().isoformat()
+
+    def true_bound(sec, form, end):
+        """The instant the rendered probe denotes under the documented
+        contract (bare date = whole day)."""
+        t = inst(sec)
+        if form != "date":
+            return t
+        day = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        return day + timedelta(hours=23, minutes=59, seconds=59,
+                               microseconds=999999) if end else day
+
+    man = {"segments": [], "stats": {"segstats": {}}}
+    data = {}
+    for i, secs in enumerate(segs):
+        name = f"seg-{i}"
+        man["segments"].append(name)
+        vals = [inst(s) for s in secs]
+        data[name] = vals
+        man["stats"]["segstats"][name] = {
+            "ts": [
+                min(vals).isoformat(sep=" "),
+                max(vals).isoformat(sep=" "),
+                "ts",
+            ]
+        }
+    lo = None if lo_s is None else render(lo_s, lo_form, end=False)
+    hi = None if hi_s is None else render(hi_s, hi_form, end=True)
+    t_lo = None if lo_s is None else true_bound(lo_s, lo_form, end=False)
+    t_hi = None if hi_s is None else true_bound(hi_s, hi_form, end=True)
+    pruned = set(mf.prune_manifest(man, "ts", lo, hi)["segments"])
+    for name, vals in data.items():
+        hit = any(
+            (t_lo is None or v >= t_lo) and (t_hi is None or v <= t_hi)
+            for v in vals
+        )
+        if hit:
+            assert name in pruned, (
+                f"{name} wrongly pruned: probe ({lo!r}, {hi!r})"
+            )
+
+
+def test_prune_manifest_legacy_untagged_iso_keeps_on_sep_mismatch():
+    """Pre-r14 stores carry timestamp stats as UNTAGGED 2-lists in
+    ' '-separated ISO form. A 'T'-separated probe string against them
+    is incomparable (the separator byte would invert same-day order) —
+    the segment must be KEPT, closing the original unsound path while
+    matched-separator compares keep pruning."""
+    man = {
+        "segments": ["seg-a", "seg-b"],
+        "stats": {"segstats": {
+            # mx 09:00 is AFTER the probe lo 03:00 — raw lexicographic
+            # compare against the 'T' form would wrongly prune it
+            "seg-a": {"ts": ["2024-05-06 01:00:00", "2024-05-06 09:00:00"]},
+            "seg-b": {"ts": ["2024-05-01 00:00:00", "2024-05-02 00:00:00"]},
+        }},
+    }
+    pruned = mf.prune_manifest(man, "ts", lo="2024-05-06T03:00:00")
+    assert pruned["segments"] == ["seg-a", "seg-b"]  # both kept: no lie
+    # matched separators still prune (seg-b provably before the lo)
+    pruned = mf.prune_manifest(man, "ts", lo="2024-05-06 03:00:00")
+    assert pruned["segments"] == ["seg-a"]
+    # datetime-object probes work against TAGGED stats
+    from datetime import datetime as _dt
+
+    man["stats"]["segstats"]["seg-a"]["ts"].append("ts")
+    man["stats"]["segstats"]["seg-b"]["ts"].append("ts")
+    pruned = mf.prune_manifest(man, "ts", lo=_dt(2024, 5, 6, 3))
+    assert pruned["segments"] == ["seg-a"]
+    # and the 'T' probe prunes correctly once stats are tagged
+    pruned = mf.prune_manifest(man, "ts", lo="2024-05-06T03:00:00")
+    assert pruned["segments"] == ["seg-a"]
+
+
 def test_segment_stats_skip_unorderable_types(spark):
     """Decimal/binary min-max values have no lossless JSON ordering —
     they are omitted (never pruned on) instead of crashing the commit
@@ -1167,8 +1278,11 @@ def test_segment_stats_skip_unorderable_types(spark):
     st = mf.segment_column_stats(df, ["d", "b", "ts", "dt", "k"])
     assert set(st) == {"ts", "dt", "k"}
     assert st["k"] == [7, 7]
-    assert st["ts"] == ["2024-05-06 07:08:09", "2024-05-06 07:08:09"]
-    assert st["dt"] == ["2024-05-06", "2024-05-06"]
+    # temporal stats carry their type tag (r14) so prune_manifest can
+    # render probes through the same contract instead of trusting the
+    # caller's string rendering
+    assert st["ts"] == ["2024-05-06 07:08:09", "2024-05-06 07:08:09", "ts"]
+    assert st["dt"] == ["2024-05-06", "2024-05-06", "date"]
     _json.dumps(st)  # the whole dict is manifest-serializable
 
 
@@ -1211,3 +1325,240 @@ def test_read_segments_partitioned_store_keeps_pruning(spark, tmp_path):
     assert scans == 3  # one leg per segment (fallback, by design)
     assert p.count("PartitionFilters: [isnotnull(cid") == 3
     assert q.count() == 38  # ids ≡ 3 mod 8 in [0, 300)
+
+
+# ---------------------------------------------------------------------------
+# reference HTTP conditional-put publisher (r14, VERDICT r13 #2)
+
+
+class _CondPutServer:
+    """A live conditional-PUT object store: PUT creates iff absent
+    (atomically, under one lock) and answers 412 when the name exists —
+    the S3 ``If-None-Match: *`` / GCS ``x-goog-if-generation-match: 0``
+    contract. ``fail_next`` simulates a 500 so error surfacing is
+    testable."""
+
+    def __init__(self):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        store, lock, state = {}, threading.Lock(), {"fail_next": 0}
+        srv = self
+
+        class H(BaseHTTPRequestHandler):
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                with lock:
+                    if state["fail_next"]:
+                        state["fail_next"] -= 1
+                        self.send_response(500)
+                        self.end_headers()
+                        return
+                    if self.path in store:
+                        self.send_response(412)
+                        self.end_headers()
+                        return
+                    store[self.path] = body
+                self.send_response(200)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.store, self.state = store, state
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self.thread.start()
+        self.port = self.httpd.server_address[1]
+
+    def url_for(self, path):
+        return (
+            f"http://127.0.0.1:{self.port}/{path.lstrip('/')}",
+            {"If-None-Match": "*"},
+        )
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_http_put_if_absent_race_exactly_one_winner():
+    """N threads racing the SAME manifest name through the shipped
+    http_put_if_absent: exactly one True, everyone else False (lost
+    race), and the stored payload is the winner's — byte-complete."""
+    import threading
+
+    srv = _CondPutServer()
+    try:
+        put = mf.http_put_if_absent(srv.url_for)
+        results = {}
+        barrier = threading.Barrier(8)
+
+        def racer(i):
+            barrier.wait()
+            results[i] = put("b/store/_manifests/manifest-0.json",
+                             b'{"writer": %d}' % i)
+
+        ts = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        winners = [i for i, ok in results.items() if ok]
+        assert len(winners) == 1
+        (stored,) = srv.store.values()
+        assert stored == b'{"writer": %d}' % winners[0]
+    finally:
+        srv.close()
+
+
+def test_http_publisher_through_commit_manifest():
+    """End-to-end through the registry: a scheme registered with
+    conditional_put_publisher(http_put_if_absent(...)) commits
+    generation 0 once, raises ConcurrentCommitError on the rival, and
+    surfaces server errors instead of reading them as committed."""
+    import urllib.error
+
+    import pytest as _pytest
+
+    srv = _CondPutServer()
+    prev = mf.register_commit_publisher(
+        "mock", mf.conditional_put_publisher(mf.http_put_if_absent(srv.url_for))
+    )
+    try:
+        root = "mock://bucket/store"
+        mf.commit_manifest(None, root, {"segments": ["seg-x"]}, 0)
+        import json as _json
+
+        (stored,) = srv.store.values()
+        assert _json.loads(stored) == {"segments": ["seg-x"]}
+        with _pytest.raises(mf.ConcurrentCommitError):
+            mf.commit_manifest(None, root, {"segments": ["seg-rival"]}, 0)
+        # 5xx surfaces — a network/server failure is never "committed"
+        srv.state["fail_next"] = 1
+        with _pytest.raises(urllib.error.HTTPError):
+            mf.commit_manifest(None, root, {"segments": []}, 1)
+        # ...and the name stays free for the retry, which then wins
+        mf.commit_manifest(None, root, {"segments": []}, 1)
+    finally:
+        mf.register_commit_publisher("mock", prev)
+        srv.close()
+
+
+def test_observe_segment_stats_one_scan_and_byte_identical(spark, tmp_path):
+    """r14 (VERDICT r13 #3): stats ride the write job via an
+    Observation — resolve() launches NO additional job (the old path
+    paid a full second aggregate scan) and the rendered dict is
+    byte-identical to segment_column_stats over the same rows,
+    including the temporal type tags and the omit-unorderable rule."""
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS STRING) AS s, "
+        "TIMESTAMP '2024-05-06 07:08:09' + make_interval(0,0,0,0,0,0,id) "
+        "AS ts, DATE '2024-05-06' AS dt, "
+        "CAST(NULL AS INT) AS nul, CAST(id AS DECIMAL(10,2)) AS d "
+        "FROM range(100)"
+    )
+    cols = ["k", "s", "ts", "dt", "nul", "d"]
+    want = mf.segment_column_stats(df, cols)
+    assert want["ts"][2] == "ts" and want["dt"][2] == "date"
+    assert "nul" not in want and "d" not in want
+    observed, resolve = mf.observe_segment_stats(df, cols)
+    sc = spark.sparkContext
+    sc.setJobGroup("obs_one_scan", "observe-stats write")
+    try:
+        observed.write.parquet(str(tmp_path / "seg"))
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    jobs_after_write = set(tracker.getJobIdsForGroup("obs_one_scan"))
+    got = resolve()
+    assert got == want
+    # resolving the observation cost zero further jobs — the metrics
+    # were computed BY the write
+    assert set(tracker.getJobIdsForGroup("obs_one_scan")) == jobs_after_write
+    all_jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    _ = resolve()  # idempotent re-read of the same observation
+    assert len(tracker.getJobIdsForGroup(None) or []) == all_jobs_before
+
+
+def test_commit_records_schema_fingerprints_and_gc(spark, tmp_path):
+    """r14 (VERDICT r13 #4): every commit fingerprints its new
+    segments' write schema into stats.segschema; compaction carries
+    the surviving entries and GC drops retired ones."""
+    root = str(tmp_path / "store")
+    s1 = _append(spark, root, [(1, "a")])
+    s2 = _append(spark, root, [(2, "b")])
+    gen, man = mf.latest_manifest(spark, root)
+    fps = man["stats"]["segschema"]
+    assert set(fps) == {s1, s2} and fps[s1] == fps[s2]
+    # compaction: retired entries GC'd, the merged segment fingerprinted
+    merged = mf.new_segment_name()
+    mf.read_segments(spark, root, man).coalesce(1).write.parquet(
+        f"{root}/{merged}"
+    )
+    mf.commit_compaction(spark, root, [merged], [s1, s2])
+    gen, man = mf.latest_manifest(spark, root)
+    assert set(man["stats"]["segschema"]) == {merged}
+
+
+def test_read_segments_fingerprint_fast_path_probes_one_leg(
+    spark, tmp_path
+):
+    """With full fingerprint coverage the reader decides the
+    single-scan path from the manifest: exactly TWO DataFrameReader
+    opens (first-leg guard probe + the multi-path scan) no matter how
+    many segments accumulated — not one per segment — and the plan
+    carries ONE parquet scan node."""
+    import re
+    from unittest import mock
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    root = str(tmp_path / "store")
+    for i in range(5):
+        _append(spark, root, [(i, f"v{i}")])
+    gen, man = mf.latest_manifest(spark, root)
+    assert len(man["stats"]["segschema"]) == 5
+    real = DataFrameReader.parquet
+    calls = []
+
+    def counting(self, *paths, **kw):
+        calls.append(paths)
+        return real(self, *paths, **kw)
+
+    with mock.patch.object(DataFrameReader, "parquet", counting):
+        df = mf.read_segments(spark, root, man)
+    assert len(calls) == 2, calls
+    assert sorted(r["k"] for r in df.collect()) == [0, 1, 2, 3, 4]
+    jvm = spark.sparkContext._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    # a pre-r14 manifest (no fingerprints) still reads correctly via
+    # the probing fallback
+    man_legacy = dict(man)
+    man_legacy["stats"] = {
+        k: v for k, v in man["stats"].items() if k != "segschema"
+    }
+    df = mf.read_segments(spark, root, man_legacy)
+    assert sorted(r["k"] for r in df.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_read_segments_mixed_schema_fallback_intact(spark, tmp_path):
+    """Differing fingerprints (mid-evolution store: same columns,
+    reordered write shape) keep the per-leg unionByName path — rows
+    from both shapes surface with columns aligned by name."""
+    root = str(tmp_path / "store")
+    _append(spark, root, [(1, "a")])
+    seg = mf.new_segment_name()
+    spark.createDataFrame(
+        [("x", 7)], "v string, k long"
+    ).write.parquet(f"{root}/{seg}")
+    mf.commit_append(spark, root, [seg])
+    gen, man = mf.latest_manifest(spark, root)
+    fps = man["stats"]["segschema"]
+    assert len(set(fps.values())) == 2
+    df = mf.read_segments(spark, root, man)
+    assert sorted(r["k"] for r in df.collect()) == [1, 7]
