@@ -189,6 +189,8 @@ def test_cli_describe_reports_store_state(spark, tmp_path, capsys):
     assert rep["generation"] == 1 and rep["segments"] == [seg]
     assert rep["fences"] == {"q9": 3}
     assert rep["segstats"][seg]["k"] == [1, 5]
+    # r14: the commit-time schema fingerprint is surfaced too
+    assert list(rep["segschema"]) == [seg] and len(rep["segschema"][seg]) == 16
     assert rep["live_data_files"] >= 1
     # a non-store path reports manifest: None with exit 1
     assert main(["describe", "--store", str(tmp_path / "nope")]) == 1

@@ -1562,3 +1562,63 @@ def test_read_segments_mixed_schema_fallback_intact(spark, tmp_path):
     assert len(set(fps.values())) == 2
     df = mf.read_segments(spark, root, man)
     assert sorted(r["k"] for r in df.collect()) == [1, 7]
+
+
+@given(
+    segs=hst.lists(
+        hst.lists(hst.integers(0, 3650), min_size=1, max_size=6),
+        max_size=6,
+    ),
+    lo_d=hst.one_of(hst.none(), hst.integers(-30, 3700)),
+    hi_d=hst.one_of(hst.none(), hst.integers(-30, 3700)),
+    lo_form=hst.sampled_from(["date", "dt", "str"]),
+    hi_form=hst.sampled_from(["date", "dt", "str"]),
+    lo_hour=hst.integers(0, 23),
+    hi_hour=hst.integers(0, 23),
+)
+def test_prune_manifest_date_probe_renderings_sound(
+    segs, lo_d, hi_d, lo_form, hi_form, lo_hour, hi_hour
+):
+    """'date'-tagged stats × probe renderings (date object, datetime
+    at an arbitrary hour — floored to its date, ISO date string): a
+    segment containing a matching day is never pruned. Datetime
+    flooring is conservative for BOTH bounds: mx < lo.date() implies
+    every day ends before lo, and mn > hi.date() implies every day
+    starts after hi."""
+    from datetime import date, datetime, timedelta
+
+    base = date(2020, 1, 1)
+
+    def day(n):
+        return base + timedelta(days=n)
+
+    def render(n, form, hour):
+        if form == "date":
+            return day(n)
+        if form == "dt":
+            return datetime(2020, 1, 1, hour) + timedelta(days=n)
+        return day(n).isoformat()
+
+    man = {"segments": [], "stats": {"segstats": {}}}
+    data = {}
+    for i, days in enumerate(segs):
+        name = f"seg-{i}"
+        man["segments"].append(name)
+        vals = [day(d) for d in days]
+        data[name] = vals
+        man["stats"]["segstats"][name] = {
+            "d": [min(vals).isoformat(), max(vals).isoformat(), "date"]
+        }
+    lo = None if lo_d is None else render(lo_d, lo_form, lo_hour)
+    hi = None if hi_d is None else render(hi_d, hi_form, hi_hour)
+    pruned = set(mf.prune_manifest(man, "d", lo, hi)["segments"])
+    # the documented contract: a datetime probe floors to its date
+    t_lo = None if lo_d is None else day(lo_d)
+    t_hi = None if hi_d is None else day(hi_d)
+    for name, vals in data.items():
+        hit = any(
+            (t_lo is None or v >= t_lo) and (t_hi is None or v <= t_hi)
+            for v in vals
+        )
+        if hit:
+            assert name in pruned, (name, lo, hi)
