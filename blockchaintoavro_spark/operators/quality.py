@@ -231,8 +231,24 @@ def hash_split(
     bucket = _hash_bucket(key)
     expr = F.lit(last)
     for label, upper in reversed(list(boundaries)):
+        _check_hex_pair(upper)
         expr = F.when(bucket < upper, label).otherwise(expr)
     return expr
+
+
+def _check_hex_pair(s: str) -> None:
+    """Thresholds compare lexicographically against a 2-LOWERCASE-hex
+    bucket — any other shape ('100', 'CD', 'c') silently misassigns
+    rows instead of erroring, so refuse it loudly (same contract as
+    split.py's 8-char validation)."""
+    if not (
+        isinstance(s, str)
+        and len(s) == 2
+        and all(c in "0123456789abcdef" for c in s)
+    ):
+        raise ValueError(
+            f"threshold {s!r} is not a 2-char lowercase hex pair"
+        )
 
 
 def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
@@ -271,8 +287,10 @@ def stratified_keep(
     partitioning).
     """
     bucket = _hash_bucket(key)
+    _check_hex_pair(default)
     thresh = F.lit(default)
     for value, upper in fractions.items():
+        _check_hex_pair(upper)
         thresh = F.when(stratum == value, upper).otherwise(thresh)
     return bucket < thresh
 

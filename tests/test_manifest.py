@@ -220,7 +220,10 @@ def test_stats_commit_atomically_with_data(spark, tmp_path):
     )
     mf.commit_append(spark, root, [seg], stats={"n": 2, "dist_sum": 0.5})
     gen, man = mf.latest_manifest(spark, root)
-    assert man["stats"] == {"n": 2, "dist_sum": 0.5}
+    # caller stats ride the commit untouched; the commit ALSO
+    # fingerprints its new segment's schema (r14)
+    assert man["stats"]["n"] == 2 and man["stats"]["dist_sum"] == 0.5
+    assert set(man["stats"]["segschema"]) == {seg}
 
 
 def test_legacy_layout_adopted_on_first_commit(spark, tmp_path):

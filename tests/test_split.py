@@ -351,3 +351,24 @@ def test_fuzz_spark_split_matches_hashlib_reference(
     }
     want = {str(k): _py_split(k, names, bounds, salt) for k in keys}
     assert got == want
+
+
+def test_quality_hex_pair_thresholds_validated(spark):
+    """The expression-level split/keep primitives in quality.py take
+    literal hex-pair thresholds — a malformed pair ('100', 'CD') would
+    silently misassign rows via string compare, so it must refuse."""
+    from pyspark.sql import functions as F
+
+    from blockchaintoavro_spark.operators.quality import (
+        hash_split as q_hash_split,
+    )
+    from blockchaintoavro_spark.operators.quality import stratified_keep
+
+    for bad in ("100", "CD", "c", "", "g0"):
+        with pytest.raises(ValueError, match="hex pair"):
+            q_hash_split(F.col("k"), boundaries=(("train", bad),))
+        with pytest.raises(ValueError, match="hex pair"):
+            stratified_keep(F.col("k"), F.col("s"), {"en": bad})
+    # the documented shapes still build
+    q_hash_split(F.col("k"))
+    stratified_keep(F.col("k"), F.col("s"), {"en": "34"})
