@@ -405,8 +405,8 @@ def test_commit_append_retry_folds_stats_after_lost_race(
         mf.commit_append(
             spark, root, [mine],
             update_stats=lambda old: {
-                "n": (old["n"] if old else 0) + 2,
-                "dist_sum": (old["dist_sum"] if old else 0.0) + 0.5,
+                "n": (old or {}).get("n", 0) + 2,
+                "dist_sum": (old or {}).get("dist_sum", 0.0) + 0.5,
             },
             retries=0,
         )
@@ -414,15 +414,16 @@ def test_commit_append_retry_folds_stats_after_lost_race(
     mf.commit_append(
         spark, root, [mine],
         update_stats=lambda old: {
-            "n": (old["n"] if old else 0) + 2,
-            "dist_sum": (old["dist_sum"] if old else 0.0) + 0.5,
+            "n": (old or {}).get("n", 0) + 2,
+            "dist_sum": (old or {}).get("dist_sum", 0.0) + 0.5,
         },
         retries=3,
     )
     monkeypatch.undo()
     gen, man = mf.latest_manifest(spark, root)
     assert rival in man["segments"] and mine in man["segments"]
-    assert man["stats"] == {"n": 6, "dist_sum": 2.5}  # winner's 4 + my 2
+    # winner's 4 + my 2; the commit also auto-fingerprints (r14)
+    assert man["stats"]["n"] == 6 and man["stats"]["dist_sum"] == 2.5
     assert _read_ids(spark, root) == [1, 2, 7]
 
 
@@ -504,7 +505,11 @@ def test_compaction_preserves_concurrent_append(spark, tmp_path, monkeypatch):
     gen, man = mf.latest_manifest(spark, root)
     assert merged in man["segments"] and state["rival"] in man["segments"]
     assert s1 not in man["segments"] and s2 not in man["segments"]
-    assert man["stats"] == {"last_batch_id": 9}  # fence preserved
+    assert man["stats"]["last_batch_id"] == 9  # fence preserved
+    # the compaction fingerprints its merged segment; GC drops retired
+    assert set(man["stats"].get("segschema", {})) <= {
+        merged, state["rival"]
+    }
     # and vacuum retires the replaced segments without touching either
     mf.vacuum_store(spark, root, keep_generations=1)
     assert _read_ids(spark, root) == [1, 2, 7]
