@@ -864,6 +864,140 @@ def bench_round13_operators(spark) -> dict:
     return results
 
 
+def bench_round14_operators(spark) -> dict:
+    """Round-14 mechanics. Claims under measurement: (1) commit-time
+    schema fingerprints make read_segments plan-BUILD latency ~flat in
+    uncompacted-append count (2 reader opens) where the probing
+    fallback grows linearly (one footer read per segment); (2) the
+    Observation-ridden append computes stats in the write job — the
+    commit's total job count drops by the dedicated aggregate scan;
+    (3) a rotated-sink time-range probe's read cost tracks the PROBE
+    (windows kept), not the sink's history."""
+    import shutil
+    import tempfile
+
+    from blockchaintoavro_spark.operators import manifest as mf
+    from blockchaintoavro_spark.operators.rotation import (
+        prune_rotated,
+        read_rotated_range,
+        read_rotated,
+        write_rotated,
+    )
+
+    results: dict[str, dict] = {}
+    root = tempfile.mkdtemp(prefix="spark_graft_r14_")
+    try:
+        # --- (1) read_segments plan-build: fingerprints vs probing
+        fp = {}
+        for n_segs in (8, 32, 128):
+            store = f"{root}/store{n_segs}"
+            rows = spark.range(64).selectExpr("id AS k", "string(id) AS v")
+            segs = [mf.new_segment_name() for _ in range(n_segs)]
+            for s in segs:
+                rows.write.parquet(f"{store}/{s}")
+            mf.commit_append(spark, store, segs)
+            gen, man = mf.latest_manifest(spark, store)
+            _, t_fast = timed(lambda: mf.read_segments(spark, store, man))
+            legacy = dict(man)
+            legacy["stats"] = {
+                k: v for k, v in man["stats"].items() if k != "segschema"
+            }
+            _, t_probe = timed(
+                lambda: mf.read_segments(spark, store, legacy)
+            )
+            fp[f"segs{n_segs}"] = {
+                "fingerprint_plan_sec": t_fast,
+                "probing_plan_sec": t_probe,
+            }
+            print(
+                f"round14 read_segments {n_segs} segs: fingerprints "
+                f"{t_fast}s vs probing {t_probe}s",
+                flush=True,
+            )
+        results["read_segments_plan_build"] = fp
+
+        # --- (2) append stats: observed-on-write vs separate scan
+        batch = scaled_documents(spark, 10).selectExpr(
+            "doc_id", "text"
+        )
+        tracker = spark.sparkContext.statusTracker()
+        store = f"{root}/obs_store"
+        seg = mf.new_segment_name()
+        j0 = len(tracker.getJobIdsForGroup(None) or [])
+        observed, resolve = mf.observe_segment_stats(batch, ["doc_id"])
+        _, t_obs = timed(
+            lambda: observed.write.parquet(f"{store}/{seg}")
+        )
+        st = resolve()
+        jobs_observed = len(tracker.getJobIdsForGroup(None) or []) - j0
+        seg2 = mf.new_segment_name()
+        j0 = len(tracker.getJobIdsForGroup(None) or [])
+
+        def two_scan():
+            batch.write.parquet(f"{store}/{seg2}")
+            return mf.segment_column_stats(batch, ["doc_id"])
+
+        st2, t_two = timed(two_scan)
+        jobs_two_scan = len(tracker.getJobIdsForGroup(None) or []) - j0
+        assert {k: v for k, v in st.items()} == st2
+        results["append_stats"] = {
+            "observed_write_sec": t_obs,
+            "write_plus_stats_scan_sec": t_two,
+            "observed_jobs": jobs_observed,
+            "two_scan_jobs": jobs_two_scan,
+        }
+        print(
+            f"round14 append stats: observed {t_obs}s/{jobs_observed} "
+            f"jobs vs write+scan {t_two}s/{jobs_two_scan} jobs",
+            flush=True,
+        )
+
+        # --- (3) rotated range read: probe-proportional. Windows are
+        # FILE-sized (~4k rows each — the "months of rotated output"
+        # shape where per-file decode dominates), so the wall ratio
+        # tracks the deterministic claim: files opened = kept windows.
+        import glob as _glob
+
+        ev = spark.range(400_000).selectExpr(
+            "CAST(1577836800000 + id * 150 AS LONG) AS timestamp",
+            "id AS event_id",
+        )
+        sink = f"{root}/rot"
+        write_rotated(ev, sink, "timestamp", 600)
+        files_total = len(_glob.glob(f"{sink}/window_id=*/*.avro"))
+        _, t_full = timed(lambda: read_rotated(spark, sink).count())
+        mn, mx = 1577836800000, 1577836800000 + 399_999 * 150
+        span = mx - mn
+        lo = mn + span * 45 // 100
+        hi = mn + span * 55 // 100
+        kept, total = prune_rotated(spark, sink, lo, hi, 600)
+        files_kept = sum(
+            len(_glob.glob(f"{sink}/window_id={w}/*.avro")) for w in kept
+        )
+        _, t_range = timed(
+            lambda: read_rotated_range(
+                spark, sink, lo, hi, 600, "timestamp"
+            ).count()
+        )
+        results["rotated_range_read"] = {
+            "full_scan_sec": t_full,
+            "range_read_sec": t_range,
+            "windows_kept": len(kept),
+            "windows_total": total,
+            "files_opened_range": files_kept,
+            "files_total": files_total,
+        }
+        print(
+            f"round14 rotated range: full {t_full}s/{files_total} files "
+            f"vs 10%-probe {t_range}s/{files_kept} files "
+            f"({len(kept)}/{total} windows)",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     spark = get_spark("scale_bench")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -879,6 +1013,7 @@ def main() -> None:
         "round11_operators": bench_round11_operators(spark),
         "round12_operators": bench_round12_operators(spark),
         "round13_operators": bench_round13_operators(spark),
+        "round14_operators": bench_round14_operators(spark),
         "model_ops": bench_model_ops(spark),
         "ocf_split": bench_ocf_split(spark),
     }
