@@ -314,12 +314,13 @@ def http_put_if_absent(url_for, conflict_statuses=(409, 412), opener=None):
             url, data=payload, method="PUT", headers=dict(headers or {})
         )
         try:
-            resp = _opener.open(req)
+            with _opener.open(req) as resp:
+                status = getattr(resp, "status", None) or resp.getcode()
         except urllib.error.HTTPError as e:
+            e.close()  # a commit-per-micro-batch writer must not leak fds
             if e.code in conflict_statuses:
                 return False
             raise
-        status = getattr(resp, "status", None) or resp.getcode()
         if not 200 <= int(status) < 300:
             raise OSError(
                 f"conditional PUT to {url} returned unexpected "
@@ -882,14 +883,22 @@ _ISO_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
 def _ts_probe(v, end: bool):
     """Render a probe bound for comparison against ``"ts"``-tagged
     stats (the ``sep=' '`` ISO rendering stats time writes). Accepts
-    datetime/date objects and ISO-shaped strings in EITHER ``'T'`` or
-    ``' '`` separator form; a bare date means the full day (midnight
-    for ``lo``, end-of-day for ``hi`` — conservative in both
+    NAIVE datetime/date objects and ISO-shaped strings in EITHER
+    ``'T'`` or ``' '`` separator form; a bare date means the full day
+    (midnight for ``lo``, end-of-day for ``hi`` — conservative in both
     directions). Returns None when the probe cannot be soundly
-    rendered — that bound then never prunes."""
+    rendered — that bound then never prunes. TZ-AWARE datetimes (and
+    offset-suffixed ISO strings) are deliberately unrenderable: stats
+    are written from the session's naive driver datetimes, and an
+    aware probe's ``isoformat`` carries an offset suffix that sorts
+    ABOVE the equal-instant naive rendering — the exact lexicographic
+    skew this module exists to exclude. Strip the tz at the call site
+    (converting through the session clock) if you mean the instant."""
     from datetime import date, datetime
 
     if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            return None  # aware vs naive-rendered stats: keep, never prune
         return v.isoformat(sep=" ")
     if isinstance(v, date):
         return v.isoformat() + (" 23:59:59.999999" if end else " 00:00:00")
@@ -902,12 +911,16 @@ def _ts_probe(v, end: bool):
 
 
 def _date_probe(v):
-    """Render a probe bound against ``"date"``-tagged stats. A
+    """Render a probe bound against ``"date"``-tagged stats. A NAIVE
     datetime floors to its date — sound for both bounds (``mx < lo``
-    and ``mn > hi`` both stay conservative under flooring)."""
+    and ``mn > hi`` both stay conservative under flooring). An AWARE
+    datetime is unrenderable (its wall-clock date can sit a day off
+    the session-naive dates the stats recorded): keep, never prune."""
     from datetime import date, datetime
 
     if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            return None
         return v.date().isoformat()
     if isinstance(v, date):
         return v.isoformat()
@@ -1087,11 +1100,13 @@ def read_segments(spark, root: str, manifest: dict):
         return spark.read.parquet(paths[0])
     fps = (manifest.get("stats") or {}).get("segschema") or {}
     vals = [fps.get(s) for s in segs]
+    merged_tried = False
     if all(vals) and len(set(vals)) == 1:
         # every segment committed the SAME write-schema fingerprint:
         # skip per-leg probing entirely. One probe of the first leg
         # still guards the multi-root edge (partition discovery can
         # reorder or drop inferred columns in exotic layouts).
+        merged_tried = True
         first = spark.read.parquet(paths[0]).schema
         try:
             merged = spark.read.parquet(*paths)
@@ -1101,7 +1116,10 @@ def read_segments(spark, root: str, manifest: dict):
             pass  # fall back to the per-leg union
     legs = [spark.read.parquet(p) for p in paths]
     first = legs[0].schema
-    if all(df.schema == first for df in legs[1:]):
+    # merged_tried: the fingerprint probe already ran (and failed)
+    # this exact multi-path read + comparison — equal fingerprints
+    # guarantee equal per-leg schemas, so repeating it cannot succeed
+    if not merged_tried and all(df.schema == first for df in legs[1:]):
         try:
             merged = spark.read.parquet(*paths)
             # only take the fast path when it reproduces the per-leg

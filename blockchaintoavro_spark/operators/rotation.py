@@ -131,12 +131,21 @@ def prune_rotated(
     jvm = spark._jvm
     jp = jvm.org.apache.hadoop.fs.Path(path)
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-    ids = sorted(
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(jp)
-        if st.isDirectory()
-        and st.getPath().getName().startswith("window_id=")
-    )
+    ids = []
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("window_id=")):
+            continue
+        try:
+            ids.append(int(name.split("=", 1)[1]))
+        except ValueError:
+            # the NULL partition (window_id=__HIVE_DEFAULT_PARTITION__,
+            # rows with no event time): it has no window span, and a
+            # NULL timestamp can never satisfy a range bound — skip it
+            # rather than crash every probe against the sink. Rows
+            # without an event time are reachable via read_rotated.
+            continue
+    ids.sort()
     wlo, whi = rotated_window_span(lo_millis, hi_millis, rotation_seconds)
     kept = [
         w

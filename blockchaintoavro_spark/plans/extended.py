@@ -5661,12 +5661,23 @@ def x_streaming_hh_q(spark: SparkSession, sf: str) -> DataFrame:
             .option("checkpointLocation", f"{root}/ckpt")
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            # partial state is NOT an answer — and the finally-rmtree
+            # must not pull the source out from under a live query
+            q.stop()
+            raise TimeoutError(
+                "x_streaming_heavy_hitters: availableNow replay did "
+                "not drain within 180 s"
+            )
         return spark.createDataFrame(
             [
                 (r["shard"], r["item"], r["mg_lower"])
                 for _, (_, shard_rows) in sorted(by_shard.items())
                 for r in shard_rows
+                # a shard whose counters decremented away emits a
+                # NULL-item marker (carrying shard_rows); it is not a
+                # candidate
+                if r["item"] is not None
             ],
             "shard long, item string, mg_lower long",
         ).orderBy("shard", "item")
@@ -5741,9 +5752,18 @@ def x_streaming_hh_exact_q(spark: SparkSession, sf: str) -> DataFrame:
             .option("checkpointLocation", f"{root}/ckpt")
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "x_streaming_hh_exact: availableNow replay did not "
+                "drain within 180 s — partial candidates would fail "
+                "the exactness claim"
+            )
         cand = {
-            r["item"] for _, rows in by_shard.values() for r in rows
+            r["item"]
+            for _, rows in by_shard.values()
+            for r in rows
+            if r["item"] is not None  # NULL-item = empty-shard marker
         }
         n = sum(rows[0]["shard_rows"] for _, rows in by_shard.values())
         return recount_candidates(toks, "tok", cand, n, 1, 100)

@@ -114,7 +114,14 @@ def streaming_heavy_hitter_candidates(
     Scale: state is ``shards × k`` counters cluster-wide, partitioned
     by shard and checkpointed incrementally; the per-batch work is one
     Exchange on the shard id + an Arrow-batched value_counts fold.
-    ``col`` must be a string column (state schema is array<string>)."""
+    ``col`` must be a string column (state schema is array<string>).
+
+    COMPATIBILITY: r14 widened the state schema (``shard_rows bigint``
+    joined ``items``/``counts``) — a checkpoint written by the r13
+    2-field schema cannot be resumed by this version (Spark's
+    state-store schema check fails the restart). Restart such a query
+    on a FRESH checkpoint and replay the source; the exactly-once
+    store fences make the replay idempotent downstream."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..operators.heavyhitters import mg_add
@@ -134,15 +141,23 @@ def streaming_heavy_hitter_candidates(
         state.update(
             (list(counters), [int(v) for v in counters.values()], int(seen))
         )
-        if counters:
-            yield pd.DataFrame(
-                {
-                    "shard": key[0],
-                    "item": list(counters),
-                    "mg_lower": [int(v) for v in counters.values()],
-                    "shard_rows": int(seen),
-                }
-            )
+        # a shard whose counters all decremented away this batch still
+        # emits one NULL-item marker row (the batch _mg_fold contract):
+        # otherwise a last-emission consumer would keep the PREVIOUS
+        # batch's stale candidates AND a stale shard_rows, undercounting
+        # the exact-recount denominator
+        items = list(counters)
+        lowers = [int(v) for v in counters.values()]
+        if not items:
+            items, lowers = [None], [0]
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "item": items,
+                "mg_lower": lowers,
+                "shard_rows": int(seen),
+            }
+        )
 
     shard = F.pmod(F.xxhash64(F.col(col)), F.lit(shards)).alias("shard")
     return (

@@ -208,7 +208,8 @@ def test_streaming_mg_candidates_superset_and_bounded(
     for bid in sorted(per_batch):
         by_shard: dict[int, dict[str, int]] = {}
         for r in per_batch[bid]:
-            by_shard.setdefault(r["shard"], {})[r["item"]] = r["mg_lower"]
+            if r["item"] is not None:  # skip empty-shard markers (r14)
+                by_shard.setdefault(r["shard"], {})[r["item"]] = r["mg_lower"]
         final.update(by_shard)
     for shard_counters in final.values():
         assert len(shard_counters) <= k
@@ -288,7 +289,12 @@ def test_streaming_candidates_recount_equals_exact(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     n = sum(rows[0]["shard_rows"] for _, rows in by_shard.values())
     assert n == toks.filter(F.col("tok").isNotNull()).count()
-    cand = {r["item"] for _, rows in by_shard.values() for r in rows}
+    cand = {
+        r["item"]
+        for _, rows in by_shard.values()
+        for r in rows
+        if r["item"] is not None
+    }
     got = [
         (r["item"], r["item_count"])
         for r in recount_candidates(toks, "tok", cand, n, 1, 100).collect()
@@ -298,3 +304,62 @@ def test_streaming_candidates_recount_equals_exact(spark, sf_dir, tmp_path):
         for r in exact_heavy_hitters(toks, "tok", 1, 100).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_streaming_mg_empty_shard_emits_marker_with_totals(
+    spark, tmp_path
+):
+    """r14 review fix: a shard whose k counters all decrement away in
+    a batch must STILL emit (a NULL-item marker carrying shard_rows) —
+    otherwise a last-emission consumer keeps the previous batch's
+    stale candidates and an undercounted total, breaking the
+    streaming→exact recount denominator."""
+    from blockchaintoavro_spark.operators.heavyhitters import (
+        recount_candidates,
+    )
+    from blockchaintoavro_spark.streaming.stateful import (
+        streaming_heavy_hitter_candidates,
+    )
+
+    # k=1, one shard: file 1 installs {A:1}; file 2's B decrements A
+    # away and (classic MG) cannot install itself — counters empty
+    src = str(tmp_path / "toks")
+    spark.createDataFrame([("A",)], "tok string").write.parquet(
+        f"{src}/f1"
+    )
+    spark.createDataFrame([("B",)], "tok string").write.parquet(
+        f"{src}/f2"
+    )
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_heavy_hitter_candidates(stream, "tok", k=1, shards=1)
+    per_batch: dict[int, list] = {}
+
+    def sink(df, bid):
+        per_batch[bid] = df.collect()
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    non_empty = {b: rows for b, rows in per_batch.items() if rows}
+    assert len(non_empty) == 2  # one emission per file-batch
+    last = non_empty[max(non_empty)]
+    # the final emission is the marker: no candidate, CURRENT total
+    assert [(r["item"], r["mg_lower"], r["shard_rows"]) for r in last] == [
+        (None, 0, 2)
+    ]
+    # and the composition stays exact: at threshold 1/1 (k=1 satisfies
+    # k+1 > den/num) the true heavy-hitter set is empty, the candidate
+    # union is empty, and the denominator is the TRUE total 2, not the
+    # stale 1 a skipped emission would have left
+    toks = spark.read.parquet(f"{src}/*")
+    got = recount_candidates(toks, "tok", set(), 2, 1, 1).collect()
+    assert got == []

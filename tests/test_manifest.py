@@ -1630,3 +1630,41 @@ def test_prune_manifest_date_probe_renderings_sound(
         )
         if hit:
             assert name in pruned, (name, lo, hi)
+
+
+def test_prune_manifest_tz_aware_probes_never_prune():
+    """r14 review fix: an AWARE datetime probe renders with an offset
+    suffix that sorts above the equal-instant naive stats rendering —
+    the exact lexicographic skew typed probes exist to exclude. Aware
+    probes (and offset-suffixed ISO strings) are unrenderable: the
+    segment is KEPT."""
+    from datetime import datetime, timedelta, timezone
+
+    man = {
+        "segments": ["seg-a"],
+        "stats": {"segstats": {
+            "seg-a": {
+                "ts": ["2020-01-01 06:00:00", "2020-01-01 12:00:00", "ts"],
+                "d": ["2020-01-01", "2020-01-02", "date"],
+            }
+        }},
+    }
+    # equal-instant UTC-aware lo: naive compare would prune (mx < lo
+    # because of the '+00:00' suffix) — must be kept
+    aware = datetime(2020, 1, 1, 12, 0, 0, tzinfo=timezone.utc)
+    assert mf.prune_manifest(man, "ts", lo=aware)["segments"] == ["seg-a"]
+    # a +05:00 probe hours off the naive wall clock — kept either way
+    plus5 = datetime(2020, 1, 2, 0, 0, tzinfo=timezone(timedelta(hours=5)))
+    assert mf.prune_manifest(man, "ts", lo=plus5)["segments"] == ["seg-a"]
+    assert mf.prune_manifest(man, "d", lo=plus5)["segments"] == ["seg-a"]
+    # offset-suffixed ISO strings fail the shape check: kept
+    assert mf.prune_manifest(
+        man, "ts", lo="2020-01-01T12:00:00+00:00"
+    )["segments"] == ["seg-a"]
+    # the NAIVE equivalents still prune (the fast path is intact)
+    assert mf.prune_manifest(
+        man, "ts", lo=datetime(2020, 1, 1, 12, 0, 1)
+    )["segments"] == []
+    assert mf.prune_manifest(
+        man, "d", lo=datetime(2020, 1, 3, 0, 0)
+    )["segments"] == []

@@ -3708,3 +3708,29 @@ def test_rotated_window_span_matches_spark_div_on_negatives(spark):
     for r in rows:
         lo, hi = rotated_window_span(r["ts"], r["ts"], 600)
         assert lo == hi == r["w"], (r["ts"], lo, r["w"])
+
+
+def test_prune_rotated_skips_null_partition_dir(spark, tmpdir):
+    """r14 review fix: rows with a NULL event time land in the Hive
+    default partition; its directory must not crash every range probe
+    against the sink (a NULL timestamp can never match a range bound,
+    so skipping it is also the sound prune)."""
+    import os
+
+    from blockchaintoavro_spark.operators.rotation import (
+        prune_rotated,
+        read_rotated_range,
+    )
+
+    b = load_blocks(spark).select("ingest_id", "timestamp").limit(50)
+    write_rotated(b, tmpdir, rotation_seconds=600)
+    os.makedirs(f"{tmpdir}/window_id=__HIVE_DEFAULT_PARTITION__")
+    r = b.agg(
+        F.min("timestamp").alias("mn"), F.max("timestamp").alias("mx")
+    ).first()
+    kept, total = prune_rotated(spark, tmpdir, int(r["mn"]), int(r["mx"]))
+    assert kept and total == len(kept)  # the NULL dir is not a window
+    got = read_rotated_range(
+        spark, tmpdir, int(r["mn"]), int(r["mx"]), 600, "timestamp"
+    ).count()
+    assert got == 50
