@@ -65,6 +65,14 @@ def _subtree_cpu_seconds(root_pid: int) -> float | None:
     the JVM forked. Linux /proc only; returns None elsewhere so the
     bench degrades to wall clock."""
     try:
+        # capability probe: kernels without CONFIG_PROC_CHILDREN have
+        # no /proc/<pid>/task/<tid>/children — without this check the
+        # walk would silently return DRIVER-ONLY CPU (a small non-None
+        # float), recording a wildly undercounted cpu_sec instead of
+        # degrading to wall clock
+        me = os.getpid()
+        with open(f"/proc/{me}/task/{me}/children"):
+            pass
         tick = os.sysconf("SC_CLK_TCK")
         total, stack, seen = 0.0, [int(root_pid)], set()
         while stack:
@@ -76,11 +84,15 @@ def _subtree_cpu_seconds(root_pid: int) -> float | None:
                 with open(f"/proc/{p}/stat") as f:
                     parts = f.read().rsplit(")", 1)[1].split()
                 total += (int(parts[11]) + int(parts[12])) / tick
-                for tid in os.listdir(f"/proc/{p}/task"):
-                    with open(f"/proc/{p}/task/{tid}/children") as f:
-                        stack.extend(int(c) for c in f.read().split())
+                tids = os.listdir(f"/proc/{p}/task")
             except OSError:
                 continue  # raced a dying process: its CPU is dropped
+            for tid in tids:
+                try:  # per-tid: one dying thread must not drop the
+                    with open(f"/proc/{p}/task/{tid}/children") as f:
+                        stack.extend(int(c) for c in f.read().split())
+                except OSError:  # rest of the process's subtrees
+                    continue
         return total
     except (OSError, ValueError):
         return None

@@ -264,7 +264,9 @@ def conditional_put_publisher(put_if_absent):
     return publish
 
 
-def http_put_if_absent(url_for, conflict_statuses=(409, 412), opener=None):
+def http_put_if_absent(
+    url_for, conflict_statuses=(409, 412), opener=None, timeout=30.0
+):
     """REFERENCE ``put_if_absent`` over plain HTTP(S) — the shipped
     implementation of the conditional-write commit primitive an object
     store deployment registers, built on the stores' PUBLIC
@@ -291,7 +293,9 @@ def http_put_if_absent(url_for, conflict_statuses=(409, 412), opener=None):
     2xx → True (this process created the object); a status in
     ``conflict_statuses`` → False (LOST RACE — a complete rival
     manifest occupies the name); anything else raises — network
-    timeouts and 5xx must surface, never read as "committed".
+    timeouts and 5xx must surface, never read as "committed". Every
+    request carries ``timeout`` (default 30 s), so a black-holed
+    endpoint raises instead of hanging the commit loop forever.
 
     Usage::
 
@@ -314,7 +318,10 @@ def http_put_if_absent(url_for, conflict_statuses=(409, 412), opener=None):
             url, data=payload, method="PUT", headers=dict(headers or {})
         )
         try:
-            with _opener.open(req) as resp:
+            # urllib's default socket timeout is None — without an
+            # explicit timeout a black-holed endpoint would hang the
+            # commit loop forever instead of surfacing as an error
+            with _opener.open(req, timeout=timeout) as resp:
                 status = getattr(resp, "status", None) or resp.getcode()
         except urllib.error.HTTPError as e:
             e.close()  # a commit-per-micro-batch writer must not leak fds
@@ -880,6 +887,23 @@ _ISO_TS_RE = _re.compile(
 _ISO_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 
+def _canon_ts_string(s: str) -> str:
+    """Canonicalize a ``' '``-separated ISO timestamp string to the
+    exact rendering ``datetime.isoformat`` (= stats time) produces:
+    fraction OMITTED when zero, else exactly six digits. Lexicographic
+    compare is instant-ordered only within one rendering — a
+    trailing-zero fraction ('…00.000000') sorts ABOVE its fractionless
+    equal instant, and a short fraction ('…00.5') sorts BELOW its
+    padded equal ('…00.500000'). Sub-microsecond digits are truncated
+    — sound for both bounds at Spark's microsecond storage (no row can
+    sit strictly between an instant and its µs truncation)."""
+    head, dot, frac = s.partition(".")
+    if not dot:
+        return s
+    frac6 = (frac + "000000")[:6]
+    return head if frac6 == "000000" else f"{head}.{frac6}"
+
+
 def _ts_probe(v, end: bool):
     """Render a probe bound for comparison against ``"ts"``-tagged
     stats (the ``sep=' '`` ISO rendering stats time writes). Accepts
@@ -904,7 +928,7 @@ def _ts_probe(v, end: bool):
         return v.isoformat() + (" 23:59:59.999999" if end else " 00:00:00")
     if isinstance(v, str):
         if _ISO_TS_RE.match(v):
-            return v[:10] + " " + v[11:]
+            return _canon_ts_string(v[:10] + " " + v[11:])
         if _ISO_DATE_RE.match(v):
             return v + (" 23:59:59.999999" if end else " 00:00:00")
     return None
@@ -929,19 +953,36 @@ def _date_probe(v):
     return None
 
 
-def _iso_sep_mismatch(a, b) -> bool:
-    """True when two strings are both ISO-datetime-shaped but with
-    DIFFERENT ``'T'``/``' '`` separators: lexicographic compare would
-    order same-day instants by separator byte (``' '`` < ``'T'``), so
-    the pair is incomparable — the caller must keep the segment.
-    Guards pre-r14 stores whose timestamp stats are untagged 2-lists."""
-    return (
-        isinstance(a, str)
-        and isinstance(b, str)
-        and bool(_ISO_TS_RE.match(a))
-        and bool(_ISO_TS_RE.match(b))
-        and a[10] != b[10]
-    )
+def _untagged_incomparable(a, b) -> bool:
+    """True when an UNTAGGED (pre-r14) stats bound and a probe string
+    are both temporal-shaped but rendered differently enough that
+    lexicographic compare would not order the instants they name — the
+    caller must keep the segment. Mismatched renderings covered:
+    ``'T'`` vs ``' '`` separators (``' '`` < ``'T'`` orders same-day
+    instants by separator byte), bare-date vs timestamp shape (the
+    date is a PREFIX of every same-day timestamp, so ``mn > hi`` fires
+    on matching days), and differing fraction lengths (a trailing-zero
+    or short fraction sorts on the wrong side of its equal instant).
+    Tagged stats never reach this — their probes are re-rendered
+    through the stats contract instead."""
+    if not (isinstance(a, str) and isinstance(b, str)):
+        return False
+    a_ts, b_ts = _ISO_TS_RE.match(a), _ISO_TS_RE.match(b)
+    a_d, b_d = _ISO_DATE_RE.match(a), _ISO_DATE_RE.match(b)
+    if not ((a_ts or a_d) and (b_ts or b_d)):
+        return False  # not temporal-shaped: plain string compare holds
+    if bool(a_ts) != bool(b_ts):
+        return True  # date shape vs timestamp shape: prefix skew
+    if a_d and b_d:
+        return False  # two bare dates compare cleanly
+    if a[10] != b[10]:
+        return True  # separator skew
+
+    def frac_len(s: str) -> int:
+        _, dot, frac = s.partition(".")
+        return len(frac) if dot else 0
+
+    return frac_len(a) != frac_len(b)  # fraction-rendering skew
 
 
 def prune_manifest(
@@ -983,12 +1024,12 @@ def prune_manifest(
         else:
             lo_r = (
                 lo
-                if lo is not None and not _iso_sep_mismatch(mx, lo)
+                if lo is not None and not _untagged_incomparable(mx, lo)
                 else None
             )
             hi_r = (
                 hi
-                if hi is not None and not _iso_sep_mismatch(mn, hi)
+                if hi is not None and not _untagged_incomparable(mn, hi)
                 else None
             )
         try:

@@ -162,6 +162,7 @@ def read_rotated_range(
     hi_millis: int | None = None,
     rotation_seconds: int = 600,
     epoch_millis_col: str = "timestamp",
+    windows: list[int] | None = None,
 ) -> DataFrame:
     """Time-range read over rotated output with PROBE-PROPORTIONAL
     cost (VERDICT r13 "missing" #2): windows outside the probe's
@@ -170,10 +171,15 @@ def read_rotated_range(
     row-level bound inside them (the first/last window straddle the
     probe edges). Raises when no window can match — like
     ``manifest.read_segments`` on an empty pruned list, an empty span
-    means SKIP the read, which is the win."""
-    kept, total = prune_rotated(
-        spark, path, lo_millis, hi_millis, rotation_seconds
-    )
+    means SKIP the read, which is the win. A caller that already ran
+    :func:`prune_rotated` (e.g. to report N-of-M coverage) passes its
+    ``kept`` list as ``windows`` so the directory listing runs once."""
+    if windows is not None:
+        kept = list(windows)
+    else:
+        kept, _total = prune_rotated(
+            spark, path, lo_millis, hi_millis, rotation_seconds
+        )
     if not kept:
         raise ValueError(
             f"{path}: no rotation window intersects "

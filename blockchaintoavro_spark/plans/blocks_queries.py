@@ -631,7 +631,11 @@ def x_rotated_range_read_q(spark: SparkSession, sf: str) -> DataFrame:
         write_rotated(b, sink, "timestamp", 600)
         kept, total = prune_rotated(spark, sink, lo, hi, 600)
         out = (
-            read_rotated_range(spark, sink, lo, hi, 600, "timestamp")
+            # pass the pruned list through: one directory listing, and
+            # windows_scanned is consistent with the read by construction
+            read_rotated_range(
+                spark, sink, lo, hi, 600, "timestamp", windows=kept
+            )
             .groupBy(F.col("window_id").cast("long").alias("window_id"))
             .agg(F.count("*").alias("n"))
             .withColumn("windows_scanned", F.lit(len(kept)).cast("long"))

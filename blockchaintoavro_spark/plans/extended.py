@@ -5640,20 +5640,12 @@ def x_streaming_hh_q(spark: SparkSession, sf: str) -> DataFrame:
         ).parquet(src)
         out = streaming_heavy_hitter_candidates(stream, "tok", k=50, shards=8)
         # update-mode re-emits a shard's FULL current candidate set
-        # every batch that touches it — if availableNow splits the
-        # input into >1 micro-batch, earlier emissions are stale
-        # (conflicting mg_lower, evicted items). Keep, per shard, only
-        # the LAST batch that touched it.
-        by_shard: dict = {}
+        # every batch that touches it — keep only each shard's last
+        # emission (the one authoritative implementation lives next to
+        # the operator)
+        from ..streaming.stateful import last_emission_collector
 
-        def sink(df, bid):
-            for r in df.collect():
-                cur = by_shard.setdefault(r["shard"], (bid, []))
-                if cur[0] != bid:
-                    cur = (bid, [])
-                    by_shard[r["shard"]] = cur
-                cur[1].append(r)
-
+        sink, final_rows = last_emission_collector()
         q = (
             out.writeStream.foreachBatch(sink)
             .outputMode("update")
@@ -5672,8 +5664,7 @@ def x_streaming_hh_q(spark: SparkSession, sf: str) -> DataFrame:
         return spark.createDataFrame(
             [
                 (r["shard"], r["item"], r["mg_lower"])
-                for _, (_, shard_rows) in sorted(by_shard.items())
-                for r in shard_rows
+                for r in final_rows()
                 # a shard whose counters decremented away emits a
                 # NULL-item marker (carrying shard_rows); it is not a
                 # candidate
@@ -5735,16 +5726,9 @@ def x_streaming_hh_exact_q(spark: SparkSession, sf: str) -> DataFrame:
         out = streaming_heavy_hitter_candidates(
             stream, "tok", k=100, shards=8
         )
-        by_shard: dict = {}
+        from ..streaming.stateful import last_emission_collector
 
-        def sink(df, bid):
-            for r in df.collect():
-                cur = by_shard.setdefault(r["shard"], (bid, []))
-                if cur[0] != bid:
-                    cur = (bid, [])
-                    by_shard[r["shard"]] = cur
-                cur[1].append(r)
-
+        sink, final_rows = last_emission_collector()
         q = (
             out.writeStream.foreachBatch(sink)
             .outputMode("update")
@@ -5759,13 +5743,15 @@ def x_streaming_hh_exact_q(spark: SparkSession, sf: str) -> DataFrame:
                 "drain within 180 s — partial candidates would fail "
                 "the exactness claim"
             )
+        rows = final_rows()
         cand = {
             r["item"]
-            for _, rows in by_shard.values()
             for r in rows
             if r["item"] is not None  # NULL-item = empty-shard marker
         }
-        n = sum(rows[0]["shard_rows"] for _, rows in by_shard.values())
+        # every row of a shard's final emission carries the same
+        # shard_rows; sum one per shard for the exact denominator
+        n = sum({r["shard"]: r["shard_rows"] for r in rows}.values())
         return recount_candidates(toks, "tok", cand, n, 1, 100)
     finally:
         shutil.rmtree(root, ignore_errors=True)

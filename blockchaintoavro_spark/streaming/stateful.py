@@ -177,3 +177,37 @@ def streaming_heavy_hitter_candidates(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def last_emission_collector():
+    """The foreachBatch companion of
+    :func:`streaming_heavy_hitter_candidates` (and any update-mode
+    per-shard emitter): update mode re-emits a shard's FULL current
+    rows every batch that touches it, so only the LAST batch that
+    touched each shard is current — earlier emissions are stale
+    (conflicting ``mg_lower``, evicted items, old ``shard_rows``).
+
+    Returns ``(sink, final_rows)``: pass ``sink`` to
+    ``writeStream.foreachBatch``; after the query drains,
+    ``final_rows()`` yields each shard's rows from the last batch that
+    touched it (sorted by shard). One authoritative implementation —
+    the per-shard tuple-reset-on-batch-change logic is subtle enough
+    that the declared queries and tests must not each carry a copy."""
+    by_shard: dict = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            cur = by_shard.setdefault(r["shard"], (batch_id, []))
+            if cur[0] != batch_id:
+                cur = (batch_id, [])
+                by_shard[r["shard"]] = cur
+            cur[1].append(r)
+
+    def final_rows():
+        return [
+            r
+            for _, (_, rows) in sorted(by_shard.items())
+            for r in rows
+        ]
+
+    return sink, final_rows

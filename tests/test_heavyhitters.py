@@ -257,6 +257,7 @@ def test_streaming_candidates_recount_equals_exact(spark, sf_dir, tmp_path):
         recount_candidates,
     )
     from blockchaintoavro_spark.streaming.stateful import (
+        last_emission_collector,
         streaming_heavy_hitter_candidates,
     )
 
@@ -269,16 +270,7 @@ def test_streaming_candidates_recount_equals_exact(spark, sf_dir, tmp_path):
         .parquet(src)
     )
     out = streaming_heavy_hitter_candidates(stream, "tok", k=100, shards=8)
-    by_shard: dict = {}
-
-    def sink(df, bid):
-        for r in df.collect():
-            cur = by_shard.setdefault(r["shard"], (bid, []))
-            if cur[0] != bid:
-                cur = (bid, [])
-                by_shard[r["shard"]] = cur
-            cur[1].append(r)
-
+    sink, final_rows = last_emission_collector()
     q = (
         out.writeStream.foreachBatch(sink)
         .outputMode("update")
@@ -286,15 +278,11 @@ def test_streaming_candidates_recount_equals_exact(spark, sf_dir, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
-    n = sum(rows[0]["shard_rows"] for _, rows in by_shard.values())
+    assert q.awaitTermination(120)
+    rows = final_rows()
+    n = sum({r["shard"]: r["shard_rows"] for r in rows}.values())
     assert n == toks.filter(F.col("tok").isNotNull()).count()
-    cand = {
-        r["item"]
-        for _, rows in by_shard.values()
-        for r in rows
-        if r["item"] is not None
-    }
+    cand = {r["item"] for r in rows if r["item"] is not None}
     got = [
         (r["item"], r["item_count"])
         for r in recount_candidates(toks, "tok", cand, n, 1, 100).collect()

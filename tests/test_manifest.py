@@ -1668,3 +1668,63 @@ def test_prune_manifest_tz_aware_probes_never_prune():
     assert mf.prune_manifest(
         man, "d", lo=datetime(2020, 1, 3, 0, 0)
     )["segments"] == []
+
+
+def test_prune_manifest_fraction_and_date_shape_renderings_sound():
+    """r14 review round 2: two more rendering-skew paths closed. A
+    trailing-zero or short fraction in a string probe is canonicalized
+    to the stats rendering (fraction omitted when zero, else exactly
+    six digits) before comparing against TAGGED stats; against
+    UNTAGGED (pre-r14) stats, fraction-length and date-vs-timestamp
+    shape mismatches are incomparable — kept, never pruned."""
+    tagged = {
+        "segments": ["seg-a"],
+        "stats": {"segstats": {
+            "seg-a": {"ts": [
+                "2024-05-06 01:00:00", "2024-05-06 03:00:00", "ts"
+            ]},
+        }},
+    }
+    # equal instant, trailing-zero fraction: naive compare would prune
+    # (mx is a strict prefix of lo) — must be kept
+    for lo in ("2024-05-06T03:00:00.000000", "2024-05-06 03:00:00.000",
+               "2024-05-06T03:00:00.0"):
+        assert mf.prune_manifest(tagged, "ts", lo=lo)["segments"] == [
+            "seg-a"
+        ], lo
+    # short fraction on hi: '…00.5' must behave as '…00.500000'
+    tagged["stats"]["segstats"]["seg-a"]["ts"] = [
+        "2024-05-06 03:00:00.500000", "2024-05-06 09:00:00", "ts"
+    ]
+    assert mf.prune_manifest(
+        tagged, "ts", hi="2024-05-06T03:00:00.5"
+    )["segments"] == ["seg-a"]
+    # a genuinely-earlier fraction probe still prunes
+    assert mf.prune_manifest(
+        tagged, "ts", hi="2024-05-06T03:00:00.4"
+    )["segments"] == []
+    # sub-microsecond digits truncate soundly (lo lowered -> kept)
+    assert mf.prune_manifest(
+        tagged, "ts", lo="2024-05-06T09:00:00.0000001"
+    )["segments"] == ["seg-a"]
+
+    untagged = {
+        "segments": ["seg-a"],
+        "stats": {"segstats": {
+            "seg-a": {"ts": ["2024-05-06 01:00:00", "2024-05-06 09:00:00"]},
+        }},
+    }
+    # bare-date hi against untagged timestamp stats: the date is a
+    # PREFIX of every same-day instant, so raw compare would prune the
+    # matching segment — must be kept
+    assert mf.prune_manifest(untagged, "ts", hi="2024-05-06")[
+        "segments"
+    ] == ["seg-a"]
+    # fraction-length mismatch against untagged stats: kept
+    assert mf.prune_manifest(
+        untagged, "ts", lo="2024-05-06 09:00:00.000000"
+    )["segments"] == ["seg-a"]
+    # matched renderings still prune
+    assert mf.prune_manifest(
+        untagged, "ts", lo="2024-05-06 09:00:01"
+    )["segments"] == []
