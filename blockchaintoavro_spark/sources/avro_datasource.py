@@ -62,6 +62,9 @@ from pyspark.sql.datasource import (
 
 from .avro_io import (
     OCFWriter,
+    _fs_open,
+    _pafs_glob_uris,
+    _split_scheme,
     avro_to_spark_schema,
     iter_ocf_blocks_split,
     read_ocf_header,
@@ -91,16 +94,21 @@ def _part_value(raw: str, ptype: str) -> Any:
 def _manifest_paths(path: str) -> set[str] | None:
     """Committed file set (dataset-relative) from the manifest, or None
     when no manifest exists (e.g. a rotated-sink drop dir written outside
-    this datasource — glob is the contract there)."""
-    mf = os.path.join(path, MANIFEST)
-    if not os.path.isfile(mf):
-        return None
+    this datasource — glob is the contract there). URI datasets read the
+    manifest through the same per-scheme pyarrow resolution as the data
+    files; a missing manifest surfaces as FileNotFoundError → None."""
+    if _split_scheme(path)[0] is not None:
+        mf = path.rstrip("/") + "/" + MANIFEST
+    else:
+        mf = os.path.join(path, MANIFEST)
+        if not os.path.isfile(mf):
+            return None
     try:
-        with open(mf) as fh:
+        with _fs_open(mf) as fh:
             entries = json.load(fh)
         return {e["path"] for e in entries}
     except Exception:
-        return None  # unreadable/legacy manifest — fall back to glob
+        return None  # missing/unreadable/legacy manifest — fall back to glob
 
 
 def _list_files(
@@ -119,7 +127,25 @@ def _list_files(
     producer is the rotated sink, which appends files without touching
     any manifest — filtering by a stale manifest would freeze the stream
     at whatever the last batch job committed."""
-    if partition_col:
+    if _split_scheme(path)[0] is not None:
+        # URI dataset: enumerate through pyarrow.fs (the DataSource
+        # driver process has no JVM handle for a Hadoop listing); paths
+        # stay in URI space so the executor read re-resolves per scheme.
+        listed = [f for f, _sz in _pafs_glob_uris(path, partition_col)]
+        if partition_col:
+            out = [
+                (
+                    f,
+                    _part_value(
+                        os.path.basename(os.path.dirname(f)).split("=", 1)[1],
+                        ptype,
+                    ),
+                )
+                for f in listed
+            ]
+        else:
+            out = [(f, None) for f in listed]
+    elif partition_col:
         out = []
         for f in sorted(glob.glob(os.path.join(path, f"{partition_col}=*", "*.avro"))):
             raw = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
@@ -177,8 +203,10 @@ def _plan_splits(
     parts: list[_FilePartition] = []
     for p, v in files:
         try:
-            size = os.path.getsize(p)
-        except OSError:
+            from .avro_io import _fs_size
+
+            size = _fs_size(p)
+        except (OSError, TypeError):
             size = 0  # vanished/unstatable: one whole-file partition
         if 0 < split_size < size:
             for s in range(0, size, split_size):
@@ -330,6 +358,19 @@ class AvroOCFArrowWriter(DataSourceArrowWriter):
         import uuid
 
         self._path = options["path"]
+        if _split_scheme(self._path)[0] is not None:
+            # The writer's commit protocol is rename-based (_SUCCESS
+            # manifest swapped with os.replace) — sound only on a
+            # renaming filesystem. Refuse URIs loudly instead of
+            # producing an uncommittable dataset; the FS-agnostic write
+            # path is avro_io.write_ocf_dataset(filesystem=...) behind
+            # a manifest.py commit.
+            raise ValueError(
+                f"{FORMAT_NAME} write supports local paths only, got "
+                f"{self._path!r}; use sources.avro_io.write_ocf_dataset "
+                "with a pyarrow filesystem + operators/manifest.py for "
+                "object stores"
+            )
         self._pcol = options.get("partition_col")
         self._codec = options.get("codec", "deflate")
         self._overwrite = overwrite
