@@ -227,11 +227,18 @@ def heavy_hitters(
     # partitions × k stays small; a tiny min_frac (k = 1/min_frac) on a
     # wide input would silently turn it into a data-sized collect —
     # fail loudly with the remediation instead. Partition count comes
-    # from the JVM physical RDD (no job, no Python plan-to-RDD
-    # conversion — df.rdd would rebuild the whole plan behind a
-    # Python serializer just to ask for a number); for long string
-    # items even 10M rows is multi-GB driver heap, so the default cap
-    # is 1M and callers with bigger drivers can raise it explicitly.
+    # from the JVM physical RDD (no Python plan-to-RDD conversion —
+    # df.rdd would rebuild the whole plan behind a Python serializer
+    # just to ask for a number). CAVEAT (ADVICE r14 #3): toRdd() on an
+    # ADAPTIVE plan can finalize exchange stages — i.e. submit real
+    # shuffle jobs — before the MG pass runs the plan again; on the
+    # exchange-free inputs this operator targets (a table scan plus
+    # narrow ops) it stays job-free. The estimate is therefore treated
+    # as advisory: a second, authoritative check on len(summaries)
+    # below backstops any plan this pre-read misjudges. For long
+    # string items even 10M rows is multi-GB driver heap, so the
+    # default cap is 1M and callers with bigger drivers can raise it
+    # explicitly.
     n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
     if n_parts * k > max_candidate_rows:
         raise ValueError(
@@ -243,6 +250,14 @@ def heavy_hitters(
             "has the heap, or use exact_heavy_hitters (full groupBy)."
         )
     summaries = _mg_summaries(df, col, k).collect()  # pass 1 (scan #1)
+    if len(summaries) > max_candidate_rows:
+        # authoritative backstop on the rows actually collected
+        raise ValueError(
+            f"heavy_hitters collected {len(summaries)} candidate rows "
+            f"(cap: {max_candidate_rows}); coalesce the input, raise "
+            "min_frac, raise max_candidate_rows, or use "
+            "exact_heavy_hitters (full groupBy)."
+        )
     n = sum(r["part_rows"] for r in summaries if r["part_rows"] is not None)
     cand_items = {r["item"] for r in summaries if r["item"] is not None}
     return recount_candidates(  # scan #2

@@ -265,7 +265,8 @@ def conditional_put_publisher(put_if_absent):
 
 
 def http_put_if_absent(
-    url_for, conflict_statuses=(409, 412), opener=None, timeout=30.0
+    url_for, conflict_statuses=(409, 412), opener=None, timeout=30.0,
+    verify_url_for=None,
 ):
     """REFERENCE ``put_if_absent`` over plain HTTP(S) — the shipped
     implementation of the conditional-write commit primitive an object
@@ -296,6 +297,21 @@ def http_put_if_absent(
     timeouts and 5xx must surface, never read as "committed". Every
     request carries ``timeout`` (default 30 s), so a black-holed
     endpoint raises instead of hanging the commit loop forever.
+
+    REQUIREMENT — the store MUST honor the conditional header. An
+    S3-compatible endpoint that silently IGNORES ``If-None-Match``
+    (older MinIO-style stores) returns 200 on overwrite, so both
+    racers would see True and manifest mutual exclusion is silently
+    lost (ADVICE r14 #4). Verify the store before trusting it (two
+    concurrent PUTs to one key: exactly one 412), or pass
+    ``verify_url_for(path) -> (url, headers)``: after every 2xx PUT
+    the object is fetched back and compared byte-for-byte to the
+    payload this process sent — manifest payloads are unique per
+    committer (uuid'd segment names ride inside), so a mismatch
+    PROVES the store overwrote a rival and raises ``OSError`` rather
+    than letting the commit read as won. The extra GET is one small
+    metadata read per commit — cheap insurance on unproven stores;
+    omit it on stores with verified conditional-write support.
 
     Usage::
 
@@ -333,6 +349,27 @@ def http_put_if_absent(
                 f"conditional PUT to {url} returned unexpected "
                 f"status {status}"
             )
+        if verify_url_for is not None:
+            vurl, vheaders = verify_url_for(path)
+            vreq = urllib.request.Request(
+                vurl, method="GET", headers=dict(vheaders or {})
+            )
+            try:
+                with _opener.open(vreq, timeout=timeout) as vresp:
+                    body = vresp.read()
+            except urllib.error.HTTPError as e:
+                e.close()
+                raise OSError(
+                    f"post-PUT verification GET of {vurl} failed with "
+                    f"{e.code} — cannot prove the conditional PUT won"
+                ) from e
+            if body != payload:
+                raise OSError(
+                    f"store behind {url} ignored the conditional "
+                    "header: PUT returned 2xx but the object now holds "
+                    "different bytes — this store cannot provide "
+                    "manifest mutual exclusion; do not commit through it"
+                )
         return True
 
     return put_if_absent
@@ -838,17 +875,35 @@ def _segment_schema_fps(spark, root: str, segments) -> dict:
     (VERDICT r13 #4: the per-read footer probe of EVERY uncompacted
     segment grew driver latency linearly with append count). A segment
     whose footer cannot be read is simply not fingerprinted — readers
-    fall back to probing it."""
-    import hashlib
+    fall back to probing it.
 
-    out = {}
-    for s in segments:
+    Multi-segment commits (a compaction that writes many segments)
+    read footers through a bounded thread pool instead of serially
+    (VERDICT r14 #5) — each read is an independent py4j round-trip, so
+    8 threads bound the commit-path latency at ~N/8 footer reads. The
+    fingerprints are byte-identical to the serial computation: the
+    PER-SEGMENT read is what guarantees soundness (a merged
+    multi-path probe cannot prove the segments share a schema — a
+    subset-schema straggler merges invisibly), so the per-segment
+    shape is kept and only the scheduling parallelized."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    segs = list(segments)
+
+    def fp(s):
         try:
             sj = spark.read.parquet(f"{root}/{s}").schema.json()
         except Exception:
-            continue
-        out[s] = hashlib.sha256(sj.encode("utf-8")).hexdigest()[:16]
-    return out
+            return s, None
+        return s, hashlib.sha256(sj.encode("utf-8")).hexdigest()[:16]
+
+    if len(segs) <= 1:
+        pairs = [fp(s) for s in segs]
+    else:
+        with ThreadPoolExecutor(max_workers=min(8, len(segs))) as pool:
+            pairs = list(pool.map(fp, segs))
+    return {s: h for s, h in pairs if h is not None}
 
 
 def _merge_segschema(man: dict, fps: dict) -> None:

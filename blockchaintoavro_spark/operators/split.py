@@ -171,13 +171,16 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     draw = hash_bucket_hex(F.col(key_col), salt)
-    if fraction >= 1.0:
-        # format(int(1.0 * 16**8)) would be the 9-char '100000000',
-        # which sorts BELOW any draw not starting with '0' — keep the
-        # semantics (every keyed row) without entering the compare.
+    # Route on the INTEGER threshold, not the float input: a fraction
+    # just below 1.0 can float-round int(fraction * 16**8) up to 16**8,
+    # whose hex rendering is the 9-char '100000000' — it sorts BELOW
+    # any draw not starting with '0', silently keeping ~6% of rows. A
+    # bare assert would vanish under `python -O` (ADVICE r14 #2), so
+    # the >= 16**8 case takes the keep-all branch explicitly.
+    n = int(fraction * _HEX_SPACE)
+    if n >= _HEX_SPACE:
         return df.filter(draw.isNotNull())
-    t = format(int(fraction * _HEX_SPACE), "08x")
-    assert len(t) == 8, t
+    t = format(n, "08x")
     return df.filter(draw < F.lit(t))
 
 

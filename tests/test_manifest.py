@@ -17,6 +17,7 @@ protocol closes every such window:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -224,6 +225,38 @@ def test_stats_commit_atomically_with_data(spark, tmp_path):
     # fingerprints its new segment's schema (r14)
     assert man["stats"]["n"] == 2 and man["stats"]["dist_sum"] == 0.5
     assert set(man["stats"]["segschema"]) == {seg}
+
+
+def test_multi_segment_commit_fingerprints_threaded_byte_identical(
+    spark, tmp_path
+):
+    """VERDICT r14 #5: a compaction committing MANY segments reads
+    footers through a bounded thread pool instead of serially — and the
+    resulting segschema entries are byte-identical to the serial
+    per-segment computation (the per-segment read is what makes the
+    fingerprint sound; only the scheduling changed)."""
+    import hashlib
+
+    root = str(tmp_path / "store")
+    base = mf.new_segment_name()
+    spark.createDataFrame([(0, "z")], "k long, v string").write.parquet(
+        f"{root}/{base}"
+    )
+    mf.commit_append(spark, root, [base])
+    new = [mf.new_segment_name() for _ in range(6)]
+    for i, seg in enumerate(new):
+        spark.createDataFrame(
+            [(i, f"v{i}")], "k long, v string"
+        ).write.parquet(f"{root}/{seg}")
+    mf.commit_compaction(spark, root, new, replaced=[base])
+    _gen, man = mf.latest_manifest(spark, root)
+    got = man["stats"]["segschema"]
+    assert set(got) == set(new)  # replaced segment's entry GC'd
+    for seg in new:
+        sj = spark.read.parquet(f"{root}/{seg}").schema.json()
+        assert got[seg] == hashlib.sha256(
+            sj.encode("utf-8")
+        ).hexdigest()[:16]
 
 
 def test_legacy_layout_adopted_on_first_commit(spark, tmp_path):
@@ -1344,13 +1377,20 @@ class _CondPutServer:
     (atomically, under one lock) and answers 412 when the name exists —
     the S3 ``If-None-Match: *`` / GCS ``x-goog-if-generation-match: 0``
     contract. ``fail_next`` simulates a 500 so error surfacing is
-    testable."""
+    testable; ``ignore_conditional`` simulates the older-MinIO-style
+    hazard (ADVICE r14 #4): PUT silently OVERWRITES and answers 200,
+    never 412. GET serves the stored object so the post-PUT
+    verification leg is drivable end to end."""
 
     def __init__(self):
         import threading
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-        store, lock, state = {}, threading.Lock(), {"fail_next": 0}
+        store, lock, state = (
+            {},
+            threading.Lock(),
+            {"fail_next": 0, "ignore_conditional": 0},
+        )
         srv = self
 
         class H(BaseHTTPRequestHandler):
@@ -1363,13 +1403,25 @@ class _CondPutServer:
                         self.send_response(500)
                         self.end_headers()
                         return
-                    if self.path in store:
+                    if self.path in store and not state["ignore_conditional"]:
                         self.send_response(412)
                         self.end_headers()
                         return
                     store[self.path] = body
                 self.send_response(200)
                 self.end_headers()
+
+            def do_GET(self):
+                with lock:
+                    body = store.get(self.path)
+                if body is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def log_message(self, *a):
                 pass
@@ -1417,6 +1469,103 @@ def test_http_put_if_absent_race_exactly_one_winner():
         assert len(winners) == 1
         (stored,) = srv.store.values()
         assert stored == b'{"writer": %d}' % winners[0]
+    finally:
+        srv.close()
+
+
+def test_http_put_if_absent_verify_detects_header_ignoring_store():
+    """ADVICE r14 #4: a store that silently ignores If-None-Match
+    returns 200 on overwrite — WITHOUT verification both racers read
+    True and mutual exclusion is silently lost; WITH verify_url_for the
+    overwritten loser's post-PUT GET sees the rival's bytes and raises
+    instead of claiming the commit."""
+    import pytest as _pytest
+
+    srv = _CondPutServer()
+    srv.state["ignore_conditional"] = 1
+    try:
+        name = "b/store/_manifests/manifest-0.json"
+        # the hazard, demonstrated: both writers think they created it
+        put_blind = mf.http_put_if_absent(srv.url_for)
+        assert put_blind(name, b'{"writer": 1}') is True
+        assert put_blind(name, b'{"writer": 2}') is True  # silent loss
+
+        # the verified variant: the second PUT overwrote, but a third
+        # writer's verification GET must now observe ITS OWN bytes to
+        # win — simulate the race loser by racing the store state
+        put = mf.http_put_if_absent(srv.url_for, verify_url_for=srv.url_for)
+        name2 = "b/store/_manifests/manifest-1.json"
+        assert put(name2, b'{"writer": 3}') is True  # uncontended: fine
+        # a rival overwrites behind our back between PUT and verify:
+        # emulate by pre-poisoning the object the next PUT will verify
+        name3 = "b/store/_manifests/manifest-2.json"
+
+        poisoning = {"armed": True}
+        orig_url_for = srv.url_for
+
+        def url_for_with_rival(path):
+            # after OUR put lands, the rival overwrites before we verify
+            if poisoning.pop("armed", None):
+                return orig_url_for(path)
+            srv.store["/" + path.lstrip("/")] = b'{"writer": "rival"}'
+            return orig_url_for(path)
+
+        put_raced = mf.http_put_if_absent(
+            url_for_with_rival, verify_url_for=url_for_with_rival
+        )
+        with _pytest.raises(OSError, match="ignored the conditional"):
+            put_raced(name3, b'{"writer": 4}')
+    finally:
+        srv.close()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_S3_TEST_URL"),
+    reason="SPARK_GRAFT_S3_TEST_URL not set — no live endpoint to test",
+)
+def test_http_put_if_absent_against_real_endpoint():
+    """Opt-in integration leg (VERDICT r14 #6): point
+    SPARK_GRAFT_S3_TEST_URL at an anonymously-writable (or presigned)
+    prefix on a real S3-compatible endpoint (MinIO, localstack, AWS)
+    and this drives the SHIPPED put_if_absent against it: create wins
+    once, the rival loses with the store's own conflict status, and
+    the read-back verification proves the conditional header was
+    honored. Optional SPARK_GRAFT_S3_TEST_HEADERS is a JSON dict of
+    auth headers merged into every request."""
+    import json as _json
+    import uuid as _uuid
+
+    base = os.environ["SPARK_GRAFT_S3_TEST_URL"].rstrip("/")
+    extra = _json.loads(os.environ.get("SPARK_GRAFT_S3_TEST_HEADERS", "{}"))
+
+    def url_for(path):
+        return f"{base}/{path.lstrip('/')}", {
+            "If-None-Match": "*", **extra
+        }
+
+    def verify_url_for(path):
+        return f"{base}/{path.lstrip('/')}", dict(extra)
+
+    put = mf.http_put_if_absent(url_for, verify_url_for=verify_url_for)
+    name = f"_manifests/it-{_uuid.uuid4().hex}.json"
+    assert put(name, b'{"writer": "a"}') is True
+    # the rival must LOSE — a store that answers True twice here does
+    # not honor If-None-Match and must not host manifest commits
+    assert put(name, b'{"writer": "b"}') is False
+
+
+def test_http_put_if_absent_verify_passes_on_honest_store():
+    """On a store that honors the header, verification adds one GET and
+    changes nothing: winner True, loser False (412 short-circuits
+    before any verify)."""
+    srv = _CondPutServer()
+    try:
+        put = mf.http_put_if_absent(srv.url_for, verify_url_for=srv.url_for)
+        name = "b/store/_manifests/manifest-0.json"
+        assert put(name, b'{"writer": 1}') is True
+        assert put(name, b'{"writer": 2}') is False
+        (stored,) = srv.store.values()
+        assert stored == b'{"writer": 1}'
     finally:
         srv.close()
 

@@ -63,6 +63,28 @@ def test_hash_sample_full_fraction_keeps_every_keyed_row(spark):
     assert hash_sample(df, "k", 0.0).count() == 0
 
 
+def test_hash_sample_near_one_routes_on_integer_threshold(spark):
+    """ADVICE r14 #2: the keep-all guard now routes on the INTEGER
+    threshold (``int(fraction * 16**8) >= 16**8``) instead of a bare
+    ``assert len(t) == 8`` that ``python -O`` strips. For 16**8 = 2**32
+    the product of any sub-1.0 double is exactly representable (ulp at
+    2**32 is 2**-21 > 2**-21·k granularity), so the largest double
+    below 1.0 lands at exactly 2**32 - 1 — an 8-char 'ffffffff'
+    threshold that keeps every fixture row; any FUTURE input (or
+    _HEX_SPACE change) that does round up to 2**32 takes the explicit
+    keep-all branch rather than an assert."""
+    f = 1 - 2**-53
+    assert f < 1.0 and int(f * 16**8) == 16**8 - 1
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(256)] + [(None,)], "k string"
+    )
+    # threshold 'ffffffff': every md5 draw in the fixture sorts below it
+    assert hash_sample(df, "k", f).count() == 256
+    # and the integer routing takes keep-all at >= 2**32 regardless of
+    # the float input's rendering
+    assert hash_sample(df, "k", 1.0).count() == 256
+
+
 def test_hash_split_stable_under_repartition(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     a = {
