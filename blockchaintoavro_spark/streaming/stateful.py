@@ -21,11 +21,70 @@ collects to the driver.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+import json
+from typing import Any, Callable, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Versioned state envelope (VERDICT r14 #3)
+#
+# Spark's state-store schema check rejects ANY change to the
+# ``stateStructType`` of an ``applyInPandasWithState`` operator on
+# checkpoint resume — adding a field, however compatible, strands every
+# existing checkpoint (the r13→r14 ``shard_rows`` widening did exactly
+# that). A version FIELD inside a widening tuple therefore cannot help:
+# the check fails before user code sees the state. The convention that
+# does survive widenings is an OPAQUE ENVELOPE — the Spark-visible state
+# schema is frozen forever at ``version int, blob binary`` and every
+# evolution happens inside the blob, migrated on read by version number.
+# Stateful operators that expect to evolve should use this pair.
+
+STATE_ENVELOPE_SCHEMA = "version int, blob binary"
+
+
+def encode_state(version: int, payload) -> tuple[int, bytes]:
+    """Pack a JSON-serializable payload into the frozen envelope shape."""
+    return int(version), json.dumps(
+        payload, separators=(",", ":")
+    ).encode("utf-8")
+
+
+def decode_state(
+    state_tuple,
+    current_version: int,
+    migrations: dict[int, Callable] | None = None,
+) -> Any:
+    """Unpack an envelope written by THIS or ANY EARLIER version of the
+    operator: ``migrations[v]`` lifts a version-``v`` payload to
+    ``v+1``; they are applied in sequence until ``current_version``. A
+    version with no registered migration, or a version NEWER than the
+    code (a downgrade resume), raises with the remediation instead of
+    silently misreading state."""
+    version, blob = int(state_tuple[0]), state_tuple[1]
+    payload = json.loads(
+        blob if isinstance(blob, (bytes, bytearray)) else bytes(blob)
+    )
+    while version < current_version:
+        mig = (migrations or {}).get(version)
+        if mig is None:
+            raise ValueError(
+                f"no migration registered from state version {version} "
+                f"to {version + 1} (current: {current_version}); restart "
+                "on a fresh checkpoint and replay the source"
+            )
+        payload = mig(payload)
+        version += 1
+    if version != current_version:
+        raise ValueError(
+            f"checkpoint state version {version} is newer than this "
+            f"code's {current_version} — resume with the newer code or "
+            "restart on a fresh checkpoint"
+        )
+    return payload
 
 
 def streaming_dedup(
@@ -82,6 +141,16 @@ def running_user_totals(
     )
 
 
+# Payload versions of streaming_heavy_hitter_candidates' envelope:
+# v3 = [items, counts, shard_rows] (the r14 3-field shape, enveloped).
+# A future widening bumps the version, appends to the payload, and
+# registers a migration {3: lambda p: p + [new_default]} here — the
+# Spark-visible schema stays STATE_ENVELOPE_SCHEMA and old checkpoints
+# keep resuming.
+_HH_STATE_VERSION = 3
+_HH_STATE_MIGRATIONS: dict[int, Callable] = {}
+
+
 def streaming_heavy_hitter_candidates(
     stream: DataFrame,
     col: str,
@@ -114,14 +183,19 @@ def streaming_heavy_hitter_candidates(
     Scale: state is ``shards × k`` counters cluster-wide, partitioned
     by shard and checkpointed incrementally; the per-batch work is one
     Exchange on the shard id + an Arrow-batched value_counts fold.
-    ``col`` must be a string column (state schema is array<string>).
+    ``col`` must be a string column.
 
-    COMPATIBILITY: r14 widened the state schema (``shard_rows bigint``
-    joined ``items``/``counts``) — a checkpoint written by the r13
-    2-field schema cannot be resumed by this version (Spark's
-    state-store schema check fails the restart). Restart such a query
-    on a FRESH checkpoint and replay the source; the exactly-once
-    store fences make the replay idempotent downstream."""
+    COMPATIBILITY: the state now rides the frozen versioned envelope
+    (``version int, blob binary`` — :data:`STATE_ENVELOPE_SCHEMA`), so
+    FUTURE payload evolutions migrate on read instead of stranding
+    checkpoints the way the r13→r14 ``shard_rows`` widening did.
+    Adopting the envelope is itself a one-time, final schema change: a
+    checkpoint written by the r13 (2-field) or r14 (3-field) plain
+    schemas cannot be resumed by this version (Spark's state-store
+    schema check fails the restart — the exact error is pinned in
+    tests/test_streaming.py). Restart such a query on a FRESH
+    checkpoint and replay the source; the exactly-once store fences
+    make the replay idempotent downstream."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..operators.heavyhitters import mg_add
@@ -131,7 +205,12 @@ def streaming_heavy_hitter_candidates(
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        items, counts, seen = state.get if state.exists else ([], [], 0)
+        if state.exists:
+            items, counts, seen = decode_state(
+                state.get, _HH_STATE_VERSION, _HH_STATE_MIGRATIONS
+            )
+        else:
+            items, counts, seen = [], [], 0
         counters = dict(zip(items, counts))
         for pdf in pdfs:
             vc = pdf[col].dropna().value_counts()
@@ -139,7 +218,14 @@ def streaming_heavy_hitter_candidates(
                 mg_add(counters, item, int(w), k)
                 seen += int(w)
         state.update(
-            (list(counters), [int(v) for v in counters.values()], int(seen))
+            encode_state(
+                _HH_STATE_VERSION,
+                [
+                    list(counters),
+                    [int(v) for v in counters.values()],
+                    int(seen),
+                ],
+            )
         )
         # a shard whose counters all decremented away this batch still
         # emits one NULL-item marker row (the batch _mg_fold contract):
@@ -169,10 +255,7 @@ def streaming_heavy_hitter_candidates(
                 "shard bigint, item string, mg_lower bigint, "
                 "shard_rows bigint"
             ),
-            stateStructType=(
-                "items array<string>, counts array<bigint>, "
-                "shard_rows bigint"
-            ),
+            stateStructType=STATE_ENVELOPE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -191,17 +274,23 @@ def last_emission_collector():
     ``writeStream.foreachBatch``; after the query drains,
     ``final_rows()`` yields each shard's rows from the last batch that
     touched it (sorted by shard). One authoritative implementation —
-    the per-shard tuple-reset-on-batch-change logic is subtle enough
-    that the declared queries and tests must not each carry a copy."""
+    the per-shard replacement logic is subtle enough that the declared
+    queries and tests must not each carry a copy.
+
+    Each sink invocation REBUILDS every shard entry it touches
+    (collect the call's rows per shard locally, then overwrite) rather
+    than appending under a reset-on-batch-id-change: foreachBatch
+    RETRIES a failed batch under the SAME batch_id, so append-with-
+    reset would keep the failed attempt's rows alongside the retry's —
+    duplicate (shard, item) rows in ``final_rows()`` (ADVICE r14 #1)."""
     by_shard: dict = {}
 
     def sink(df, batch_id):
+        rows_by_shard: dict = {}
         for r in df.collect():
-            cur = by_shard.setdefault(r["shard"], (batch_id, []))
-            if cur[0] != batch_id:
-                cur = (batch_id, [])
-                by_shard[r["shard"]] = cur
-            cur[1].append(r)
+            rows_by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rows in rows_by_shard.items():
+            by_shard[shard] = (batch_id, rows)
 
     def final_rows():
         return [

@@ -882,3 +882,156 @@ def test_streaming_session_window_exact_bounds_equal_batch(
     assert got.count() == want.count() and got.count() > 0
     assert got.subtract(want).count() == 0
     assert want.subtract(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# versioned state envelope + last-emission collector (VERDICT r14 #3,
+# ADVICE r14 #1)
+
+
+def test_state_envelope_roundtrip_and_migrations():
+    from blockchaintoavro_spark.streaming.stateful import (
+        decode_state,
+        encode_state,
+    )
+
+    env = encode_state(3, [["a", "b"], [2, 1], 7])
+    assert env[0] == 3 and isinstance(env[1], bytes)
+    assert decode_state(env, 3) == [["a", "b"], [2, 1], 7]
+    # chained migrations lift old payloads to the current shape
+    migrated = decode_state(
+        encode_state(1, [["a"], [1]]),
+        3,
+        {1: lambda p: p + [0], 2: lambda p: [p[0], p[1], p[2]]},
+    )
+    assert migrated == [["a"], [1], 0]
+    # a missing migration step refuses loudly with the remediation
+    with pytest.raises(ValueError, match="no migration registered"):
+        decode_state(encode_state(1, [[], []]), 3, {2: lambda p: p})
+    # a NEWER-than-code version (downgrade resume) refuses too
+    with pytest.raises(ValueError, match="newer than this code"):
+        decode_state(encode_state(4, [[], [], 0]), 3)
+    # bytearray blobs (some Arrow paths hand those back) decode the same
+    v, blob = encode_state(3, [[], [], 0])
+    assert decode_state((v, bytearray(blob)), 3) == [[], [], 0]
+
+
+def test_last_emission_collector_rebuilds_on_foreachbatch_retry(spark):
+    """ADVICE r14 #1: a foreachBatch RETRY re-delivers the SAME
+    batch_id — the collector must rebuild each touched shard's rows,
+    not append them (append-with-reset-on-change kept the failed
+    attempt's rows alongside the retry's)."""
+    from blockchaintoavro_spark.streaming.stateful import (
+        last_emission_collector,
+    )
+
+    sink, final_rows = last_emission_collector()
+    schema = "shard bigint, item string, mg_lower bigint, shard_rows bigint"
+    first = spark.createDataFrame(
+        [(0, "a", 1, 5), (0, "b", 2, 5), (1, "c", 3, 4)], schema
+    )
+    sink(first, 0)
+    # the retry of batch 0: same batch_id, shard 0 re-emitted with
+    # updated rows, shard 1 untouched this attempt
+    retry = spark.createDataFrame([(0, "a", 2, 6)], schema)
+    sink(retry, 0)
+    rows = final_rows()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(
+            (r["item"], r["mg_lower"], r["shard_rows"])
+        )
+    assert by_shard[0] == [("a", 2, 6)]  # no duplicate 'a', no stale 'b'
+    assert by_shard[1] == [("c", 3, 4)]  # untouched shard survives
+    # a later batch replaces only the shards it touches
+    nxt = spark.createDataFrame([(1, "d", 1, 9)], schema)
+    sink(nxt, 1)
+    rows = final_rows()
+    assert {r["item"] for r in rows} == {"a", "d"}
+
+
+def test_stale_checkpoint_resume_error_is_loud_and_pinned(spark, tmpdir):
+    """VERDICT r14 #3: the exact failure mode a pre-envelope (r14
+    3-field) heavy-hitter checkpoint produces when resumed by the
+    enveloped operator — Spark's state-store schema check fails the
+    restarted query LOUDLY (a StreamingQueryException naming the state
+    schema), never silently misreading state. The remediation is a
+    fresh checkpoint + source replay (exactly-once fences make the
+    replay idempotent downstream)."""
+    import os
+
+    import pandas as pd
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from blockchaintoavro_spark.streaming.stateful import (
+        streaming_heavy_hitter_candidates,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    spark.createDataFrame([("a",), ("b",)], "tok string").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def old_update(key, pdfs, state):
+        items, counts, seen = state.get if state.exists else ([], [], 0)
+        n = sum(len(p) for p in pdfs)
+        state.update((list(items), list(counts), int(seen) + n))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "item": ["x"],
+                "mg_lower": [0],
+                "shard_rows": [int(seen) + n],
+            }
+        )
+
+    def shard_stream():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select(
+                F.pmod(F.xxhash64(F.col("tok")), F.lit(4)).alias("shard"),
+                F.col("tok").cast("string").alias("tok"),
+            )
+        )
+
+    old = shard_stream().groupBy("shard").applyInPandasWithState(
+        old_update,
+        outputStructType=(
+            "shard bigint, item string, mg_lower bigint, shard_rows bigint"
+        ),
+        stateStructType=(  # the r14 plain 3-field shape
+            "items array<string>, counts array<bigint>, shard_rows bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        old.writeStream.foreachBatch(lambda df, b: df.collect())
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    # new data so the resumed query must actually run a batch against
+    # the stored state rather than finishing idle
+    spark.createDataFrame([("c",)], "tok string").write.mode(
+        "append"
+    ).parquet(src)
+    new = streaming_heavy_hitter_candidates(
+        spark.readStream.schema(schema).parquet(src), "tok", k=5, shards=4
+    )
+    q2 = (
+        new.writeStream.foreachBatch(lambda df, b: df.collect())
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q2.awaitTermination(120)
+    msg = str(ei.value).lower()
+    assert "state" in msg and "schema" in msg, msg
