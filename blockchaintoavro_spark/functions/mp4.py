@@ -1,0 +1,357 @@
+"""Pure-Python MP4 / ISO-BMFF video container codec — NO Spark imports
+(workers import this module directly; pure-twin contract as imaging.py /
+jpeg.py / gif.py / audio.py / video.py).
+
+Closes the VERDICT r14 #3 gap in the video family: the perceptual/clip
+pipeline covered AVI only, but the dominant real-world crawl container
+is MP4. This is a BOX-WALK parser over the published ISO/IEC 14496-12
+grammar — ``ftyp``/``moov``/``trak``/``mdia``/``minf``/``stbl``, with
+the sample tables decoded exactly as the spec composes them:
+
+- ``stsd``  → codec sample-entry type + visual width/height,
+- ``stts``  → sample timing (timescale from ``mdhd``),
+- ``stss``  → the SYNC-SAMPLE (keyframe) table; ABSENT means every
+  sample is a keyframe, per the spec,
+- ``stsc`` + ``stco`` + ``stsz`` → per-sample byte ranges (chunk runs
+  expanded, offsets summed within chunks).
+
+The decoder returns raw per-sample payloads and the 0-based keyframe
+index list WITHOUT any pixel decode — the same sample-first ordering
+functions/video.py enforces for AVI: at 100 TB you choose keyframes
+BEFORE paying for pixel decode. Motion-JPEG samples (sample entry
+``jpeg``, the QuickTime-documented MJPEG-in-MP4 convention) are
+complete JFIF images that functions/jpeg.py decodes.
+
+Scope (documented subset, not a general MP4 library): one video track
+(the first ``vide``-handler trak), 32-bit box sizes (64-bit ``largesize``
+accepted on the walk), ``stts`` of any shape (first delta reported as
+the frame interval), no edit lists / fragmented MP4 (``moof``) /
+encryption. Non-BMFF input, a missing ``moov``/``stbl``, or sample
+ranges outside the file raise ``ValueError`` — loud, not wrong.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_FTYP = b"ftyp"
+# containers whose children are themselves boxes
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
+
+
+def _u32(n: int) -> bytes:
+    return struct.pack(">I", n)
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return _u32(8 + len(body)) + btype + body
+
+
+def _full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+
+_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    keyframes: list[bool] | None = None,
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    codec: bytes = b"jpeg",
+) -> bytes:
+    """Sample payloads (e.g. JFIF bytes from jpeg.encode_jpeg) → a
+    minimal valid ISO-BMFF file: ``ftyp`` + ``mdat`` + ``moov`` (moov
+    last, so ``stco`` holds real absolute offsets). Samples are packed
+    TWO per chunk (last chunk may hold one) so the decoder's
+    ``stsc``/``stco``/``stsz`` expansion is genuinely exercised — a
+    one-chunk layout would never catch a broken chunk-run walk.
+    ``keyframes`` marks sync samples (``stss``); None means all sync
+    and the ``stss`` box is omitted, which the spec defines as
+    all-keyframes."""
+    if not frames:
+        raise ValueError("MP4 needs at least one sample")
+    if keyframes is not None and len(keyframes) != len(frames):
+        raise ValueError("keyframes mask length != frame count")
+    if len(codec) != 4:
+        raise ValueError("codec sample-entry type must be 4 bytes")
+    n = len(frames)
+    ftyp = _box(_FTYP, b"isom" + _u32(0x200) + b"isom" + b"iso2" + b"mp41")
+    mdat_body = b"".join(frames)
+    mdat_off = len(ftyp)
+    # chunk layout: pairs of samples; absolute offsets into the file
+    chunk_offsets = []
+    pos = mdat_off + 8
+    for i in range(0, n, 2):
+        chunk_offsets.append(pos)
+        pos += sum(len(f) for f in frames[i : i + 2])
+    n_chunks = len(chunk_offsets)
+    stsc_entries = [(1, 2, 1)]
+    if n % 2 == 1:
+        if n == 1:
+            stsc_entries = [(1, 1, 1)]
+        else:
+            stsc_entries.append((n_chunks, 1, 1))
+
+    duration = n * sample_delta
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + _u32(0x480000) + _u32(0x480000)  # 72 dpi
+        + _u32(0)
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, _u32(1) + _box(codec, entry))
+    stts = _full(b"stts", 0, 0, _u32(1) + _u32(n) + _u32(sample_delta))
+    stss = b""
+    if keyframes is not None:
+        sync = [i + 1 for i, k in enumerate(keyframes) if k]
+        stss = _full(
+            b"stss", 0, 0, _u32(len(sync)) + b"".join(_u32(s) for s in sync)
+        )
+    stsc = _full(
+        b"stsc",
+        0,
+        0,
+        _u32(len(stsc_entries))
+        + b"".join(_u32(a) + _u32(b) + _u32(c) for a, b, c in stsc_entries),
+    )
+    stsz = _full(
+        b"stsz",
+        0,
+        0,
+        _u32(0) + _u32(n) + b"".join(_u32(len(f)) for f in frames),
+    )
+    stco = _full(
+        b"stco",
+        0,
+        0,
+        _u32(n_chunks) + b"".join(_u32(o) for o in chunk_offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+    url = _full(b"url ", 0, 1, b"")  # flag 1: data in this file
+    dref = _full(b"dref", 0, 0, _u32(1) + url)
+    dinf = _box(b"dinf", dref)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        _u32(0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7,  # enabled | in-movie | in-preview
+        _u32(0) + _u32(0) + _u32(1) + _u32(0) + _u32(duration)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + _MATRIX
+        + _u32(width << 16) + _u32(height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration)
+        + _u32(0x10000) + struct.pack(">H", 0x100) + b"\x00" * 10
+        + _MATRIX + b"\x00" * 24 + _u32(2),  # next_track_ID
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+def _boxes(data: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for the sibling boxes in
+    ``data[start:end]``. Handles 64-bit ``largesize`` (size == 1) and
+    to-end-of-file (size == 0); a torn box raises."""
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack(">I4s", data[pos : pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"torn MP4 box {btype!r} (size {size})")
+        yield btype, pos + hdr, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("trailing garbage between MP4 boxes")
+
+
+def _find(data: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in _boxes(data, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def _full_body(data: bytes, b: int, e: int) -> tuple[int, bytes]:
+    if e - b < 4:
+        raise ValueError("short full box")
+    return data[b], data[b + 4 : e]
+
+
+def decode_mp4(data: bytes) -> dict:
+    """MP4 bytes → ``{format, width, height, n_frames, timescale,
+    sample_delta, codec, compression, keyframes, frames}``. ``frames``
+    are the raw per-sample payloads in sample order (NO pixel decode —
+    sample first, decode later); ``keyframes`` is the sorted 0-based
+    sync-sample index list from ``stss`` (every index when ``stss`` is
+    absent, per the spec). ``compression`` carries the ``stsd`` sample
+    entry type (e.g. ``"jpeg"``) so downstream routes payloads exactly
+    like the AVI fourcc."""
+    if len(data) < 12 or data[4:8] != _FTYP:
+        raise ValueError("not an ISO-BMFF file (no ftyp)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    timescale = None
+    mv = _find(data, moov[0], moov[1], b"mvhd")
+    if mv is not None:
+        _v, body = _full_body(data, mv[0], mv[1])
+        timescale = struct.unpack(">I", body[8:12])[0]
+    # first video trak
+    stbl = None
+    for t, b, e in _boxes(data, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find(data, b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None:
+            continue
+        _v, hbody = _full_body(data, hdlr[0], hdlr[1])
+        if hbody[4:8] != b"vide":
+            continue
+        mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+        if mdhd is not None:
+            _v, mbody = _full_body(data, mdhd[0], mdhd[1])
+            timescale = struct.unpack(">I", mbody[8:12])[0]
+        minf = _find(data, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            continue
+        stbl = _find(data, minf[0], minf[1], b"stbl")
+        if stbl is not None:
+            break
+    if stbl is None:
+        raise ValueError("MP4 has no video track with a sample table")
+
+    codec = None
+    width = height = None
+    sample_delta = None
+    sizes: list[int] = []
+    chunk_offsets: list[int] = []
+    stsc_runs: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    sync: list[int] | None = None
+    for t, b, e in _boxes(data, stbl[0], stbl[1]):
+        _v, body = _full_body(data, b, e) if t != b"stsd" else (0, b"")
+        if t == b"stsd":
+            _v2, body = _full_body(data, b, e)
+            (n_entries,) = struct.unpack(">I", body[:4])
+            if n_entries < 1:
+                raise ValueError("empty stsd")
+            esize, etype = struct.unpack(">I4s", body[4:12])
+            codec = etype.decode("latin-1")
+            entry = body[12 : 4 + esize]
+            if len(entry) >= 28:  # VisualSampleEntry dims
+                width, height = struct.unpack(">HH", entry[24:28])
+        elif t == b"stts":
+            (n_entries,) = struct.unpack(">I", body[:4])
+            if n_entries >= 1:
+                sample_delta = struct.unpack(">I", body[8:12])[0]
+        elif t == b"stss":
+            (k,) = struct.unpack(">I", body[:4])
+            sync = [
+                struct.unpack(">I", body[4 + 4 * i : 8 + 4 * i])[0] - 1
+                for i in range(k)
+            ]
+        elif t == b"stsz":
+            fixed, count = struct.unpack(">II", body[:8])
+            if fixed:
+                sizes = [fixed] * count
+            else:
+                sizes = [
+                    struct.unpack(">I", body[8 + 4 * i : 12 + 4 * i])[0]
+                    for i in range(count)
+                ]
+        elif t == b"stsc":
+            (k,) = struct.unpack(">I", body[:4])
+            for i in range(k):
+                fc, spc, _sdi = struct.unpack(
+                    ">III", body[4 + 12 * i : 16 + 12 * i]
+                )
+                stsc_runs.append((fc, spc))
+        elif t == b"stco":
+            (k,) = struct.unpack(">I", body[:4])
+            chunk_offsets = [
+                struct.unpack(">I", body[4 + 4 * i : 8 + 4 * i])[0]
+                for i in range(k)
+            ]
+        elif t == b"co64":
+            (k,) = struct.unpack(">I", body[:4])
+            chunk_offsets = [
+                struct.unpack(">Q", body[4 + 8 * i : 12 + 8 * i])[0]
+                for i in range(k)
+            ]
+    if not sizes or not chunk_offsets or not stsc_runs:
+        raise ValueError("MP4 sample table incomplete (stsz/stco/stsc)")
+
+    # expand the stsc runs: samples-per-chunk for each chunk index
+    spc_by_chunk: list[int] = []
+    for ri, (fc, spc) in enumerate(stsc_runs):
+        last = (
+            stsc_runs[ri + 1][0] - 1
+            if ri + 1 < len(stsc_runs)
+            else len(chunk_offsets)
+        )
+        spc_by_chunk.extend([spc] * (last - fc + 1))
+    if len(spc_by_chunk) != len(chunk_offsets):
+        raise ValueError("stsc chunk runs disagree with stco chunk count")
+
+    frames: list[bytes] = []
+    si = 0
+    for ci, off in enumerate(chunk_offsets):
+        pos = off
+        for _ in range(spc_by_chunk[ci]):
+            if si >= len(sizes):
+                break
+            end = pos + sizes[si]
+            if end > len(data):
+                raise ValueError("MP4 sample range beyond end of file")
+            frames.append(data[pos:end])
+            pos = end
+            si += 1
+    if si != len(sizes):
+        raise ValueError(
+            f"MP4 chunk layout yields {si} samples, stsz declares {len(sizes)}"
+        )
+    n = len(frames)
+    keyframes = sorted(sync) if sync is not None else list(range(n))
+    if any(k < 0 or k >= n for k in keyframes):
+        raise ValueError("stss references a sample outside the track")
+    return {
+        "format": "mp4",
+        "width": width,
+        "height": height,
+        "n_frames": n,
+        "timescale": timescale,
+        "sample_delta": sample_delta,
+        "codec": codec,
+        "compression": codec,  # routes downstream like the AVI fourcc
+        "keyframes": keyframes,
+        "frames": frames,
+    }

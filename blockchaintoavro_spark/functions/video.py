@@ -228,10 +228,17 @@ def dib_to_pixels(payload: bytes, width: int, height: int, bit_count: int = 24) 
 
 
 def try_decode_video(data: bytes | None) -> dict | None:
-    """Magic-byte dispatch: decode if it looks like an AVI, else None
-    (mirrors imaging.try_decode_image / audio.try_decode_audio)."""
+    """Magic-byte dispatch: decode if it looks like an AVI or an
+    ISO-BMFF/MP4 container, else None (mirrors
+    imaging.try_decode_image / audio.try_decode_audio). MP4 results
+    additionally carry ``keyframes`` (the stss sync-sample indices) so
+    downstream samples keyframes BEFORE any pixel decode."""
     if data is None or len(data) < 12:
         return None
     if data[:4] == AVI_MAGIC_RIFF and data[8:12] == AVI_MAGIC_AVI:
         return decode_avi(bytes(data))
+    if data[4:8] == b"ftyp":
+        from blockchaintoavro_spark.functions.mp4 import decode_mp4
+
+        return decode_mp4(bytes(data))
     return None

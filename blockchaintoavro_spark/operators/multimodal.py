@@ -822,6 +822,78 @@ def raw_video_frame_features(
     return _spread_ids(df, id_col).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
 
 
+def mp4_keyframe_roundtrip_features(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """MP4/ISO-BMFF twin of :func:`video_frame_features` (VERDICT r14
+    #4 — the dominant real-world crawl container): per row, synthesize
+    a Motion-JPEG clip from the id (``3 + id%4`` flat-block gray frames
+    of ``8·(1+id%3)`` × 8 — exact-lossless JPEG, the x_jpeg_decode
+    trick), mux it into a REAL ISO-BMFF file (functions/mp4.py: ftyp +
+    mdat + moov, samples packed two per chunk so the stsc/stco/stsz
+    walk is genuinely exercised, every ``k % 3 == 0`` sample marked
+    sync in ``stss``), then parse the container back, take the
+    KEYFRAME indices from the sample table, and pixel-decode ONLY
+    those — the sample-first ordering the video family enforces. The
+    worker asserts the raw sample payloads round-trip byte-identical
+    and the stss indices match the encode mask, so the emitted rows
+    stand on a verified container walk. Every output value is id
+    arithmetic → the x_mp4_frames DuckDB oracle verifies box framing,
+    chunk-run expansion, sync-sample selection and the JPEG stack with
+    no video code. Row-local mapInPandas flat-map, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blockchaintoavro_spark.functions.imaging import (
+            pixel_checksum,
+            try_decode_image,
+        )
+        from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+        from blockchaintoavro_spark.functions.mp4 import (
+            decode_mp4,
+            encode_mp4,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "width": [],
+                "height": [], "checksum": [],
+            }
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                w, h = 8 * (1 + doc_id % 3), 8
+                n_frames = 3 + doc_id % 4
+                jpegs = [
+                    encode_jpeg(
+                        w, h,
+                        bytes(
+                            (doc_id * 23 + (x // 8) * 31 + k * 11) % 256
+                            for y in range(h)
+                            for x in range(w)
+                        ),
+                        1, quant=1,
+                    )
+                    for k in range(n_frames)
+                ]
+                mask = [k % 3 == 0 for k in range(n_frames)]
+                d = decode_mp4(encode_mp4(w, h, jpegs, keyframes=mask))
+                if d["frames"] != jpegs:
+                    raise ValueError(f"mp4 sample roundtrip failed id {doc_id}")
+                if d["keyframes"] != [k for k in range(n_frames) if mask[k]]:
+                    raise ValueError(f"mp4 stss roundtrip failed id {doc_id}")
+                for k in d["keyframes"]:  # sample first, decode only these
+                    info = try_decode_image(d["frames"][k])
+                    if info is None:
+                        raise ValueError(f"mp4 mjpeg decode failed id {doc_id}")
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(k)
+                    out["width"].append(info["width"])
+                    out["height"].append(info["height"])
+                    out["checksum"].append(pixel_checksum(info["pixels"]))
+            yield pd.DataFrame(out)
+
+    return _spread_ids(df, id_col).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
 G711_SCHEMA = "doc_id long, law string, n_frames long, checksum long, energy long"
 
 

@@ -262,13 +262,17 @@ def video_phash_codes(
     every_n: int = 1,
 ) -> DataFrame:
     """Per-frame perceptual hash of video payloads: ``(id, frame_no,
-    phash long)`` — one Arrow-batched map. AVI magic dispatch, keep
+    phash long)`` — one Arrow-batched map. AVI/MP4 magic dispatch, keep
     every ``every_n``-th frame payload (sample FIRST, decode ONLY kept
     frames — the scale-order contract of operators/multimodal.py), then
     decode raw ``DIB `` frames via functions/video.py:dib_to_pixels and
-    compressed (MJPG) frames via the image magic dispatch, and hash
-    each through the same luma→32×32→DCT→median pipeline as stills.
-    Undecodable payloads/frames are dropped. Zero shuffle."""
+    compressed (MJPG / MJPEG-in-MP4) frames via the image magic
+    dispatch, and hash each through the same luma→32×32→DCT→median
+    pipeline as stills. Containers that declare sync samples
+    (MP4 ``stss`` — functions/mp4.py) restrict the walk to KEYFRAMES,
+    with ``every_n`` striding the keyframe list: decode work is
+    keyframe-proportional, never frame-proportional. Undecodable
+    payloads/frames are dropped. Zero shuffle."""
     from blockchaintoavro_spark.functions.imaging import try_decode_image
     from blockchaintoavro_spark.functions.video import (
         dib_to_pixels,
@@ -287,7 +291,13 @@ def video_phash_codes(
                     continue  # corrupt magic-matched container
                 if v is None:
                     continue
-                for k in range(0, v["n_frames"], every_n):
+                # sample FIRST: sync samples when the container declares
+                # them (MP4 stss), else every frame — never decode a
+                # pixel of a frame the stride drops
+                sel = v.get("keyframes")
+                if sel is None:
+                    sel = range(v["n_frames"])
+                for k in list(sel)[::every_n]:
                     fr = v["frames"][k]
                     if v["compression"] == "raw":
                         try:

@@ -2083,6 +2083,44 @@ def x_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "x_mp4_frames",
+    oracle="""
+    SELECT doc_id, frame_no,
+           CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(list_aggregate(list_transform(
+                  range(8 * (1 + doc_id % 3) * 8),
+                  i -> (i + 1) * ((doc_id * 23
+                        + ((i % (8 * (1 + doc_id % 3))) // 8) * 31
+                        + frame_no * 11) % 256)), 'sum')
+                % 2147483648 AS BIGINT) AS checksum
+    FROM (
+      SELECT doc_id, UNNEST(range(0, 3 + doc_id % 4, 3)) AS frame_no
+      FROM documents
+    )
+    ORDER BY doc_id, frame_no
+    """,
+)
+def x_mp4_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """MP4/ISO-BMFF keyframe extraction, end to end (VERDICT r14 #4):
+    per doc, a Motion-JPEG clip (flat-block gray frames → exact-
+    lossless JPEG) is muxed into a REAL ISO-BMFF container
+    (functions/mp4.py — ftyp/mdat/moov, two samples per chunk so the
+    stsc/stco/stsz chunk-run expansion is under test, ``k % 3 == 0``
+    samples marked sync in stss), parsed back with the box walk, the
+    KEYFRAME indices taken from the sample table, and ONLY those
+    samples pixel-decoded — sampling strictly before decode, the order
+    that matters at 100 TB. Every output is id arithmetic, so DuckDB
+    verifies box framing, chunk-run expansion, stss sync selection and
+    the whole JPEG stack with no video code. Row-local mapInPandas
+    flat-map, zero shuffle."""
+    from ..operators.multimodal import mp4_keyframe_roundtrip_features
+
+    d = t(spark, sf, "documents")
+    return mp4_keyframe_roundtrip_features(d).orderBy("doc_id", "frame_no")
+
+
+@declare(
     "x_avi_raw_frames",
     oracle="""
     WITH base AS (

@@ -158,3 +158,118 @@ def test_dib_to_pixels_rejects_bad_input():
         dib_to_pixels(b"\x00" * 64, 2, 2, bit_count=8)
     with pytest.raises(ValueError, match="short DIB"):
         dib_to_pixels(b"\x00" * 4, 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (VERDICT r14 #4)
+
+
+def test_mp4_roundtrip_samples_header_and_keyframes():
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    frames = [bytes([i] * (50 + i * 7)) for i in range(5)]
+    mask = [k % 3 == 0 for k in range(5)]
+    d = decode_mp4(encode_mp4(24, 16, frames, keyframes=mask))
+    assert d["format"] == "mp4" and d["codec"] == "jpeg"
+    assert (d["width"], d["height"], d["n_frames"]) == (24, 16, 5)
+    assert (d["timescale"], d["sample_delta"]) == (1000, 40)
+    assert d["frames"] == frames  # byte-identical through stsc/stco/stsz
+    assert d["keyframes"] == [0, 3]  # stss, 0-based
+
+
+def test_mp4_absent_stss_means_all_keyframes():
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    frames = [b"a", b"bb", b"ccc"]
+    d = decode_mp4(encode_mp4(4, 4, frames))  # keyframes=None → no stss
+    assert d["keyframes"] == [0, 1, 2]
+    assert d["frames"] == frames
+
+
+def test_mp4_chunk_runs_cover_odd_and_even_counts():
+    """Two-samples-per-chunk layout with a trailing single: the
+    stsc run expansion must reproduce every count exactly."""
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    for n in (1, 2, 3, 4, 7, 10):
+        frames = [bytes([j]) * (j + 1) for j in range(n)]
+        d = decode_mp4(encode_mp4(2, 2, frames))
+        assert d["frames"] == frames, n
+
+
+def test_mp4_corruption_raises():
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    good = encode_mp4(4, 4, [b"xy", b"zw"], keyframes=[True, False])
+    with _pytest.raises(ValueError, match="ftyp"):
+        decode_mp4(b"\x00" * 32)
+    # torn box: truncate mid-moov
+    with _pytest.raises(ValueError):
+        decode_mp4(good[:-9])
+    # stss pointing outside the track
+    import struct as _struct
+
+    bad = bytearray(good)
+    idx = bad.find(b"stss")
+    (k,) = _struct.unpack(">I", bad[idx + 8 : idx + 12])
+    bad[idx + 12 : idx + 16] = _struct.pack(">I", 99)  # sample 99 of 2
+    with _pytest.raises(ValueError, match="stss"):
+        decode_mp4(bytes(bad))
+
+
+def test_try_decode_video_dispatches_mp4_and_avi_disjointly():
+    from blockchaintoavro_spark.functions.mp4 import encode_mp4
+    from blockchaintoavro_spark.functions.video import (
+        encode_avi,
+        try_decode_video,
+    )
+
+    m = try_decode_video(encode_mp4(4, 4, [b"x"]))
+    assert m is not None and m["format"] == "mp4"
+    a = try_decode_video(encode_avi(4, 4, [b"x"]))
+    assert a is not None and a["format"] == "avi"
+    assert try_decode_video(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 8) is None
+
+
+def test_video_phash_codes_accepts_mp4_and_samples_keyframes(spark):
+    """The generic video-phash leg over an MJPEG-in-MP4 payload: only
+    the stss keyframes are decoded (sample first), and each code equals
+    the still-image phash of the same frame."""
+    from blockchaintoavro_spark.functions.imaging import try_decode_image
+    from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+    from blockchaintoavro_spark.functions.mp4 import encode_mp4
+    from blockchaintoavro_spark.operators.phash import (
+        phash63,
+        video_phash_codes,
+    )
+
+    w = h = 16
+    jpegs = [
+        encode_jpeg(
+            w, h,
+            bytes(
+                (37 * (x // 8) + 53 * (y // 8) + 29 * k) % 256
+                for y in range(h)
+                for x in range(w)
+            ),
+            1, quant=1,
+        )
+        for k in range(6)
+    ]
+    mask = [k % 2 == 0 for k in range(6)]
+    payload = encode_mp4(w, h, jpegs, keyframes=mask)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    got = {
+        r["frame_no"]: r["phash"]
+        for r in video_phash_codes(df).collect()
+    }
+    assert sorted(got) == [0, 2, 4]  # keyframes only — never 1/3/5
+    for k in (0, 2, 4):
+        d = try_decode_image(jpegs[k])
+        assert got[k] == phash63(
+            d["pixels"], d["width"], d["height"], d["channels"]
+        )
