@@ -15,9 +15,17 @@ JVM (driver AND all executor threads) + Arrow python workers — read
 from ``/proc/*/stat``: three straight rounds of bench deltas were host
 drift on identical code (idle wall spread 8.0-12.4 s), and CPU time is
 the signal that separates code regressions from a noisy neighbor — a
-wall-clock move with flat CPU is the host, not the code. The r1-r4
-keys (metric/value/unit/queries/sf) are unchanged so rounds stay
-comparable; ``spread``/``cpu_sec`` are additive.
+wall-clock move with flat CPU is the host, not the code.
+``shuffle_read_bytes``/``shuffle_write_bytes``/``tasks`` (r15, VERDICT
+r14 #7) close the remaining blind spot — a plan regression that trades
+CPU for shuffle (same CPU, more Exchange): per-query deltas of the UI
+REST API's stage totals (the public /api/v1 surface), measured around
+the warm-up pass (shuffle volume is plan-determined, identical across
+runs — no reason to re-measure 5×). Requires the UI, so bench flips
+``SPARK_GRAFT_UI=true`` before building the session; when the UI is
+off the keys are simply absent. The r1-r4 keys
+(metric/value/unit/queries/sf) are unchanged so rounds stay
+comparable; all later keys are additive.
 """
 
 from __future__ import annotations
@@ -98,14 +106,55 @@ def _subtree_cpu_seconds(root_pid: int) -> float | None:
         return None
 
 
+def _stage_totals(spark):
+    """``(shuffle_read_bytes, shuffle_write_bytes, complete_tasks)``
+    summed over every stage the app has run, via the UI's public REST
+    API. None when the UI is disabled or unreachable. Totals are
+    cumulative, so a per-query delta is after − before; stage eviction
+    (spark.ui.retainedStages) between two snapshots can only shrink a
+    delta, so negatives are clamped by the caller."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        import urllib.request
+
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages", timeout=10
+        ) as r:
+            stages = json.loads(r.read())
+        return (
+            sum(s.get("shuffleReadBytes", 0) or 0 for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) or 0 for s in stages),
+            sum(s.get("numCompleteTasks", 0) or 0 for s in stages),
+        )
+    except Exception:
+        return None
+
+
 def main() -> None:
+    # the shuffle telemetry reads the UI REST API — enable it unless the
+    # caller explicitly chose otherwise
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     registry = load_all()
     bench_set = {n: q for n, q in sorted(registry.items()) if q.bench}
     spark = get_spark("bench")
 
-    # warm-up pass: JVM, codegen paths, parquet footers — untimed
+    # warm-up pass: JVM, codegen paths, parquet footers — untimed; the
+    # shuffle/task deltas are measured here (plan-determined, stable
+    # across runs)
+    shuffle_rd: dict[str, int] = {}
+    shuffle_wr: dict[str, int] = {}
+    task_counts: dict[str, int] = {}
     for name, q in bench_set.items():
+        before = _stage_totals(spark)
         q.spark(spark, SF_DIR).collect()
+        after = _stage_totals(spark) if before is not None else None
+        if before is not None and after is not None:
+            shuffle_rd[name] = max(0, after[0] - before[0])
+            shuffle_wr[name] = max(0, after[1] - before[1])
+            task_counts[name] = max(0, after[2] - before[2])
 
     self_pid = os.getpid()
     cpu_works = _subtree_cpu_seconds(self_pid) is not None
@@ -146,6 +195,10 @@ def main() -> None:
     if cpu_sec:
         out["cpu_sec"] = cpu_sec
         out["cpu_total"] = round(sum(cpu_sec.values()), 3)
+    if shuffle_rd:
+        out["shuffle_read_bytes"] = shuffle_rd
+        out["shuffle_write_bytes"] = shuffle_wr
+        out["tasks"] = task_counts
     print(json.dumps(out))
 
 

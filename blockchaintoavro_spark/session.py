@@ -34,7 +34,12 @@ def get_spark(app_name: str = "blockchaintoavro_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (tests/driver need no Jetty server); bench.py
+        # flips it on via SPARK_GRAFT_UI to read per-query shuffle
+        # volumes from the UI's public REST API (VERDICT r14 #7)
+        .config(
+            "spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false")
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # local-mode split size: the sf0.1 inputs are single ~10 MB files,
         # so the 128 MB default leaves 29 of 32 cores idle on the scan
