@@ -204,6 +204,15 @@ def _full_body(data: bytes, b: int, e: int) -> tuple[int, bytes]:
     return data[b], data[b + 4 : e]
 
 
+def _timescale_of(version: int, body: bytes) -> int:
+    """mvhd/mdhd timescale — version-aware: v1 boxes carry 64-bit
+    creation/modification times, shifting timescale from body[8:12]
+    to body[16:20]. Reading the v0 offset on a v1 box would report
+    the low half of modification_time as the timescale."""
+    off = 16 if version == 1 else 8
+    return struct.unpack(">I", body[off : off + 4])[0]
+
+
 def decode_mp4(data: bytes) -> dict:
     """MP4 bytes → ``{format, width, height, n_frames, timescale,
     sample_delta, codec, compression, keyframes, frames}``. ``frames``
@@ -212,7 +221,21 @@ def decode_mp4(data: bytes) -> dict:
     sync-sample index list from ``stss`` (every index when ``stss`` is
     absent, per the spec). ``compression`` carries the ``stsd`` sample
     entry type (e.g. ``"jpeg"``) so downstream routes payloads exactly
-    like the AVI fourcc."""
+    like the AVI fourcc.
+
+    Corruption-normalizing like the Avro reader: a truncated or
+    mangled box that would surface as ``struct.error``/``IndexError``
+    from the binary unpacks becomes ``ValueError`` naming the defect —
+    callers (and executors at 100 TB) see ONE failure mode."""
+    try:
+        return _decode_mp4(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(
+            f"corrupt ISO-BMFF container: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_mp4(data: bytes) -> dict:
     if len(data) < 12 or data[4:8] != _FTYP:
         raise ValueError("not an ISO-BMFF file (no ftyp)")
     moov = _find(data, 0, len(data), b"moov")
@@ -222,7 +245,7 @@ def decode_mp4(data: bytes) -> dict:
     mv = _find(data, moov[0], moov[1], b"mvhd")
     if mv is not None:
         _v, body = _full_body(data, mv[0], mv[1])
-        timescale = struct.unpack(">I", body[8:12])[0]
+        timescale = _timescale_of(_v, body)
     # first video trak
     stbl = None
     for t, b, e in _boxes(data, moov[0], moov[1]):
@@ -240,7 +263,7 @@ def decode_mp4(data: bytes) -> dict:
         mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
         if mdhd is not None:
             _v, mbody = _full_body(data, mdhd[0], mdhd[1])
-            timescale = struct.unpack(">I", mbody[8:12])[0]
+            timescale = _timescale_of(_v, mbody)
         minf = _find(data, mdia[0], mdia[1], b"minf")
         if minf is None:
             continue
@@ -257,10 +280,14 @@ def decode_mp4(data: bytes) -> dict:
     chunk_offsets: list[int] = []
     stsc_runs: list[tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
     sync: list[int] | None = None
+    known = {
+        b"stsd", b"stts", b"stss", b"stsz", b"stsc", b"stco", b"co64",
+    }
     for t, b, e in _boxes(data, stbl[0], stbl[1]):
-        _v, body = _full_body(data, b, e) if t != b"stsd" else (0, b"")
+        if t not in known:
+            continue  # free/skip fillers and boxes we don't consume
+        _v, body = _full_body(data, b, e)
         if t == b"stsd":
-            _v2, body = _full_body(data, b, e)
             (n_entries,) = struct.unpack(">I", body[:4])
             if n_entries < 1:
                 raise ValueError("empty stsd")

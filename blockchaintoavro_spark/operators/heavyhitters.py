@@ -249,14 +249,20 @@ def heavy_hitters(
             "raise min_frac, raise max_candidate_rows if your driver "
             "has the heap, or use exact_heavy_hitters (full groupBy)."
         )
-    summaries = _mg_summaries(df, col, k).collect()  # pass 1 (scan #1)
+    # pass 1 (scan #1). The JVM-side limit makes the cap authoritative
+    # BEFORE driver materialization: even if the partition estimate
+    # above misjudged the executed plan, at most cap+1 rows ever cross
+    # to the driver — an oversized MG pass raises the loud ValueError
+    # instead of OOMing inside collect().
+    summaries = (
+        _mg_summaries(df, col, k).limit(max_candidate_rows + 1).collect()
+    )
     if len(summaries) > max_candidate_rows:
-        # authoritative backstop on the rows actually collected
         raise ValueError(
-            f"heavy_hitters collected {len(summaries)} candidate rows "
-            f"(cap: {max_candidate_rows}); coalesce the input, raise "
-            "min_frac, raise max_candidate_rows, or use "
-            "exact_heavy_hitters (full groupBy)."
+            f"heavy_hitters produced more than {max_candidate_rows} "
+            "candidate rows (cap); coalesce the input, raise min_frac, "
+            "raise max_candidate_rows, or use exact_heavy_hitters "
+            "(full groupBy)."
         )
     n = sum(r["part_rows"] for r in summaries if r["part_rows"] is not None)
     cand_items = {r["item"] for r in summaries if r["item"] is not None}

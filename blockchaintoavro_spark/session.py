@@ -36,9 +36,16 @@ def get_spark(app_name: str = "blockchaintoavro_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # UI off by default (tests/driver need no Jetty server); bench.py
         # flips it on via SPARK_GRAFT_UI to read per-query shuffle
-        # volumes from the UI's public REST API (VERDICT r14 #7)
+        # volumes from the UI's public REST API (VERDICT r14 #7).
+        # Normalized — a raw "1"/"yes" passed straight through would
+        # fail Spark's boolean conf parse and take down EVERY session
+        # build, not just the UI consumer.
         .config(
-            "spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false")
+            "spark.ui.enabled",
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "").lower()
+            in ("1", "true", "yes", "on")
+            else "false",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # local-mode split size: the sf0.1 inputs are single ~10 MB files,

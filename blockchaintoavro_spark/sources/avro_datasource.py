@@ -96,7 +96,13 @@ def _manifest_paths(path: str) -> set[str] | None:
     when no manifest exists (e.g. a rotated-sink drop dir written outside
     this datasource — glob is the contract there). URI datasets read the
     manifest through the same per-scheme pyarrow resolution as the data
-    files; a missing manifest surfaces as FileNotFoundError → None."""
+    files; ONLY a missing manifest (FileNotFoundError) means "no
+    manifest" — a transient network/credential failure on the open must
+    RAISE, because silently widening the read to the raw glob listing
+    would re-admit exactly the failed-attempt orphans the manifest
+    exists to exclude. Unparseable CONTENT keeps the documented
+    legacy-fallback (corrupt-on-disk is a layout vintage, not a
+    transient)."""
     if _split_scheme(path)[0] is not None:
         mf = path.rstrip("/") + "/" + MANIFEST
     else:
@@ -104,11 +110,15 @@ def _manifest_paths(path: str) -> set[str] | None:
         if not os.path.isfile(mf):
             return None
     try:
-        with _fs_open(mf) as fh:
+        fh = _fs_open(mf)
+    except FileNotFoundError:
+        return None  # no manifest committed — glob is the contract
+    try:
+        with fh:
             entries = json.load(fh)
         return {e["path"] for e in entries}
     except Exception:
-        return None  # missing/unreadable/legacy manifest — fall back to glob
+        return None  # unreadable/legacy manifest — fall back to glob
 
 
 def _list_files(
@@ -116,8 +126,11 @@ def _list_files(
     partition_col: str | None,
     ptype: str,
     use_manifest: bool = True,
-) -> list[tuple[str, Any]]:
-    """(file, partition value) pairs for a flat or hive-partitioned dir.
+) -> list[tuple[str, Any, int]]:
+    """(file, partition value, size) triples for a flat or
+    hive-partitioned dir — sizes ride the listing so split planning
+    never re-stats files (one metadata round-trip per file matters on
+    remote stores).
 
     For batch reads (``use_manifest=True``) a commit manifest, when
     present, restricts the listing — a failed task attempt's orphan (its
@@ -127,11 +140,20 @@ def _list_files(
     producer is the rotated sink, which appends files without touching
     any manifest — filtering by a stale manifest would freeze the stream
     at whatever the last batch job committed."""
+    def _sz(f: str) -> int:
+        try:
+            return os.path.getsize(f)
+        except OSError:
+            return 0  # vanished/unstatable: one whole-file partition
+
     if _split_scheme(path)[0] is not None:
         # URI dataset: enumerate through pyarrow.fs (the DataSource
         # driver process has no JVM handle for a Hadoop listing); paths
-        # stay in URI space so the executor read re-resolves per scheme.
-        listed = [f for f, _sz in _pafs_glob_uris(path, partition_col)]
+        # stay in URI space so the executor read re-resolves per
+        # scheme, and the listing's own sizes ride along — re-statting
+        # every file in _plan_splits would double the remote metadata
+        # round-trips.
+        listed = _pafs_glob_uris(path, partition_col)
         if partition_col:
             out = [
                 (
@@ -140,18 +162,22 @@ def _list_files(
                         os.path.basename(os.path.dirname(f)).split("=", 1)[1],
                         ptype,
                     ),
+                    sz,
                 )
-                for f in listed
+                for f, sz in listed
             ]
         else:
-            out = [(f, None) for f in listed]
+            out = [(f, None, sz) for f, sz in listed]
     elif partition_col:
         out = []
         for f in sorted(glob.glob(os.path.join(path, f"{partition_col}=*", "*.avro"))):
             raw = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
-            out.append((f, _part_value(raw, ptype)))
+            out.append((f, _part_value(raw, ptype), _sz(f)))
     else:
-        out = [(f, None) for f in sorted(glob.glob(os.path.join(path, "*.avro")))]
+        out = [
+            (f, None, _sz(f))
+            for f in sorted(glob.glob(os.path.join(path, "*.avro")))
+        ]
     committed = _manifest_paths(path) if use_manifest else None
     if committed is not None:
         # Manifest entries are dataset-relative today, but earlier writer
@@ -167,9 +193,9 @@ def _list_files(
 
         committed_sfx = {_suffix(e) for e in committed}
         kept = [
-            (f, v)
-            for f, v in out
-            if _suffix(os.path.relpath(f, path)) in committed_sfx
+            fp
+            for fp in out
+            if _suffix(os.path.relpath(fp[0], path)) in committed_sfx
         ]
         # A manifest matching NOTHING is foreign to this layout (e.g. a
         # renamed partition scheme): zeroing out the dataset would be a
@@ -201,13 +227,17 @@ def _plan_splits(
     multiple ranges that the reader aligns on sync markers. The driver
     only stats file sizes — no file content is touched here."""
     parts: list[_FilePartition] = []
-    for p, v in files:
-        try:
-            from .avro_io import _fs_size
+    for item in files:
+        p, v = item[0], item[1]
+        if len(item) > 2:  # size rode the listing (_list_files triples)
+            size = item[2]
+        else:  # stream partitions() hands bare (path, value) pairs
+            try:
+                from .avro_io import _fs_size
 
-            size = _fs_size(p)
-        except (OSError, TypeError):
-            size = 0  # vanished/unstatable: one whole-file partition
+                size = _fs_size(p)
+            except (OSError, TypeError):
+                size = 0  # vanished/unstatable: one whole-file partition
         if 0 < split_size < size:
             for s in range(0, size, split_size):
                 parts.append(_FilePartition(p, v, s, min(s + split_size, size)))
@@ -321,8 +351,8 @@ class AvroOCFStreamReader(DataSourceStreamReader):
 
     def _current_files(self) -> list[str]:
         return [
-            p
-            for p, _ in _list_files(
+            fp[0]
+            for fp in _list_files(
                 self._path, self._pcol, self._ptype, use_manifest=False
             )
         ]

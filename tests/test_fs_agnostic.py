@@ -300,3 +300,28 @@ def test_read_rotated_range_native_spark_avro_branch_mockpinned(
     assert "/data/rot/window_id=6" not in calls["paths"]
     # both probe bounds became row-level filters inside edge windows
     assert calls["filters"] == 2
+
+
+def test_datasource_manifest_transient_error_raises_not_widens(monkeypatch):
+    """Review r15: for URI datasets only a MISSING manifest means 'no
+    manifest' — a transient network/credential failure on the open must
+    raise, because silently falling back to the raw glob would re-admit
+    the failed-attempt orphans the manifest exists to exclude."""
+    from blockchaintoavro_spark.sources import avro_datasource as ads
+
+    calls = {}
+
+    def fake_open(path, filesystem=None):
+        calls["path"] = path
+        raise OSError("endpoint timed out")
+
+    monkeypatch.setattr(ads, "_fs_open", fake_open)
+    with pytest.raises(OSError, match="timed out"):
+        ads._manifest_paths("s3a://bucket/ds")
+    assert calls["path"].endswith("/_SUCCESS")
+
+    def fake_missing(path, filesystem=None):
+        raise FileNotFoundError(path)
+
+    monkeypatch.setattr(ads, "_fs_open", fake_missing)
+    assert ads._manifest_paths("s3a://bucket/ds") is None

@@ -273,3 +273,66 @@ def test_video_phash_codes_accepts_mp4_and_samples_keyframes(spark):
         assert got[k] == phash63(
             d["pixels"], d["width"], d["height"], d["channels"]
         )
+
+
+def test_mp4_corrupt_sample_tables_normalize_to_valueerror():
+    """Review r15: truncated/overflowing sample-table boxes must surface
+    as ValueError (the module contract callers catch), never raw
+    struct.error escaping an Arrow worker."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    good = encode_mp4(4, 4, [b"xy", b"zw"], keyframes=[True, False])
+    for fourcc in (b"stsz", b"stss", b"stsc", b"stco"):
+        bad = bytearray(good)
+        idx = good.find(fourcc)
+        # declared count far beyond the actual body
+        bad[idx + 8 : idx + 12] = _struct.pack(">I", 999)
+        with _pytest.raises(ValueError):
+            decode_mp4(bytes(bad))
+
+
+def test_mp4_tolerates_free_filler_box_in_stbl():
+    """Review r15: a legal zero-body 'free' filler inside stbl (real
+    muxers emit them for in-place edits) must be skipped, not parsed as
+    a full box."""
+    import struct as _struct
+
+    from blockchaintoavro_spark.functions.mp4 import (
+        _box,
+        decode_mp4,
+        encode_mp4,
+    )
+
+    frames = [b"ab", b"cde", b"f"]
+    good = encode_mp4(4, 4, frames, keyframes=[True, False, True])
+    stbl_at = good.find(b"stbl")
+    free = _box(b"free", b"")
+    patched = bytearray(
+        good[: stbl_at + 4] + free + good[stbl_at + 4 :]
+    )
+    # grow every enclosing box's declared size by len(free)
+    for name in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        at = bytes(patched).find(name)
+        (sz,) = _struct.unpack(">I", patched[at - 4 : at])
+        patched[at - 4 : at] = _struct.pack(">I", sz + len(free))
+    d = decode_mp4(bytes(patched))
+    assert d["frames"] == frames
+    assert d["keyframes"] == [0, 2]
+
+
+def test_mp4_timescale_is_version_aware():
+    """Review r15: a v1 mvhd/mdhd carries 64-bit times, shifting
+    timescale from body[8:12] to body[16:20] — the v0 offset on a v1
+    box would report modification-time bits as the timescale."""
+    import struct as _struct
+
+    from blockchaintoavro_spark.functions.mp4 import _timescale_of
+
+    v0 = b"\x00" * 8 + _struct.pack(">I", 555) + b"\x00" * 8
+    assert _timescale_of(0, v0) == 555
+    v1 = b"\x00" * 16 + _struct.pack(">I", 777) + b"\x00" * 8
+    assert _timescale_of(1, v1) == 777
