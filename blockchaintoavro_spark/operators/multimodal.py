@@ -296,7 +296,11 @@ def sample_frames(
     get REAL keyframe extraction too (functions/video.py): the container
     is walked, every ``every_n``-th frame payload is kept AS the already
     self-describing JPEG bytes — no pixel decode is paid for dropped
-    frames, the order that matters at 100 TB. Other payloads keep the
+    frames, the order that matters at 100 TB. MP4 containers restrict
+    the walk to their DECLARED sync samples first (functions/mp4.py
+    stss — emitted frame_no keeps the true sample index), with
+    ``every_n`` striding the keyframe list: only independently-
+    decodable samples are ever emitted. Other payloads keep the
     fixed-size byte-window fallback (``frame_bytes`` per frame) — the
     same row-explosion shape with a degenerate "codec".
     """
@@ -317,7 +321,10 @@ def sample_frames(
                 except ValueError:
                     avi = None
                 if avi is not None:
-                    for i in range(0, len(avi["frames"]), every_n):
+                    sel = avi.get("keyframes")  # MP4 sync samples
+                    if sel is None:
+                        sel = range(len(avi["frames"]))
+                    for i in list(sel)[::every_n]:
                         ids.append(doc_id)
                         nos.append(i)
                         frames.append(avi["frames"][i])

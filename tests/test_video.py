@@ -336,3 +336,26 @@ def test_mp4_timescale_is_version_aware():
     assert _timescale_of(0, v0) == 555
     v1 = b"\x00" * 16 + _struct.pack(">I", 777) + b"\x00" * 8
     assert _timescale_of(1, v1) == 777
+
+
+def test_sample_frames_mp4_branch_keeps_sync_samples_only(spark):
+    from blockchaintoavro_spark.functions.mp4 import encode_mp4
+    from blockchaintoavro_spark.operators.multimodal import sample_frames
+
+    frames = [b"frame-%d" % k for k in range(8)]
+    mask = [k % 4 == 0 for k in range(8)]  # sync samples 0 and 4
+    payload = encode_mp4(4, 4, frames, keyframes=mask)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    got = {
+        r["frame_no"]: bytes(r["frame"])
+        for r in sample_frames(df, every_n=1).collect()
+    }
+    # only the declared sync samples, carrying their TRUE sample index
+    assert got == {0: b"frame-0", 4: b"frame-4"}
+    # every_n strides the keyframe list, not the raw frame range
+    got2 = sorted(
+        r["frame_no"] for r in sample_frames(df, every_n=2).collect()
+    )
+    assert got2 == [0]

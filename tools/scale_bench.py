@@ -998,6 +998,147 @@ def bench_round14_operators(spark) -> dict:
     return results
 
 
+def bench_round15_operators(spark) -> dict:
+    """Round-15 mechanics. Claims under measurement: (1) the
+    commit-time schema-fingerprint pass over a MANY-segment commit is
+    bounded by the thread pool, not serial footer latency, and the
+    entries are byte-identical to the serial computation; (2) the
+    injected-pyarrow-filesystem OCF read costs about the same as the
+    builtin-open local read (same plan shape, same per-file decode —
+    the FS abstraction is not a read-path tax); (3) MP4 keyframe
+    selection makes per-payload pixel-decode work track the SYNC
+    table, not the frame count (the AVI twin of the same frames
+    decodes every one)."""
+    import shutil
+    import tempfile
+
+    from blockchaintoavro_spark.operators import manifest as mf
+
+    results: dict[str, dict] = {}
+    root = tempfile.mkdtemp(prefix="spark_graft_r15_")
+    try:
+        # --- (1) threaded vs serial segment fingerprints, 16 segments
+        import hashlib
+
+        store = f"{root}/fp_store"
+        rows = spark.range(64).selectExpr("id AS k", "string(id) AS v")
+        segs = [mf.new_segment_name() for _ in range(16)]
+        for s in segs:
+            rows.write.parquet(f"{store}/{s}")
+
+        def serial():
+            out = {}
+            for s in segs:
+                sj = spark.read.parquet(f"{store}/{s}").schema.json()
+                out[s] = hashlib.sha256(
+                    sj.encode("utf-8")
+                ).hexdigest()[:16]
+            return out
+
+        serial_fps, t_serial = timed(serial)
+        threaded_fps, t_threaded = timed(
+            lambda: mf._segment_schema_fps(spark, store, segs)
+        )
+        assert threaded_fps == serial_fps  # byte-identical entries
+        results["segment_fingerprints_16"] = {
+            "serial_sec": t_serial,
+            "threaded_sec": t_threaded,
+        }
+        print(
+            f"round15 segschema fingerprints (16 segs): serial "
+            f"{t_serial}s vs threaded {t_threaded}s",
+            flush=True,
+        )
+
+        # --- (2) injected-filesystem read vs builtin-open local read
+        from pyarrow.fs import LocalFileSystem, SubTreeFileSystem
+
+        from blockchaintoavro_spark.operators.rotation import (
+            read_rotated,
+            write_rotated,
+        )
+
+        ev = spark.range(200_000).selectExpr(
+            "CAST(1577836800000 + id * 150 AS LONG) AS timestamp",
+            "id AS event_id",
+        )
+        sink = f"{root}/rot_fs"
+        write_rotated(ev, sink, "timestamp", 3600)
+        n_local, t_local = timed(
+            lambda: read_rotated(spark, sink).count()
+        )
+        shim = SubTreeFileSystem(root, LocalFileSystem())
+        n_shim, t_shim = timed(
+            lambda: read_rotated(spark, "rot_fs", filesystem=shim).count()
+        )
+        assert n_local == n_shim == 200_000
+        results["fs_injected_read"] = {
+            "local_open_sec": t_local,
+            "pyarrow_fs_sec": t_shim,
+        }
+        print(
+            f"round15 OCF read 200k rows: builtin open {t_local}s vs "
+            f"injected pyarrow fs {t_shim}s",
+            flush=True,
+        )
+
+        # --- (3) MP4 keyframe-proportional decode vs AVI all-frames
+        from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+        from blockchaintoavro_spark.functions.mp4 import encode_mp4
+        from blockchaintoavro_spark.functions.video import encode_avi
+        from blockchaintoavro_spark.operators.phash import (
+            video_phash_codes,
+        )
+
+        n_frames, every_k = 24, 6  # 4 sync samples of 24 frames
+        jpegs = [
+            encode_jpeg(
+                32, 32,
+                bytes(
+                    (37 * (x // 8) + 53 * (y // 8) + 29 * k) % 256
+                    for y in range(32)
+                    for x in range(32)
+                ),
+                1, quant=1,
+            )
+            for k in range(n_frames)
+        ]
+        mask = [k % every_k == 0 for k in range(n_frames)]
+        mp4s = [
+            (i, bytearray(encode_mp4(32, 32, jpegs, keyframes=mask)))
+            for i in range(16)
+        ]
+        avis = [
+            (i, bytearray(encode_avi(32, 32, jpegs))) for i in range(16)
+        ]
+        schema = "doc_id long, payload binary"
+        mdf = spark.createDataFrame(mp4s, schema)
+        adf = spark.createDataFrame(avis, schema)
+        rows_mp4, t_mp4 = timed(
+            lambda: video_phash_codes(mdf).count()
+        )
+        rows_avi, t_avi = timed(
+            lambda: video_phash_codes(adf).count()
+        )
+        assert rows_mp4 == 16 * (n_frames // every_k)
+        assert rows_avi == 16 * n_frames
+        results["mp4_keyframe_decode"] = {
+            "mp4_keyframes_sec": t_mp4,
+            "avi_all_frames_sec": t_avi,
+            "frames_decoded_mp4": rows_mp4,
+            "frames_decoded_avi": rows_avi,
+        }
+        print(
+            f"round15 video phash: mp4 keyframes {t_mp4}s/"
+            f"{rows_mp4} decodes vs avi all-frames {t_avi}s/"
+            f"{rows_avi} decodes",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     spark = get_spark("scale_bench")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1014,6 +1155,7 @@ def main() -> None:
         "round12_operators": bench_round12_operators(spark),
         "round13_operators": bench_round13_operators(spark),
         "round14_operators": bench_round14_operators(spark),
+        "round15_operators": bench_round15_operators(spark),
         "model_ops": bench_model_ops(spark),
         "ocf_split": bench_ocf_split(spark),
     }
