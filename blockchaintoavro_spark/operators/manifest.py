@@ -308,10 +308,17 @@ def http_put_if_absent(
     the object is fetched back and compared byte-for-byte to the
     payload this process sent — manifest payloads are unique per
     committer (uuid'd segment names ride inside), so a mismatch
-    PROVES the store overwrote a rival and raises ``OSError`` rather
-    than letting the commit read as won. The extra GET is one small
-    metadata read per commit — cheap insurance on unproven stores;
-    omit it on stores with verified conditional-write support.
+    PROVES the store overwrote this commit and raises ``OSError``.
+
+    The read-back is BEST-EFFORT loss detection, not a restored
+    mutual-exclusion guarantee (ADVICE r15): it catches a rival only
+    when the rival's bytes land before this process's GET. The
+    interleaving A-PUT, A-GET (sees A), B-PUT, B-GET (sees B) lets
+    BOTH racers return True on a store that ignores the header. The
+    up-front two-concurrent-PUT qualification above is the actual
+    safety gate; the GET is one small metadata read per commit —
+    cheap extra insurance on unproven stores, not a substitute.
+    Omit it on stores with verified conditional-write support.
 
     Usage::
 

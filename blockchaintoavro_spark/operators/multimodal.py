@@ -275,7 +275,9 @@ def resize_payloads(
     )
 
 
-FRAME_SCHEMA = "doc_id long, frame_no long, frame binary"
+FRAME_SCHEMA = (
+    "doc_id long, frame_no long, frame binary, codec_config binary"
+)
 
 
 def sample_frames(
@@ -303,6 +305,13 @@ def sample_frames(
     decodable samples are ever emitted. Other payloads keep the
     fixed-size byte-window fallback (``frame_bytes`` per frame) — the
     same row-explosion shape with a degenerate "codec".
+
+    Each kept sample also carries the container's DECODER-CONFIGURATION
+    record (``codec_config``, VERDICT r15 #1): for H.264/H.265 MP4s the
+    sample payloads are bare NAL units that are undecodable without the
+    ``avcC``/``hvcC`` extradata from ``stsd``, so a frame-sampling
+    pipeline that drops it emits unusable bytes. Self-describing
+    payloads (MJPEG samples, GIF→PNG, byte windows) carry NULL.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -311,7 +320,7 @@ def sample_frames(
         from blockchaintoavro_spark.functions.video import try_decode_video
 
         for pdf in batches:
-            ids, nos, frames = [], [], []
+            ids, nos, frames, cfgs = [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None:
                     continue
@@ -324,10 +333,12 @@ def sample_frames(
                     sel = avi.get("keyframes")  # MP4 sync samples
                     if sel is None:
                         sel = range(len(avi["frames"]))
+                    cfg = avi.get("codec_config")
                     for i in list(sel)[::every_n]:
                         ids.append(doc_id)
                         nos.append(i)
                         frames.append(avi["frames"][i])
+                        cfgs.append(cfg)
                     continue
                 if b[:6] in (b"GIF87a", b"GIF89a"):
                     try:
@@ -340,13 +351,20 @@ def sample_frames(
                         frames.append(
                             encode_png(d["width"], d["height"], d["frames"][i], 3)
                         )
+                        cfgs.append(None)
                     continue
                 for i in range(0, len(b) // frame_bytes, every_n):
                     ids.append(doc_id)
                     nos.append(i)
                     frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+                    cfgs.append(None)
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_no": nos, "frame": frames}
+                {
+                    "doc_id": ids,
+                    "frame_no": nos,
+                    "frame": frames,
+                    "codec_config": cfgs,
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(

@@ -105,6 +105,14 @@ def streaming_dedup(
     )
 
 
+# Payload versions of running_user_totals' envelope: v1 = [n, total].
+# A future widening bumps the version, appends to the payload, and
+# registers {1: lambda p: p + [new_default]} — the Spark-visible
+# schema stays STATE_ENVELOPE_SCHEMA and old checkpoints keep resuming.
+_TOTALS_STATE_VERSION = 1
+_TOTALS_STATE_MIGRATIONS: dict[int, Callable] = {}
+
+
 def running_user_totals(
     events: DataFrame,
     key_col: str = "user_id",
@@ -115,6 +123,17 @@ def running_user_totals(
     Every micro-batch emits the updated running totals for keys seen in
     that batch (output mode ``update``). The final emission per key equals
     the batch ``groupBy(key).agg(count, sum)`` over the same data.
+
+    COMPATIBILITY (VERDICT r15 #2): state rides the frozen versioned
+    envelope (:data:`STATE_ENVELOPE_SCHEMA`) like the heavy-hitter
+    operator — the raw ``n bigint, total double`` stateStructType it
+    shipped with through r15 would strand every checkpoint on the next
+    widening (Spark rejects ANY stateStructType change on resume).
+    Adopting the envelope is itself the one-time, final schema change:
+    an r15-or-earlier checkpoint of this operator cannot be resumed by
+    this version (the loud state-schema error is pinned in
+    tests/test_streaming.py); restart on a fresh checkpoint and replay
+    the source.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -123,11 +142,16 @@ def running_user_totals(
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0.0)
+        if state.exists:
+            n, total = decode_state(
+                state.get, _TOTALS_STATE_VERSION, _TOTALS_STATE_MIGRATIONS
+            )
+        else:
+            n, total = 0, 0.0
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf[value_col].sum())
-        state.update((n, total))
+        state.update(encode_state(_TOTALS_STATE_VERSION, [n, total]))
         yield pd.DataFrame(
             {key_col: [key[0]], "n": [n], "total": [total]}
         )
@@ -135,7 +159,7 @@ def running_user_totals(
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=f"{key_col} bigint, n bigint, total double",
-        stateStructType="n bigint, total double",
+        stateStructType=STATE_ENVELOPE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1047,3 +1047,76 @@ def test_stale_checkpoint_resume_error_is_loud_and_pinned(spark, tmpdir):
         q2.awaitTermination(120)
     msg = str(ei.value).lower()
     assert "state" in msg and "schema" in msg, msg
+
+
+def test_totals_pre_envelope_checkpoint_break_is_loud_and_pinned(
+    spark, tmpdir
+):
+    """VERDICT r15 #2: running_user_totals' envelope adoption is its
+    one deliberate, final state-schema change — an r15-or-earlier
+    checkpoint (raw ``n bigint, total double`` state) resumed by the
+    enveloped operator fails LOUDLY with Spark's state-schema error,
+    never silently misreading state."""
+    import os
+
+    import pandas as pd
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from blockchaintoavro_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    spark.createDataFrame(
+        [(1, 2.0), (2, 3.0)], "user_id long, value double"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def old_update(key, pdfs, state):  # the r15 raw-schema operator
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+    old = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            old_update,
+            outputStructType="user_id bigint, n bigint, total double",
+            stateStructType="n bigint, total double",  # r15 raw shape
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        old.writeStream.foreachBatch(lambda df, b: df.collect())
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, 5.0)], "user_id long, value double"
+    ).write.mode("append").parquet(src)
+    new = running_user_totals(
+        spark.readStream.schema(schema).parquet(src)
+    )
+    q2 = (
+        new.writeStream.foreachBatch(lambda df, b: df.collect())
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q2.awaitTermination(120)
+    msg = str(ei.value).lower()
+    assert "state" in msg and "schema" in msg, msg

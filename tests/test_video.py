@@ -359,3 +359,211 @@ def test_sample_frames_mp4_branch_keeps_sync_samples_only(spark):
         r["frame_no"] for r in sample_frames(df, every_n=2).collect()
     )
     assert got2 == [0]
+
+
+# ---------------------------------------------------------------------------
+# MP4 decoder configuration + presentation order (VERDICT r15 #1/#8)
+
+
+def test_mp4_codec_config_roundtrips_byte_exact():
+    """An avc1 sample entry with an avcC decoder-configuration sub-box:
+    the blob must round-trip byte-exactly through mux + box walk — for
+    H.264 the sampled keyframes are undecodable NAL payloads without
+    it. Sampling still decodes zero pixels (payloads are opaque)."""
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    avcc = bytes(
+        [1, 0x64, 0x00, 0x1F, 0xFF, 0xE1, 0x00, 0x05]
+    ) + b"\x67\x64\x00\x1f\xac" + b"\x01\x00\x04\x68\xee\x3c\x80"
+    nals = [b"\x00\x00\x01\x65" + bytes([k]) * 9 for k in range(4)]
+    d = decode_mp4(
+        encode_mp4(
+            640, 360, nals,
+            keyframes=[True, False, False, True],
+            codec=b"avc1",
+            codec_config=avcc,
+        )
+    )
+    assert d["codec"] == "avc1"
+    assert d["codec_config_type"] == "avcC"
+    assert d["codec_config"] == avcc  # byte-exact
+    assert d["frames"] == nals  # raw payloads, no decode attempted
+    assert d["keyframes"] == [0, 3]
+
+
+def test_mp4_without_config_box_reports_none():
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    d = decode_mp4(encode_mp4(4, 4, [b"x", b"y"]))
+    assert d["codec_config"] is None and d["codec_config_type"] is None
+
+
+def test_mp4_foreign_sample_entry_subbox_is_skipped():
+    """A non-config sub-box (e.g. pasp pixel-aspect) in the sample
+    entry must be walked over without being mistaken for extradata."""
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    d = decode_mp4(
+        encode_mp4(
+            8, 8, [b"q"],
+            codec_config=b"\x00\x00\x00\x01\x00\x00\x00\x01",
+            codec_config_type=b"pasp",
+        )
+    )
+    assert d["codec_config"] is None and d["codec_config_type"] is None
+
+
+def test_mp4_stsz_fixed_count_bomb_raises_valueerror():
+    """ADVICE r15 (high): a corrupted fixed-size stsz count
+    (0xFFFFFFFF) must raise ValueError BEFORE materializing the sizes
+    list — not allocate ~32 GB and OOM-kill the executor."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    good = encode_mp4(4, 4, [b"xy"])
+    bad = bytearray(good)
+    idx = good.find(b"stsz")
+    # body: ver/flags(4) fixed(4) count(4) [entries...]
+    bad[idx + 8 : idx + 12] = _struct.pack(">I", 1000)  # fixed size
+    bad[idx + 12 : idx + 16] = _struct.pack(">I", 0xFFFFFFFF)
+    with _pytest.raises(ValueError, match="stsz"):
+        decode_mp4(bytes(bad))
+
+
+def test_mp4_stsc_run_bomb_raises_valueerror():
+    """Same attack class via stsc: a first_chunk of ~4B would extend a
+    multi-GB samples-per-chunk list if runs weren't range-checked."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    good = encode_mp4(4, 4, [b"ab", b"cd", b"ef", b"gh", b"ij"])
+    bad = bytearray(good)
+    idx = good.find(b"stsc")
+    # two runs: patch the SECOND run's first_chunk to 0xFFFFFFF0
+    bad[idx + 24 : idx + 28] = _struct.pack(">I", 0xFFFFFFF0)
+    with _pytest.raises(ValueError, match="stsc"):
+        decode_mp4(bytes(bad))
+
+
+def test_mp4_ctts_gives_presentation_order():
+    """Non-trivial ctts (B-frame-shaped reorder): dts stays monotone in
+    decode order, pts carries the composition offsets, and
+    presentation_order re-sorts the samples."""
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    frames = [b"I0", b"P3", b"B1", b"B2"]
+    # decode order I P B B; presentation I B B P (classic GOP)
+    offsets = [0, 80, -40, -40]
+    d = decode_mp4(
+        encode_mp4(4, 4, frames, sample_delta=40, ctts_offsets=offsets)
+    )
+    assert d["dts"] == [0, 40, 80, 120]
+    assert d["pts"] == [0, 120, 40, 80]
+    assert d["presentation_order"] == [0, 2, 3, 1]
+    assert d["frames"] == frames  # sample order untouched
+
+
+def test_mp4_ctts_v0_unsigned_offsets():
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    d = decode_mp4(
+        encode_mp4(4, 4, [b"a", b"b"], sample_delta=10,
+                   ctts_offsets=[20, 0])
+    )
+    assert d["pts"] == [20, 10]
+    assert d["presentation_order"] == [1, 0]
+
+
+def test_mp4_elst_shifts_presentation_times():
+    """An edit list trimming the leading composition delay: pts shift
+    down by media_time, dts untouched."""
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    d = decode_mp4(
+        encode_mp4(
+            4, 4, [b"a", b"b", b"c"], sample_delta=40,
+            ctts_offsets=[40, 120, 0], edit_media_time=40,
+        )
+    )
+    assert d["edit_media_time"] == 40
+    assert d["dts"] == [0, 40, 80]
+    assert d["pts"] == [0, 120, 40]  # (dts+ctts) - 40
+
+
+def test_mp4_stts_multi_run_expansion():
+    """stts with two runs (variable frame duration): dts must follow
+    the full run expansion, not just the first delta."""
+    import struct as _struct
+
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    good = encode_mp4(4, 4, [b"a", b"b", b"c"], sample_delta=40)
+    # rewrite the single-run stts (1 run, 3×40) as 2 runs: 2×40, 1×100
+    idx = good.find(b"stts")
+    # full box: size(4) type(4) ver/flags(4) n(4) count(4) delta(4)
+    old = good[idx - 4 : idx + 20]
+    new_body = (
+        b"\x00\x00\x00\x00"  # ver/flags
+        + _struct.pack(">I", 2)
+        + _struct.pack(">II", 2, 40)
+        + _struct.pack(">II", 1, 100)
+    )
+    new = _struct.pack(">I", 8 + len(new_body)) + b"stts" + new_body
+    grown = len(new) - len(old)
+    patched = bytearray(good.replace(old, new))
+    for name in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        at = bytes(patched).find(name)
+        (sz,) = _struct.unpack(">I", patched[at - 4 : at])
+        patched[at - 4 : at] = _struct.pack(">I", sz + grown)
+    d = decode_mp4(bytes(patched))
+    assert d["dts"] == [0, 40, 80]
+    assert d["sample_delta"] == 40  # first delta, unchanged contract
+    assert d["pts"] == [0, 40, 80]
+
+
+def test_mp4_ctts_count_mismatch_raises():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    good = encode_mp4(4, 4, [b"a", b"b", b"c"], ctts_offsets=[0, 10, 0])
+    bad = bytearray(good)
+    idx = good.find(b"ctts")
+    # first run count 999 > sample count → must raise, never extend
+    bad[idx + 12 : idx + 16] = _struct.pack(">I", 999)
+    with _pytest.raises(ValueError, match="ctts"):
+        decode_mp4(bytes(bad))
+
+
+def test_sample_frames_carries_codec_config(spark):
+    """The frame-sampling operator emits the decoder-configuration
+    blob alongside each kept sample for config-bearing containers and
+    NULL for self-describing payloads."""
+    from blockchaintoavro_spark.functions.mp4 import encode_mp4
+    from blockchaintoavro_spark.operators.multimodal import sample_frames
+
+    avcc = b"\x01\x64\x00\x1f" + b"\xff\xe1\x00\x02\x67\x64"
+    mp4 = encode_mp4(
+        8, 8, [b"n0", b"n1", b"n2"],
+        keyframes=[True, False, True],
+        codec=b"avc1", codec_config=avcc,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(b"plain-bytes-payload!"))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, frame_bytes=5, every_n=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(r["frame_no"] for r in by_doc[1]) == [0, 2]
+    assert all(bytes(r["codec_config"]) == avcc for r in by_doc[1])
+    assert all(r["codec_config"] is None for r in by_doc[2])
