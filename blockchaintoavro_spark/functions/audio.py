@@ -213,12 +213,19 @@ def decode_wav(data: bytes) -> dict:
 
 
 def try_decode_audio(data: bytes | None) -> dict | None:
-    """Magic-byte dispatch: decode if it looks like a WAV, else None
-    (mirrors imaging.try_decode_image — callers fall back to the stub)."""
+    """Magic-byte dispatch: decode if it looks like a WAV or a FLAC
+    stream, else None (mirrors imaging.try_decode_image — callers fall
+    back to the stub). Both decoders return the same normalized-int16
+    ``samples`` convention, so AFP fingerprints and audio features are
+    container-agnostic."""
     if data is None or len(data) < 12:
         return None
     if data[:4] == WAV_MAGIC_RIFF and data[8:12] == WAV_MAGIC_WAVE:
         return decode_wav(bytes(data))
+    if data[:4] == b"fLaC":
+        from blockchaintoavro_spark.functions.flac import decode_flac
+
+        return decode_flac(bytes(data))
     return None
 
 
