@@ -1086,3 +1086,61 @@ def test_tpch_q12_pushed_filter_and_keyed_join(spark, registry, sf_dir):
     p = plan_of(spark, registry, "x_tpch_q12", sf_dir)
     assert "PushedFilters" in p and "l_shipdate" in p
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+# ---------------------------------------------------------------------------
+# systematic plan-shape pins for EVERY bench query (VERDICT r15 #4):
+# bench.py's shuffle telemetry sees a regression after the fact; these
+# make a same-CPU/more-Exchange change fail in pytest first. Counts are
+# from the static physical plan (AQE's initial plan — deterministic at
+# planning time). `shuffles` counts standalone Exchange nodes (hash /
+# range / single-partition), NOT BroadcastExchange; `broadcasts` counts
+# BroadcastHashJoin. Strict equality on purpose: an intentional plan
+# change must update the pin in the same commit that changes the plan.
+
+_BENCH_PLAN_SHAPES = {
+    "dq07_flagship_etl": dict(shuffles=2, broadcasts=0, smj=0),
+    "dq10_star_join": dict(shuffles=2, broadcasts=4, smj=0),
+    "dq15_agg_q1": dict(shuffles=2, broadcasts=0, smj=0),
+    "dq30_sessionize": dict(shuffles=2, broadcasts=0, smj=0),
+    # brute-force cosine top-k: the TINY query side rides a
+    # BroadcastNestedLoopJoin against the corpus — the correct physical
+    # shape for k queries × N vectors (the corpus is never shuffled)
+    "dq31_cosine_topk": dict(shuffles=3, broadcasts=0, smj=0, bnlj=1),
+    "dq32_token_topk": dict(shuffles=1, broadcasts=0, smj=0),
+    "x_dedup_clusters": dict(shuffles=1, broadcasts=0, smj=0),
+    "x_dup_substrings": dict(shuffles=2, broadcasts=0, smj=0),
+    "x_jpeg_decode": dict(shuffles=2, broadcasts=0, smj=0),
+    # MERGE joins two comparable-size sides: sort-merge is the right
+    # physical choice there, pinned so it neither multiplies nor
+    # silently becomes a broadcast of the big side
+    "x_merge_upsert": dict(shuffles=3, broadcasts=0, smj=1),
+    "x_minhash_neardup": dict(shuffles=2, broadcasts=1, smj=0),
+    "x_training_prep": dict(shuffles=2, broadcasts=2, smj=0),
+}
+
+
+def test_bench_plan_shape_pins_cover_every_bench_query(registry):
+    bench = {n for n, q in registry.items() if q.bench}
+    assert bench == set(_BENCH_PLAN_SHAPES), (
+        "bench set changed — add/remove its plan-shape pin"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_BENCH_PLAN_SHAPES))
+def test_bench_query_plan_shape(spark, registry, sf_dir, name):
+    import re
+
+    want = _BENCH_PLAN_SHAPES[name]
+    s = plan_of(spark, registry, name, sf_dir, mode="simple")
+    shuffles = len(re.findall(r"\bExchange\b", s))
+    assert shuffles == want["shuffles"], (
+        f"{name}: {shuffles} Exchange nodes, pinned "
+        f"{want['shuffles']}\n{s}"
+    )
+    assert s.count("BroadcastHashJoin") == want["broadcasts"], (name, s)
+    assert s.count("SortMergeJoin") == want["smj"], (name, s)
+    assert "CartesianProduct" not in s, (name, s)
+    assert s.count("BroadcastNestedLoopJoin") == want.get("bnlj", 0), (
+        name, s,
+    )
