@@ -147,6 +147,29 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Retention for a manifest-pinned standing store: keep the newest
+    N generations, delete expired manifests and the directories only
+    they referenced, and retire aged-out orphans (VACUUM, the
+    lakehouse retention job — operators/manifest.py:vacuum_store).
+    ``--dry-run`` prints exactly what would be deleted and touches
+    nothing; run it first on any store you did not write yourself."""
+    import json as _json
+
+    from .operators import manifest as mf
+
+    spark = _session(args.threads)
+    stats = mf.vacuum_store(
+        spark, args.store,
+        keep_generations=args.keep_generations,
+        orphan_grace_seconds=args.orphan_grace_seconds,
+        dry_run=args.dry_run,
+    )
+    print(_json.dumps({"store": args.store, "dry_run": args.dry_run,
+                       **stats}, sort_keys=True))
+    return 0
+
+
 def cmd_split(args) -> int:
     """Deterministic train/val/test split of a parquet table: assign
     each row a split label as a pure function of md5(key||salt)
@@ -260,6 +283,23 @@ def build_parser() -> argparse.ArgumentParser:
     ma.add_argument("--n-files", type=int, default=None)
     ma.add_argument("--keep-generations", type=int, default=2)
     ma.set_defaults(fn=cmd_maintain)
+
+    va = sub.add_parser("vacuum", help=cmd_vacuum.__doc__.split("\n", 1)[0])
+    va.add_argument("--store", required=True, help="standing-store root dir")
+    va.add_argument(
+        "--keep-generations", type=int, default=2,
+        help="retained manifest generations (readers mid-scan need one)",
+    )
+    va.add_argument(
+        "--orphan-grace-seconds", type=float, default=3600.0,
+        help="age an unreferenced seg-*/.tmp-* must reach before "
+        "deletion (protects concurrent appenders' staged work)",
+    )
+    va.add_argument(
+        "--dry-run", action="store_true",
+        help="print what would be deleted; touch nothing",
+    )
+    va.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser("split", help=cmd_split.__doc__.split("\n", 1)[0])
     sp.add_argument("--input", required=True, help="source parquet path")

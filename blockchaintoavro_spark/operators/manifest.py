@@ -1282,6 +1282,7 @@ def vacuum_store(
     keep_generations: int = 1,
     orphan_grace_seconds: float = 3600.0,
     now_ms: int | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Retire history: keep the newest ``keep_generations`` manifests,
     delete older manifest files and every directory ONLY they
@@ -1302,10 +1303,22 @@ def vacuum_store(
     (tests, single-process maintenance). The grace comparison uses the
     STORE's clock (a probe file's mtime — the same clock that stamped
     the orphans) so driver/store skew cannot shrink the window;
-    ``now_ms`` injects a clock for tests."""
+    ``now_ms`` injects a clock for tests.
+
+    ``dry_run=True`` deletes NOTHING and instead reports what a real
+    run would delete (``would_delete_dirs`` / ``would_delete_manifests``
+    / ``would_delete_tmp``, names relative to the store) — the
+    plan-before-you-prune step a retention CLI needs."""
     gens = _list_generations(spark, root)
     if not gens:
-        return {"deleted_manifests": 0, "deleted_dirs": 0}
+        empty = {"deleted_manifests": 0, "deleted_dirs": 0}
+        if dry_run:
+            empty = {
+                "would_delete_manifests": [],
+                "would_delete_dirs": [],
+                "would_delete_tmp": [],
+            }
+        return empty
     keep = set(gens[-max(1, keep_generations):])
     live: set[str] = set()
     dead_refs: set[str] = set()
@@ -1321,12 +1334,18 @@ def vacuum_store(
     grace_ms = int(orphan_grace_seconds * 1000)
     aged_out = lambda st: st.getModificationTime() <= now_ms - grace_ms
     deleted_dirs = 0
+    plan_dirs: list[str] = []
+    plan_manifests: list[str] = []
+    plan_tmp: list[str] = []
     for s in fs.listStatus(jroot):
         name = s.getPath().getName()
         if name in live or name == MANIFEST_DIR:
             continue
         owned = any(name.startswith(p) for p in _OWNED_PREFIXES)
         if name in dead_refs or (owned and aged_out(s)):
+            if dry_run:
+                plan_dirs.append(name)
+                continue
             fs.delete(s.getPath(), True)
             deleted_dirs += 1
     deleted_manifests = 0
@@ -1335,13 +1354,25 @@ def vacuum_store(
         name = s.getPath().getName()
         if name.startswith(".tmp-"):
             if aged_out(s):
+                if dry_run:
+                    plan_tmp.append(f"{MANIFEST_DIR}/{name}")
+                    continue
                 fs.delete(s.getPath(), False)
             continue
         if name.startswith("manifest-") and name.endswith(".json"):
             g = int(name[len("manifest-") : -len(".json")])
             if g not in keep:
+                if dry_run:
+                    plan_manifests.append(f"{MANIFEST_DIR}/{name}")
+                    continue
                 fs.delete(s.getPath(), False)
                 deleted_manifests += 1
+    if dry_run:
+        return {
+            "would_delete_manifests": sorted(plan_manifests),
+            "would_delete_dirs": sorted(plan_dirs),
+            "would_delete_tmp": sorted(plan_tmp),
+        }
     return {
         "deleted_manifests": deleted_manifests,
         "deleted_dirs": deleted_dirs,

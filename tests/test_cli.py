@@ -194,3 +194,88 @@ def test_cli_describe_reports_store_state(spark, tmp_path, capsys):
     assert rep["live_data_files"] >= 1
     # a non-store path reports manifest: None with exit 1
     assert main(["describe", "--store", str(tmp_path / "nope")]) == 1
+
+
+def test_cli_vacuum_dry_run_then_real(spark, tmp_path, capsys):
+    """r16 (VERDICT r15 #7): the vacuum subcommand — dry-run reports
+    exactly what a real run would delete (touching nothing), the real
+    run deletes it, and the retained generations stay readable."""
+    import json
+    import os
+
+    from blockchaintoavro_spark.operators import manifest as mf
+
+    root = str(tmp_path / "store")
+    segs = []
+    for gen in range(3):
+        df = spark.createDataFrame([(gen, f"v{gen}")], "k long, v string")
+        seg = mf.new_segment_name()
+        df.write.parquet(f"{root}/{seg}")
+        segs.append(seg)
+        mf.commit_append(spark, root, [seg])
+    assert len(mf._list_generations(spark, root)) == 3
+
+    rc = main(["vacuum", "--store", root, "--keep-generations", "1",
+               "--dry-run"])
+    assert rc == 0
+    plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert plan["dry_run"] is True
+    # generations 1 and 2 expire; their manifests go, but every segment
+    # is still referenced by the RETAINED generation 3 (appends union)
+    assert plan["would_delete_manifests"] == [
+        f"_manifests/{mf._manifest_file(1)}",
+        f"_manifests/{mf._manifest_file(2)}",
+    ]
+    assert plan["would_delete_dirs"] == []
+    # dry-run touched nothing
+    assert len(mf._list_generations(spark, root)) == 3
+    for seg in segs:
+        assert os.path.isdir(os.path.join(root, seg))
+
+    rc = main(["vacuum", "--store", root, "--keep-generations", "1"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["deleted_manifests"] == 2
+    assert stats["deleted_dirs"] == 0
+    assert mf._list_generations(spark, root) == [3]
+    got = sorted(
+        r["k"] for r in spark.read.parquet(
+            *[f"{root}/{s}" for s in segs]
+        ).collect()
+    )
+    assert got == [0, 1, 2]  # retained generation still fully readable
+
+
+def test_cli_vacuum_dry_run_lists_dead_segment_dirs(spark, tmp_path, capsys):
+    """A superseding commit (compaction-style replace) makes the old
+    segments dead refs: dry-run must list the DIRECTORIES too."""
+    import json
+    import os
+
+    from blockchaintoavro_spark.operators import manifest as mf
+
+    root = str(tmp_path / "store2")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    old_seg = mf.new_segment_name()
+    df.write.parquet(f"{root}/{old_seg}")
+    mf.commit_append(spark, root, [old_seg])
+    new_seg = mf.new_segment_name()
+    df.write.parquet(f"{root}/{new_seg}")
+    # generation 2 references ONLY the new segment
+    mf.commit_manifest(spark, root, {"segments": [new_seg]}, 2)
+
+    rc = main(["vacuum", "--store", root, "--keep-generations", "1",
+               "--dry-run"])
+    assert rc == 0
+    plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert plan["would_delete_dirs"] == [old_seg]
+    assert plan["would_delete_manifests"] == [f"_manifests/{mf._manifest_file(1)}"]
+    assert os.path.isdir(os.path.join(root, old_seg))  # untouched
+
+    rc = main(["vacuum", "--store", root, "--keep-generations", "1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"deleted_dirs": 1, "deleted_manifests": 1,
+                   "dry_run": False, "store": root}
+    assert not os.path.exists(os.path.join(root, old_seg))
+    assert os.path.isdir(os.path.join(root, new_seg))
