@@ -1232,8 +1232,25 @@ def read_segments(spark, root: str, manifest: dict):
         except Exception:
             pass  # fall back to the per-leg union
     out = legs[0]
-    for df in legs[1:]:
-        out = out.unionByName(df)
+    for i, df in enumerate(legs[1:], start=1):
+        try:
+            out = out.unionByName(df)
+        except Exception as e:
+            # a rename or a second pipeline writing a different shape
+            # into this store: the incompatible COMMIT succeeded
+            # silently (fingerprints hash the shape, they don't police
+            # it), so the read is the first place this can surface —
+            # name the store, the segments, and both shapes instead of
+            # leaking a bare resolution error from deep inside a replay
+            # (found by the r16 cross-applier fault soak)
+            raise ValueError(
+                f"{root}: segments hold incompatible column sets — "
+                f"{segs[0]} has {legs[0].columns} but {segs[i]} has "
+                f"{df.columns}. This store was written by pipelines "
+                "with different output shapes (e.g. a scrubber and a "
+                "stripper sharing one out_path); give each writer its "
+                "own store, or migrate/compact the divergent segments."
+            ) from e
     return out
 
 

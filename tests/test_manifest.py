@@ -1877,3 +1877,24 @@ def test_prune_manifest_fraction_and_date_shape_renderings_sound():
     assert mf.prune_manifest(
         untagged, "ts", lo="2024-05-06 09:00:01"
     )["segments"] == []
+
+
+def test_read_segments_names_incompatible_shapes(spark, tmp_path):
+    """r16 (found by the cross-applier fault soak): two pipelines with
+    different output shapes sharing one store commit fine (fingerprints
+    hash, they don't police) — the READ must then fail with an error
+    naming the store, segments and both column sets, not a bare
+    unionByName resolution error from deep inside a replay."""
+    root = str(tmp_path / "mixed")
+    a, b = mf.new_segment_name(), mf.new_segment_name()
+    spark.createDataFrame(
+        [(1, "t")], "doc_id long, text string"
+    ).write.parquet(f"{root}/{a}")
+    spark.createDataFrame(
+        [(2, "c", 0)], "doc_id long, clean_text string, n_stripped long"
+    ).write.parquet(f"{root}/{b}")
+    mf.commit_append(spark, root, [a])
+    mf.commit_append(spark, root, [b])
+    _, man = mf.latest_manifest(spark, root)
+    with pytest.raises(ValueError, match="incompatible column sets"):
+        mf.read_segments(spark, root, man).collect()
