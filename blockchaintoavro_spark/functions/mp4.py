@@ -133,19 +133,7 @@ def encode_mp4(
             stsc_entries.append((n_chunks, 1, 1))
 
     duration = n * sample_delta
-    entry = (
-        b"\x00" * 6
-        + struct.pack(">H", 1)  # data_reference_index
-        + b"\x00" * 16  # pre_defined / reserved
-        + struct.pack(">HH", width, height)
-        + _u32(0x480000) + _u32(0x480000)  # 72 dpi
-        + _u32(0)
-        + struct.pack(">H", 1)  # frame_count
-        + b"\x00" * 32  # compressorname
-        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
-    )
-    if codec_config is not None:
-        entry += _box(codec_config_type, codec_config)
+    entry = _visual_entry(width, height, codec_config, codec_config_type)
     stsd = _full(b"stsd", 0, 0, _u32(1) + _box(codec, entry))
     stts = _full(b"stts", 0, 0, _u32(1) + _u32(n) + _u32(sample_delta))
     ctts = b""
@@ -230,6 +218,165 @@ def encode_mp4(
     )
     moov = _box(b"moov", mvhd + trak)
     return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+def _visual_entry(
+    width: int,
+    height: int,
+    codec_config: bytes | None,
+    codec_config_type: bytes,
+) -> bytes:
+    """VisualSampleEntry fixed fields (+ optional decoder-config
+    sub-box) — shared by the flat and fragmented muxers."""
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + _u32(0x480000) + _u32(0x480000)  # 72 dpi
+        + _u32(0)
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    if codec_config is not None:
+        entry += _box(codec_config_type, codec_config)
+    return entry
+
+
+def encode_mp4_fragmented(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    keyframes: list[bool] | None = None,
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    codec: bytes = b"jpeg",
+    codec_config: bytes | None = None,
+    codec_config_type: bytes = b"avcC",
+    ctts_offsets: list[int] | None = None,
+    samples_per_fragment: int = 2,
+) -> bytes:
+    """Fragmented ISO-BMFF (fMP4 — the DASH/CMAF/streaming-capture
+    shape crawls actually contain): ``ftyp`` + an init ``moov`` whose
+    sample tables are EMPTY (``mvex``/``trex`` carries the track
+    defaults) followed by ``moof``+``mdat`` pairs — each ``moof``'s
+    ``traf`` holds a ``tfhd`` (default-base-is-moof), a ``tfdt``
+    (baseMediaDecodeTime) and one ``trun`` with per-sample sizes,
+    per-sample sync flags when ``keyframes`` is given, and composition
+    offsets when ``ctts_offsets`` is given (v1 signed when any is
+    negative). Small ``samples_per_fragment`` (default 2) forces many
+    fragments so the decoder's moof walk, tfdt chaining and
+    default-base-is-moof arithmetic are genuinely exercised."""
+    if not frames:
+        raise ValueError("MP4 needs at least one sample")
+    if keyframes is not None and len(keyframes) != len(frames):
+        raise ValueError("keyframes mask length != frame count")
+    if ctts_offsets is not None and len(ctts_offsets) != len(frames):
+        raise ValueError("ctts offsets length != frame count")
+    if len(codec) != 4 or len(codec_config_type) != 4:
+        raise ValueError("codec sample-entry/config type must be 4 bytes")
+    if samples_per_fragment < 1:
+        raise ValueError("samples_per_fragment must be >= 1")
+    n = len(frames)
+    duration = n * sample_delta
+    ftyp = _box(
+        _FTYP, b"iso6" + _u32(0x200) + b"iso6" + b"isom" + b"mp41"
+    )
+    entry = _visual_entry(width, height, codec_config, codec_config_type)
+    stsd = _full(b"stsd", 0, 0, _u32(1) + _box(codec, entry))
+    # empty sample tables: every sample lives in movie fragments
+    stbl = _box(
+        b"stbl",
+        stsd
+        + _full(b"stts", 0, 0, _u32(0))
+        + _full(b"stsc", 0, 0, _u32(0))
+        + _full(b"stsz", 0, 0, _u32(0) + _u32(0))
+        + _full(b"stco", 0, 0, _u32(0)),
+    )
+    url = _full(b"url ", 0, 1, b"")
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, _u32(1) + url))
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        _u32(0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        _u32(0) + _u32(0) + _u32(1) + _u32(0) + _u32(duration)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + _MATRIX
+        + _u32(width << 16) + _u32(height << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    # trex: track defaults — duration rides here; default flags mark
+    # samples non-sync iff an explicit keyframe mask narrows sync-ness
+    default_flags = 0x10000 if keyframes is not None else 0
+    trex = _full(
+        b"trex", 0, 0,
+        _u32(1)  # track_ID
+        + _u32(1)  # default_sample_description_index
+        + _u32(sample_delta)
+        + _u32(0)  # default_sample_size (always per-sample in trun)
+        + _u32(default_flags),
+    )
+    mvex = _box(b"mvex", trex)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration)
+        + _u32(0x10000) + struct.pack(">H", 0x100) + b"\x00" * 10
+        + _MATRIX + b"\x00" * 24 + _u32(2),
+    )
+    out = bytearray(ftyp + _box(b"moov", mvhd + trak + mvex))
+
+    ctts_v1 = ctts_offsets is not None and any(o < 0 for o in ctts_offsets)
+    seq = 0
+    for start in range(0, n, samples_per_fragment):
+        chunk = frames[start : start + samples_per_fragment]
+        seq += 1
+        mfhd = _full(b"mfhd", 0, 0, _u32(seq))
+        # tfhd: default-base-is-moof (0x20000) + default duration (0x8)
+        tfhd = _full(
+            b"tfhd", 0, 0x20008, _u32(1) + _u32(sample_delta)
+        )
+        tfdt = _full(b"tfdt", 0, 0, _u32(start * sample_delta))
+        trun_flags = 0x001 | 0x200  # data-offset + sample-size
+        if keyframes is not None:
+            trun_flags |= 0x400  # per-sample flags
+        if ctts_offsets is not None:
+            trun_flags |= 0x800  # composition offsets
+        rows = b""
+        for i, f in enumerate(chunk):
+            rows += _u32(len(f))
+            if keyframes is not None:
+                rows += _u32(0 if keyframes[start + i] else 0x10000)
+            if ctts_offsets is not None:
+                off = ctts_offsets[start + i]
+                rows += struct.pack(">i" if ctts_v1 else ">I", off)
+
+        def _trun(data_offset: int) -> bytes:
+            return _full(
+                b"trun", 1 if ctts_v1 else 0, trun_flags,
+                _u32(len(chunk)) + struct.pack(">i", data_offset) + rows,
+            )
+
+        # data_offset is moof-relative (default-base-is-moof): compute
+        # with a placeholder — the trun's own length is offset-invariant
+        moof_len = len(
+            _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + _trun(0)))
+        )
+        moof = _box(
+            b"moof",
+            mfhd + _box(b"traf", tfhd + tfdt + _trun(moof_len + 8)),
+        )
+        out += moof + _box(b"mdat", b"".join(chunk))
+    return bytes(out)
 
 
 def _boxes(data: bytes, start: int, end: int):
@@ -354,6 +501,158 @@ def _first_edit_media_time(version: int, body: bytes) -> int:
     return 0
 
 
+def _decode_fragments(
+    data: bytes, track_id: int, trex_map: dict[int, tuple]
+):
+    """Walk top-level ``moof`` boxes and materialize the video track's
+    samples: ``(frames, dts, composition_offsets, sync_indices,
+    first_duration)``. Implements tfhd base-data-offset /
+    default-base-is-moof, tfdt decode-time anchoring (chained when
+    absent), trun per-sample size/duration/flags/composition rows with
+    tfhd→trex default fallback, and first-sample-flags. Sync-ness is
+    the sample_is_non_sync_sample flag (bit 16) — clear means sync.
+    Every trun row count is validated against its box body before any
+    loop (the stsz-bomb rule)."""
+    frames: list[bytes] = []
+    dts: list[int] = []
+    comp: list[int] = []
+    sync: list[int] = []
+    first_dur = None
+    next_dts = 0
+    for t, b, e in _boxes(data, 0, len(data)):
+        if t != b"moof":
+            continue
+        if b < 8 or data[b - 4 : b] != b"moof":
+            raise ValueError("largesize moof headers are not supported")
+        moof_start = b - 8
+        for tt, tb, te in _boxes(data, b, e):
+            if tt != b"traf":
+                continue
+            th = _find(data, tb, te, b"tfhd")
+            if th is None:
+                raise ValueError("traf missing tfhd")
+            _v, body = _full_body(data, th[0], th[1])
+            tf_flags = int.from_bytes(data[th[0] + 1 : th[0] + 4], "big")
+            (tid,) = struct.unpack(">I", body[:4])
+            pos = 4
+            base = moof_start  # default-base-is-moof / first-traf rule
+            if tf_flags & 0x1:
+                base = struct.unpack(">Q", body[pos : pos + 8])[0]
+                pos += 8
+            if tf_flags & 0x2:
+                pos += 4  # sample_description_index (single stsd entry)
+            d_dur = d_size = d_flags = None
+            if tf_flags & 0x8:
+                (d_dur,) = struct.unpack(">I", body[pos : pos + 4])
+                pos += 4
+            if tf_flags & 0x10:
+                (d_size,) = struct.unpack(">I", body[pos : pos + 4])
+                pos += 4
+            if tf_flags & 0x20:
+                (d_flags,) = struct.unpack(">I", body[pos : pos + 4])
+                pos += 4
+            if tid != track_id:
+                continue
+            tdd, tds, tdf = trex_map.get(tid, (None, None, None))
+            if d_dur is None:
+                d_dur = tdd
+            if d_size is None:
+                d_size = tds
+            if d_flags is None:
+                d_flags = tdf
+            cur = next_dts
+            td = _find(data, tb, te, b"tfdt")
+            if td is not None:
+                tv, tbody = _full_body(data, td[0], td[1])
+                cur = (
+                    struct.unpack(">Q", tbody[:8])[0]
+                    if tv == 1
+                    else struct.unpack(">I", tbody[:4])[0]
+                )
+            data_pos = None
+            for rt, rb, re_ in _boxes(data, tb, te):
+                if rt != b"trun":
+                    continue
+                rv, rbody = _full_body(data, rb, re_)
+                r_flags = int.from_bytes(data[rb + 1 : rb + 4], "big")
+                (count,) = struct.unpack(">I", rbody[:4])
+                p = 4
+                row_bytes = sum(
+                    4 for bit in (0x100, 0x200, 0x400, 0x800)
+                    if r_flags & bit
+                )
+                head_bytes = (4 if r_flags & 0x1 else 0) + (
+                    4 if r_flags & 0x4 else 0
+                )
+                if 4 + head_bytes + row_bytes * count > len(rbody):
+                    raise ValueError(
+                        f"trun declares {count} samples but its box "
+                        f"body holds {len(rbody)} bytes"
+                    )
+                if row_bytes == 0 and count > len(data):
+                    # all-default rows: bound the count by the file —
+                    # zero-size default samples would otherwise
+                    # materialize billions of empty frames
+                    raise ValueError(
+                        "trun sample count exceeds the file size"
+                    )
+                if r_flags & 0x1:
+                    (doff,) = struct.unpack(">i", rbody[p : p + 4])
+                    p += 4
+                    data_pos = base + doff
+                elif data_pos is None:
+                    raise ValueError(
+                        "first trun of a traf carries no data offset"
+                    )
+                first_flags = None
+                if r_flags & 0x4:
+                    (first_flags,) = struct.unpack(">I", rbody[p : p + 4])
+                    p += 4
+                for i in range(count):
+                    dur, size, sfl, coff = d_dur, d_size, d_flags, 0
+                    if r_flags & 0x100:
+                        (dur,) = struct.unpack(">I", rbody[p : p + 4])
+                        p += 4
+                    if r_flags & 0x200:
+                        (size,) = struct.unpack(">I", rbody[p : p + 4])
+                        p += 4
+                    if r_flags & 0x400:
+                        (sfl,) = struct.unpack(">I", rbody[p : p + 4])
+                        p += 4
+                    if r_flags & 0x800:
+                        (coff,) = struct.unpack(
+                            ">i" if rv else ">I", rbody[p : p + 4]
+                        )
+                        p += 4
+                    if i == 0 and first_flags is not None and not (
+                        r_flags & 0x400
+                    ):
+                        sfl = first_flags
+                    if not size:
+                        raise ValueError(
+                            "fMP4 sample has no size (trun row, tfhd "
+                            "and trex all silent)"
+                        )
+                    if dur is None:
+                        dur = 0
+                    if first_dur is None and dur:
+                        first_dur = dur
+                    end = data_pos + size
+                    if end > len(data):
+                        raise ValueError(
+                            "fMP4 sample range beyond end of file"
+                        )
+                    frames.append(data[data_pos:end])
+                    data_pos = end
+                    if sfl is None or not (sfl & 0x10000):
+                        sync.append(len(frames) - 1)
+                    dts.append(cur)
+                    cur += dur
+                    comp.append(coff)
+            next_dts = cur
+    return frames, dts, comp, sync, first_dur
+
+
 def _decode_mp4(data: bytes) -> dict:
     if len(data) < 12 or data[4:8] != _FTYP:
         raise ValueError("not an ISO-BMFF file (no ftyp)")
@@ -368,6 +667,7 @@ def _decode_mp4(data: bytes) -> dict:
     # first video trak
     stbl = None
     edit_media_time = 0
+    track_id = 1
     for t, b, e in _boxes(data, moov[0], moov[1]):
         if t != b"trak":
             continue
@@ -389,6 +689,11 @@ def _decode_mp4(data: bytes) -> dict:
             continue
         stbl = _find(data, minf[0], minf[1], b"stbl")
         if stbl is not None:
+            tk = _find(data, b, e, b"tkhd")
+            if tk is not None:
+                tv, tbody = _full_body(data, tk[0], tk[1])
+                off = 16 if tv == 1 else 8  # v1: 64-bit times first
+                track_id = struct.unpack(">I", tbody[off : off + 4])[0]
             edts = _find(data, b, e, b"edts")
             if edts is not None:
                 el = _find(data, edts[0], edts[1], b"elst")
@@ -398,6 +703,15 @@ def _decode_mp4(data: bytes) -> dict:
             break
     if stbl is None:
         raise ValueError("MP4 has no video track with a sample table")
+    # mvex/trex: per-track defaults for movie fragments
+    trex_map: dict[int, tuple] = {}
+    mvex = _find(data, moov[0], moov[1], b"mvex")
+    if mvex is not None:
+        for t, b, e in _boxes(data, mvex[0], mvex[1]):
+            if t == b"trex":
+                _v, body = _full_body(data, b, e)
+                tid, _sdi, dd, ds, df = struct.unpack(">IIIII", body[:20])
+                trex_map[tid] = (dd or None, ds or None, df)
 
     codec = None
     width = height = None
@@ -500,6 +814,41 @@ def _decode_mp4(data: bytes) -> dict:
                 struct.unpack(">Q", body[4 + 8 * i : 12 + 8 * i])[0]
                 for i in range(k)
             ]
+    if not sizes and not chunk_offsets and not stsc_runs and not stts_runs:
+        # empty sample tables: a fragmented-MP4 init segment — every
+        # sample lives in moof+mdat movie fragments (DASH/CMAF)
+        frames, dts, comp, fsync, first_dur = _decode_fragments(
+            data, track_id, trex_map
+        )
+        if not frames:
+            raise ValueError(
+                "fragmented MP4 has no samples for the video track"
+            )
+        n = len(frames)
+        if sample_delta is None:
+            sample_delta = first_dur
+        pts = [dts[i] + comp[i] - edit_media_time for i in range(n)]
+        return {
+            "format": "mp4",
+            "width": width,
+            "height": height,
+            "n_frames": n,
+            "timescale": timescale,
+            "sample_delta": sample_delta,
+            "codec": codec,
+            "compression": codec,
+            "codec_config_type": codec_config_type,
+            "codec_config": codec_config,
+            "keyframes": fsync,
+            "frames": frames,
+            "dts": dts,
+            "pts": pts,
+            "edit_media_time": edit_media_time,
+            "presentation_order": sorted(
+                range(n), key=lambda i: (pts[i], i)
+            ),
+            "fragmented": True,
+        }
     if not sizes or not chunk_offsets or not stsc_runs:
         raise ValueError("MP4 sample table incomplete (stsz/stco/stsc)")
 
@@ -590,4 +939,5 @@ def _decode_mp4(data: bytes) -> dict:
         "pts": pts,
         "edit_media_time": edit_media_time,
         "presentation_order": presentation_order,
+        "fragmented": False,
     }

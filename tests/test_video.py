@@ -567,3 +567,123 @@ def test_sample_frames_carries_codec_config(spark):
     assert sorted(r["frame_no"] for r in by_doc[1]) == [0, 2]
     assert all(bytes(r["codec_config"]) == avcc for r in by_doc[1])
     assert all(r["codec_config"] is None for r in by_doc[2])
+
+
+# ---------------------------------------------------------------------------
+# fragmented MP4 (r16 — the DASH/CMAF/streaming-capture shape)
+
+
+def test_fmp4_roundtrip_frames_keyframes_and_times():
+    from blockchaintoavro_spark.functions.mp4 import (
+        decode_mp4,
+        encode_mp4_fragmented,
+    )
+
+    frames = [bytes([k]) * (30 + 7 * k) for k in range(7)]
+    mask = [k % 3 == 0 for k in range(7)]
+    d = decode_mp4(encode_mp4_fragmented(16, 8, frames, keyframes=mask))
+    assert d["fragmented"] is True
+    assert d["frames"] == frames  # byte-identical through moof/trun/mdat
+    assert d["keyframes"] == [0, 3, 6]  # trun sample flags, not stss
+    assert d["dts"] == [k * 40 for k in range(7)]  # tfdt + durations
+    assert (d["width"], d["height"]) == (16, 8)
+    assert d["sample_delta"] == 40 and d["timescale"] == 1000
+
+
+def test_fmp4_without_mask_is_all_sync_via_trex_defaults():
+    from blockchaintoavro_spark.functions.mp4 import (
+        decode_mp4,
+        encode_mp4_fragmented,
+    )
+
+    frames = [b"a", b"bb", b"ccc"]
+    d = decode_mp4(encode_mp4_fragmented(4, 4, frames))
+    assert d["keyframes"] == [0, 1, 2]
+
+
+def test_fmp4_composition_offsets_in_trun():
+    from blockchaintoavro_spark.functions.mp4 import (
+        decode_mp4,
+        encode_mp4_fragmented,
+    )
+
+    frames = [b"I", b"P", b"B1", b"B2"]
+    offs = [0, 80, -40, -40]  # classic GOP reorder, v1 signed
+    d = decode_mp4(
+        encode_mp4_fragmented(
+            4, 4, frames, ctts_offsets=offs, samples_per_fragment=3
+        )
+    )
+    assert d["pts"] == [0, 120, 40, 80]
+    assert d["presentation_order"] == [0, 2, 3, 1]
+
+
+def test_fmp4_codec_config_rides_the_init_segment():
+    from blockchaintoavro_spark.functions.mp4 import (
+        decode_mp4,
+        encode_mp4_fragmented,
+    )
+
+    cfg = b"\x01\x64\x00\x1f\xff\xe1\x00\x02\x67\x64"
+    d = decode_mp4(
+        encode_mp4_fragmented(
+            640, 360, [b"nal0", b"nal1"], codec=b"avc1", codec_config=cfg
+        )
+    )
+    assert d["codec"] == "avc1" and d["codec_config"] == cfg
+
+
+def test_fmp4_trun_count_bomb_raises_valueerror():
+    """The stsz-bomb rule applies to trun too: a corrupted sample count
+    must raise before materializing anything."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.functions.mp4 import (
+        decode_mp4,
+        encode_mp4_fragmented,
+    )
+
+    good = encode_mp4_fragmented(4, 4, [b"xy", b"zw"])
+    bad = bytearray(good)
+    idx = good.find(b"trun")
+    bad[idx + 8 : idx + 12] = _struct.pack(">I", 0xFFFFFFFF)
+    with _pytest.raises(ValueError, match="trun"):
+        decode_mp4(bytes(bad))
+
+
+def test_fmp4_truncated_mdat_raises():
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.functions.mp4 import (
+        decode_mp4,
+        encode_mp4_fragmented,
+    )
+
+    good = encode_mp4_fragmented(4, 4, [b"abcdefgh" * 8])
+    with _pytest.raises(ValueError):
+        decode_mp4(good[:-10])
+
+
+def test_fmp4_dispatches_through_try_decode_video_and_sampling(spark):
+    """The whole video pipeline accepts fMP4: magic dispatch sees the
+    ftyp, sample_frames keeps only the declared sync samples and
+    carries the codec config."""
+    from blockchaintoavro_spark.functions.mp4 import encode_mp4_fragmented
+    from blockchaintoavro_spark.functions.video import try_decode_video
+    from blockchaintoavro_spark.operators.multimodal import sample_frames
+
+    cfg = b"\x01\x42\x00\x1e"
+    payload = encode_mp4_fragmented(
+        8, 8, [b"n%d" % k for k in range(6)],
+        keyframes=[k % 2 == 0 for k in range(6)],
+        codec=b"avc1", codec_config=cfg,
+    )
+    assert try_decode_video(payload)["format"] == "mp4"
+    df = spark.createDataFrame(
+        [(3, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = sample_frames(df, every_n=1).collect()
+    assert sorted(r["frame_no"] for r in rows) == [0, 2, 4]
+    assert all(bytes(r["codec_config"]) == cfg for r in rows)
