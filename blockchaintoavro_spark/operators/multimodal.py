@@ -1051,3 +1051,76 @@ def flac_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return _spread_ids(df, id_col).mapInPandas(run, schema=FLAC_SCHEMA)
+
+
+def fmp4_keyframe_roundtrip_features(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fragmented-MP4 twin of :func:`mp4_keyframe_roundtrip_features`
+    (r16 — the DASH/CMAF shape): the same id-derived Motion-JPEG clip
+    is muxed into an fMP4 (functions/mp4.py:encode_mp4_fragmented —
+    init moov with EMPTY sample tables + one moof/mdat pair per two
+    samples, sync-ness riding trun per-sample flags instead of stss),
+    parsed back through the fragment walk, and ONLY the declared sync
+    samples pixel-decoded. The worker asserts the payloads round-trip
+    byte-identical, the decode really took the fragmented path, and
+    the trun-flag keyframes equal the encode mask — so the emitted
+    rows stand on a verified moof/traf/trun walk. Outputs are the SAME
+    id arithmetic as the flat-MP4 query, so one DuckDB oracle pins
+    both container shapes against each other AND against SQL.
+    Row-local mapInPandas flat-map, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blockchaintoavro_spark.functions.imaging import (
+            pixel_checksum,
+            try_decode_image,
+        )
+        from blockchaintoavro_spark.functions.jpeg import encode_jpeg
+        from blockchaintoavro_spark.functions.mp4 import (
+            decode_mp4,
+            encode_mp4_fragmented,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "width": [],
+                "height": [], "checksum": [],
+            }
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                w, h = 8 * (1 + doc_id % 3), 8
+                n_frames = 3 + doc_id % 4
+                jpegs = [
+                    encode_jpeg(
+                        w, h,
+                        bytes(
+                            (doc_id * 23 + (x // 8) * 31 + k * 11) % 256
+                            for y in range(h)
+                            for x in range(w)
+                        ),
+                        1, quant=1,
+                    )
+                    for k in range(n_frames)
+                ]
+                mask = [k % 3 == 0 for k in range(n_frames)]
+                d = decode_mp4(
+                    encode_mp4_fragmented(w, h, jpegs, keyframes=mask)
+                )
+                if not d.get("fragmented"):
+                    raise ValueError(f"fmp4 path not taken for id {doc_id}")
+                if d["frames"] != jpegs:
+                    raise ValueError(f"fmp4 sample roundtrip failed id {doc_id}")
+                if d["keyframes"] != [k for k in range(n_frames) if mask[k]]:
+                    raise ValueError(f"fmp4 sync-flag roundtrip failed id {doc_id}")
+                for k in d["keyframes"]:  # sample first, decode only these
+                    info = try_decode_image(d["frames"][k])
+                    if info is None:
+                        raise ValueError(f"fmp4 mjpeg decode failed id {doc_id}")
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(k)
+                    out["width"].append(info["width"])
+                    out["height"].append(info["height"])
+                    out["checksum"].append(pixel_checksum(info["pixels"]))
+            yield pd.DataFrame(out)
+
+    return _spread_ids(df, id_col).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

@@ -5836,3 +5836,37 @@ def x_flac_decode(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t(spark, sf, "documents")
     return flac_roundtrip_features(d).orderBy("doc_id")
+
+
+@declare(
+    "x_fmp4_frames",
+    oracle="""
+    SELECT doc_id, frame_no,
+           CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(list_aggregate(list_transform(
+                  range(8 * (1 + doc_id % 3) * 8),
+                  i -> (i + 1) * ((doc_id * 23
+                        + ((i % (8 * (1 + doc_id % 3))) // 8) * 31
+                        + frame_no * 11) % 256)), 'sum')
+                % 2147483648 AS BIGINT) AS checksum
+    FROM (
+      SELECT doc_id, UNNEST(range(0, 3 + doc_id % 4, 3)) AS frame_no
+      FROM documents
+    )
+    ORDER BY doc_id, frame_no
+    """,
+)
+def x_fmp4_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """FRAGMENTED MP4 keyframe extraction end to end (r16 — the
+    DASH/CMAF shape real crawls contain): the x_mp4_frames clip muxed
+    as init moov + moof/mdat fragments, sync samples declared via trun
+    per-sample flags (no stss), parsed back with the fragment walk
+    (mvex/trex defaults, tfhd default-base-is-moof, tfdt anchoring),
+    and ONLY sync samples pixel-decoded. Identical id arithmetic to
+    x_mp4_frames, so the oracle pins the two container shapes against
+    each other. Row-local mapInPandas flat-map, zero shuffle."""
+    from ..operators.multimodal import fmp4_keyframe_roundtrip_features
+
+    d = t(spark, sf, "documents")
+    return fmp4_keyframe_roundtrip_features(d).orderBy("doc_id", "frame_no")
