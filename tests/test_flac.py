@@ -371,3 +371,35 @@ def test_flac_md5_matches_external_hash_of_pcm():
 
     want = hashlib.md5(struct.pack(f"<{len(sig)}h", *sig)).digest()
     assert blob[8 + 18 : 8 + 34] == want
+
+
+def test_flac_random_bitflip_fuzz_never_silently_wrong():
+    """Corruption totality (the Avro/media fuzz convention): flipping
+    any single bit in a valid stream must either raise ValueError or —
+    only for flips the format genuinely does not cover (e.g. inside
+    the unverified metadata-length headers that still parse) — decode
+    to the SAME verified samples. It must never return different
+    audio, hang, or surface a non-ValueError."""
+    import random
+
+    sig = _signal(300, seed=21)
+    blob = bytearray(encode_flac(8000, 1, sig, block_size=64))
+    rng = random.Random(0xF1AC)
+    silent_ok = 0
+    for _ in range(400):
+        i = rng.randrange(len(blob))
+        bit = 1 << rng.randrange(8)
+        blob[i] ^= bit
+        try:
+            d = decode_flac(bytes(blob))
+            assert d["samples"] == sig, (
+                f"bit flip at byte {i} changed decoded audio silently"
+            )
+            silent_ok += 1
+        except ValueError:
+            pass
+        finally:
+            blob[i] ^= bit
+    # the stream is CRC/MD5-armored nearly everywhere: flips that still
+    # decode (identically) should be rare
+    assert silent_ok < 40, silent_ok
