@@ -1139,6 +1139,134 @@ def bench_round15_operators(spark) -> dict:
     return results
 
 
+def bench_round16_operators(spark) -> dict:
+    """Round-16 mechanics. Claims under measurement: (1) FLAC decode on
+    the cluster is row-local pure-Python work that parallelizes like
+    the other codec legs — decoded samples/sec at local[N] over a real
+    mapInPandas stage, with the WAV twin of the SAME audio as the
+    container-overhead baseline; (2) the fragmented-MP4 walk costs
+    about the same as the flat chunk-run walk for identical samples
+    (fragmentation is not a parse tax); (3) vacuum --dry-run on a
+    many-generation store is manifest-reads only — the plan costs a
+    fraction of the deleting run."""
+    import shutil
+    import tempfile
+
+    results: dict[str, dict] = {}
+    root = tempfile.mkdtemp(prefix="spark_graft_r16_")
+    try:
+        # --- (1) FLAC vs WAV decode throughput over one Arrow stage
+        from blockchaintoavro_spark.functions.audio import encode_wav
+        from blockchaintoavro_spark.functions.flac import encode_flac
+        from blockchaintoavro_spark.operators.afp import afp_codes
+
+        n_docs, n_samples = 64, 9 * 64 * 4
+        sig = [((i * 131) % 4001) - 2000 for i in range(n_samples)]
+        flacs = [
+            (i, bytearray(encode_flac(8000, 1, sig))) for i in range(n_docs)
+        ]
+        wavs = [
+            (i, bytearray(encode_wav(8000, 1, sig))) for i in range(n_docs)
+        ]
+        schema = "doc_id long, payload binary"
+        fdf = spark.createDataFrame(flacs, schema).repartition(16)
+        wdf = spark.createDataFrame(wavs, schema).repartition(16)
+        afp_codes(wdf).count()  # warm-up: Arrow workers + codegen
+        afp_codes(fdf).count()
+        rows_w, t_wav = timed(lambda: afp_codes(wdf).count())
+        rows_f, t_flac = timed(lambda: afp_codes(fdf).count())
+        assert rows_f == rows_w == n_docs
+        results["flac_decode_throughput"] = {
+            "flac_sec": t_flac,
+            "wav_sec": t_wav,
+            "docs": n_docs,
+            "samples_per_doc": n_samples,
+            "flac_samples_per_sec": round(n_docs * n_samples / t_flac)
+            if t_flac
+            else None,
+        }
+        print(
+            f"round16 afp over {n_docs} docs x {n_samples} samples: "
+            f"flac {t_flac}s vs wav {t_wav}s",
+            flush=True,
+        )
+
+        # --- (2) fragmented vs flat MP4 container walk, same samples
+        from blockchaintoavro_spark.functions.mp4 import (
+            decode_mp4,
+            encode_mp4,
+            encode_mp4_fragmented,
+        )
+
+        frames = [bytes([k & 0xFF]) * 4096 for k in range(64)]
+        mask = [k % 4 == 0 for k in range(64)]
+        flat = encode_mp4(32, 32, frames, keyframes=mask)
+        frag2 = encode_mp4_fragmented(
+            32, 32, frames, keyframes=mask, samples_per_fragment=2
+        )
+        frag16 = encode_mp4_fragmented(
+            32, 32, frames, keyframes=mask, samples_per_fragment=16
+        )
+
+        def walk(blob, reps=50):
+            for _ in range(reps):
+                d = decode_mp4(blob)
+            return d["n_frames"]
+
+        n_flat, t_flat = timed(lambda: walk(flat))
+        n_f2, t_f2 = timed(lambda: walk(frag2))
+        n_f16, t_f16 = timed(lambda: walk(frag16))
+        assert n_flat == n_f2 == n_f16 == 64
+        results["fmp4_walk_vs_flat"] = {
+            "flat_sec_50x": t_flat,
+            "frag2_sec_50x": t_f2,
+            "frag16_sec_50x": t_f16,
+            "bytes_flat": len(flat),
+            "bytes_frag16": len(frag16),
+        }
+        print(
+            f"round16 mp4 walk x50: flat {t_flat}s vs 2-sample "
+            f"fragments {t_f2}s vs 16-sample fragments {t_f16}s — "
+            "the cost is per-FRAGMENT box walking, amortized by "
+            "real-world (CMAF ~2s) fragment sizes",
+            flush=True,
+        )
+
+        # --- (3) vacuum dry-run vs deleting run, 24 generations
+        from blockchaintoavro_spark.operators import manifest as mf
+
+        store = f"{root}/vac_store"
+        rows = spark.range(256).selectExpr("id AS k")
+        for _ in range(24):
+            seg = mf.new_segment_name()
+            rows.write.parquet(f"{store}/{seg}")
+            mf.commit_append(spark, store, [seg])
+        plan, t_dry = timed(
+            lambda: mf.vacuum_store(
+                spark, store, keep_generations=2, dry_run=True
+            )
+        )
+        real, t_real = timed(
+            lambda: mf.vacuum_store(spark, store, keep_generations=2)
+        )
+        assert len(plan["would_delete_manifests"]) == real[
+            "deleted_manifests"
+        ]
+        results["vacuum_dry_run_24gen"] = {
+            "dry_run_sec": t_dry,
+            "delete_sec": t_real,
+            "manifests_retired": real["deleted_manifests"],
+        }
+        print(
+            f"round16 vacuum 24 gens: dry-run {t_dry}s vs delete "
+            f"{t_real}s ({real['deleted_manifests']} manifests)",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     spark = get_spark("scale_bench")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1156,6 +1284,7 @@ def main() -> None:
         "round13_operators": bench_round13_operators(spark),
         "round14_operators": bench_round14_operators(spark),
         "round15_operators": bench_round15_operators(spark),
+        "round16_operators": bench_round16_operators(spark),
         "model_ops": bench_model_ops(spark),
         "ocf_split": bench_ocf_split(spark),
     }
