@@ -407,6 +407,11 @@ def encode_flac(
     round-trip."""
     if bits not in (8, 16, 24, 32):
         raise ValueError(f"unsupported FLAC bit depth {bits}")
+    if not 1 <= block_size <= 65535:
+        raise ValueError(
+            f"block_size {block_size} outside the 16-bit frame-header "
+            "range 1..65535"
+        )
     if channels <= 0 or channels > 8:
         raise ValueError("channels must be in 1..8")
     if len(samples) % channels:
@@ -587,23 +592,37 @@ def _read_subframe(r: _BitReader, bs: int, bps: int) -> list[int]:
     return sig
 
 
-def decode_flac(data: bytes) -> dict:
+# Decompression-amplification bound (review r16): a crafted stream of
+# large CONSTANT frames expands ~3000:1 (a 20-byte frame body declares
+# 65,536 samples), so a ~300 KB untrusted crawl payload would
+# accumulate billions of Python ints before the total/MD5 checks could
+# fire — the same attack class as the MP4 stsz bomb. Legitimate long
+# silence compresses at the same ratio, so this is a CAP, not a
+# heuristic: callers decoding trusted full-length recordings can raise
+# it. 1<<26 samples ≈ 64M ints — minutes of audio, far beyond any
+# clip-feature use, and bounded memory on an executor.
+MAX_DECODED_SAMPLES = 1 << 26
+
+
+def decode_flac(data: bytes, max_samples: int = MAX_DECODED_SAMPLES) -> dict:
     """FLAC bytes → ``{format, sample_rate, channels, bits, n_frames,
     samples}`` with ``samples`` interleaved ints normalized to
     [-32768, 32767] (the decode_wav convention, so every downstream
     audio feature is container-agnostic). Frame CRC-8/CRC-16 and the
     STREAMINFO MD5 (when present) are verified — a corrupt or
     mis-decoded stream raises ``ValueError``, never returns wrong
-    audio."""
+    audio. Decoding more than ``max_samples`` per-channel samples
+    raises (decompression-amplification bound; see
+    :data:`MAX_DECODED_SAMPLES`)."""
     try:
-        return _decode_flac(data)
+        return _decode_flac(data, max_samples)
     except (IndexError, OverflowError) as e:
         raise ValueError(
             f"corrupt FLAC stream: {type(e).__name__}: {e}"
         ) from e
 
 
-def _decode_flac(data: bytes) -> dict:
+def _decode_flac(data: bytes, max_samples: int = MAX_DECODED_SAMPLES) -> dict:
     if len(data) < 42 or data[:4] != FLAC_MAGIC:
         raise ValueError("not a FLAC stream (no fLaC magic)")
     pos = 4
@@ -646,10 +665,22 @@ def _decode_flac(data: bytes) -> dict:
     if bits not in _DEPTH_SHIFT:
         raise ValueError(f"unsupported FLAC bit depth {bits}")
 
+    if total > max_samples:
+        raise ValueError(
+            f"FLAC declares {total} samples — beyond the decode cap "
+            f"{max_samples} (raise max_samples for trusted full-length "
+            "recordings)"
+        )
     per_channel: list[list[int]] = [[] for _ in range(channels)]
     while pos < len(data):
         if total and len(per_channel[0]) >= total:
             break
+        if len(per_channel[0]) > max_samples:
+            raise ValueError(
+                f"FLAC stream expanded beyond the decode cap "
+                f"{max_samples} samples (declared total "
+                f"{total or 'unknown'}; decompression-bomb guard)"
+            )
         pos = _decode_frame(data, pos, rate, channels, bits, per_channel)
     n_frames = len(per_channel[0])
     if total and n_frames != total:

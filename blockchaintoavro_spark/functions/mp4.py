@@ -74,6 +74,49 @@ def _full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
 _MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
 
 
+def _movie_boxes(
+    width: int,
+    height: int,
+    timescale: int,
+    duration: int,
+    stbl: bytes,
+    edts: bytes = b"",
+    mvex: bytes = b"",
+) -> bytes:
+    """The ``moov`` for a one-video-track movie — vmhd/dinf/stbl under
+    minf, hdlr+mdhd under mdia, tkhd(+edts) under trak, mvhd(+mvex) at
+    the top. Shared by the flat and fragmented muxers (review r16: the
+    two copies had already diverged once via the sample entry)."""
+    url = _full(b"url ", 0, 1, b"")  # flag 1: data in this file
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, _u32(1) + url))
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        _u32(0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7,  # enabled | in-movie | in-preview
+        _u32(0) + _u32(0) + _u32(1) + _u32(0) + _u32(duration)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + _MATRIX
+        + _u32(width << 16) + _u32(height << 16),
+    )
+    trak = _box(b"trak", tkhd + edts + mdia)
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration)
+        + _u32(0x10000) + struct.pack(">H", 0x100) + b"\x00" * 10
+        + _MATRIX + b"\x00" * 24 + _u32(2),  # next_track_ID
+    )
+    return _box(b"moov", mvhd + trak + mvex)
+
+
 def encode_mp4(
     width: int,
     height: int,
@@ -179,27 +222,6 @@ def encode_mp4(
         _u32(n_chunks) + b"".join(_u32(o) for o in chunk_offsets),
     )
     stbl = _box(b"stbl", stsd + stts + ctts + stss + stsc + stsz + stco)
-    url = _full(b"url ", 0, 1, b"")  # flag 1: data in this file
-    dref = _full(b"dref", 0, 0, _u32(1) + url)
-    dinf = _box(b"dinf", dref)
-    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    hdlr = _full(
-        b"hdlr", 0, 0,
-        _u32(0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
-    )
-    mdhd = _full(
-        b"mdhd", 0, 0,
-        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration)
-        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
-    )
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _full(
-        b"tkhd", 0, 7,  # enabled | in-movie | in-preview
-        _u32(0) + _u32(0) + _u32(1) + _u32(0) + _u32(duration)
-        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + _MATRIX
-        + _u32(width << 16) + _u32(height << 16),
-    )
     edts = b""
     if edit_media_time is not None:
         elst = _full(
@@ -209,14 +231,7 @@ def encode_mp4(
             + struct.pack(">hh", 1, 0),  # media_rate 1.0
         )
         edts = _box(b"edts", elst)
-    trak = _box(b"trak", tkhd + edts + mdia)
-    mvhd = _full(
-        b"mvhd", 0, 0,
-        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration)
-        + _u32(0x10000) + struct.pack(">H", 0x100) + b"\x00" * 10
-        + _MATRIX + b"\x00" * 24 + _u32(2),  # next_track_ID
-    )
-    moov = _box(b"moov", mvhd + trak)
+    moov = _movie_boxes(width, height, timescale, duration, stbl, edts=edts)
     return ftyp + _box(b"mdat", mdat_body) + moov
 
 
@@ -294,27 +309,6 @@ def encode_mp4_fragmented(
         + _full(b"stsz", 0, 0, _u32(0) + _u32(0))
         + _full(b"stco", 0, 0, _u32(0)),
     )
-    url = _full(b"url ", 0, 1, b"")
-    dinf = _box(b"dinf", _full(b"dref", 0, 0, _u32(1) + url))
-    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    hdlr = _full(
-        b"hdlr", 0, 0,
-        _u32(0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
-    )
-    mdhd = _full(
-        b"mdhd", 0, 0,
-        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration)
-        + struct.pack(">HH", 0x55C4, 0),
-    )
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _full(
-        b"tkhd", 0, 7,
-        _u32(0) + _u32(0) + _u32(1) + _u32(0) + _u32(duration)
-        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + _MATRIX
-        + _u32(width << 16) + _u32(height << 16),
-    )
-    trak = _box(b"trak", tkhd + mdia)
     # trex: track defaults — duration rides here; default flags mark
     # samples non-sync iff an explicit keyframe mask narrows sync-ness
     default_flags = 0x10000 if keyframes is not None else 0
@@ -327,13 +321,10 @@ def encode_mp4_fragmented(
         + _u32(default_flags),
     )
     mvex = _box(b"mvex", trex)
-    mvhd = _full(
-        b"mvhd", 0, 0,
-        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration)
-        + _u32(0x10000) + struct.pack(">H", 0x100) + b"\x00" * 10
-        + _MATRIX + b"\x00" * 24 + _u32(2),
+    out = bytearray(
+        ftyp
+        + _movie_boxes(width, height, timescale, duration, stbl, mvex=mvex)
     )
-    out = bytearray(ftyp + _box(b"moov", mvhd + trak + mvex))
 
     ctts_v1 = ctts_offsets is not None and any(o < 0 for o in ctts_offsets)
     seq = 0
@@ -655,9 +646,12 @@ def _decode_fragments(
                     if first_dur is None and dur:
                         first_dur = dur
                     end = data_pos + size
-                    if end > len(data):
+                    if data_pos < 0 or end > len(data):
+                        # negative positions would otherwise slice
+                        # from the END of the file (Python negative
+                        # indexing) — silently wrong bytes, not loud
                         raise ValueError(
-                            "fMP4 sample range beyond end of file"
+                            "fMP4 sample range outside the file"
                         )
                     frames.append(data[data_pos:end])
                     data_pos = end
@@ -760,14 +754,21 @@ def _decode_mp4(data: bytes) -> dict:
             entry = body[12 : 4 + esize]
             if len(entry) >= 28:  # VisualSampleEntry dims
                 width, height = struct.unpack(">HH", entry[24:28])
-            # decoder-configuration sub-boxes follow the fixed fields
+            # decoder-configuration sub-boxes follow the fixed fields.
+            # BEST-EFFORT (review r16): real muxers pad the sample
+            # entry tail with non-box bytes; config is optional
+            # metadata, so a malformed tail stops the scan instead of
+            # failing a decode that worked before the scan existed.
             if len(entry) > _VISUAL_ENTRY_FIXED:
-                for st, sb, se in _boxes(
-                    entry, _VISUAL_ENTRY_FIXED, len(entry)
-                ):
-                    if st in _CONFIG_BOXES and codec_config is None:
-                        codec_config_type = st.decode("latin-1")
-                        codec_config = entry[sb:se]
+                try:
+                    for st, sb, se in _boxes(
+                        entry, _VISUAL_ENTRY_FIXED, len(entry)
+                    ):
+                        if st in _CONFIG_BOXES and codec_config is None:
+                            codec_config_type = st.decode("latin-1")
+                            codec_config = entry[sb:se]
+                except ValueError:
+                    pass  # padding / vendor bytes, not sub-boxes
         elif t == b"stts":
             (k,) = struct.unpack(">I", body[:4])
             _check_count(t, k, 8, body)
@@ -936,6 +937,25 @@ def _decode_mp4(data: bytes) -> dict:
         )
     if not comp:
         comp = [0] * n
+
+    # hybrid file (review r16): a populated moov PLUS moof fragments —
+    # the smooth-streaming/live-archive capture shape. Fragment
+    # samples APPEND after the moov samples (tfdt anchors their decode
+    # times on the same media timeline); dropping them silently would
+    # truncate the track with no error.
+    f_frames, f_dts, f_comp, f_sync, f_dur = _decode_fragments(
+        data, track_id, trex_map
+    )
+    fragmented = bool(f_frames)
+    if fragmented:
+        keyframes = keyframes + [n + i for i in f_sync]
+        frames += f_frames
+        dts += f_dts
+        comp += f_comp
+        n = len(frames)
+        if sample_delta is None:
+            sample_delta = f_dur
+
     pts = [dts[i] + comp[i] - edit_media_time for i in range(n)]
     presentation_order = sorted(range(n), key=lambda i: (pts[i], i))
 
@@ -956,5 +976,5 @@ def _decode_mp4(data: bytes) -> dict:
         "pts": pts,
         "edit_media_time": edit_media_time,
         "presentation_order": presentation_order,
-        "fragmented": False,
+        "fragmented": fragmented,
     }

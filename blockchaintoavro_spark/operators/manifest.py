@@ -1231,11 +1231,16 @@ def read_segments(spark, root: str, manifest: dict):
                 return merged
         except Exception:
             pass  # fall back to the per-leg union
+    from pyspark.errors import AnalysisException
+
     out = legs[0]
     for i, df in enumerate(legs[1:], start=1):
         try:
             out = out.unionByName(df)
-        except Exception as e:
+        except AnalysisException as e:
+            # ONLY the schema-resolution failure gets the diagnostic —
+            # a Py4J drop or executor loss must surface as itself, not
+            # as a bogus store-corruption claim (review r16)
             # a rename or a second pipeline writing a different shape
             # into this store: the incompatible COMMIT succeeded
             # silently (fingerprints hash the shape, they don't police

@@ -403,3 +403,45 @@ def test_flac_random_bitflip_fuzz_never_silently_wrong():
     # the stream is CRC/MD5-armored nearly everywhere: flips that still
     # decode (identically) should be rare
     assert silent_ok < 40, silent_ok
+
+
+def test_decompression_bomb_constant_frames_raise(capsys):
+    """Review r16: a crafted stream of large CONSTANT frames expands
+    ~3000:1 — the decode must hit the amplification cap with a
+    ValueError, never accumulate gigabytes."""
+    body = _Bits()
+    body.put(0, 1)
+    body.put(0b000000, 6)  # CONSTANT
+    body.put(0, 1)
+    body.put(0, 16)
+    hdr = _Bits()
+    hdr.put(0b11111111111110, 14)
+    hdr.put(0, 1)
+    hdr.put(0, 1)
+    hdr.put(0b0111, 4)  # 16-bit (bs-1) follows
+    hdr.put(0b0000, 4)
+    hdr.put(0, 4)
+    hdr.put(0b100, 3)
+    hdr.put(0, 1)
+    hdr.put(0, 8)  # frame number 0 (decoder does not cross-check)
+    hdr.put(65534, 16)  # bs = 65535 samples from a ~20-byte frame
+    hdr_bytes = hdr.bytes()
+    frame = hdr_bytes + bytes([crc8(hdr_bytes)]) + body.bytes()
+    frame += crc16(frame).to_bytes(2, "big")
+    blob = _streaminfo(8000, 1, 16, 0) + frame * 50  # declares 3.2M
+    with pytest.raises(ValueError, match="cap"):
+        decode_flac(blob, max_samples=100_000)
+
+
+def test_declared_total_beyond_cap_raises_before_decoding():
+    blob = encode_flac(8000, 1, _signal(64), block_size=64)
+    with pytest.raises(ValueError, match="cap"):
+        decode_flac(blob, max_samples=10)
+
+
+def test_block_size_validation():
+    sig = _signal(64)
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(8000, 1, sig, block_size=0)
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(8000, 1, sig, block_size=70000)

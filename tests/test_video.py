@@ -687,3 +687,78 @@ def test_fmp4_dispatches_through_try_decode_video_and_sampling(spark):
     rows = sample_frames(df, every_n=1).collect()
     assert sorted(r["frame_no"] for r in rows) == [0, 2, 4]
     assert all(bytes(r["codec_config"]) == cfg for r in rows)
+
+
+def test_fmp4_negative_trun_offset_raises():
+    """Review r16: a negative trun data_offset must raise — Python's
+    negative slicing would otherwise return bytes from the END of the
+    file as silently wrong sample payloads."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from blockchaintoavro_spark.functions.mp4 import (
+        decode_mp4,
+        encode_mp4_fragmented,
+    )
+
+    good = encode_mp4_fragmented(4, 4, [b"xy", b"zw"])
+    idx = good.find(b"trun")
+    bad = bytearray(good)
+    # trun body: ver/flags(4) count(4) data_offset(4)
+    bad[idx + 12 : idx + 16] = _struct.pack(">i", -10000)
+    with _pytest.raises(ValueError, match="outside the file"):
+        decode_mp4(bytes(bad))
+
+
+def test_mp4_sample_entry_padding_bytes_tolerated():
+    """Review r16: real muxers pad the sample-entry tail with non-box
+    bytes; the codec-config scan must skip them, not fail a decode
+    that worked before the scan existed."""
+    import struct as _struct
+
+    from blockchaintoavro_spark.functions.mp4 import decode_mp4, encode_mp4
+
+    cfg = b"\x01\x64\x00\x1f"
+    good = encode_mp4(
+        4, 4, [b"x", b"y"], codec=b"avc1", codec_config=cfg
+    )
+    at = good.find(b"avcC")
+    (csz,) = _struct.unpack(">I", good[at - 4 : at])
+    insert_at = at - 4 + csz  # end of the avcC box, inside the entry
+    patched = bytearray(
+        good[:insert_at] + b"\x00\x00\x00\x00" + good[insert_at:]
+    )
+    # grow the entry box, stsd and every enclosing box by 4
+    for name in (b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stsd",
+                 b"avc1"):
+        p = bytes(patched).find(name)
+        (sz,) = _struct.unpack(">I", patched[p - 4 : p])
+        patched[p - 4 : p] = _struct.pack(">I", sz + 4)
+    d = decode_mp4(bytes(patched))
+    assert d["frames"] == [b"x", b"y"]
+    assert d["codec_config"] == cfg  # config before the padding kept
+
+
+def test_hybrid_moov_plus_moof_appends_fragment_samples():
+    """Review r16: a progressive+fragmented capture (populated moov
+    AND moof fragments) must decode BOTH sample populations — the
+    fragments append after the moov samples, never silently dropped."""
+    from blockchaintoavro_spark.functions.mp4 import (
+        decode_mp4,
+        encode_mp4,
+        encode_mp4_fragmented,
+    )
+
+    head = [b"h0", b"h1", b"h2"]
+    tail = [b"t0", b"t1"]
+    flat = encode_mp4(4, 4, head, keyframes=[True, False, True])
+    frag = encode_mp4_fragmented(
+        4, 4, tail, keyframes=[True, False]
+    )
+    moof_at = frag.find(b"moof") - 4
+    d = decode_mp4(flat + frag[moof_at:])
+    assert d["frames"] == head + tail
+    assert d["fragmented"] is True
+    assert d["keyframes"] == [0, 2, 3]  # stss sync + trun sync
+    assert d["n_frames"] == 5
