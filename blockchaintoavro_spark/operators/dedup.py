@@ -80,6 +80,15 @@ def exact_jaccard_pairs(
 
     Postings self-join on token → pair intersection counts → sizes join.
     Shuffle volume = postings + pair-partials; no document replication.
+
+    r16 audit: a REBALANCE barrier on the postings table (which feeds
+    both self-join sides and the sizes aggregate) was tried and REVERTED
+    — interleaved A/B at the x_dedup_clusters shape showed it neutral to
+    slightly negative (2.49 vs 3.00 CPU-s with the barrier): tokenizing
+    this corpus again is cheaper than materializing and re-reading the
+    postings exchange, and in the sort-merge regime ReuseExchange
+    already shares the join-side exchange. Revisit only if tokenization
+    becomes the dominant cost (very long documents).
     """
     p = token_postings(df, id_col, text_col)
     sizes = p.groupBy(id_col).agg(F.count("*").alias("_n"))
@@ -197,8 +206,21 @@ def minhash_candidate_pairs(
     ≈0.94 at s=0.4 — 8×4 banding tested out at ~0.82 recall, too low.
     Returns distinct (d1 < d2) candidate pairs. Scale: equi-join on
     (band_id, band_hash) buckets — linear in collisions, never O(n²).
+
+    r16: the banded-signature table is consumed by BOTH self-join sides;
+    in the broadcast regime the build side re-runs the whole
+    tokenize+32-permutation pipeline (plan-verified: 4 source scans with
+    no barrier → 3 with it). The AQE ``REBALANCE`` barrier materializes
+    bands once — fixed-width (id, band_id, band_hash) rows, ~n_bands·24
+    bytes per doc, far smaller than one re-tokenization — so both sides
+    read shuffle files (guide §2.4/§8; interleaved A/B at the
+    x_minhash_neardup shape: 1.90 → 1.71 CPU-s, wall 1.06 → 0.96). In
+    the sort-merge regime ReuseExchange already shared the join-side
+    exchange, so the barrier costs nothing extra there.
     """
-    bands = minhash_bands(df, id_col, text_col, n_hashes, n_bands, seed)
+    bands = minhash_bands(df, id_col, text_col, n_hashes, n_bands, seed).hint(
+        "rebalance"
+    )
     a = bands.select(F.col(id_col).alias("d1"), "band_id", "band_hash")
     b = bands.select(F.col(id_col).alias("d2"), "band_id", "band_hash")
     return (
@@ -312,6 +334,17 @@ def dedup_clusters(
     round to truncate lineage, keeping every round's plan
     constant-size.
 
+    r16: the per-round checkpoints are LAZY (``eager=False``) — the
+    checksum action that immediately follows materializes them, so every
+    round runs ONE Spark job instead of two (checkpoint job + collect
+    job). Lineage truncation is identical (the collect computes through
+    the checkpoint RDD, pinning it before the next round builds on it).
+    Interleaved A/B at sf0.1 is within noise locally (2.57 vs 2.49
+    CPU-s) — the win is one fewer cluster-wide scheduling barrier per
+    round, which matters when rounds are long-tailed at real scale, and
+    it can never cost compute (the eager job's work moves into the
+    collect, nothing re-executes).
+
     Convergence detection without a join: labels only ever decrease
     (``least``), so the label sum is strictly monotone — equal consecutive
     sums ⇔ a fixed point. (Correctness of the fixed point: both steps
@@ -328,7 +361,7 @@ def dedup_clusters(
     )
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         sym.groupBy("src")
         .agg(F.min("dst").alias("_nbr"))
@@ -336,7 +369,7 @@ def dedup_clusters(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("_nbr")).alias("label"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # decimal sum: immune to long overflow under ANSI mode at any scale
     checksum = lambda df: df.agg(  # noqa: E731
@@ -381,7 +414,7 @@ def dedup_clusters(
                     F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
                 ).alias("label"),
             )
-        labels = stepped.localCheckpoint()
+        labels = stepped.localCheckpoint(eager=False)
         # the new checkpoint is eager + lineage-truncated, so the prior
         # round's blocks are dead weight from here — free them now
         # instead of leaking one node-set per round into storage memory

@@ -37,6 +37,28 @@ def money(c: Column) -> Column:
     return F.round(c, 2).cast("decimal(38,2)").cast("double")
 
 
+def psort(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Presentation sort for results computed by a Python stage: identical
+    rows and order to ``df.orderBy(*cols)``, but the Arrow/pandas stage
+    executes ONCE instead of twice.
+
+    A bare ``orderBy`` plans ``Exchange rangepartitioning`` directly over
+    the Python node, and the range partitioner's sampling pass re-executes
+    the whole child lineage — every mapInPandas batch runs twice (measured:
+    x_jpeg_decode 10.1 → 4.7 CPU-s, python rows processed 10000 → 5000 for
+    a 5000-doc input). The AQE ``REBALANCE`` barrier materializes the
+    Python stage's small feature rows as shuffle output first, so the sort
+    samples shuffle files instead of re-running Python — guide §8's rule
+    (sort/decide on the materialized small rows, never by re-running the
+    expensive operator) applied to presentation sorts. REBALANCE (not
+    ``repartition(n)``) keeps the barrier scale-adaptive: AQE coalesces or
+    splits it from data size, nothing is tuned to the local core count.
+    Only worth it over a Python stage — a JVM subtree re-executes cheaply,
+    so plain ``orderBy`` keeps the simpler single-exchange plan there.
+    """
+    return df.hint("rebalance").orderBy(*cols)
+
+
 def dbl(c: Column, n: int = 4) -> Column:
     """Canonical ratio/similarity output: ROUND(x, n) decimal → DOUBLE.
 

@@ -280,7 +280,15 @@ def _load_blocks_for_etl(spark: SparkSession) -> DataFrame:
 @declare("dq07_flagship_etl", oracle=_DQ07_ORACLE, bench=True)
 def dq07(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's flagship query (etl.sh:6-33): dedup → inner-unnest
-    transactions → flat projection with derived work columns."""
+    transactions → flat projection with derived work columns.
+
+    r16 audit: a psort/REBALANCE barrier before the presentation sort was
+    tried and REVERTED — the barrier shuffles the full flattened output
+    (3.3 → 9.5 MB shuffle-write) to save re-running a JVM window+explode
+    segment that re-executes from the materialized block_id exchange
+    almost for free (interleaved A/B: 1.39 vs 1.46 CPU-s, wall equal).
+    Barriers pay off over PYTHON stages (see plans/_util.psort), not
+    cheap JVM segments."""
     return publish_transactions(_load_blocks_for_etl(spark)).orderBy(
         "block_id", "transaction_id"
     )

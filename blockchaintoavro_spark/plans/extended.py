@@ -21,7 +21,7 @@ from ..operators.dedup import (
     simhash64,
 )
 from ..operators.similarity import ann_topk_lsh, topk_per_query
-from ._util import dbl, t
+from ._util import dbl, psort, t
 from .registry import declare
 
 # ---------------------------------------------------------------------------
@@ -780,7 +780,7 @@ def x_strip_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import strip_duplicated_spans
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 80)
-    return strip_duplicated_spans(d, k=20).orderBy("doc_id")
+    return psort(strip_duplicated_spans(d, k=20), "doc_id")
 
 
 @declare(
@@ -942,9 +942,10 @@ def x_strip_dup_spans_sorted(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import strip_duplicated_spans
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 80)
-    return strip_duplicated_spans(
-        d, k=20, hash_only=True, plan="sorted_gram"
-    ).orderBy("doc_id")
+    return psort(
+        strip_duplicated_spans(d, k=20, hash_only=True, plan="sorted_gram"),
+        "doc_id",
+    )
 
 
 @declare(
@@ -996,7 +997,7 @@ def x_dup_span_counts_sorted(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import substring_dup_counts
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    return substring_dup_counts(d, k=20, plan="sorted_gram").orderBy("doc_id")
+    return psort(substring_dup_counts(d, k=20, plan="sorted_gram"), "doc_id")
 
 
 @declare("x_minhash_neardup", oracle=None, bench=True)  # r3 VERDICT #2
@@ -1064,7 +1065,7 @@ def x_mm(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import extract_features, with_binary_payload
 
     d = t(spark, sf, "documents")
-    return extract_features(with_binary_payload(d)).orderBy("doc_id")
+    return psort(extract_features(with_binary_payload(d)), "doc_id")
 
 
 @declare(
@@ -1094,7 +1095,7 @@ def x_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import image_roundtrip_features
 
     d = t(spark, sf, "documents")
-    return image_roundtrip_features(d).orderBy("doc_id")
+    return psort(image_roundtrip_features(d), "doc_id")
 
 
 @declare(
@@ -1133,7 +1134,7 @@ def x_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import jpeg_roundtrip_features
 
     d = t(spark, sf, "documents")
-    return jpeg_roundtrip_features(d).orderBy("doc_id")
+    return psort(jpeg_roundtrip_features(d), "doc_id")
 
 
 @declare(
@@ -1173,7 +1174,7 @@ def x_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import jpeg_roundtrip_features
 
     d = t(spark, sf, "documents")
-    return jpeg_roundtrip_features(d, progressive=True).orderBy("doc_id")
+    return psort(jpeg_roundtrip_features(d, progressive=True), "doc_id")
 
 
 @declare(
@@ -1211,7 +1212,7 @@ def x_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import gif_frame_features
 
     d = t(spark, sf, "documents")
-    return gif_frame_features(d, every_n=2).orderBy("doc_id", "frame_no")
+    return psort(gif_frame_features(d, every_n=2), "doc_id", "frame_no")
 
 
 @declare(
@@ -1246,7 +1247,7 @@ def x_resize(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import resize_roundtrip_features
 
     d = t(spark, sf, "documents")
-    return resize_roundtrip_features(d).orderBy("doc_id")
+    return psort(resize_roundtrip_features(d), "doc_id")
 
 
 @declare(
@@ -1812,7 +1813,7 @@ def x_g711_decode(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import g711_roundtrip_features
 
     d = t(spark, sf, "documents")
-    return g711_roundtrip_features(d).orderBy("doc_id")
+    return psort(g711_roundtrip_features(d), "doc_id")
 
 
 @declare(
@@ -2041,11 +2042,14 @@ def x_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
     merges = train_bpe(word_counts(d.filter(F.col("doc_id") < 300)), 12)
     out = apply_bpe(d.filter(F.col("doc_id") < 100), merges)
-    return out.select(
+    return psort(
+        out.select(
+            "doc_id",
+            F.col("n_bpe_tokens"),
+            F.slice("bpe_tokens", 1, 8).alias("head_tokens"),
+        ),
         "doc_id",
-        F.col("n_bpe_tokens"),
-        F.slice("bpe_tokens", 1, 8).alias("head_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 @declare(
@@ -2079,7 +2083,7 @@ def x_avi_frames(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import video_frame_features
 
     d = t(spark, sf, "documents")
-    return video_frame_features(d, every_n=2).orderBy("doc_id", "frame_no")
+    return psort(video_frame_features(d, every_n=2), "doc_id", "frame_no")
 
 
 @declare(
@@ -2117,7 +2121,7 @@ def x_mp4_frames(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import mp4_keyframe_roundtrip_features
 
     d = t(spark, sf, "documents")
-    return mp4_keyframe_roundtrip_features(d).orderBy("doc_id", "frame_no")
+    return psort(mp4_keyframe_roundtrip_features(d), "doc_id", "frame_no")
 
 
 @declare(
@@ -2160,7 +2164,7 @@ def x_avi_raw_frames(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import raw_video_frame_features
 
     d = t(spark, sf, "documents")
-    return raw_video_frame_features(d, every_n=2).orderBy("doc_id", "frame_no")
+    return psort(raw_video_frame_features(d, every_n=2), "doc_id", "frame_no")
 
 
 @declare(
@@ -2228,7 +2232,7 @@ def x_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import audio_roundtrip_features
 
     d = t(spark, sf, "documents")
-    return audio_roundtrip_features(d, bits_cycle=(16, 24, 32)).orderBy("doc_id")
+    return psort(audio_roundtrip_features(d, bits_cycle=(16, 24, 32)), "doc_id")
 
 
 @declare(
@@ -2272,6 +2276,10 @@ def x_training(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "embeddings")
     from ..functions.vectors import l2_norm
 
+    # r16 audit: a psort barrier here was tried and REVERTED — the
+    # broadcast-join segment re-executes cheaply for the sort's sampling
+    # (interleaved A/B: 1.26 vs 1.42 CPU-s); barriers pay off over
+    # Python stages, not cheap JVM segments
     return (
         keep.join(t(spark, sf, "documents"), "doc_id")
         .join(e, F.col("vec_id") == F.col("doc_id"))
@@ -2543,15 +2551,16 @@ def x_b58(spark: SparkSession, sf: str) -> DataFrame:
             ["ingest_id", "block_id"], input_fields=["input_script_bytes"]
         ),
     ).filter(F.col("ingest_id") < 200)
-    return (
+    return psort(
         b.select("block_id", F.explode("transactions").alias("t"))
         .select("block_id", F.explode("t.inputs").alias("i"))
         .select(
             "block_id",
             F.lower(F.hex("i.input_script_bytes")).alias("script_hex"),
             base58_encode("i.input_script_bytes").alias("script_b58"),
-        )
-        .orderBy("block_id", "script_hex")
+        ),
+        "block_id",
+        "script_hex",
     )
 
 
@@ -4527,7 +4536,7 @@ def x_phash_codes(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.phash import phash_fixture_codes
 
     d = t(spark, sf, "documents")
-    return phash_fixture_codes(d).orderBy("doc_id")
+    return psort(phash_fixture_codes(d), "doc_id")
 
 
 @declare(
@@ -4747,7 +4756,7 @@ def x_video_phash(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.phash import video_phash_fixture_codes
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 120)
-    return video_phash_fixture_codes(d).orderBy("doc_id", "frame_no")
+    return psort(video_phash_fixture_codes(d), "doc_id", "frame_no")
 
 
 @declare(
@@ -5013,7 +5022,7 @@ def x_afp_codes(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.afp import afp_fixture_codes
 
     d = t(spark, sf, "documents")
-    return afp_fixture_codes(d).orderBy("doc_id")
+    return psort(afp_fixture_codes(d), "doc_id")
 
 
 @declare(
@@ -5226,7 +5235,7 @@ def x_dup_spans_maximal(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.substr_sorted import duplicated_spans_sorted
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 80)
-    return duplicated_spans_sorted(d, k=20).orderBy("doc_id", "span_start")
+    return psort(duplicated_spans_sorted(d, k=20), "doc_id", "span_start")
 
 
 @declare(
@@ -5835,7 +5844,7 @@ def x_flac_decode(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import flac_roundtrip_features
 
     d = t(spark, sf, "documents")
-    return flac_roundtrip_features(d).orderBy("doc_id")
+    return psort(flac_roundtrip_features(d), "doc_id")
 
 
 @declare(
@@ -5869,4 +5878,4 @@ def x_fmp4_frames(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import fmp4_keyframe_roundtrip_features
 
     d = t(spark, sf, "documents")
-    return fmp4_keyframe_roundtrip_features(d).orderBy("doc_id", "frame_no")
+    return psort(fmp4_keyframe_roundtrip_features(d), "doc_id", "frame_no")

@@ -1110,12 +1110,20 @@ _BENCH_PLAN_SHAPES = {
     "dq32_token_topk": dict(shuffles=1, broadcasts=0, smj=0),
     "x_dedup_clusters": dict(shuffles=1, broadcasts=0, smj=0),
     "x_dup_substrings": dict(shuffles=2, broadcasts=0, smj=0),
-    "x_jpeg_decode": dict(shuffles=2, broadcasts=0, smj=0),
+    # 3 = id-spread + REBALANCE barrier + presentation range sort; the
+    # barrier (plans/_util.psort) materializes the mapInPandas output so
+    # the range partitioner's sampling pass reads shuffle files instead
+    # of re-running the whole Python codec stage (r16: 2x Python work
+    # otherwise — python rows processed 10000 vs 5000 at sf0.1)
+    "x_jpeg_decode": dict(shuffles=3, broadcasts=0, smj=0),
     # MERGE joins two comparable-size sides: sort-merge is the right
     # physical choice there, pinned so it neither multiplies nor
     # silently becomes a broadcast of the big side
     "x_merge_upsert": dict(shuffles=3, broadcasts=0, smj=1),
-    "x_minhash_neardup": dict(shuffles=2, broadcasts=1, smj=0),
+    # r16: +REBALANCE barrier materializing the banded signatures once
+    # (the broadcast build side otherwise re-tokenizes the corpus) and
+    # the distinct/sort exchanges
+    "x_minhash_neardup": dict(shuffles=4, broadcasts=1, smj=0),
     "x_training_prep": dict(shuffles=2, broadcasts=2, smj=0),
 }
 
@@ -1144,3 +1152,59 @@ def test_bench_query_plan_shape(spark, registry, sf_dir, name):
     assert s.count("BroadcastNestedLoopJoin") == want.get("bnlj", 0), (
         name, s,
     )
+
+
+def test_no_python_stage_under_unbarriered_range_sort(spark, registry, sf_dir):
+    """r16 guard: ``Exchange rangepartitioning`` directly over an
+    Arrow/pandas node re-executes the whole Python stage for the range
+    partitioner's sampling pass (every batch decoded twice). Every
+    declared query must put a materializing exchange (plans/_util.psort's
+    REBALANCE barrier) between a Python stage and its presentation sort."""
+    py_nodes = (
+        "MapInPandas",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInArrow",
+        "AttachDistributedSequence",
+    )
+
+    def node_name(n):
+        return n.getClass().getSimpleName()
+
+    def children(n):
+        out, it = [], n.children().iterator()
+        while it.hasNext():
+            out.append(it.next())
+        return out
+
+    def python_before_barrier(n):
+        nm = node_name(n)
+        if "ShuffleExchange" in nm or "QueryStage" in nm or "RDDScan" in nm:
+            return False
+        if any(p in nm for p in py_nodes):
+            return True
+        return any(python_before_barrier(c) for c in children(n))
+
+    def offending(n):
+        nm = node_name(n)
+        hit = False
+        if "ShuffleExchange" in nm:
+            part = n.outputPartitioning().toString()
+            if "rangepartitioning" in part.lower():
+                hit = any(python_before_barrier(c) for c in children(n))
+        return hit or any(offending(c) for c in children(n))
+
+    bad = []
+    for name in sorted(registry):
+        plan = (
+            registry[name]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+        )
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.initialPlan()
+        if offending(plan):
+            bad.append(name)
+    assert not bad, f"python stage sampled twice by range sort in: {bad}"
