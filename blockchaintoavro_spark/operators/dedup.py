@@ -460,14 +460,22 @@ def simhash64(
             lambda a, b: a + 2 * b - 1,  # bit→{+1,-1} vote
         ),
     )
+    # r16: project the vote array to an ATTRIBUTE before the 64-term
+    # assembly — the assembly references the vote column 64 times, and a
+    # multi-referenced interpreted HOF expression re-runs the whole
+    # per-token fold per reference (CollapseProject keeps a non-cheap
+    # alias with >1 consumer in its own Project, so the fold runs once;
+    # same mechanism as operators/quality.with_dup_ngram_ratio)
+    voted = df.select(F.col(id_col), votes.alias("_sh_votes"))
+    va = F.col("_sh_votes")
     # assemble: bit i set iff vote > 0 (bit 63 = sign bit as negative literal)
     sim = F.lit(0).cast("long")
     for i in range(64):
         bit_val = (1 << i) if i < 63 else -(1 << 63)
-        sim = sim + F.when(votes[i] > 0, F.lit(bit_val).cast("long")).otherwise(
+        sim = sim + F.when(va[i] > 0, F.lit(bit_val).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return voted.select(F.col(id_col), sim.alias("simhash"))
 
 
 def boilerplate_ratio(

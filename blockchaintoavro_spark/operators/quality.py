@@ -273,6 +273,109 @@ def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
     return F.when(total == 0, F.lit(0.0)).otherwise(dups / total)
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word ``n``-grams of a pre-split token array (empty when < n)."""
+    nt = F.size(toks)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(
+        nt >= n, F.transform(F.sequence(F.lit(1), nt - (n - 1)), gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_dup_ngram_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "dup_ngram_ratio",
+) -> DataFrame:
+    """``df`` plus ``out_col`` = :func:`dup_ngram_ratio` of ``text_col`` —
+    the DataFrame form that evaluates each heavy HOF ONCE per row.
+
+    Why this exists (r16, guide §1.2 "distributed algorithm" applied to
+    the expression tree): higher-order functions (``transform`` /
+    ``aggregate`` / ``array_distinct`` over lambdas) are CodegenFallback
+    — Spark evaluates them interpreted, with no common-subexpression
+    elimination across a projection. The single-Column form references
+    its ``grams`` subtree three times (two ``size`` calls and the
+    zero-guard), so every reference re-runs the whole O(words) gram
+    build per row; a query that also folds the ratio into a keep flag
+    doubles it again. Measured on x_gopher_rules at sf0.1: 64.9 → 1.6
+    CPU-s (wall 62 → 1.0 s) from restructuring alone.
+
+    Mechanism: each heavy subexpression (token split, gram transform,
+    gram counts) is produced as a named alias in its own projection and
+    *referenced more than once* downstream — Catalyst's CollapseProject
+    refuses to inline a non-cheap alias with multiple consumers, so the
+    chain survives optimization and each HOF runs once. Output rows are
+    bit-identical to the Column form (same expressions, same order).
+    """
+    total, distinct = f"_dnr_tot_{out_col}", f"_dnr_dst_{out_col}"
+    # the token array MUST be projected to an attribute before feeding
+    # the gram transform: an inline split expression inside the
+    # transform's lambda re-splits the text per gram element (O(words²))
+    s0 = df.withColumn(
+        "_dnr_toks", F.split(F.lower(F.col(text_col)), " ")
+    )
+    s1 = s0.withColumn(
+        "_dnr_grams", _word_ngrams(F.col("_dnr_toks"), n)
+    ).drop("_dnr_toks")
+    s2 = s1.select(
+        "*",
+        F.size("_dnr_grams").alias(total),
+        F.size(F.array_distinct("_dnr_grams")).alias(distinct),
+    ).drop("_dnr_grams")
+    ratio = F.when(F.col(total) == 0, F.lit(0.0)).otherwise(
+        (F.col(total) - F.col(distinct)) / F.col(total)
+    )
+    return s2.withColumn(out_col, ratio).drop(total, distinct)
+
+
+def with_gopher_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = ("the", "a", "of", "to", "and", "in"),
+) -> DataFrame:
+    """``df`` plus the four :func:`gopher_metrics` columns (``n_words``,
+    ``mean_word_len``, ``dup3_ratio``, ``n_stop_hits``) with every heavy
+    HOF evaluated ONCE per row — the corpus-scale form of the metric
+    suite (see :func:`with_dup_ngram_ratio` for the CollapseProject
+    mechanism and the measured 40× CPU difference vs re-deriving each
+    metric from the Column API per output column). Downstream keep
+    flags should reference these output columns (cheap attributes)
+    rather than re-invoking :func:`gopher_metrics`.
+    """
+    s1 = df.withColumn(
+        "_gm_toks", F.split(F.lower(F.col(text_col)), " ")
+    )
+    tk = F.col("_gm_toks")
+    nt = F.size(tk)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    s2 = s1.select(
+        "*",
+        nt.cast("long").alias("n_words"),
+        F.when(nt == 0, F.lit(0.0))
+        .otherwise(
+            F.aggregate(tk, F.lit(0.0), lambda acc, x: acc + F.length(x)) / nt
+        )
+        .alias("mean_word_len"),
+        F.size(F.filter(tk, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop_hits"),
+        _word_ngrams(tk, 3).alias("_gm_g3"),
+    ).drop("_gm_toks")
+    s3 = s2.select(
+        "*",
+        F.size("_gm_g3").alias("_gm_tot"),
+        F.size(F.array_distinct("_gm_g3")).alias("_gm_dst"),
+    ).drop("_gm_g3")
+    dup3 = F.when(F.col("_gm_tot") == 0, F.lit(0.0)).otherwise(
+        (F.col("_gm_tot") - F.col("_gm_dst")) / F.col("_gm_tot")
+    )
+    return s3.withColumn("dup3_ratio", dup3).drop("_gm_tot", "_gm_dst")
+
+
 def stratified_keep(
     key: Column, stratum: Column, fractions: Mapping[str, str], default: str = "00"
 ) -> Column:

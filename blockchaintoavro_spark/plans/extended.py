@@ -2457,18 +2457,24 @@ def x_split(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_ngram_rep(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-3-gram ratio per document — the Gopher/C4-style
-    repetition quality filter (operators/quality.py:dup_ngram_ratio).
-    All JVM-side HOFs; no shuffle, no UDF."""
-    from ..operators.quality import dup_ngram_ratio
+    repetition quality filter (operators/quality.py:
+    with_dup_ngram_ratio). All JVM-side HOFs; no shuffle, no UDF.
 
-    d = t(spark, sf, "documents")
+    r16: the DataFrame helper projects the token array and gram array
+    to attributes so the interpreted gram transform runs once per row —
+    the single-Column form re-split the text inside the transform
+    lambda (O(words²)) and re-built the gram array per reference
+    (40.1 → ~1 CPU-s at sf0.1; rows bit-identical)."""
+    from ..operators.quality import with_dup_ngram_ratio
+
+    d = with_dup_ngram_ratio(t(spark, sf, "documents"))
     toks = F.split(F.lower("text"), " ")
     nt = F.size(toks)
     n_grams = F.when(nt >= 3, nt - 2).otherwise(F.lit(0))
     return d.select(
         "doc_id",
         n_grams.cast("long").alias("n_grams"),
-        dbl(dup_ngram_ratio(F.col("text"))).alias("dup_ngram_ratio"),
+        dbl(F.col("dup_ngram_ratio")).alias("dup_ngram_ratio"),
     ).orderBy("doc_id")
 
 
@@ -3324,21 +3330,33 @@ def x_incr_dedup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def x_gopher(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style heuristic quality rules (operators/quality.py:
-    gopher_metrics/gopher_pass — word-count, mean-word-length,
+    with_gopher_metrics/gopher_pass — word-count, mean-word-length,
     duplicate-trigram, stopword-presence bounds). Row-local HOFs, zero
     shuffle; the keep flag is rendered as BIGINT so boolean formatting
-    can never hash-diverge between engines."""
-    from ..operators.quality import gopher_metrics, gopher_pass
+    can never hash-diverge between engines.
 
-    d = t(spark, sf, "documents")
-    m = gopher_metrics(F.col("text"))
+    r16: metrics come from the DataFrame helper (each heavy HOF
+    evaluated once per row) and the keep flag references the metric
+    ATTRIBUTES instead of re-deriving every metric expression — the
+    Column-API form re-ran the interpreted gram/aggregate trees ~8×
+    per row (64.9 → 1.6 CPU-s, wall 62 → 1.0 s at sf0.1, measured
+    interleaved; rows bit-identical)."""
+    from ..operators.quality import gopher_pass, with_gopher_metrics
+
+    d = with_gopher_metrics(t(spark, sf, "documents"))
+    keep = gopher_pass(
+        {
+            k: F.col(k)
+            for k in ("n_words", "mean_word_len", "dup3_ratio", "n_stop_hits")
+        }
+    )
     return d.select(
         "doc_id",
-        m["n_words"].alias("n_words"),
-        dbl(m["mean_word_len"]).alias("mean_word_len"),
-        dbl(m["dup3_ratio"]).alias("dup3_ratio"),
-        m["n_stop_hits"].alias("n_stop_hits"),
-        gopher_pass(m).cast("long").alias("keep"),
+        "n_words",
+        dbl(F.col("mean_word_len")).alias("mean_word_len"),
+        dbl(F.col("dup3_ratio")).alias("dup3_ratio"),
+        "n_stop_hits",
+        keep.cast("long").alias("keep"),
     ).orderBy("doc_id")
 
 
