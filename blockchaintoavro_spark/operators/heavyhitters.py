@@ -59,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..session import tiny_df
 
 __all__ = [
     "exact_heavy_hitters",
@@ -301,7 +302,8 @@ def recount_candidates(
     )
     if total_rows == 0 or not cand_items:
         return spark.createDataFrame([], out_schema)
-    cand = spark.createDataFrame(
+    cand = tiny_df(
+        spark,
         [(i,) for i in cand_items],
         T.StructType([T.StructField(col, item_type)]),
     )

@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import manifest as mf
+from ..session import tiny_df
 
 __all__ = [
     "build_neardup_index",
@@ -160,9 +161,10 @@ def build_neardup_index(
     else:
         params.update({"code_col": code_col, "max_hamming": max_hamming})
     spark = df.sparkSession
-    spark.createDataFrame(
-        [(kind, json.dumps(params, sort_keys=True))], "kind string, params string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    tiny_df(
+        spark, [(kind, json.dumps(params, sort_keys=True))],
+        "kind string, params string",
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
     seg = mf.new_segment_name()
     _bands_for(df, kind, params).write.mode("overwrite").parquet(
         f"{index_path}/{seg}"

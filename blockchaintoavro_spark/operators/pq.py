@@ -22,9 +22,13 @@ is pinned by recall tests against the exact oracle instead.
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.vectors import _list_view
+from ..session import tiny_df
 from . import manifest as mf
 
 __all__ = [
@@ -54,6 +58,75 @@ def _subspace_slices(vec: Column, m: int, dsub: int) -> Column:
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.slice(vec, s * dsub + 1, dsub),
     )
+
+
+def _nearest_codes(vec: Column, codebooks, centroids=None) -> Column:
+    """``array<int>`` of the nearest per-subspace code for every
+    subvector — the r16 Arrow-batched twin of the per-subspace
+    ``array_min(transform(...fold...))`` tree (guide §4), bit-identical
+    distances in identical j-ascending summation order, ties to the
+    lowest code (``argmin`` first-occurrence == the fold's
+    ``array_min`` struct ordering).
+
+    With ``centroids``/a ``cid`` column (pass ``vec`` as a 2-tuple
+    ``(v, cid)``), codes quantize the RESIDUAL ``v − centroids[cid]``
+    (elementwise subtraction, same order as the fold's ``zip_with``).
+
+    Edge semantics mirrored from the fold tree: a NULL vector or a
+    subspace the vector is too short for codes to 0 (the fold's NULL
+    distance sorts first at code 0). NaN inputs diverge per the
+    functions/vectors.py NaN note (unreachable from finite fixtures).
+    """
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, K, dsub)
+    m, K, dsub = B.shape
+    C = None if centroids is None else np.asarray(centroids, dtype=np.float64)
+
+    def _codes_np(offs, flat, nulls, cids=None):
+        n = len(offs) - 1
+        lens = offs[1:] - offs[:-1]
+        codes = np.zeros((n, m), dtype=np.int32)
+        for s in range(m):
+            ok = ~nulls & (lens >= (s + 1) * dsub)
+            rows = np.flatnonzero(ok)
+            if not len(rows):
+                continue
+            idx = (offs[rows] + s * dsub)[:, None] + np.arange(dsub)[None, :]
+            V = flat[idx]
+            if cids is not None:
+                V = V - C[cids[rows]][:, s * dsub : (s + 1) * dsub]
+            D = np.zeros((len(rows), K))
+            for j in range(dsub):
+                d = V[:, j : j + 1] - B[s, :, j]
+                D += d * d
+            codes[rows, s] = np.argmin(D, axis=1)
+        values = pa.array(codes.ravel(), type=pa.int32())
+        out_offs = pa.array(
+            np.arange(n + 1, dtype=np.int32) * m, type=pa.int32()
+        )
+        return pa.ListArray.from_arrays(out_offs, values)
+
+    if C is None:
+
+        @F.arrow_udf("array<int>")
+        def _codes(vs: pa.Array) -> pa.Array:
+            return _codes_np(*_list_view(vs))
+
+        return _codes(vec.cast("array<double>"))
+
+    v, cid = vec
+
+    @F.arrow_udf("array<int>")
+    def _codes_resid(vs: pa.Array, cs: pa.Array) -> pa.Array:
+        if isinstance(cs, pa.ChunkedArray):
+            cs = cs.combine_chunks()
+        offs, flat, nulls = _list_view(vs)
+        # a NULL cid NULLs the fold's residual -> codes 0, same as a
+        # NULL vector
+        nulls = nulls | np.asarray(cs.is_null())
+        cids = np.asarray(cs.fill_null(0), dtype=np.int64)
+        return _codes_np(offs, flat, nulls, cids=cids)
+
+    return _codes_resid(v.cast("array<double>"), cid.cast("long"))
 
 
 def pq_train(
@@ -99,39 +172,22 @@ def pq_train(
         for s in range(m):
             codebooks[s].append(list(codebooks[s][-1]))
 
-    subs = corpus.select(
-        F.posexplode(_subspace_slices(v, m, dsub)).alias("sub_id", "sub")
-    )
     for _ in range(n_iters):
-        books = F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(*[F.lit(float(x)) for x in c])
-                        for c in codebooks[s]
-                    ]
+        # r16: assignment is Arrow-batched over the FULL vector before
+        # the explode (bit-identical distances — _nearest_codes), so the
+        # per-subvector interpreted fold tree is gone; sub_id comes from
+        # the zip position exactly as the old posexplode gave it
+        assigned = corpus.select(
+            F.posexplode(
+                F.arrays_zip(
+                    _subspace_slices(v, m, dsub).alias("sub"),
+                    _nearest_codes(v, codebooks).alias("code"),
                 )
-                for s in range(m)
-            ]
-        )
-        assigned = subs.select(
+            ).alias("sub_id", "z")
+        ).select(
             "sub_id",
-            "sub",
-            F.array_min(
-                F.transform(
-                    F.element_at(books, F.col("sub_id") + 1),
-                    lambda cv, i: F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("sub"), cv, lambda a, b: (a - b) * (a - b)
-                            ),
-                            F.lit(0.0),
-                            lambda acc, d: acc + d,
-                        ).alias("d"),
-                        i.cast("int").alias("code"),
-                    ),
-                )
-            )["code"].alias("code"),
+            F.col("z.sub").alias("sub"),
+            F.col("z.code").alias("code"),
         )
         means = (
             assigned.select(
@@ -163,7 +219,6 @@ def pq_encode(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
-    subs = _subspace_slices(v, m, dsub)
     sqnorms = [
         [sum(x * x for x in c) for c in book] for book in codebooks
     ]
@@ -177,29 +232,17 @@ def pq_encode(
     # similarity._with_centroid_scores)
     n_floats = m * len(codebooks[0]) * dsub
     if n_floats <= _BOOKS_LITERAL_MAX_FLOATS:
-        src, books, sq_books = corpus, _books_lit(codebooks), sq_lit
+        src, sq_books = corpus, sq_lit
     else:
-        model = corpus.sparkSession.range(1).select(
-            _books_lit(codebooks).alias("_books"), sq_lit.alias("_sqb")
-        )
+        model = corpus.sparkSession.range(1).select(sq_lit.alias("_sqb"))
         src = corpus.join(F.broadcast(model))
-        books, sq_books = F.col("_books"), F.col("_sqb")
-    codes = F.transform(
-        subs,
-        lambda sub, s: F.array_min(
-            F.transform(
-                F.element_at(books, s + 1),
-                lambda cv, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, d: acc + d,
-                    ).alias("d"),
-                    i.cast("int").alias("code"),
-                ),
-            )
-        )["code"],
-    )
+        sq_books = F.col("_sqb")
+    # r16: nearest-code search is Arrow-batched (bit-identical distances
+    # — _nearest_codes); the codebook floats ride the UDF closure as one
+    # NumPy array either side of the literal gate, so only the (tiny)
+    # squared-norm table still needs the literal/model branch for the
+    # JVM norm fold below
+    codes = _nearest_codes(v, codebooks)
     norm = F.sqrt(
         F.aggregate(
             F.zip_with(
@@ -442,23 +485,11 @@ def ivfpq_encode(
         )
         books, cent_arr = F.col("_books"), F.col("_cents")
     cent = F.element_at(cent_arr, F.col("cid") + 1)
-    resid = F.zip_with(v, cent, lambda a, b: a - b)
-    codes = F.transform(
-        _subspace_slices(resid, m, dsub),
-        lambda sub, s: F.array_min(
-            F.transform(
-                F.element_at(books, s + 1),
-                lambda cv, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, d: acc + d,
-                    ).alias("d"),
-                    i.cast("int").alias("code"),
-                ),
-            )
-        )["code"],
-    )
+    # r16: residual subtraction + nearest-code search are one
+    # Arrow-batched pass (bit-identical — _nearest_codes residual form);
+    # the reconstruction-norm fold below stays JVM (m lookups + one
+    # dim-length fold per row)
+    codes = _nearest_codes((v, F.col("cid")), codebooks, centroids=centroids)
     rhat = F.flatten(
         F.zip_with(
             F.col("codes"),
@@ -617,11 +648,13 @@ def build_ivfpq_index(
     spark = corpus.sparkSession
     cent_dir = mf.new_ref_name("cent")
     books_dir = mf.new_ref_name("books")
-    spark.createDataFrame(
+    tiny_df(
+        spark,
         [(i, c) for i, c in enumerate(centroids)],
         "cid int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/{cent_dir}")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(f"{index_path}/{cent_dir}")
+    tiny_df(
+        spark,
         [
             (s, j, c)
             for s, book in enumerate(books)

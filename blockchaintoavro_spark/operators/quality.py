@@ -19,6 +19,7 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..session import tiny_df
 from pyspark.sql import types as T
 
 
@@ -567,7 +568,7 @@ def budget_mixture(
             T.StructField("_below", T.LongType(), False),
         ]
     )
-    lookup = F.broadcast(spark.createDataFrame(lookup_rows, lookup_schema))
+    lookup = F.broadcast(tiny_df(spark, lookup_rows, lookup_schema))
     budget_col = F.lit(default_budget)
     for s, tokens in sorted(budgets.items()):
         budget_col = F.when(F.col(source) == s, F.lit(tokens)).otherwise(
@@ -865,8 +866,8 @@ def epoch_shuffle(
     for b in sorted(counts):
         offsets.append((b, acc))
         acc += counts[b]
-    off_df = keyed.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "_bin int, _off long"
+    off_df = tiny_df(
+        keyed.sparkSession, offsets or [(0, 0)], "_bin int, _off long"
     )
     off_or_fail = F.when(F.col("_off").isNotNull(), F.col("_off")).otherwise(
         F.raise_error(

@@ -28,8 +28,9 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, pairwise_cosine
 from . import manifest as mf
+from ..session import tiny_df
 
 # pre-r11 on-disk layout of a persisted IVF index (bare directories,
 # stats in a separate parquet), adopted on the first manifest commit
@@ -238,6 +239,17 @@ def _dim_guarded(v: F.Column, dim: int, caller: str) -> F.Column:
     )
 
 
+def _sign_bits(dots: F.Column, n_bits: int) -> F.Column:
+    """``long`` whose bit ``i`` is set iff ``dots[i] >= 0`` — the shared
+    sign-pattern assembly over a precomputed dots attribute. A NULL dot
+    leaves its bit clear (``when(NULL >= 0)`` is false), matching the
+    fold forms' NULL-vector behavior."""
+    b = F.lit(0).cast("long")
+    for i in range(n_bits):
+        b = b + F.when(F.get(dots, i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
 def with_lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -253,21 +265,21 @@ def with_lsh_bucket(
     ``dim`` is inferred from the data by default and validated when given
     (ADVICE r12 #2 — a silent mismatch buckets everything to 0).
     """
+    from ..functions.vectors import matrix_dots
+
     dim = infer_embedding_dim(df, vec_col, dim, "with_lsh_bucket")
     planes = hyperplanes(dim, n_planes, seed)
     v = _dim_guarded(
         F.col(vec_col).cast("array<double>"), dim, "with_lsh_bucket"
     )
-    bucket = F.lit(0).cast("long")
-    for p_i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(v, arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(d >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
-    return df.withColumn(out_col, bucket)
+    # r16: one Arrow-batched pass computes all plane dots (bit-identical
+    # to the per-plane folds — functions/vectors.py); the sign/bit
+    # assembly stays JVM-side over the dots ATTRIBUTE so a NULL dot
+    # still contributes bit 0 exactly as when(NULL >= 0) does.
+    scored = df.withColumn("_lsh_dots", matrix_dots(v, planes))
+    return scored.withColumn(
+        out_col, _sign_bits(F.col("_lsh_dots"), n_planes)
+    ).drop("_lsh_dots")
 
 
 def embedding_simhash64(
@@ -295,21 +307,19 @@ def embedding_simhash64(
     (the same envelope as ``phash63``/``afp63``). Pure row-local JVM
     expressions, zero shuffle. ``dim`` inferred/validated per ADVICE
     r12 #2."""
+    from ..functions.vectors import matrix_dots
+
     dim = infer_embedding_dim(df, vec_col, dim, "embedding_simhash64")
     planes = hyperplanes(dim, n_bits, seed)
     v = _dim_guarded(
         F.col(vec_col).cast("array<double>"), dim, "embedding_simhash64"
     )
-    code = F.lit(0).cast("long")
-    for p_i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(v, arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        code = code + F.when(d >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
-    return df.select(F.col(id_col), code.alias(out_col))
+    # r16: one Arrow pass for the 63 plane dots (bit-identical to the
+    # folds), JVM sign assembly — see with_lsh_bucket
+    scored = df.select(F.col(id_col), matrix_dots(v, planes).alias("_sh_dots"))
+    return scored.select(
+        F.col(id_col), _sign_bits(F.col("_sh_dots"), n_bits).alias(out_col)
+    )
 
 
 def _multi_table_buckets(
@@ -329,26 +339,33 @@ def _multi_table_buckets(
     (:func:`infer_embedding_dim`); the per-row guard still rides along
     so a RAGGED vector raises in the task instead of posting to bucket
     0 of every table (ADVICE r12 #2)."""
+    from ..functions.vectors import matrix_dots
+
     out = df.select(
         F.col(id_col).alias(id_alias),
         _dim_guarded(
             F.col(vec_col).cast("array<double>"), dim, "lsh_buckets"
         ).alias(vec_alias),
     )
+    # r16: ALL L x planes_per_table dots in one Arrow pass (bit-identical
+    # to the per-plane folds — functions/vectors.py), then JVM sign/bit
+    # assembly per table over the dots attribute
+    all_planes = [
+        p
+        for t_i in range(n_tables)
+        for p in hyperplanes(dim, planes_per_table, seed + 1000 * t_i)
+    ]
+    scored = out.withColumn(
+        "_mt_dots", matrix_dots(F.col(vec_alias), all_planes)
+    )
     buckets = []
     for t_i in range(n_tables):
-        planes = hyperplanes(dim, planes_per_table, seed + 1000 * t_i)
         b = F.lit(0).cast("long")
-        for p_i, plane in enumerate(planes):
-            arr = F.array(*[F.lit(x) for x in plane])
-            d = F.aggregate(
-                F.zip_with(F.col(vec_alias), arr, lambda a, x: a * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+        for p_i in range(planes_per_table):
+            d = F.get(F.col("_mt_dots"), t_i * planes_per_table + p_i)
             b = b + F.when(d >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
         buckets.append(F.struct(F.lit(t_i).alias("t"), b.alias("b")))
-    return out.select(
+    return scored.select(
         id_alias, vec_alias, F.explode(F.array(*buckets)).alias("tb")
     ).select(
         id_alias,
@@ -383,7 +400,7 @@ def neardup_pairs_lsh(
     Returned sims are identical to the exact operator's (same rerank
     expression); only pair *membership* is approximate.
     """
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import pairwise_cosine
 
     dim = infer_embedding_dim(df, vec_col, dim, "neardup_pairs_lsh")
     posts = _multi_table_buckets(
@@ -402,7 +419,10 @@ def neardup_pairs_lsh(
     )
     v1 = v.select(F.col(id_col).alias("d1"), F.col("_v").alias("_v1"))
     v2 = v.select(F.col(id_col).alias("d2"), F.col("_v").alias("_v2"))
-    sim = cosine_similarity(F.col("_v1"), F.col("_v2"))
+    # r16: Arrow-batched rerank (bit-identical to the fold cosine) — the
+    # candidate set is the volume here (the fixture's near-orthogonal
+    # vectors collide often), so the per-pair fold was the dominant cost
+    sim = pairwise_cosine(F.col("_v1"), F.col("_v2"))
     return (
         cand.join(v1, "d1")
         .join(v2, "d2")
@@ -423,15 +443,15 @@ def _centroid_scores(vec: F.Column, centroids: list[list[float]]) -> F.Column:
     which binds the matrix ONCE on a broadcast one-row model frame
     instead of growing an O(K·dim) literal tree inside the main plan
     (r10 VERDICT note; the same trade as the r9 PQ codebook fix)."""
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import matrix_cosines
 
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # r16: the K per-centroid fold cosines became one Arrow-batched pass
+    # (bit-identical — functions/vectors.matrix_cosines); only the cheap
+    # struct assembly stays a JVM transform over the scores attribute
     return F.transform(
-        cents,
-        lambda cv, i: F.struct(
-            (-cosine_similarity(vec, cv)).alias("neg"),
+        matrix_cosines(vec, [[float(x) for x in c] for c in centroids]),
+        lambda s, i: F.struct(
+            (-s).alias("neg"),
             i.cast("int").alias("cid"),
         ),
     )
@@ -593,11 +613,13 @@ def _ivf_probe(
         )
         .drop("_sc")
     )
+    from ..functions.vectors import pairwise_cosine
+
     cand = (
         assigned.join(F.broadcast(q), "cid")
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "neighbor_id"])
-        .withColumn("sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("sim", pairwise_cosine(F.col("_qv"), F.col("_cv")))
     )
     from pyspark.sql import Window
 
@@ -642,9 +664,9 @@ def build_ivf_index(
     spark = corpus.sparkSession
     cent_dir = mf.new_ref_name("cent")
     cent_rows = [(i, c) for i, c in enumerate(centroids)]
-    spark.createDataFrame(
-        cent_rows, "cid int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/{cent_dir}")
+    tiny_df(
+        spark, cent_rows, "cid int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{index_path}/{cent_dir}")
     assigned = _assign_with_dist(corpus, centroids, id_col, vec_col)
     seg = mf.new_segment_name()
     assigned.drop("_dist").write.mode("overwrite").partitionBy("cid").parquet(
@@ -953,7 +975,7 @@ def embedding_contamination_hits(
     compares on the 4-dp ROUNDed decimal on both engine and oracle
     (the exact-oracle float discipline), so hit membership can never
     flip on a last-ulp difference."""
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import pairwise_cosine
 
     c = corpus.select(
         F.col(id_col).alias("_dc_id"),
@@ -989,7 +1011,9 @@ def embedding_contamination_hits(
         # collision (cheap, rare) and hits dedup AFTER it, so the wide
         # shuffle is over hits, not candidates
         pairs = cb.join(bb, ["table_id", "bucket"])
-    sim = cosine_similarity(F.col("_dc_v"), F.col("_db_v"))
+    # r16: Arrow-batched pair scoring (bit-identical to the fold; the
+    # 4-dp rounded threshold below is the oracle contract either way)
+    sim = pairwise_cosine(F.col("_dc_v"), F.col("_db_v"))
     hits = (
         pairs.withColumn("_s4", F.round(sim, 4).cast("decimal(38,4)"))
         .filter(F.col("_s4") >= threshold)
@@ -1280,7 +1304,7 @@ def ann_topk_lsh(
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .select("q_id", "_qv", "neighbor_id", "_cv")
         .dropDuplicates(["q_id", "neighbor_id"])
-        .withColumn("sim", cosine_similarity(F.col("_qv"), F.col("_cv")))
+        .withColumn("sim", pairwise_cosine(F.col("_qv"), F.col("_cv")))
     )
     from pyspark.sql import Window
 

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import manifest as mf
+from ..session import tiny_df
 
 # pre-r11 on-disk layout of the gram-count store, adopted on first commit
 _GRAM_LEGACY = {"segments": ["counts"]}
@@ -902,9 +903,9 @@ def append_gram_counts(
                 f"got {params}"
             )
     else:
-        spark.createDataFrame(
-            [(_json.dumps(params, sort_keys=True),)], "params string"
-        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        tiny_df(
+            spark, [(_json.dumps(params, sort_keys=True),)], "params string"
+        ).write.mode("overwrite").parquet(meta_path)
     seg = mf.new_segment_name()
     (
         duplicated_substrings_sorted(

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators.blocks_etl import dedup_blocks, publish_transactions
 from ..schemas import PRICES_SCHEMA
 from ..sources.tables import BLOCKS_PARQUET, PRICES_DIR, load_blocks
+from ..session import tiny_df
 from .registry import declare
 
 _B = f"read_parquet('{BLOCKS_PARQUET}')"
@@ -651,7 +652,8 @@ def x_rotated_range_read_q(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("window_id")
         )
         rows = out.collect()  # materialize before the sink is deleted
-        return spark.createDataFrame(
+        return tiny_df(
+            spark,
             rows,
             "window_id long, n long, windows_scanned long, "
             "windows_total long",

@@ -21,6 +21,7 @@ from ..operators.dedup import (
     simhash64,
 )
 from ..operators.similarity import ann_topk_lsh, topk_per_query
+from ..session import tiny_df
 from ._util import dbl, psort, t
 from .registry import declare
 
@@ -199,8 +200,8 @@ def x_ivf_drift(spark: SparkSession, sf: str) -> DataFrame:
         for b_no, batch in enumerate((same, shifted), start=1):
             d = m.maintain(batch)
             ledger.append((b_no, int(d["n_appended"]), bool(d["rebuilt"])))
-        return spark.createDataFrame(
-            ledger, "batch long, n_appended long, rebuilt boolean"
+        return tiny_df(
+            spark, ledger, "batch long, n_appended long, rebuilt boolean"
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
@@ -338,8 +339,11 @@ def x_emb_decon(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings")
     bench = emb.filter(F.col("vec_id") < 20)
     corp = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 400))
-    return embedding_contamination_hits(corp, bench, 0.3).orderBy(
-        "vec_id", "bench_id"
+    # psort: the r16 Arrow-batched rerank puts a Python stage under this
+    # presentation sort — barrier it so the range sampler reads shuffle
+    # files instead of re-scoring every pair (plans/_util.psort)
+    return psort(
+        embedding_contamination_hits(corp, bench, 0.3), "vec_id", "bench_id"
     )
 
 
@@ -382,7 +386,9 @@ def x_embnd_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.similarity import neardup_pairs_lsh
 
     emb = t(spark, sf, "embeddings")
-    return neardup_pairs_lsh(emb, threshold=0.3).orderBy("d1", "d2")
+    # psort: the r16 Arrow-batched rerank is a Python stage — barrier it
+    # so the presentation sort cannot re-run the million-pair scoring
+    return psort(neardup_pairs_lsh(emb, threshold=0.3), "d1", "d2")
 
 
 # ---------------------------------------------------------------------------
@@ -5433,8 +5439,8 @@ def x_eo_scrub(spark: SparkSession, sf: str) -> DataFrame:
                 .select("_nd_id").distinct().count()
             )
             ledger.append((step, n_out, n_idx))
-        return spark.createDataFrame(
-            ledger, "step long, out_docs long, index_docs long"
+        return tiny_df(
+            spark, ledger, "step long, out_docs long, index_docs long"
         ).orderBy("step")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -5670,8 +5676,9 @@ def x_pruned_range_read_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         # materialize before the store is deleted
         out_rows = rows.collect()
-        return spark.createDataFrame(
-            out_rows, "doc_id long, segments_scanned long, segments_total long"
+        return tiny_df(
+            spark, out_rows,
+            "doc_id long, segments_scanned long, segments_total long",
         ).orderBy("doc_id")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -5726,7 +5733,8 @@ def x_streaming_hh_q(spark: SparkSession, sf: str) -> DataFrame:
                 "x_streaming_heavy_hitters: availableNow replay did "
                 "not drain within 180 s"
             )
-        return spark.createDataFrame(
+        return tiny_df(
+            spark,
             [
                 (r["shard"], r["item"], r["mg_lower"])
                 for r in final_rows()

@@ -103,6 +103,26 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def tiny_df(spark: SparkSession, rows, schema):
+    """``createDataFrame`` for DRIVER-LOCAL model/ledger rows (centroids,
+    codebooks, lookup tables, result ledgers) as ONE slice.
+
+    The default path slices even a 4-row list into ``defaultParallelism``
+    Python partitions; every partition pays the Python-worker handshake
+    plus pyspark's per-task ``setup_spark_files`` tax (~0.27 CPU-s each,
+    measured — and these tasks never import this package, so the
+    zipimport guard cannot heal them), and a downstream ``coalesce(1)``
+    pays all of them SEQUENTIALLY in one task (measured: 5 s wall to
+    write 4 rows). One slice = one Python task total. Only for small
+    local lists — real data never goes through the driver.
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def release_local_checkpoint(df) -> None:
     """Free the block-manager storage behind a ``df.localCheckpoint()``.
 

@@ -475,6 +475,83 @@ def test_neardup_lsh_recall_and_exact_sims(spark, sf_dir):
     assert recall >= 0.7, f"LSH near-dup recall {recall:.3f} < 0.7"
 
 
+def test_vectorized_twins_bit_match_folds(spark):
+    """r16: pairwise_cosine / matrix_dots / matrix_cosines (Arrow-batched
+    NumPy, j-ascending accumulation) must be BIT-identical to the fold
+    forms on every edge the folds define: plain vectors, NaN/Inf, the
+    zero vector, NULL vectors, and ragged (length-mismatched) pairs."""
+    import math
+
+    from blockchaintoavro_spark.functions.vectors import (
+        cosine_similarity,
+        dot,
+        matrix_cosines,
+        matrix_dots,
+        pairwise_cosine,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0], [0.5, -1.0, 2.0, 0.25]),
+        (2, [1e300, 1e300, -1e300, 0.0], [1e300, -1e300, 1e300, 1.0]),
+        (3, [float("nan"), 1.0, 2.0, 3.0], [1.0, 1.0, 1.0, 1.0]),
+        # NOT the all-zero vector: under Spark 4's default ANSI mode the
+        # FOLD itself raises DIVIDE_BY_ZERO on a zero norm (so no fixture
+        # can contain one); the twins return NaN there — divergence
+        # documented in functions/vectors.py. A denormal-norm vector
+        # exercises the tiny-divisor path both sides survive.
+        (4, [1e-160, 0.0, 0.0, 0.0], [1.0, 2.0, 3.0, 4.0]),
+        (5, None, [1.0, 2.0, 3.0, 4.0]),
+        (6, [1.0, 2.0], [1.0, 2.0, 3.0, 4.0]),  # ragged -> NULL
+        (7, [0.1, 0.2, 0.30000000000000004, -7.5], [9.1, -2.2, 3.3, 4.4]),
+    ]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+
+    def norm(v):
+        # documented divergence: the twins' Arrow return path sanitizes a
+        # NaN RESULT to NULL (requires NaN/Inf inputs — rows 2/3 here),
+        # so fold-NaN and twin-NULL compare equal
+        return [
+            None if x is None or (isinstance(x, float) and math.isnan(x)) else x
+            for x in v
+        ]
+
+    old = df.select(
+        "i",
+        cosine_similarity(F.col("a"), F.col("b")).alias("c"),
+        dot(F.col("a"), F.col("b")).alias("d"),
+    ).collect()
+    new = df.select(
+        "i", pairwise_cosine(F.col("a"), F.col("b")).alias("c")
+    ).collect()
+    assert {r.i: norm([r.c]) for r in old} == {r.i: norm([r.c]) for r in new}
+
+    M = [[1.0, -2.0, 0.5, 3.0], [1e-160, 0.0, 0.0, 0.0], [1e-300, 2.0, -3.0, 0.1]]
+    fold_dots = df.select(
+        "i",
+        *[
+            dot(F.col("a"), F.array(*[F.lit(x) for x in m])).alias(f"d{k}")
+            for k, m in enumerate(M)
+        ],
+    ).collect()
+    fold_cos = df.select(
+        "i",
+        *[
+            cosine_similarity(
+                F.col("a"), F.array(*[F.lit(x) for x in m])
+            ).alias(f"c{k}")
+            for k, m in enumerate(M)
+        ],
+    ).collect()
+    vd = df.select("i", matrix_dots(F.col("a"), M).alias("v")).collect()
+    vc = df.select("i", matrix_cosines(F.col("a"), M).alias("v")).collect()
+    assert {r.i: norm(tuple(r)[1:]) for r in fold_dots} == {
+        r.i: norm(r.v) for r in vd
+    }
+    assert {r.i: norm(tuple(r)[1:]) for r in fold_cos} == {
+        r.i: norm(r.v) for r in vc
+    }
+
+
 def test_ivf_centroids_deterministic(spark, sf_dir):
     from blockchaintoavro_spark.operators.similarity import (
         train_ivf_centroids,
@@ -769,6 +846,74 @@ def test_dup_ngram_ratio_known_values(spark):
         for r in df.select("doc_id", dup_ngram_ratio(F.col("text")).alias("r")).collect()
     }
     assert got == {1: round(4 / 7, 4), 2: 0.0, 3: 0.0, 4: round(2 / 3, 4)}
+
+
+def test_dataframe_quality_helpers_match_column_forms(spark):
+    """The r16 DataFrame helpers (with_dup_ngram_ratio /
+    with_gopher_metrics — each heavy HOF evaluated once per row via
+    CollapseProject-guarded attribute projections) must be bit-identical
+    to the original Column-API forms on varied inputs."""
+    from blockchaintoavro_spark.operators.quality import (
+        dup_ngram_ratio,
+        gopher_metrics,
+        gopher_pass,
+        with_dup_ngram_ratio,
+        with_gopher_metrics,
+    )
+
+    rows = [
+        (1, "a b c a b c a b c"),
+        (2, "w x y z"),
+        (3, "too short"),
+        (4, "q q q q q"),
+        (5, ""),
+        (6, "the cat sat of the mat and the cat sat in the hat to nap"),
+        (7, "one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    old = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", dup_ngram_ratio(F.col("text")).alias("r")
+        ).collect()
+    }
+    new = {
+        r["doc_id"]: r["dup_ngram_ratio"]
+        for r in with_dup_ngram_ratio(df).select(
+            "doc_id", "dup_ngram_ratio"
+        ).collect()
+    }
+    assert old == new  # exact, not approx: same expressions, same order
+
+    m = gopher_metrics(F.col("text"))
+    old_g = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in df.select(
+            "doc_id",
+            m["n_words"].alias("n_words"),
+            m["mean_word_len"].alias("mean_word_len"),
+            m["dup3_ratio"].alias("dup3_ratio"),
+            m["n_stop_hits"].alias("n_stop_hits"),
+            gopher_pass(m).alias("keep"),
+        ).collect()
+    }
+    gdf = with_gopher_metrics(df)
+    keep = gopher_pass(
+        {k: F.col(k) for k in ("n_words", "mean_word_len", "dup3_ratio", "n_stop_hits")}
+    )
+    new_g = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in gdf.select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "dup3_ratio",
+            "n_stop_hits",
+            keep.alias("keep"),
+        ).collect()
+    }
+    assert old_g == new_g
 
 
 def test_stratified_keep_is_stable_subset(spark):
@@ -3397,7 +3542,11 @@ def test_pq_books_broadcast_model_large_model(spark, sf_dir):
         pqm._BOOKS_LITERAL_MAX_FLOATS = old
 
     # production-sized model (16 x 64 x 16 = 16384 floats > gate):
-    # sentinel bound once, broadcast join, no corpus shuffle
+    # r16 — the codebook floats ride the Arrow UDF's task closure
+    # (broadcast once by Spark's task machinery), so the sentinel must
+    # appear ZERO times in the plan (no O(model) literal tree at all);
+    # only the small squared-norm table still rides the broadcast model
+    # frame, and the corpus is never shuffled
     sentinel = 987654.321
     big_books = [
         [
@@ -3412,7 +3561,8 @@ def test_pq_books_broadcast_model_large_model(spark, sf_dir):
     p = jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     )
-    assert p.count("987654.321") == 1
+    assert p.count("987654.321") == 0
+    assert "ArrowEvalPython" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "Exchange hashpartitioning" not in p
     assert out.count() == 60
