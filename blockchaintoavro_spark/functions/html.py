@@ -282,6 +282,91 @@ def html_extract_multilang(
     return F.struct(lang.alias("lang"), content.alias("content"))
 
 
+def with_html_extract_multilang(
+    df,
+    col: Column | str,
+    out_lang: str = "lang",
+    out_content: str = "content",
+    langs: tuple[str, ...] | None = None,
+    min_words: int = 3,
+    min_stop_pct: int = 5,
+    long_block_words: int = 30,
+    normalize_ws: bool = False,
+):
+    """``df`` plus ``out_lang``/``out_content`` =
+    :func:`html_extract_multilang` of ``col`` — the DataFrame form that
+    evaluates each heavy subexpression ONCE per row.
+
+    Why (r16, the with_dup_ngram_ratio finding): higher-order functions
+    are CodegenFallback — interpreted, no common-subexpression
+    elimination — and the Column form's ``stop`` list is the WHOLE
+    detect tree (strip → tokenize → six filter scores → argmax →
+    element_at), referenced inside the keep rule's per-word
+    ``array_contains`` lambda: every word of every block re-ran the
+    full strip+detect pipeline (measured 17.3 CPU-s for 150 rows at
+    sf0.1 → ~0.9 after staging). Staging projects stripped text, page
+    words, scores, argmax index, the winning stop list and the language
+    as attributes — each referenced more than once downstream, so
+    CollapseProject keeps the chain. Output values are bit-identical
+    (same expressions, same order, over attribute references).
+    """
+    from .stopwords import DEFAULT_LANGS, STOPWORDS
+
+    langs = langs or DEFAULT_LANGS
+    stop_arrays = [
+        F.array(*[F.lit(s) for s in STOPWORDS[lang]]) for lang in langs
+    ]
+    s0 = df.withColumn("_hx_stripped", html_strip_tags(col, normalize_ws))
+    s1 = s0.withColumn(
+        "_hx_words",
+        _block_words(
+            F.replace(F.col("_hx_stripped"), F.lit("\n"), F.lit(" "))
+        ),
+    )
+    s2 = s1.withColumn(
+        "_hx_scores",
+        F.array(
+            *[
+                F.size(
+                    F.filter(
+                        F.col("_hx_words"),
+                        lambda w: F.array_contains(sa, F.lower(w)),
+                    )
+                )
+                for sa in stop_arrays
+            ]
+        ),
+    ).drop("_hx_words")
+    s3 = s2.withColumn(
+        "_hx_idx",
+        F.array_position(
+            F.col("_hx_scores"), F.array_max(F.col("_hx_scores"))
+        ).cast("int"),
+    ).drop("_hx_scores")
+    idx = F.col("_hx_idx")
+    s4 = s3.withColumn(
+        "_hx_stop",
+        F.element_at(F.array(*stop_arrays), F.coalesce(idx, F.lit(1))),
+    ).withColumn(
+        out_lang,
+        F.when(idx.isNull(), F.lit(None).cast("string")).otherwise(
+            F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx)
+        ),
+    ).drop("_hx_idx")
+    kept = F.filter(
+        F.split(F.col("_hx_stripped"), "\n"),
+        lambda b: _keep_block(
+            b, F.col("_hx_stop"), min_words, min_stop_pct, long_block_words
+        ),
+    )
+    content = F.array_join(F.transform(kept, lambda b: F.trim(b)), "\n")
+    # NULL html -> NULL fields (the Column form's contract): stripped is
+    # NULL, so kept/content and lang are NULL via ordinary propagation
+    return s4.withColumn(out_content, content).drop(
+        "_hx_stripped", "_hx_stop"
+    )
+
+
 def html_block_stats(
     col: Column | str,
     min_words: int = 3,

@@ -58,14 +58,19 @@ _PSEUDO_MULT = 2654435761
 _PSEUDO_ADD = 999331
 
 
-def _grams(text_col: Column, include_bigrams: bool = True) -> Column:
-    """Unigrams + space-joined bigrams of ``split(lower(text), ' ')`` as
-    one array<string> (the DSIR paper's hashed-bigram featurization).
+def _grams_of(toks: Column, include_bigrams: bool = True) -> Column:
+    """Unigrams + space-joined bigrams of an ALREADY-SPLIT token array
+    (the DSIR paper's hashed-bigram featurization).
+
+    ``toks`` must be an attribute (a projected column), not an inline
+    ``split`` expression: higher-order functions are CodegenFallback —
+    interpreted, no common-subexpression elimination — so an inline
+    split inside the bigram lambda re-splits the text once per element
+    (O(words²), the with_dup_ngram_ratio r16 finding).
 
     ``sequence(1, 0)`` would count DOWN in Spark, so the bigram leg is
     gated on ``size >= 2`` instead of relying on an empty sequence.
     """
-    toks = F.split(F.lower(text_col), " ")
     if not include_bigrams:
         return toks
     n = F.size(toks)
@@ -79,6 +84,11 @@ def _grams(text_col: Column, include_bigrams: bool = True) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(toks, bigrams)
+
+
+def _split_toks(text_col: Column) -> Column:
+    """The shared tokenization: ``split(lower(text), ' ')``."""
+    return F.split(F.lower(text_col), " ")
 
 
 def fit_dsir_logratios(
@@ -104,9 +114,14 @@ def fit_dsir_logratios(
     """
 
     def bucket_counts(df: DataFrame) -> tuple[dict[int, int], int]:
+        # token array projected to an attribute FIRST (r16): an inline
+        # split inside the bigram lambda would re-split per element
         rows = (
-            df.select(
-                F.explode(_grams(F.col(text_col), include_bigrams)).alias("g")
+            df.select(_split_toks(F.col(text_col)).alias("_t"))
+            .select(
+                F.explode(
+                    _grams_of(F.col("_t"), include_bigrams)
+                ).alias("g")
             )
             .select(
                 _feature_bucket(F.col("g"), n_buckets, hash_fn).alias("b")
@@ -190,15 +205,33 @@ def dsir_logweights(
     libm divergence can flip a value between engines. ``keep_cols``
     appends pass-through input columns for join-free composition.
     """
-    grams = _grams(F.col(text_col), include_bigrams)
-    expr, warr = _logweight_expr(grams, lr_milli, n_buckets, hash_fn)
     base = df
-    if warr is not None:
+    if lr_milli is not None:
+        # length-validated inside _logweight_expr below
+        _probe_expr, warr = _logweight_expr(
+            F.array().cast("array<string>"), lr_milli, n_buckets, hash_fn
+        )
         model = df.sparkSession.range(1).select(warr.alias("_lr"))
         base = df.join(F.broadcast(model))
-    return base.select(
+    # r16 (guide §1.2 applied to the expression tree): tokens and grams
+    # are projected to ATTRIBUTES in their own projections — each is
+    # referenced more than once downstream, so CollapseProject keeps the
+    # chain and every interpreted HOF runs once per row. The previous
+    # single-Column form re-ran the gram build for n_grams AND the
+    # score, and the inline split inside the bigram lambda re-split the
+    # text per element (O(words²)) — measured 16.5 → ~1 CPU-s on
+    # x_dsir_weights at sf0.1. Rows are bit-identical (same expressions,
+    # same evaluation order, over attribute references).
+    s0 = base.withColumn("_dw_toks", _split_toks(F.col(text_col)))
+    s1 = s0.withColumn(
+        "_dw_grams", _grams_of(F.col("_dw_toks"), include_bigrams)
+    )
+    expr, _ = _logweight_expr(
+        F.col("_dw_grams"), lr_milli, n_buckets, hash_fn
+    )
+    return s1.select(
         F.col(id_col),
-        F.size(grams).cast("long").alias("n_grams"),
+        F.size("_dw_grams").cast("long").alias("n_grams"),
         expr.alias("logw_milli"),
         *[F.col(c) for c in keep_cols],
     )

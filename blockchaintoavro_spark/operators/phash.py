@@ -185,7 +185,16 @@ def phash_neardup_pairs(
             f"(got {max_hamming} >= {n_bands}): {n_bands} disjoint bands "
             f"only pigeonhole radii up to {n_bands - 1}"
         )
-    bands = hamming_bands(codes, id_col, code_col, n_bands)
+    # r16: the bands table feeds BOTH self-join sides; in the broadcast
+    # regime the build side would re-run the whole code-producing
+    # lineage (for the fixture corpus, the full PNG encode+decode+DCT
+    # pipeline — measured 36.2 CPU-s without the barrier, double the
+    # single-pass cost). The AQE REBALANCE barrier materializes the
+    # fixed-width (id, code, band_id, band_val) rows once so both sides
+    # read shuffle files — the minhash_candidate_pairs decision
+    # (guide §2.4/§8); in the sort-merge regime ReuseExchange already
+    # shared the exchange, so the barrier costs nothing there.
+    bands = hamming_bands(codes, id_col, code_col, n_bands).hint("rebalance")
     a = bands.select(
         F.col(id_col).alias("d1"), F.col(code_col).alias("_c1"),
         "band_id", "band_val",
@@ -247,7 +256,19 @@ def phash_fixture_codes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     out_schema = df.select(id_col).schema.add("phash", "long")
-    return df.select(id_col).mapInPandas(run, schema=out_schema)
+    # r16: the payload is synthesized from the id alone, so only the
+    # 8-byte id enters the Python stage — but a single-file scan (one
+    # input partition) would run the whole pure-Python PNG+DCT pipeline
+    # serially in one task (measured: wall ≈ CPU ≈ 19 s at sf0.1).
+    # Repartitioning the ids to the cluster's default parallelism is a
+    # negligible shuffle that makes the codec work embarrassingly
+    # parallel — the multimodal._spread_ids contract.
+    sc = df.sparkSession.sparkContext
+    return (
+        df.select(id_col)
+        .repartition(sc.defaultParallelism)
+        .mapInPandas(run, schema=out_schema)
+    )
 
 
 # ---------------------------------------------------------------------------

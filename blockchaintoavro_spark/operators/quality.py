@@ -1071,7 +1071,14 @@ def hashed_linear_score(
     is per-token JVM-side inside whole-stage codegen; nothing shuffles,
     nothing is collected. Exactly the posture a 100 TB model-filter
     sweep needs (the model is KBs; the corpus never moves)."""
-    tokens = F.split(F.lower(F.col(text_col)), " ")
+    # r16: the token array is projected to an ATTRIBUTE first — the
+    # single-projection form evaluated the split twice per row (once
+    # for n_tokens, once as the aggregate's input; HOFs are
+    # CodegenFallback with no common-subexpression elimination). Two
+    # consumers of the alias keep CollapseProject from inlining it, so
+    # the split runs once. Rows are bit-identical (same expressions,
+    # same order, over the attribute).
+    tokens = F.col("_hls_toks")
     n_tok = F.size(tokens).cast("long")
 
     def bucket(tk):
@@ -1081,7 +1088,9 @@ def hashed_linear_score(
         def w(tk):
             return (bucket(tk) * F.lit(2654435761) + 12345) % 2001 - 1000
 
-        scored = df.select(
+        scored = df.withColumn(
+            "_hls_toks", F.split(F.lower(F.col(text_col)), " ")
+        ).select(
             F.col(id_col),
             n_tok.alias("n_tokens"),
             F.aggregate(
@@ -1099,6 +1108,7 @@ def hashed_linear_score(
         model = df.sparkSession.range(1).select(warr.alias("_w"))
         scored = (
             df.join(F.broadcast(model))
+            .withColumn("_hls_toks", F.split(F.lower(F.col(text_col)), " "))
             .select(
                 F.col(id_col),
                 n_tok.alias("n_tokens"),
@@ -1345,14 +1355,26 @@ def collapse_repeats(
     stage at any scale (plan-asserted)."""
     import re as _re
 
-    segs = F.split(F.col(text_col), _re.escape(delimiter))
-    kept = F.filter(
-        segs,
-        lambda x, i: (i == 0) | (x != F.element_at(segs, i)),
+    # r16: segments and kept staged as attributes — the single-Column
+    # form re-split the text per element inside the filter lambda
+    # (element_at over the inline split) and re-ran the whole filter for
+    # each of its two consumers; HOFs get no common-subexpression
+    # elimination. Rows are bit-identical (same expressions, same order).
+    s0 = df.withColumn(
+        "_cr_segs", F.split(F.col(text_col), _re.escape(delimiter))
     )
-    return df.select(
+    s1 = s0.withColumn(
+        "_cr_kept",
+        F.filter(
+            F.col("_cr_segs"),
+            lambda x, i: (i == 0) | (x != F.element_at(F.col("_cr_segs"), i)),
+        ),
+    )
+    return s1.select(
         F.col(id_col),
-        F.size(segs).cast("long").alias("n_segments"),
-        (F.size(segs) - F.size(kept)).cast("long").alias("n_collapsed"),
-        F.array_join(kept, delimiter).alias("cleaned"),
+        F.size("_cr_segs").cast("long").alias("n_segments"),
+        (F.size("_cr_segs") - F.size("_cr_kept"))
+        .cast("long")
+        .alias("n_collapsed"),
+        F.array_join(F.col("_cr_kept"), delimiter).alias("cleaned"),
     )

@@ -2808,7 +2808,7 @@ def x_html_multilang(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB oracle replays the identical chain — strip, detection argmax
     (same first-max tie-break), list selection, keep rule — from the
     same stopword constants."""
-    from ..functions.html import html_extract_multilang
+    from ..functions.html import with_html_extract_multilang
 
     d = t(spark, sf, "documents").filter(F.col("doc_id") < 150)
     sent = F.element_at(
@@ -2819,9 +2819,12 @@ def x_html_multilang(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(_ML_PAGE[0]), F.col("doc_id").cast("string"),
         F.lit(_ML_PAGE[1]), sent, F.lit(_ML_PAGE[2]),
     )
-    res = html_extract_multilang(html)
-    return d.select(
-        "doc_id", res["lang"].alias("lang"), res["content"].alias("content")
+    # r16: the staged DataFrame form — the Column form's struct was
+    # consumed twice AND its keep rule re-ran the strip+detect tree per
+    # word (functions/html.py:with_html_extract_multilang); rows are
+    # bit-identical
+    return with_html_extract_multilang(d, html).select(
+        "doc_id", "lang", "content"
     ).orderBy("doc_id")
 
 
@@ -5715,17 +5718,27 @@ def x_streaming_hh_q(spark: SparkSession, sf: str) -> DataFrame:
         # every batch that touches it — keep only each shard's last
         # emission (the one authoritative implementation lives next to
         # the operator)
-        from ..streaming.stateful import last_emission_collector
+        from ..streaming.stateful import (
+            last_emission_collector,
+            state_partitions,
+        )
 
         sink, final_rows = last_emission_collector()
-        q = (
-            out.writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{root}/ckpt")
-            .start()
-        )
-        if not q.awaitTermination(180):
+        # r16: state partitions sized to 2x the 8 shard keys (fresh
+        # checkpoint) — session-width partitions run mostly-empty
+        # state-store tasks every micro-batch, while exactly-shards
+        # partitions straggle when two shard keys hash together (A/B:
+        # 8 parts doubled wall, 16 beat both) — stateful.state_partitions
+        with state_partitions(spark, 2 * 8):
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{root}/ckpt")
+                .start()
+            )
+            done = q.awaitTermination(180)
+        if not done:
             # partial state is NOT an answer — and the finally-rmtree
             # must not pull the source out from under a live query
             q.stop()
@@ -5799,17 +5812,24 @@ def x_streaming_hh_exact_q(spark: SparkSession, sf: str) -> DataFrame:
         out = streaming_heavy_hitter_candidates(
             stream, "tok", k=100, shards=8
         )
-        from ..streaming.stateful import last_emission_collector
+        from ..streaming.stateful import (
+            last_emission_collector,
+            state_partitions,
+        )
 
         sink, final_rows = last_emission_collector()
-        q = (
-            out.writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{root}/ckpt")
-            .start()
-        )
-        if not q.awaitTermination(180):
+        # r16: state partitions = 2x the 8 shard keys (fresh checkpoint
+        # each run; collision headroom — see x_streaming_heavy_hitters)
+        with state_partitions(spark, 2 * 8):
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{root}/ckpt")
+                .start()
+            )
+            done = q.awaitTermination(180)
+        if not done:
             q.stop()
             raise TimeoutError(
                 "x_streaming_hh_exact: availableNow replay did not "

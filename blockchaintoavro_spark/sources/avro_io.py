@@ -1248,14 +1248,13 @@ def read_ocf_dataset(
 
     if partition_values is not None and partition_col is None:
         raise ValueError("partition_values requires partition_col")
-    files = [
-        f
-        for f, _sz in _dataset_files(
-            spark, path, partition_col, partition_values, filesystem
-        )
-    ]
+    sized = _dataset_files(
+        spark, path, partition_col, partition_values, filesystem
+    )
+    files = [f for f, _sz in sized]
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
+    total_bytes = sum(sz for _f, sz in sized)
     data_schema = avro_to_spark_schema(read_ocf_header(files[0], filesystem))
     out_schema = T.StructType(list(data_schema.fields))
     rows = []
@@ -1269,27 +1268,65 @@ def read_ocf_dataset(
     if partition_col:
         out_schema = out_schema.add(partition_col, T.LongType(), False)
     arrow_schema = to_arrow_schema(out_schema)
-    fdf = spark.createDataFrame(rows, "path string, _pv long").repartition(
-        min(len(files), 32)
-    )
+    # r16: the file list is a driver-local list — build it as ONE slice
+    # (session.tiny_df) before the spreading repartition, or
+    # createDataFrame slices it into defaultParallelism raw Python
+    # tasks that each pay the worker handshake (measured ~10 of the
+    # 18.8 CPU-s of a 601-file pruned read). The decode-task count is
+    # BYTES-proportional (Spark's own scan-sizing rule, guide §6):
+    # a pruned read of hundreds of tiny rotation windows is one task
+    # instead of 32 near-empty Python workers, while a multi-GB layout
+    # still fans out to maxPartitionBytes-sized chunks.
+    from ..session import tiny_df
+
+    try:
+        max_pb = int(
+            "".join(
+                c
+                for c in spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", str(128 << 20)
+                )
+                if c.isdigit()
+            )
+            or 128 << 20
+        )
+    except Exception:
+        max_pb = 128 << 20
+    n_parts = max(1, min(len(files), -(-total_bytes // max(1, max_pb))))
+    fdf = tiny_df(spark, rows, "path string, _pv long").repartition(n_parts)
 
     def task(batches):
         import pyarrow as pa
 
+        # r16 (guide §4/§6): COALESCE small OCF blocks across files
+        # before building Arrow tables. A rotated sink yields hundreds
+        # of ~1-row files per task, and Table.from_pylist pays a
+        # schema-driven setup per call — per-block conversion cost 18.5
+        # CPU-s to read 601 tiny windows (measured), the conversion,
+        # not the decode. Accumulating up to _FLUSH_ROWS rows amortizes
+        # it while keeping task memory bounded by ~one real writer
+        # block (big blocks still flush immediately).
+        _FLUSH_ROWS = 1000
+        buf: list = []
+
+        def flush():
+            t = pa.Table.from_pylist(buf, schema=arrow_schema)
+            buf.clear()
+            return t.to_batches()
+
         for batch in batches:
             for row in batch.to_pylist():
-                # one Arrow batch per OCF data block: memory bounded by a
-                # block even for multi-GB rotated files
                 for _, block in iter_ocf_blocks(
                     row["path"], filesystem=filesystem
                 ):
                     if partition_col:
                         for r in block:
                             r[partition_col] = row["_pv"]
-                    if block:
-                        yield pa.Table.from_pylist(
-                            block, schema=arrow_schema
-                        ).to_batches()[0]
+                    buf.extend(block)
+                    if len(buf) >= _FLUSH_ROWS:
+                        yield from flush()
+        if buf:
+            yield from flush()
 
     return fdf.mapInArrow(task, out_schema)
 

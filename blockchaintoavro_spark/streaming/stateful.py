@@ -46,6 +46,35 @@ from pyspark.sql import functions as F
 STATE_ENVELOPE_SCHEMA = "version int, blob binary"
 
 
+class state_partitions:
+    """Scope ``spark.sql.shuffle.partitions`` to the KEY CARDINALITY of
+    a stateful streaming query for the duration of its run (r16, guide
+    §2.4): a stateful operator keyed on ``shards`` distinct values
+    never populates more than ``shards`` state partitions, but Spark
+    sizes the state Exchange from the session's shuffle partitions —
+    every EXTRA partition still runs a task and opens/commits a state
+    store per micro-batch (measured: 32 partitions × 3 batches with 8
+    live shards ≈ half the query's CPU). The partition count is frozen
+    into the checkpoint at the first batch, so this must wrap
+    ``start()``; use only with a FRESH checkpoint (resuming an existing
+    checkpoint keeps its recorded count regardless).
+
+    Derived from the operator's shard parameter — not the local core
+    count — so the same code is right at any cluster size.
+    """
+
+    def __init__(self, spark, n: int) -> None:
+        self._spark, self._n = spark, int(n)
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+
+
 def encode_state(version: int, payload) -> tuple[int, bytes]:
     """Pack a JSON-serializable payload into the frozen envelope shape."""
     return int(version), json.dumps(

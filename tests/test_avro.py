@@ -325,19 +325,28 @@ def test_avro_ocf_datasource_prunes_partitions(tmp_path, spark):
     opts = {"path": part, "partition_col": "bucket"}
     schema = ads.AvroOCFDataSource(opts).schema()
 
+    def files_of(parts):
+        # r16: small files pack into _PackedPartition tasks (guide §6),
+        # so the pruning contract is asserted on the FILES a scan would
+        # open, not on task count
+        out = []
+        for p in parts:
+            items = p.items if isinstance(p, ads._PackedPartition) else (p,)
+            out.extend(fp.path for fp in items)
+        return out
+
     r = ads.AvroOCFReader(schema, opts)
-    n_all = len(r.partitions())
-    assert n_all == 4
+    assert len(files_of(r.partitions())) == 4
     leftovers = list(r.pushFilters([EqualTo(("bucket",), 2)]))
     assert leftovers == []  # consumed: Spark won't re-evaluate it
-    assert len(r.partitions()) == 1
+    assert len(files_of(r.partitions())) == 1
 
     r2 = ads.AvroOCFReader(schema, opts)
     # non-partition predicates must be handed back untouched
     keep = EqualTo(("lang",), "en")
     left = list(r2.pushFilters([GreaterThanOrEqual(("bucket",), 2), keep]))
     assert left == [keep]
-    assert len(r2.partitions()) == 2
+    assert len(files_of(r2.partitions())) == 2
 
 
 def test_avro_ocf_stream_reader_incremental(tmp_path, spark):
@@ -1263,3 +1272,28 @@ def test_avro_ocf_datasource_zstandard_option(tmp_path, spark):
     back = spark.read.format("avro_ocf").load(out)
     assert back.count() == df.count()
     assert back.schema == df.schema
+
+
+def test_plan_splits_packs_small_files(tmp_path):
+    """r16 (guide §6): hundreds of tiny rotated-window files must pack
+    into a bounded number of scan tasks under Spark's size-plus-open-cost
+    rule, large files must still split into byte ranges, and a packed
+    partition must read every file it covers."""
+    from blockchaintoavro_spark.sources import avro_datasource as ads
+
+    small = [(f"/d/w={i}/f.avro", i, 3_000) for i in range(601)]
+    parts = ads._plan_splits(small, 128 * 1024 * 1024, pack=True)
+    # 4 MB open cost + 3 KB each -> 32 files per 128 MB split
+    assert all(isinstance(p, ads._PackedPartition) for p in parts)
+    covered = [fp.path for p in parts for fp in p.items]
+    assert covered == [f[0] for f in small]  # every file, listing order
+    assert 15 <= len(parts) <= 25
+
+    big = [("/d/big.avro", 0, 300 * 1024 * 1024)]
+    bparts = ads._plan_splits(big, 128 * 1024 * 1024, pack=True)
+    assert all(isinstance(p, ads._FilePartition) for p in bparts)
+    assert len(bparts) == 3  # byte-range splits, unchanged by packing
+
+    # pack=False (the streaming reader) keeps one partition per file
+    sparts = ads._plan_splits(small[:5], 128 * 1024 * 1024)
+    assert [type(p) for p in sparts] == [ads._FilePartition] * 5

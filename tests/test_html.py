@@ -243,3 +243,46 @@ def test_multilang_extraction_keeps_nonenglish_prose(spark):
         _one(spark, "<p>zzz qqq www</p>", html_extract_multilang("h"))["lang"]
         == "en"
     )
+
+
+def test_with_html_extract_multilang_matches_column_form(spark):
+    """r16: the staged DataFrame form (each heavy subexpression an
+    attribute, evaluated once per row) must be bit-identical to the
+    Column form on every edge the Column form defines: all six
+    languages, boilerplate-only pages, zero-hit tie-break, empty and
+    NULL html."""
+    from blockchaintoavro_spark.functions.html import (
+        html_extract_multilang,
+        with_html_extract_multilang,
+    )
+
+    pages = [
+        "<html><body><nav>Portfolio Impressum Kontakt</nav><p>der Hund "
+        "und die Katze haben ein Spiel mit dem Ball und sie sind froh"
+        "</p><footer>Copyright 2024</footer></body></html>",
+        "<p>le chat et le chien sont dans la maison et ils ont un jeu "
+        "avec le ballon</p>",
+        "<p>the dog and the cat have a game with the ball and they are "
+        "glad</p><nav>Home About Contact</nav>",
+        "<p>zzz qqq www</p>",  # zero stopword hits -> langs[0]
+        "<nav>Only Nav Here</nav>",  # nothing kept
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(pages)], "i long, h string"
+    )
+    res = html_extract_multilang("h")
+    old = {
+        r["i"]: (r["lang"], r["content"])
+        for r in df.select(
+            "i", res["lang"].alias("lang"), res["content"].alias("content")
+        ).collect()
+    }
+    new = {
+        r["i"]: (r["lang"], r["content"])
+        for r in with_html_extract_multilang(df, "h")
+        .select("i", "lang", "content")
+        .collect()
+    }
+    assert old == new
