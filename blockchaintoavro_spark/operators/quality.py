@@ -1287,6 +1287,15 @@ def bigram_logprob(
             F.col("_pos") > 0, F.element_at(F.col("_toks"), F.col("_pos"))
         ).alias("_prev"),
     )
+    # r16: the pairs postings feed THREE consumers (unigram counts,
+    # bigram counts, the probe side) — unbarriered, each re-scans and
+    # re-explodes the corpus. The REBALANCE barrier materializes the
+    # narrow (id, pos, w, prev) rows once so all consumers read shuffle
+    # files: one corpus scan instead of three (guide §8 — at 100 TB the
+    # three source scans dominate; measured locally wall 5.4 → 4.5 s,
+    # CPU 7.7 → 9.1 — the exchange costs a bit of local CPU and is
+    # taken for the scan-count reduction).
+    pairs = pairs.hint("rebalance")
     if lm is None:
         uni = pairs.groupBy(F.col("_w").alias("_uw")).agg(
             F.count("*").alias("_cu")
