@@ -365,13 +365,9 @@ def afp_fixture_codes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     out_schema = df.select(id_col).schema.add("afp", "long")
     # r16: payloads are synthesized from the id alone, so only the id
-    # enters the Python stage — spread the ids to default parallelism
-    # first, or a single-file scan runs the whole pure-Python WAV+WHT
-    # pipeline serially in one task (the phash_fixture_codes /
-    # multimodal._spread_ids contract; measured wall ≈ CPU ≈ 7 s).
-    sc = df.sparkSession.sparkContext
-    return (
-        df.select(id_col)
-        .repartition(sc.defaultParallelism)
-        .mapInPandas(run, schema=out_schema)
-    )
+    # enters the Python stage — spread the ids first or a single-file
+    # scan runs the whole pure-Python WAV+WHT pipeline serially in one
+    # task (measured wall ≈ CPU ≈ 7 s at sf0.1)
+    from .multimodal import _spread_ids
+
+    return _spread_ids(df, id_col).mapInPandas(run, schema=out_schema)

@@ -415,12 +415,18 @@ def dedup_clusters(
                 ).alias("label"),
             )
         labels = stepped.localCheckpoint(eager=False)
-        # the new checkpoint is eager + lineage-truncated, so the prior
-        # round's blocks are dead weight from here — free them now
-        # instead of leaking one node-set per round into storage memory
-        # for the session's lifetime (r6 bench-drift suspect)
-        release_local_checkpoint(superseded)
         cur = checksum(labels)
+        # Free the SUPERSEDED round's blocks only AFTER the checksum
+        # action has materialized the new lazy checkpoint: `stepped`
+        # reads the prior round's checkpointed blocks, and with
+        # eager=False the release's async unpersistRDD can otherwise
+        # land before the scan (reproduced: Spark 4.1.2 raises
+        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; local runs only pass
+        # because the removal races slower than job startup — r16
+        # review finding). Still freed every round, so storage memory
+        # holds at most two node-sets instead of one per round (the r6
+        # bench-drift suspect).
+        release_local_checkpoint(superseded)
         if cur == prev:
             release_local_checkpoint(sym)
             return labels.select(

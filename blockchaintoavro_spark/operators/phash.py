@@ -257,18 +257,12 @@ def phash_fixture_codes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     out_schema = df.select(id_col).schema.add("phash", "long")
     # r16: the payload is synthesized from the id alone, so only the
-    # 8-byte id enters the Python stage — but a single-file scan (one
-    # input partition) would run the whole pure-Python PNG+DCT pipeline
-    # serially in one task (measured: wall ≈ CPU ≈ 19 s at sf0.1).
-    # Repartitioning the ids to the cluster's default parallelism is a
-    # negligible shuffle that makes the codec work embarrassingly
-    # parallel — the multimodal._spread_ids contract.
-    sc = df.sparkSession.sparkContext
-    return (
-        df.select(id_col)
-        .repartition(sc.defaultParallelism)
-        .mapInPandas(run, schema=out_schema)
-    )
+    # 8-byte id enters the Python stage — spread the ids first or a
+    # single-file scan runs the whole pure-Python PNG+DCT pipeline
+    # serially in one task (measured: wall ≈ CPU ≈ 19 s at sf0.1)
+    from .multimodal import _spread_ids
+
+    return _spread_ids(df, id_col).mapInPandas(run, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -260,15 +260,10 @@ def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
     Entirely JVM-side HOFs (split / transform / array_distinct): a narrow
     per-row expression with no Python round-trip.
     """
-    toks = F.split(F.lower(text), " ")
-    nt = F.size(toks)
-    idx = F.sequence(F.lit(1), nt - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
-    grams = F.when(nt >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    # one authoritative gram expression shared with the DataFrame form
+    # (_word_ngrams) — the bit-identity promise between the two forms
+    # depends on it (r16 review finding)
+    grams = _word_ngrams(F.split(F.lower(text), " "), n)
     total = F.size(grams)
     dups = total - F.size(F.array_distinct(grams))
     return F.when(total == 0, F.lit(0.0)).otherwise(dups / total)
@@ -312,7 +307,6 @@ def with_dup_ngram_ratio(
     chain survives optimization and each HOF runs once. Output rows are
     bit-identical to the Column form (same expressions, same order).
     """
-    total, distinct = f"_dnr_tot_{out_col}", f"_dnr_dst_{out_col}"
     # the token array MUST be projected to an attribute before feeding
     # the gram transform: an inline split expression inside the
     # transform's lambda re-splits the text per gram element (O(words²))
@@ -322,15 +316,28 @@ def with_dup_ngram_ratio(
     s1 = s0.withColumn(
         "_dnr_grams", _word_ngrams(F.col("_dnr_toks"), n)
     ).drop("_dnr_toks")
-    s2 = s1.select(
+    return _with_dup_ratio_from_grams(s1, "_dnr_grams", out_col)
+
+
+def _with_dup_ratio_from_grams(
+    df: DataFrame, grams_col: str, out_col: str
+) -> DataFrame:
+    """``out_col`` = duplicated-gram ratio of an already-staged gram
+    ARRAY attribute, with the two sizes staged once and the temp columns
+    dropped — the shared tail of :func:`with_dup_ngram_ratio` and
+    :func:`with_gopher_metrics` (one authoritative implementation; the
+    two must stay expression-identical for the shared oracle semantics —
+    r16 review finding)."""
+    total, distinct = f"_dgr_tot_{out_col}", f"_dgr_dst_{out_col}"
+    s = df.select(
         "*",
-        F.size("_dnr_grams").alias(total),
-        F.size(F.array_distinct("_dnr_grams")).alias(distinct),
-    ).drop("_dnr_grams")
+        F.size(grams_col).alias(total),
+        F.size(F.array_distinct(grams_col)).alias(distinct),
+    ).drop(grams_col)
     ratio = F.when(F.col(total) == 0, F.lit(0.0)).otherwise(
         (F.col(total) - F.col(distinct)) / F.col(total)
     )
-    return s2.withColumn(out_col, ratio).drop(total, distinct)
+    return s.withColumn(out_col, ratio).drop(total, distinct)
 
 
 def with_gopher_metrics(
@@ -366,15 +373,7 @@ def with_gopher_metrics(
         .alias("n_stop_hits"),
         _word_ngrams(tk, 3).alias("_gm_g3"),
     ).drop("_gm_toks")
-    s3 = s2.select(
-        "*",
-        F.size("_gm_g3").alias("_gm_tot"),
-        F.size(F.array_distinct("_gm_g3")).alias("_gm_dst"),
-    ).drop("_gm_g3")
-    dup3 = F.when(F.col("_gm_tot") == 0, F.lit(0.0)).otherwise(
-        (F.col("_gm_tot") - F.col("_gm_dst")) / F.col("_gm_tot")
-    )
-    return s3.withColumn("dup3_ratio", dup3).drop("_gm_tot", "_gm_dst")
+    return _with_dup_ratio_from_grams(s2, "_gm_g3", "dup3_ratio")
 
 
 def stratified_keep(

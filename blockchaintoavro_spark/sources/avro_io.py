@@ -1280,15 +1280,15 @@ def read_ocf_dataset(
     from ..session import tiny_df
 
     try:
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 << 20)
+        )
+        # Spark's own byte-string parser: '128m'/'1g' suffixes must NOT
+        # degrade to 128/1 bytes (a digit-strip would fan a 601-file
+        # read out to 601 one-file Python tasks — r16 review finding)
         max_pb = int(
-            "".join(
-                c
-                for c in spark.conf.get(
-                    "spark.sql.files.maxPartitionBytes", str(128 << 20)
-                )
-                if c.isdigit()
-            )
-            or 128 << 20
+            spark.sparkContext._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(raw)
         )
     except Exception:
         max_pb = 128 << 20

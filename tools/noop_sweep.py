@@ -54,7 +54,8 @@ def main() -> None:
     ranked = sorted(rows.items(), key=lambda kv: -(kv[1]["cpu"] or 0))
     print("\n== top 30 by CPU ==")
     for name, r in ranked[:30]:
-        print(f"{name:40s} {r['wall']:8.3f} {r['cpu']:8.2f}")
+        cpu = r["cpu"] if r["cpu"] is not None else float("nan")
+        print(f"{name:40s} {r['wall']:8.3f} {cpu:8.2f}")
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:
             json.dump(rows, f, indent=1, sort_keys=True)
