@@ -498,30 +498,44 @@ def boilerplate_ratio(
 
     Scale: the gram list is broadcast (it is small by construction —
     min_docs thresholding keeps only cross-doc templates); the per-doc
-    hit count partial-aggregates map-side over the exploded grams (a
-    doc's grams stay in its scan partition, so the doc-keyed shuffle
-    carries ~one row per doc, not per gram). Docs too short to have any
+    counts partial-aggregate map-side over the exploded grams (a doc's
+    grams stay in its scan partition, so the doc-keyed shuffle carries
+    ~one row per doc, not per gram). Docs too short to have any
     ``n``-gram get ratio 0.0 via the left join back to ``docs``.
+
+    r16: ONE gram build instead of two — the old plan built the
+    ``ngram_array`` once for the hits branch (explode → semi-join) and
+    again for the totals branch (``size``); since ``grams`` is unique
+    per gram (a groupBy output), marking via a broadcast LEFT join and
+    counting (total = all rows, hits = non-null marks) in one doc-keyed
+    aggregate yields identical counts from a single corpus pass
+    (isolated warm medians at x_boilerplate_ratio: wall 8.1 → 4.5 s,
+    CPU 10.4 → 6.6).
     """
     per_doc = docs.select(
         F.col(id_col), F.explode(ngram_array(text_col, n)).alias("gram")
     )
-    hits = (
-        per_doc.join(F.broadcast(grams.select("gram")), "gram", "left_semi")
+    counts = (
+        per_doc.join(
+            F.broadcast(
+                grams.select("gram").withColumn("_bp_hit", F.lit(1))
+            ),
+            "gram",
+            "left",
+        )
         .groupBy(id_col)
-        .agg(F.count("*").alias("bp_grams"))
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.count("_bp_hit").alias("bp_grams"),
+        )
     )
-    totals = docs.select(
-        F.col(id_col), F.size(ngram_array(text_col, n)).alias("total_grams")
-    )
+    tot = F.coalesce(F.col("total_grams"), F.lit(0)).cast("long")
     bp = F.coalesce(F.col("bp_grams"), F.lit(0)).cast("long")
-    return totals.join(hits, id_col, "left").select(
+    return docs.select(F.col(id_col)).join(counts, id_col, "left").select(
         F.col(id_col),
-        F.col("total_grams").cast("long").alias("total_grams"),
+        tot.alias("total_grams"),
         bp.alias("bp_grams"),
-        F.when(F.col("total_grams") > 0, bp / F.col("total_grams"))
-        .otherwise(F.lit(0.0))
-        .alias("bp_ratio"),
+        F.when(tot > 0, bp / tot).otherwise(F.lit(0.0)).alias("bp_ratio"),
     )
 
 
