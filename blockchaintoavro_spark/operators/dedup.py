@@ -517,8 +517,17 @@ def boilerplate_ratio(
     )
     counts = (
         per_doc.join(
+            # dropDuplicates keeps the mark join duplicate-TOLERANT the
+            # way the old semi-join was: a caller-supplied gram list
+            # with repeats (e.g. a union of two boilerplate lists) must
+            # not fan out the left side and inflate both counts. The
+            # build side is tiny by construction, so the extra
+            # aggregate is free; boilerplate_ngrams output is already
+            # unique and unaffected.
             F.broadcast(
-                grams.select("gram").withColumn("_bp_hit", F.lit(1))
+                grams.select("gram")
+                .dropDuplicates()
+                .withColumn("_bp_hit", F.lit(1))
             ),
             "gram",
             "left",

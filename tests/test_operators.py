@@ -285,6 +285,25 @@ def test_boilerplate_ratio_known_answer(spark):
     assert (got[3].total_grams, got[3].bp_grams, got[3].bp_ratio) == (2, 0, 0.0)
 
 
+def test_boilerplate_ratio_duplicate_gram_list_tolerated(spark):
+    """A caller-supplied gram list with repeats (e.g. a union of two
+    boilerplate lists) must score exactly like the deduplicated list —
+    the r16 mark-join rewrite dedups its build side so repeated grams
+    can never fan out the corpus rows and inflate either count (the old
+    semi-join was duplicate-tolerant by construction)."""
+    from blockchaintoavro_spark.operators.dedup import boilerplate_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "all rights reserved by me")], "doc_id long, text string"
+    )
+    grams = spark.createDataFrame(
+        [("all rights reserved",), ("all rights reserved",)], "gram string"
+    )
+    (row,) = boilerplate_ratio(docs, grams, n=3).collect()
+    assert (row.total_grams, row.bp_grams) == (3, 1)
+    assert row.bp_ratio == pytest.approx(1 / 3)
+
+
 def test_incremental_dedup_known_answer(spark):
     """Batch vs standing corpus: exact-content rows (case-folded) drop,
     within-batch dups keep the min id, fresh content survives."""
