@@ -376,17 +376,12 @@ def resize_nearest(
         raise ValueError("pixels length != src_w*src_h*channels")
     if dst_w <= 0 or dst_h <= 0:
         raise ValueError("degenerate target dimensions")
-    out = bytearray(dst_w * dst_h * channels)
-    for y in range(dst_h):
-        sy = y * src_h // dst_h
-        src_row = sy * src_w * channels
-        dst_row = y * dst_w * channels
-        for x in range(dst_w):
-            sx = x * src_w // dst_w
-            s = src_row + sx * channels
-            d = dst_row + x * channels
-            out[d : d + channels] = pixels[s : s + channels]
-    return bytes(out)
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(src_h, src_w, channels)
+    sy = (np.arange(dst_h, dtype=np.int64) * src_h) // dst_h
+    sx = (np.arange(dst_w, dtype=np.int64) * src_w) // dst_w
+    return a[sy][:, sx].tobytes()
 
 
 def resize_box(
@@ -399,21 +394,28 @@ def resize_box(
         raise ValueError("pixels length != src_w*src_h*channels")
     if dst_w <= 0 or dst_h <= 0:
         raise ValueError("degenerate target dimensions")
-    out = bytearray(dst_w * dst_h * channels)
-    for y in range(dst_h):
-        y0, y1 = y * src_h // dst_h, max((y + 1) * src_h // dst_h, y * src_h // dst_h + 1)
-        for x in range(dst_w):
-            x0, x1 = x * src_w // dst_w, max((x + 1) * src_w // dst_w, x * src_w // dst_w + 1)
-            cnt = (y1 - y0) * (x1 - x0)
-            d = (y * dst_w + x) * channels
-            for c in range(channels):
-                acc = 0
-                for sy in range(y0, y1):
-                    base = (sy * src_w) * channels + c
-                    for sx in range(x0, x1):
-                        acc += pixels[base + sx * channels]
-                out[d + c] = acc // cnt
-    return bytes(out)
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(src_h, src_w, channels)
+    # 2-D integral image per channel: box sums become four corner lookups.
+    # All math stays in int64 (total byte sum < 2^63 for any real image),
+    # and floor division of non-negative ints matches the scalar //.
+    integ = np.zeros((src_h + 1, src_w + 1, channels), dtype=np.int64)
+    np.cumsum(np.cumsum(a, axis=0, dtype=np.int64), axis=1, out=integ[1:, 1:])
+    ys = np.arange(dst_h, dtype=np.int64)
+    y0 = ys * src_h // dst_h
+    y1 = np.maximum((ys + 1) * src_h // dst_h, y0 + 1)
+    xs = np.arange(dst_w, dtype=np.int64)
+    x0 = xs * src_w // dst_w
+    x1 = np.maximum((xs + 1) * src_w // dst_w, x0 + 1)
+    sums = (
+        integ[y1[:, None], x1[None, :]]
+        - integ[y0[:, None], x1[None, :]]
+        - integ[y1[:, None], x0[None, :]]
+        + integ[y0[:, None], x0[None, :]]
+    )
+    cnt = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[:, :, None]
+    return (sums // cnt).astype(np.uint8).tobytes()
 
 
 def pixel_checksum(pixels: bytes) -> int:

@@ -77,6 +77,17 @@ def _wht_matrix() -> np.ndarray:
     return _WHT64
 
 
+#: largest |W| coefficient for which the whole energy/threshold pipeline
+#: provably fits in int64: the worst intermediate is the second-order
+#: energy delta |q| ≤ 4·(7·mx²) = 28·mx², so mx ≤ isqrt((2^63−1)/28).
+#: Clips above this (≈5.7e8 — beyond any real PCM block) take the exact
+#: big-int fallback; below it the vectorized path is bit-identical by
+#: construction (integer math, no rounding, no overflow).
+import math as _math
+
+_AFP_FAST_MAX_W = _math.isqrt(((1 << 63) - 1) // 28)
+
+
 def afp63(samples: list[int] | np.ndarray, channels: int = 1) -> int:
     """63-bit perceptual audio fingerprint of one decoded clip (see
     module docstring). Deterministic and integer-exact: sum pooling,
@@ -91,20 +102,37 @@ def afp63(samples: list[int] | np.ndarray, channels: int = 1) -> int:
     if n == 0:
         return 0
     H = _wht_matrix()
-    E = []  # E[t][b], exact Python ints
+    # pool every block's 64 cells in one pass off a shared prefix sum
+    # (identical floor boundaries: cell j of block t spans
+    # [lo + j·m//64, lo + (j+1)·m//64) — integer sums, order-free)
+    csum = np.concatenate(([0], np.cumsum(x)))
+    cells = np.zeros((N_BLOCKS, N_CELLS), dtype=np.int64)
+    cell_idx = np.arange(N_CELLS + 1, dtype=np.int64)
     for t in range(N_BLOCKS):
         lo, hi = t * n // N_BLOCKS, (t + 1) * n // N_BLOCKS
-        block = x[lo:hi]
-        m = block.size
-        cells = np.zeros(N_CELLS, dtype=np.int64)
+        m = hi - lo
         if m:
-            # sum-pool into 64 cells with floor boundaries j*m//64
-            bounds = (np.arange(N_CELLS + 1) * m) // N_CELLS
-            csum = np.concatenate(([0], np.cumsum(block)))
-            cells = csum[bounds[1:]] - csum[bounds[:-1]]
-        W = H @ cells  # |W| ≤ 64·|cell| — int64-safe for any real clip
-        Wp = [int(w) for w in W]
-        E.append(
+            bounds = lo + (cell_idx * m) // N_CELLS
+            cells[t] = csum[bounds[1:]] - csum[bounds[:-1]]
+    # W[t, c] = Σ_j H[c,j]·cells[t,j] — H is symmetric, so cells @ H
+    # equals the per-block H @ cells; |W| ≤ 64·|cell|, int64-safe for
+    # any real clip (same exposure as the original per-block form)
+    W = cells @ H
+    mx = int(np.abs(W).max())
+    if mx <= _AFP_FAST_MAX_W:
+        # vectorized int64 path — provably overflow-free (see
+        # _AFP_FAST_MAX_W), so bit-identical to the big-int fallback
+        W2 = W * W
+        E = W2[:, 1:64].reshape(N_BLOCKS, 9, 7).sum(axis=2)
+        D = E[:, :8] - E[:, 1:9]
+        Q = (D[1:] - D[:-1]).reshape(64)
+        bits = (Q[:63] > 0).astype(np.uint64)
+        return int((bits << np.arange(63, dtype=np.uint64)).sum())
+    # exact big-int fallback for pathological amplitudes
+    Ee = []  # E[t][b], exact Python ints
+    for t in range(N_BLOCKS):
+        Wp = [int(w) for w in W[t]]
+        Ee.append(
             [
                 sum(Wp[1 + 7 * b + k] ** 2 for k in range(7))
                 for b in range(9)
@@ -116,7 +144,7 @@ def afp63(samples: list[int] | np.ndarray, channels: int = 1) -> int:
             bit = (t - 1) * 8 + b
             if bit > 62:
                 continue
-            q = (E[t][b] - E[t][b + 1]) - (E[t - 1][b] - E[t - 1][b + 1])
+            q = (Ee[t][b] - Ee[t][b + 1]) - (Ee[t - 1][b] - Ee[t - 1][b + 1])
             if q > 0:
                 code |= 1 << bit
     return code
@@ -355,7 +383,7 @@ def afp_fixture_codes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 m = 101 + (g * 53) % 151
                 s = (g * 131 + 17 * i_arr + (i_arr * i_arr) % m) % 32768 - 16384
                 s[r * 7 + 1] += r * 64
-                payload = encode_wav(8000, 1, [int(v) for v in s], 16)
+                payload = encode_wav(8000, 1, s.tolist(), 16)
                 d = try_decode_audio(payload)
                 codes.append(afp63(d["samples"], d["channels"]))
                 ids.append(doc_id)

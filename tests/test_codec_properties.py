@@ -254,3 +254,65 @@ def test_zstd_corruption_is_contained(data, rnd):
     except _zstd.ZstdError:
         return
     assert isinstance(out, bytes) and len(out) <= _zstd._MAX_BLOCK
+
+
+def _afp63_ref(samples, channels=1):
+    """Pre-r16 scalar reference: exact big-int energies, verbatim."""
+    import numpy as np
+
+    from blockchaintoavro_spark.operators.afp import _wht_matrix
+
+    x = np.asarray(samples, dtype=np.int64)
+    if channels > 1:
+        n_frames = x.size // channels
+        x = x[: n_frames * channels].reshape(n_frames, channels).sum(axis=1)
+    n = x.size
+    if n == 0:
+        return 0
+    H = _wht_matrix()
+    E = []
+    for t in range(9):
+        lo, hi = t * n // 9, (t + 1) * n // 9
+        block = x[lo:hi]
+        m = block.size
+        cells = np.zeros(64, dtype=np.int64)
+        if m:
+            bounds = (np.arange(65) * m) // 64
+            csum = np.concatenate(([0], np.cumsum(block)))
+            cells = csum[bounds[1:]] - csum[bounds[:-1]]
+        W = H @ cells
+        Wp = [int(w) for w in W]
+        E.append(
+            [sum(Wp[1 + 7 * b + k] ** 2 for k in range(7)) for b in range(9)]
+        )
+    code = 0
+    for t in range(1, 9):
+        for b in range(8):
+            bit = (t - 1) * 8 + b
+            if bit > 62:
+                continue
+            q = (E[t][b] - E[t][b + 1]) - (E[t - 1][b] - E[t - 1][b + 1])
+            if q > 0:
+                code |= 1 << bit
+    return code
+
+
+@given(_pcm, st.sampled_from([1, 1, 1, 2, 3]))
+@settings(max_examples=60, deadline=None)
+def test_afp63_vectorized_bit_match(samples, channels):
+    """r16: the int64 fast path must stay bit-identical to the exact
+    big-int reference on every clip it claims (the _AFP_FAST_MAX_W
+    bound proves no intermediate overflows)."""
+    from blockchaintoavro_spark.operators.afp import afp63
+
+    assert afp63(samples, channels) == _afp63_ref(samples, channels)
+
+
+@given(st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=600))
+@settings(max_examples=20, deadline=None)
+def test_afp63_bigint_fallback_bit_match(samples):
+    """Amplitudes past the int64 fast-path bound route to the exact
+    fallback and still match the reference."""
+    from blockchaintoavro_spark.operators.afp import afp63
+
+    assert afp63(samples, 1) == _afp63_ref(samples, 1)

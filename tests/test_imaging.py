@@ -1235,3 +1235,66 @@ def test_bitreader_wide_receive_terminates():
     assert v == (0x1234 << 239) | ((1 << 239) - 1)
     # and the reader stays usable
     assert r.receive(8) == 0xFF
+
+
+# ---------------------------------------------------------------------------
+# r16: vectorized resize kernels must stay bit-identical to the scalar
+# floor-arithmetic reference (the integral-image rewrite changed the
+# internals, not the contract — these pin it)
+
+
+def _resize_box_ref(pixels, src_w, src_h, dst_w, dst_h, channels=1):
+    """Scalar reference: the pre-r16 per-pixel floor-mean loop, verbatim."""
+    out = bytearray(dst_w * dst_h * channels)
+    for y in range(dst_h):
+        y0 = y * src_h // dst_h
+        y1 = max((y + 1) * src_h // dst_h, y0 + 1)
+        for x in range(dst_w):
+            x0 = x * src_w // dst_w
+            x1 = max((x + 1) * src_w // dst_w, x0 + 1)
+            cnt = (y1 - y0) * (x1 - x0)
+            d = (y * dst_w + x) * channels
+            for c in range(channels):
+                acc = 0
+                for sy in range(y0, y1):
+                    base = (sy * src_w) * channels + c
+                    for sx in range(x0, x1):
+                        acc += pixels[base + sx * channels]
+                out[d + c] = acc // cnt
+    return bytes(out)
+
+
+def _resize_nearest_ref(pixels, src_w, src_h, dst_w, dst_h, channels=1):
+    out = bytearray(dst_w * dst_h * channels)
+    for y in range(dst_h):
+        sy = y * src_h // dst_h
+        src_row = sy * src_w * channels
+        dst_row = y * dst_w * channels
+        for x in range(dst_w):
+            sx = x * src_w // dst_w
+            s = src_row + sx * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return bytes(out)
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24),  # src dims
+    st.integers(1, 24), st.integers(1, 24),  # dst dims
+    st.sampled_from([1, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=120, deadline=None)
+def test_resize_vectorized_bit_match(sw, sh, dw, dh, ch, rnd):
+    from blockchaintoavro_spark.functions.imaging import (
+        resize_box,
+        resize_nearest,
+    )
+
+    px = bytes(rnd.randrange(256) for _ in range(sw * sh * ch))
+    assert resize_box(px, sw, sh, dw, dh, ch) == _resize_box_ref(
+        px, sw, sh, dw, dh, ch
+    )
+    assert resize_nearest(px, sw, sh, dw, dh, ch) == _resize_nearest_ref(
+        px, sw, sh, dw, dh, ch
+    )
