@@ -406,6 +406,12 @@ def neardup_pairs_lsh(
     posts = _multi_table_buckets(
         df, "_id", "_vec", id_col, vec_col, dim, n_tables, planes_per_table, seed
     )
+    # r16: the postings feed BOTH self-join sides — in the broadcast
+    # regime the build side re-runs the whole hyperplane-bucketing
+    # pipeline (the minhash/phash F3/F7 shape). The AQE REBALANCE
+    # barrier materializes the narrow (id, table_id, bucket) rows once
+    # so both sides read shuffle files.
+    posts = posts.hint("rebalance")
     a = posts.select(F.col("_id").alias("d1"), "table_id", "bucket")
     b = posts.select(F.col("_id").alias("d2"), "table_id", "bucket")
     cand = (
