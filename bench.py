@@ -45,6 +45,23 @@ from blockchaintoavro_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+
+def _host_steal_seconds() -> float | None:
+    """Cumulative hypervisor steal seconds for the whole host from
+    /proc/stat (field 8). The per-bench delta is recorded as the
+    additive ``steal_sec`` key (VERDICT r16 #8): r16 documented host
+    steal waves up to 527 s swinging identical-code walls 3×, and
+    exposing the delta lets the driver/judge discount a noisy run
+    instead of guessing. None on non-Linux → key absent."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu" or len(parts) < 9:
+            return None
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
 # headline set (declared bench=True in the registry): flagship ETL, star
 # join, Q1-style agg, sessionize, cosine top-k, token top-k, plus the
 # LLM-pipeline ops (r3 VERDICT #2): minhash near-dup, dedup clustering,
@@ -137,6 +154,7 @@ def main() -> None:
     # the shuffle telemetry reads the UI REST API — enable it unless the
     # caller explicitly chose otherwise
     os.environ.setdefault("SPARK_GRAFT_UI", "true")
+    steal0 = _host_steal_seconds()
     registry = load_all()
     bench_set = {n: q for n, q in sorted(registry.items()) if q.bench}
     spark = get_spark("bench")
@@ -199,7 +217,19 @@ def main() -> None:
         out["shuffle_read_bytes"] = shuffle_rd
         out["shuffle_write_bytes"] = shuffle_wr
         out["tasks"] = task_counts
-    print(json.dumps(out))
+    steal1 = _host_steal_seconds()
+    if steal0 is not None and steal1 is not None:
+        out["steal_sec"] = round(steal1 - steal0, 2)
+    # VERDICT r16 #7 (hardening): BENCH_r15's stored line was lost to
+    # output truncation. stdout keeps the EXACT single-JSON-line
+    # contract every prior round parsed (a second stdout copy could
+    # break a strict whole-output parser), and an identical safety copy
+    # goes to stderr FIRST so a truncated stdout capture can be
+    # recovered from the other stream. All keys are additive; the timed
+    # action and methodology are unchanged.
+    line = json.dumps(out)
+    print(line, file=sys.stderr, flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -518,8 +518,14 @@ class _BitReader:
         return v >> 5
 
 
-def _parse_dqt(seg: bytes, qtables: dict) -> None:
-    """DQT segment (possibly several tables) → natural-order tables."""
+@_functools.lru_cache(maxsize=64)
+def _parse_dqt_cached(seg: bytes) -> tuple:
+    """DQT segment (possibly several tables) → ((tq, natural-order
+    table), ...). Memoized on the raw segment bytes — bulk corpora
+    repeat identical quant segments file after file, and the per-file
+    re-parse was measurable in the tiny-image decode profile. The
+    cached tables are treated read-only downstream."""
+    out = []
     i = 0
     while i < len(seg):
         pq, tq = seg[i] >> 4, seg[i] & 0xF
@@ -533,11 +539,22 @@ def _parse_dqt(seg: bytes, qtables: dict) -> None:
         tbl = [0] * 64
         for z in range(64):
             tbl[ZIGZAG[z]] = vals[z]
-        qtables[tq] = tbl
+        out.append((tq, tbl))
+    return tuple(out)
 
 
-def _parse_dht(seg: bytes, htables: dict) -> None:
-    """DHT segment (possibly several tables) → decode tables."""
+def _parse_dqt(seg: bytes, qtables: dict) -> None:
+    """DQT segment (possibly several tables) → natural-order tables."""
+    qtables.update(_parse_dqt_cached(bytes(seg)))
+
+
+@_functools.lru_cache(maxsize=64)
+def _parse_dht_cached(seg: bytes) -> tuple:
+    """DHT segment → (((tc, th), decode table), ...), memoized on the
+    raw segment bytes (same rationale as :func:`_parse_dqt_cached`;
+    the inner tables were already memoized on (BITS, HUFFVAL) — this
+    also skips the per-file slice/sum re-walk of the segment)."""
+    out = []
     i = 0
     while i < len(seg):
         tc, th = seg[i] >> 4, seg[i] & 0xF
@@ -547,7 +564,13 @@ def _parse_dht(seg: bytes, htables: dict) -> None:
         nsym = sum(counts)
         symbols = list(seg[i : i + nsym])
         i += nsym
-        htables[(tc, th)] = _build_decode_table(counts, symbols)
+        out.append(((tc, th), _build_decode_table(counts, symbols)))
+    return tuple(out)
+
+
+def _parse_dht(seg: bytes, htables: dict) -> None:
+    """DHT segment (possibly several tables) → decode tables."""
+    htables.update(_parse_dht_cached(bytes(seg)))
 
 
 def _assemble_planes(
@@ -585,22 +608,25 @@ def _assemble_planes(
                         for x in range(w)
                     )
                 )
-        # row-wise C copies into the interleaved output (the per-pixel
-        # Python loop dominated small-image decode); same replicate-
-        # beyond-edge semantics as the scalar indexing
-        import numpy as np
-
-        mat = np.empty((h, w), dtype=np.uint8)
+        # row-wise C copies into the interleaved output; same replicate-
+        # beyond-edge semantics as the scalar indexing. r17: pure bytes
+        # ops — join the cropped rows and place the plane with ONE
+        # extended-slice assignment (bytearray step-slices are C-speed);
+        # the previous numpy form paid ~32 frombuffer/array dispatches
+        # per image, which dominated the tiny-image decode profile.
+        n_up = len(up)
+        crop = []
         for y in range(h):
-            row = up[y] if y < len(up) else up[-1]
-            r = np.frombuffer(row, dtype=np.uint8)
-            if r.size >= w:
-                mat[y] = r[:w]
-            else:
-                mat[y, : r.size] = r
-                mat[y, r.size :] = r[-1]
-        view = np.frombuffer(out, dtype=np.uint8).reshape(h, w * nch)
-        view[:, ci::nch] = mat
+            row = up[y] if y < n_up else up[-1]
+            if len(row) >= w:
+                crop.append(row[:w])
+            else:  # replicate the last sample to width (defensive)
+                crop.append(row + row[-1:] * (w - len(row)))
+        plane_bytes = b"".join(crop)
+        if nch == 1:
+            out[:] = plane_bytes
+        else:
+            out[ci::nch] = plane_bytes
     return bytes(out)
 
 
@@ -1179,9 +1205,9 @@ def _fdct_blocks_batch(samples: "object") -> "object":
     return out.reshape(-1, 64)
 
 
-def _quantize_blocks(
+def _quantize_blocks_nd(
     width: int, height: int, pixels: bytes, channels: int, qtbl: list[int]
-) -> list[list[list[int]]]:
+):
     """Per channel, per block (row-major), the quantized DCT coefficients
     in ZIGZAG order — the shared front half of both encoders. Partial
     edge blocks are padded by edge replication; flat blocks skip the
@@ -1223,23 +1249,42 @@ def _quantize_blocks(
             np.int64
         )
         quant[full] = q
-    return [quant[c].tolist() for c in range(channels)]
+    return quant
 
 
-def encode_jpeg(
-    width: int, height: int, pixels: bytes, channels: int = 1, quant: int = 1
-) -> bytes:
-    """Minimal spec-valid baseline JFIF writer (4:4:4, Annex-K Huffman
-    tables, uniform quant table of value ``quant``). Three-channel input
-    is raw interleaved Y/Cb/Cr (see module docstring). Partial edge
-    blocks are padded by edge replication."""
-    if channels not in (1, 3):
-        raise ValueError(f"unsupported channel count {channels}")
-    if len(pixels) != width * height * channels:
-        raise ValueError("pixels length != width*height*channels")
-    if not 1 <= quant <= 255:
-        raise ValueError("quant must be in [1, 255]")
+def _quantize_blocks(
+    width: int, height: int, pixels: bytes, channels: int, qtbl: list[int]
+) -> list[list[list[int]]]:
+    return [
+        q.tolist()
+        for q in _quantize_blocks_nd(width, height, pixels, channels, qtbl)
+    ]
 
+
+def _quantize_blocks_with_lastnz(
+    width: int, height: int, pixels: bytes, channels: int, qtbl: list[int]
+):
+    """:func:`_quantize_blocks` plus, per channel/block, the index of the
+    last nonzero AC coefficient (0 when none) — computed in one
+    vectorized pass so the baseline entropy loop skips its per-block
+    63-step reverse scan (r17; values identical to the scalar scan by
+    construction: max over positions 1..63 where the coefficient is
+    nonzero)."""
+    import numpy as np
+
+    q = _quantize_blocks_nd(width, height, pixels, channels, qtbl)
+    idx = np.arange(64, dtype=np.int64)
+    lastnz = np.max(np.where((q != 0) & (idx >= 1), idx, 0), axis=2)
+    return [c.tolist() for c in q], lastnz.tolist()
+
+
+@_functools.lru_cache(maxsize=64)
+def _baseline_header(width: int, height: int, channels: int, quant: int) -> bytes:
+    """Everything of a baseline encode before the entropy data — a pure
+    function of (w, h, channels, quant), memoized because bulk encodes
+    repeat a handful of geometries and the per-call struct/segment
+    assembly was measurable in the tiny-image profile. Bytes are
+    byte-identical to the previous inline assembly."""
     qtbl = [quant] * 64
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -1265,11 +1310,32 @@ def encode_jpeg(
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    return bytes(out)
+
+
+def encode_jpeg(
+    width: int, height: int, pixels: bytes, channels: int = 1, quant: int = 1
+) -> bytes:
+    """Minimal spec-valid baseline JFIF writer (4:4:4, Annex-K Huffman
+    tables, uniform quant table of value ``quant``). Three-channel input
+    is raw interleaved Y/Cb/Cr (see module docstring). Partial edge
+    blocks are padded by edge replication."""
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels length != width*height*channels")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in [1, 255]")
+
+    qtbl = [quant] * 64
+    out = bytearray(_baseline_header(width, height, channels, quant))
 
     enc_dc = [_build_encode_table(*DC_LUM), _build_encode_table(*DC_CHROM)]
     enc_ac = [_build_encode_table(*AC_LUM), _build_encode_table(*AC_CHROM)]
     bw = _BitWriter()
-    blocks = _quantize_blocks(width, height, pixels, channels, qtbl)
+    blocks, lastnz = _quantize_blocks_with_lastnz(
+        width, height, pixels, channels, qtbl
+    )
     preds = [0] * channels
     for bi in range(len(blocks[0])):
         for c in range(channels):
@@ -1283,11 +1349,9 @@ def encode_jpeg(
             if ssss:
                 bw.write(diff if diff > 0 else diff + (1 << ssss) - 1, ssss)
             run = 0
-            last_nz = 0
-            for k in range(63, 0, -1):
-                if quantized[k]:
-                    last_nz = k
-                    break
+            # vectorized in _quantize_blocks_with_lastnz (identical to
+            # the former per-block 63-step reverse scan)
+            last_nz = lastnz[c][bi]
             for k in range(1, last_nz + 1):
                 v = quantized[k]
                 if v == 0:

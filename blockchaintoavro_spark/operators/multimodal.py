@@ -38,6 +38,32 @@ FEATURE_SCHEMA = (
 )
 
 
+import functools as _functools  # noqa: E402
+
+
+@_functools.lru_cache(maxsize=256)
+def _ramp7(n: int):
+    """Cached ``7·i`` ramp for the id-arithmetic pixel synthesizers —
+    pure geometry (no ids, no results); the fixture repeats a handful
+    of shapes so the arange amortizes to nothing."""
+    import numpy as np
+
+    return 7 * np.arange(n, dtype=np.int64)
+
+
+@_functools.lru_cache(maxsize=64)
+def _jpeg_base_grid(h: int, w: int, ch: int):
+    """Cached ``bx·29 + by·41 + c·53`` block grid for the JPEG roundtrip
+    synthesizer (geometry only — the id term is added per row)."""
+    import numpy as np
+
+    return (
+        (np.arange(h)[:, None, None] // 8) * 41
+        + (np.arange(w)[None, :, None] // 8) * 29
+        + np.arange(ch)[None, None, :] * 53
+    )
+
+
 def with_binary_payload(
     df: DataFrame, text_col: str = "text", out_col: str = "payload"
 ) -> DataFrame:
@@ -195,7 +221,11 @@ def image_roundtrip_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 w = 4 + doc_id % 13
                 h = 3 + doc_id % 7
                 ch = 1 if doc_id % 2 == 0 else 3
-                px = bytes((doc_id * 31 + 7 * i) % 256 for i in range(w * h * ch))
+                # (id·31 + 7i) mod 256 — vectorized over the cached 7i
+                # ramp (same bytes as the former per-byte genexpr)
+                px = ((doc_id * 31 + _ramp7(w * h * ch)) % 256).astype(
+                    "uint8"
+                ).tobytes()
                 payload = (
                     encode_png(w, h, px, 1) if ch == 1 else encode_bmp(w, h, px)
                 )
@@ -432,16 +462,10 @@ def jpeg_roundtrip_features(
                 w, h = 8 * wb, 8 * hb
                 ch = 1 if doc_id % 2 == 0 else 3
                 # (doc_id·17 + bx·29 + by·41 + c·53) mod 256 per sample,
-                # broadcast instead of a per-byte genexpr (same bytes)
-                px = (
-                    (
-                        doc_id * 17
-                        + (np.arange(h)[:, None, None] // 8) * 41
-                        + (np.arange(w)[None, :, None] // 8) * 29
-                        + np.arange(ch)[None, None, :] * 53
-                    )
-                    % 256
-                ).astype(np.uint8).tobytes()
+                # broadcast over the cached geometry grid (same bytes)
+                px = ((doc_id * 17 + _jpeg_base_grid(h, w, ch)) % 256).astype(
+                    np.uint8
+                ).tobytes()
                 payload = encoder(w, h, px, ch, quant=1)
                 if progressive and b"\xff\xc2" not in payload:
                     raise ValueError("progressive encoder produced no SOF2")
